@@ -1,0 +1,79 @@
+"""OHLCV time-scale rollup (reference A1/A2).
+
+The reference auto-aggregates fine-grained quotes into coarser bars
+(snapshot→min→day) with open=first, high=max, low=min, close=last,
+volume/money=sum — the contract is fixed by the bar schemas
+(`bin/init-sisdb.conf:61-93`, convert wiring `:288-298`).
+
+Spark: one ``groupBy(key, window(time, width))`` with ``min_by``/``max_by``
+against a deterministic order column.  All six aggregates partial-aggregate
+map-side, so the shuffle carries one row per (key, bar) — at 100 TB the
+output cardinality, not the input size, bounds the shuffle.  The same
+expression runs under Structured Streaming with a watermark
+(``streaming/rollup_stream.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ohlcv(
+    df: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    price_col: str,
+    width: str,
+    order_col: str | None = None,
+    volume_col: str | None = None,
+) -> DataFrame:
+    """Roll fine-grained prices up to ``width`` bars per key.
+
+    ``order_col`` breaks same-timestamp ties deterministically (the reference
+    relies on insertion order; we pin a total order — SURVEY §7 hard part d).
+    """
+    order = F.col(order_col) if order_col else F.col(time_col)
+    win = F.window(F.col(time_col), width)
+    aggs = [
+        F.min_by(F.col(price_col), order).alias("open"),
+        F.max(price_col).alias("high"),
+        F.min(price_col).alias("low"),
+        F.max_by(F.col(price_col), order).alias("close"),
+        F.count(F.lit(1)).alias("volume"),
+    ]
+    if volume_col:
+        aggs.append(F.sum(volume_col).alias("money"))
+    out = df.groupBy(*key_cols, win).agg(*aggs)
+    return out.select(
+        *key_cols,
+        F.col("window.start").alias("bar_start"),
+        *[c for c in out.columns if c not in (*key_cols, "window")],
+    )
+
+
+def bars_to_coarser(
+    bars: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    width: str,
+) -> DataFrame:
+    """Re-aggregate existing bars to a coarser scale (min→day, reference A2).
+
+    first/last follow bar_start order; high/low/volume compose associatively,
+    which is what makes multi-stage rollup (snapshot→min→day) safe.
+    """
+    order = F.col(time_col)
+    win = F.window(F.col(time_col), width)
+    out = bars.groupBy(*key_cols, win).agg(
+        F.min_by("open", order).alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by(F.col("close"), order).alias("close"),
+        F.sum("volume").alias("volume"),
+    )
+    return out.select(
+        *key_cols,
+        F.col("window.start").alias("bar_start"),
+        "open", "high", "low", "close", "volume",
+    )

@@ -1,0 +1,168 @@
+"""Series math library (reference §2.4 A3-A14, `src/core/ai/sis_ai.h`).
+
+The reference applies per-series scalar/aggregate math to sorted arrays with
+index arithmetic; here each is a window/aggregate expression over
+``(key, time)`` so it distributes: one shuffle on the key, everything else
+whole-stage codegen.  Only genuinely stateful scans (polyfit A8,
+turning-point A14) drop to Arrow-batched ``applyInPandas``.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+GOLDEN = (1 + math.sqrt(5)) / 2  # reference golden-ratio constant (sis_ai.h)
+
+
+def normal_density(x: Column, mu: Column, var: Column) -> Column:
+    """A5 'chance': N(mu, var) density at x (sis_ai.h:140)."""
+    return F.exp(-F.pow(x - mu, 2) / (2 * var)) / F.sqrt(2 * math.pi * var)
+
+
+def minmax_normalize(
+    df: DataFrame, keys: list[str], col: str, lo: float = 0.0, hi: float = 1.0
+) -> Column:
+    """A10: scale ``col`` into [lo, hi] within each key group (sis_ai.h:22-33).
+
+    Uses an unbounded window per key — at scale prefer joining a per-key
+    min/max aggregate; Catalyst's window is fine when the key count is high.
+    """
+    w = Window.partitionBy(*keys)
+    cmin, cmax = F.min(col).over(w), F.max(col).over(w)
+    span = F.when(cmax != cmin, cmax - cmin)
+    return lo + (F.col(col) - cmin) / span * (hi - lo)
+
+
+def drift(df: DataFrame, keys: list[str], order: list[Column], col: str) -> DataFrame:
+    """A9: first/second difference per key (sis_ai.h:35-37)."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    d1 = F.col(col) - F.lag(col, 1).over(w)
+    out = df.withColumn("d1", d1)
+    d2 = F.col("d1") - F.lag("d1", 1).over(w)
+    return out.withColumn("d2", d2)
+
+
+def fib_weighted_mean(
+    df: DataFrame, keys: list[str], order: list[Column], col: str, n: int
+) -> DataFrame:
+    """A11: recency-weighted mean over the last ``n`` records per key
+    (sis_ai.h:142).  Weight = GOLDEN^position (Fibonacci ratio weights: the
+    reference's fib sequence is the integer form of the same geometric
+    recency decay)."""
+    w = Window.partitionBy(*keys).orderBy(*[c.desc() for c in order])
+    ranked = df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= n)
+    weight = F.pow(F.lit(GOLDEN), n - F.col("__rn"))
+    return ranked.groupBy(*keys).agg(
+        (F.sum(F.col(col) * weight) / F.sum(weight)).alias("fib_wmean")
+    )
+
+
+def running_avg(
+    df: DataFrame, keys: list[str], order: list[Column], col: str, n: int
+) -> Column:
+    """A12: incremental running average with warmup cap (sis_ai.h:46-64) =
+    moving average over the trailing n rows."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(-(n - 1), Window.currentRow)
+    )
+    return F.avg(col).over(w)
+
+
+def trend_code(df: DataFrame, keys: list[str], order: list[Column], col: str) -> Column:
+    """A13: 3-period up/down pattern → 3-bit code (sis_ai.h:180-280 'bagua')."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    ups = [
+        (F.col(col) > F.lag(col, k).over(w)).cast("int") * (2 ** (k - 1))
+        for k in (1, 2, 3)
+    ]
+    return sum(ups[1:], ups[0])
+
+
+def local_extrema(
+    df: DataFrame, keys: list[str], order: list[Column], col: str
+) -> DataFrame:
+    """A14 (relational core): mark local maxima/minima (value vs both
+    neighbors).  The full reference turning-point scan (golden-ratio
+    amplitude windows) is in ``turning_points_pandas``."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    prev, nxt = F.lag(col, 1).over(w), F.lead(col, 1).over(w)
+    return df.withColumn(
+        "is_peak", (F.col(col) > prev) & (F.col(col) > nxt)
+    ).withColumn("is_trough", (F.col(col) < prev) & (F.col(col) < nxt))
+
+
+def turning_points_pandas(
+    df: DataFrame, keys: list[str], time_col: str, col: str, min_rate: float = 0.02
+) -> DataFrame:
+    """A14 full form (sis_ai.h:66-112): per-key stateful scan finding trend
+    start/stop with amplitude ≥ min_rate; Arrow-batched per key group."""
+    import pandas as pd
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time_col).reset_index(drop=True)
+        vals = pdf[col].to_numpy()
+        out = []
+        if len(vals) < 3:
+            return pd.DataFrame(
+                columns=[*keys, "turn_time", "turn_value", "direction"]
+            )
+        last_turn = 0
+        direction = 0  # +1 rising, -1 falling
+        for i in range(1, len(vals)):
+            d = 1 if vals[i] > vals[last_turn] else -1
+            amp = abs(vals[i] - vals[last_turn]) / max(abs(vals[last_turn]), 1e-12)
+            if direction == 0:
+                if amp >= min_rate:
+                    direction = d
+                    last_turn = i
+            elif d != direction and amp >= min_rate:
+                out.append(
+                    {
+                        **{k: pdf[k].iloc[0] for k in keys},
+                        "turn_time": pdf[time_col].iloc[last_turn],
+                        "turn_value": float(vals[last_turn]),
+                        "direction": int(direction),
+                    }
+                )
+                direction = d
+                last_turn = i
+            elif d == direction and (
+                (d > 0 and vals[i] > vals[last_turn])
+                or (d < 0 and vals[i] < vals[last_turn])
+            ):
+                last_turn = i
+        return pd.DataFrame(out, columns=[*keys, "turn_time", "turn_value", "direction"])
+
+    key_fields = ", ".join(
+        f"{k} {df.schema[k].dataType.simpleString()}" for k in keys
+    )
+    schema = f"{key_fields}, turn_time {df.schema[time_col].dataType.simpleString()}, turn_value double, direction int"
+    return df.groupBy(*keys).applyInPandas(lambda pdf: scan(pdf), schema)
+
+
+def polyfit_pandas(
+    df: DataFrame, keys: list[str], x_col: str, y_col: str, degree: int
+) -> DataFrame:
+    """A8: least-squares polynomial fit per key (sis_ai.h:131-133) —
+    numpy.polyfit in an Arrow-batched group map (no SQL builtin)."""
+    import numpy as np
+    import pandas as pd
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) <= degree:
+            coef = [float("nan")] * (degree + 1)
+        else:
+            coef = np.polyfit(pdf[x_col].astype(float), pdf[y_col].astype(float), degree)
+        row = {k: pdf[k].iloc[0] for k in keys}
+        for i, c in enumerate(coef):
+            row[f"c{degree - i}"] = float(c)
+        return pd.DataFrame([row])
+
+    key_fields = ", ".join(f"{k} {df.schema[k].dataType.simpleString()}" for k in keys)
+    coef_fields = ", ".join(f"c{i} double" for i in range(degree, -1, -1))
+    return df.groupBy(*keys).applyInPandas(fit, f"{key_fields}, {coef_fields}")

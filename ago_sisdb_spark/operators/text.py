@@ -1,0 +1,89 @@
+"""Text analysis operators for training-data pipelines (SURVEY §2.11):
+language-ID (stopword-hit heuristic), quality scoring, token counting,
+document fingerprinting.  All pure column expressions — one corpus scan,
+no shuffle, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EN_STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that for on with as at by from",
+)
+_STOP_LIST = EN_STOPWORDS[0].split()
+
+# BPE-ish token estimate: words + digit runs + punctuation marks each count.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def regex_token_count(text: Column) -> Column:
+    """BPE-ish token count: letter runs, digit runs, punctuation marks."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = F.transform(tokens(F.lower(text)), lambda t: t)
+    hits = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in _STOP_LIST])))
+    distinct_n = F.size(F.array_distinct(toks))
+    return hits / F.nullif(distinct_n.cast("double"), F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^\.,;:!\?]", "")
+    return F.length(stripped) / F.nullif(F.length(text).cast("double"), F.lit(0.0))
+
+
+def mean_word_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    return total / F.nullif(F.size(toks).cast("double"), F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, sane word length,
+    some stopwords, not punctuation-soup (C4/Gopher-rule flavored)."""
+    len_ok = (F.length(text) >= 50).cast("double")
+    wl = mean_word_len(text)
+    wl_ok = ((wl >= 2.0) & (wl <= 12.0)).cast("double")
+    sw_ok = (stopword_ratio(text) >= 0.05).cast("double")
+    punct_ok = (punct_ratio(text) <= 0.2).cast("double")
+    return (len_ok + wl_ok + sw_ok + punct_ok) / 4.0
+
+
+def lang_id_en(text: Column, threshold: float = 0.10) -> Column:
+    """Heuristic language-ID: 'en' when the distinct-stopword hit ratio
+    clears threshold, else 'other'.  (n-gram profile models plug in the
+    same way — per-language expression score, argmax.)"""
+    return F.when(stopword_ratio(text) >= threshold, F.lit("en")).otherwise(
+        F.lit("other")
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: polynomial rolling hash over
+    tokens, word → (len*131 + first-char-code), folded mod 2^31-1.
+
+    Engine-portable (same arithmetic in any SQL dialect) unlike xxhash64;
+    used as the stable doc signature for incremental dedup bookkeeping.
+    """
+    word_code = lambda t: (  # noqa: E731
+        F.length(t) * 131 + F.ascii(F.substring(t, 1, 1))
+    ).cast("long")
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + word_code(t)) % F.lit(2147483647).cast("long"),
+    )

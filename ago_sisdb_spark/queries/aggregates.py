@@ -1,0 +1,231 @@
+"""§2.4 — rollup pipeline + group-by surface.
+
+A1/A2 OHLCV time-scale rollup is the reference's only real aggregation
+pipeline (`bin/init-sisdb.conf:61-93,288-298`); the relational group-by
+surface (cube/rollup/grouping sets/count-distinct) is declared for parity
+(SURVEY §2.4 last row).  Floating-point aggregates are rounded identically
+on both sides so summation order can't flip the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ago_sisdb_spark.inventory import _t, query
+from ago_sisdb_spark.operators import rollup
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6)                                    AS avg_qty,
+           round(avg(l_extendedprice), 6)                               AS avg_price,
+           round(avg(l_discount), 6)                                    AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-style pricing summary — the full scan+agg path the
+    reference serves via per-key reads + client math; here one partial-agg
+    shuffle of ~|groups| rows regardless of input size."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "a1_ohlcv_rollup",
+    oracle="""
+    SELECT event_type,
+           date_trunc('hour', ts)            AS bar_start,
+           round(arg_min(value, event_id), 2) AS open,
+           round(max(value), 2)               AS high,
+           round(min(value), 2)               AS low,
+           round(arg_max(value, event_id), 2) AS close,
+           count(*)                           AS volume,
+           round(sum(value), 2)               AS money
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def a1_ohlcv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: fine quotes → hourly OHLCV bars per key (init-sisdb.conf:61-93).
+
+    `event_id` is the deterministic tie-break (reference relies on insertion
+    order; SURVEY §7 hard part d).  All aggs combine map-side: shuffle
+    carries one row per (key, bar)."""
+    ev = _t(spark, sf_dir, "events")
+    bars = rollup.ohlcv(
+        ev,
+        key_cols=["event_type"],
+        time_col="ts",
+        price_col="value",
+        width="1 hour",
+        order_col="event_id",
+        volume_col="value",
+    )
+    return bars.select(
+        "event_type",
+        "bar_start",
+        F.round("open", 2).alias("open"),
+        F.round("high", 2).alias("high"),
+        F.round("low", 2).alias("low"),
+        F.round("close", 2).alias("close"),
+        "volume",
+        F.round("money", 2).alias("money"),
+    )
+
+
+@query(
+    "a2_time_unit_conversion",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day, count(*) AS n,
+           round(sum(value), 2) AS total
+    FROM events GROUP BY 1
+    """,
+)
+def a2_time_unit_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: time-scale conversion during rollup (sis_db.c:355-360) = date_trunc."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+@query(
+    "a15_value_buckets",
+    oracle="""
+    SELECT least(greatest(CAST(floor(value / 10.0) AS INTEGER), 0), 9) AS bucket,
+           count(*) AS n, round(avg(value), 6) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def a15_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15: value-bucket grouping (s_sis_groups, sis_group.h:10-60) —
+    equal-width buckets as pure arithmetic (stays in codegen, no UDF)."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / 10.0).cast("int"), F.lit(0)), F.lit(9)
+    )
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value")
+    )
+
+
+@query(
+    "a16_dedup_exact",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def a16_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16: unique-field dedup (sis_dynamic.h:106,126) = dropDuplicates."""
+    return _t(spark, sf_dir, "events").select("user_id", "event_type").dropDuplicates()
+
+
+@query(
+    "agg_rollup_hierarchy",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parity: ROLLUP grouping (absent in reference, SURVEY §2.4)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY CUBE (event_type, CAST(ts AS DATE))
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parity: CUBE grouping."""
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.col("ts").cast("date"))
+    return ev.cube("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count per group (declared parity row)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query("agg_approx_count_distinct", oracle=None)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL) — approximate by design, rows-only check;
+    the scale path for distinct counts at 100 TB."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT event_type, user_id, count(*) AS n
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parity: GROUPING SETS via SQL (same Catalyst Expand as cube/rollup)."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__gs_events")
+    return spark.sql(
+        """
+        SELECT event_type, user_id, count(*) AS n
+        FROM __gs_events
+        GROUP BY GROUPING SETS ((event_type), (user_id))
+        """
+    )

@@ -1,0 +1,236 @@
+"""§2.11 — LLM-data-pipeline queries: dedup, similarity search, text
+analysis over the `documents` / `embeddings` tables.
+
+Oracle notes: MinHash/SimHash use Spark's xxhash64 (not portable to DuckDB)
+→ rows-only checks, with the exact n-gram Jaccard as the hash-checked
+ground-truth twin.  Cosine/text queries are fully oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ago_sisdb_spark.inventory import _t, query
+from ago_sisdb_spark.operators import dedup, similarity, text
+
+
+@query(
+    "d1_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS keep_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def d1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by content digest — the shuffle carries
+    (digest, id), never document bodies."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(docs, "doc_id", "text")
+
+
+@query(
+    "d2_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id AS doc, unnest(list_distinct(
+            list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1) + 1),
+                i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))) AS shingle
+        FROM documents WHERE doc_id < 60),
+    sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+    inter AS (
+        SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY a.doc, b.doc)
+    SELECT id_a, id_b,
+           round(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = id_a
+    JOIN sizes sb ON sb.doc = id_b
+    WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.08
+    """,
+)
+def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-gram Jaccard near-dup pairs (ground truth for MinHash) on a
+    doc_id<60 slice (threshold 0.08); the shingle equi-join avoids any O(n²) crossjoin."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.08)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query("d3_minhash_lsh", oracle=None)
+def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH candidate pairs (32 hashes × 8 bands, 3-word
+    shingles).  xxhash64-based → rows-only check; d2 is the exact twin."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=32, bands=8
+    )
+
+
+@query("d4_simhash", oracle=None)
+def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document + 16-bit band keys for
+    Hamming-neighbor blocking; rows-only check."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = dedup.simhash64(F.col("text"))
+    out = docs.select("doc_id", fp.alias("simhash"))
+    return out.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias(f"band{b}")
+            for b in range(4)
+        ],
+    )
+
+
+@query(
+    "n1_knn_bruteforce",
+    oracle="""
+    WITH probe AS (SELECT embedding AS pvec FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id AS neighbor_id,
+           round(list_cosine_similarity(
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(p.pvec, x -> CAST(x AS DOUBLE))), 6) AS score
+    FROM embeddings e, probe p
+    WHERE e.vec_id != 0
+    ORDER BY score DESC, neighbor_id LIMIT 5
+    """,
+)
+def n1_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for probe vec_id=0: broadcast probe × corpus scan,
+    codegen'd zip_with/aggregate dot product."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") == 0)
+    out = similarity.brute_force_topk(
+        emb, probes, "vec_id", "embedding", "vec_id", 5
+    )
+    return out.select("neighbor_id", F.round("score", 6).alias("score"))
+
+
+@query("n2_knn_lsh", oracle=None)
+def n2_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH buckets (6 bits) + exact
+    re-rank inside buckets — the 100 TB path; rows-only check (approximate
+    by design, recall vs n1 asserted in tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
+    return similarity.lsh_topk(
+        emb, probes, "vec_id", "embedding", "vec_id", k=5, dim=64, bits=6
+    )
+
+
+@query(
+    "n3_embedding_stats",
+    oracle="""
+    SELECT label,
+           count(*) AS n,
+           round(avg(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * x)))), 4) AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def n3_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column aggregation: mean L2 norm per label."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(similarity.norm(F.col("embedding"))), 4).alias("avg_norm"),
+        )
+    )
+
+
+@query(
+    "t1_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(trim(text), ' ')) AS n_tokens,
+           length(text) AS n_chars_actual,
+           n_chars
+    FROM documents
+    """,
+)
+def t1_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace) + char counts vs the recorded n_chars."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        "n_chars",
+    )
+
+
+@query(
+    "t2_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_transform(string_split(trim(text), ' '), w -> length(w)) AS wlens,
+             length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) AS n_punct,
+             length(text) AS n_chars2
+      FROM documents)
+    SELECT doc_id,
+           round(list_sum(wlens) / nullif(len(wlens), 0), 6) AS mean_word_len,
+           round(n_punct / nullif(n_chars2, 0), 6) AS punct_ratio,
+           CAST(n_chars2 >= 50 AS INTEGER) AS len_ok
+    FROM t
+    """,
+)
+def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: mean word length, punctuation ratio, length gate."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(text.mean_word_len(F.col("text")), 6).alias("mean_word_len"),
+        F.round(text.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        (F.length("text") >= 50).cast("int").alias("len_ok"),
+    )
+
+
+@query(
+    "t3_lang_id",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(list_intersect(list_distinct(string_split(lower(trim(text)), ' ')),
+                 {str(text._STOP_LIST)})) AS sw_hits,
+             len(list_distinct(string_split(lower(trim(text)), ' '))) AS n_distinct
+      FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN sw_hits / nullif(n_distinct, 0) >= 0.10
+                THEN 'en' ELSE 'other' END AS pred_lang
+    FROM t
+    """,
+)
+def t3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID via stopword hit ratio, with the stored lang
+    column for accuracy eval."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        text.lang_id_en(F.col("text"), 0.10).alias("pred_lang"),
+    )
+
+
+@query(
+    "t4_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(trim(text), ' '),
+                 w -> CAST(length(w) * 131 + ascii(substring(w, 1, 1)) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 2147483647) AS fingerprint
+    FROM documents
+    """,
+)
+def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic rolling-hash document fingerprint (portable arithmetic,
+    hash-checked against the DuckDB oracle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint(F.col("text")).alias("fingerprint"))

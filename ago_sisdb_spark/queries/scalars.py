@@ -1,0 +1,223 @@
+"""§2.8 — scalar function family queries (date/time, math, string, price,
+JSON, array, cast rules).
+
+Each family from the SURVEY §2.8 table gets one query exercising several
+functions at once; Spark and DuckDB spellings differ (date_format vs
+strftime, get_json_object vs json_extract_string) but compute identical
+values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ago_sisdb_spark.functions import mathx, timecodec
+from ago_sisdb_spark.inventory import _t, query
+
+
+@query(
+    "f_datetime_extract",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)            AS y,
+           month(o_orderdate)           AS mo,
+           day(o_orderdate)             AS d,
+           isodow(o_orderdate)          AS dow_iso,
+           strftime(o_orderdate, '%Y-%m-%d') AS ymd,
+           CAST(strftime(o_orderdate, '%Y%m%d') AS INTEGER) AS int_date
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def f_datetime_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date extractors + yyyymmdd codec (idate/iyear family, sis_time.h:13-68)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        (F.weekday("o_orderdate") + 1).alias("dow_iso"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("ymd"),
+        timecodec.to_int_date(F.col("o_orderdate")).alias("int_date"),
+    )
+
+
+@query(
+    "f_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+           CASE isodow(o_orderdate)
+                WHEN 5 THEN CAST(o_orderdate + INTERVAL 3 DAY AS DATE)
+                WHEN 6 THEN CAST(o_orderdate + INTERVAL 2 DAY AS DATE)
+                ELSE CAST(o_orderdate + INTERVAL 1 DAY AS DATE) END AS next_workday
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def f_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day offsets + next-work-day weekend skip (sis_time.h:49-61)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_add(d, 30).alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).alias("days_to_2002"),
+        timecodec.next_workday(d).alias("next_workday"),
+    )
+
+
+@query(
+    "f_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_extendedprice - l_quantity * 1000), 2)     AS abs_diff,
+           least(l_quantity, l_discount * 100)                    AS least_v,
+           greatest(l_quantity, l_discount * 100)                 AS greatest_v,
+           floor(l_extendedprice / 100)                           AS floor_v,
+           ceil(l_extendedprice / 100)                            AS ceil_v,
+           round(l_extendedprice / nullif(l_discount, 0), 4)      AS safe_div,
+           round(pow(10, 2) * sqrt(l_quantity), 6)                AS zoom_sqrt
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+)
+def f_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: abs/least/greatest/floor/ceil, zero-safe divide
+    (SIS_DIVF), zoom10 (sis_math.h:12-36,211-271)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_extendedprice") - F.col("l_quantity") * 1000), 2).alias(
+            "abs_diff"
+        ),
+        F.least(F.col("l_quantity"), F.col("l_discount") * 100).alias("least_v"),
+        F.greatest(F.col("l_quantity"), F.col("l_discount") * 100).alias("greatest_v"),
+        F.floor(F.col("l_extendedprice") / 100).alias("floor_v"),
+        F.ceil(F.col("l_extendedprice") / 100).alias("ceil_v"),
+        F.round(
+            mathx.safe_div(F.col("l_extendedprice"), F.col("l_discount")), 4
+        ).alias("safe_div"),
+        F.round(mathx.zoom10(2) * F.sqrt("l_quantity"), 6).alias("zoom_sqrt"),
+    )
+
+
+@query(
+    "f_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           split_part(c_name, '#', 2)          AS cust_num,
+           upper(c_mktsegment)                 AS seg_upper,
+           lower(c_name)                       AS name_lower,
+           substring(c_name, 1, 8)             AS name_prefix,
+           length(c_name)                      AS name_len,
+           contains(c_name, '1')               AS has_one,
+           starts_with(c_name, 'Customer')     AS is_cust
+    FROM customer WHERE c_custkey < 200
+    """,
+)
+def f_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: split/case/substring/prefix (sis_str.c, sis_utils.h:60-73)."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 200)
+    return c.select(
+        "c_custkey",
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("cust_num"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.lower("c_name").alias("name_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.col("c_name").contains("1").alias("has_one"),
+        F.col("c_name").startswith("Customer").alias("is_cust"),
+    )
+
+
+@query(
+    "f_price_decimal",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) AS price_dec,
+           round(l_extendedprice, 0) AS price_dot0,
+           round(l_extendedprice, 3) AS price_dot3
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+)
+def f_price_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P-type price rendering: DecimalType + per-field dot decimals
+    (sis_zint.h:29-90, sis_dynamic.h:240-299)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 2).cast("decimal(18,2)").alias("price_dec"),
+        F.round("l_extendedprice", 0).alias("price_dot0"),
+        F.round("l_extendedprice", 3).alias("price_dot3"),
+    )
+
+
+@query(
+    "f_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
+    FROM events WHERE event_id < 1000
+    """,
+)
+def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family (sis_json.c): extract + cast from the props column."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 1000)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+    )
+
+
+@query(
+    "f_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                                           AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6)                   AS first_elem,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 4) AS sq_norm,
+           round(CAST(list_max(embedding) AS DOUBLE), 6)            AS max_elem
+    FROM embeddings WHERE vec_id < 100
+    """,
+)
+def f_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family (repeated fields, sis_dynamic.h:155-187): element access,
+    transform+aggregate (dot/norm), max — all codegen'd builtins."""
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    sq = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_elem"),
+        F.round(sq, 4).alias("sq_norm"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_elem"),
+    )
+
+
+@query(
+    "f_cast_rules",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice) AS BIGINT)  AS price_int,
+           CAST(o_orderkey AS VARCHAR)   AS key_str,
+           TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def f_cast_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion rules (sis_dynamic.h:110-116): widening casts + the
+    "mismatched type → empty" rule as try_cast → NULL."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.floor("o_totalprice").cast("bigint").alias("price_int"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
+    )

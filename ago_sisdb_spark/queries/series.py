@@ -1,0 +1,302 @@
+"""§2.4 A3-A14 — series math queries (reference `src/core/ai/sis_ai.h`).
+
+Each query applies the operators in ``operators/series.py`` to the `events`
+series (per event_type = per key, ordered by event_id which is globally
+time-ordered in the test data).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ago_sisdb_spark.inventory import _t, query
+from ago_sisdb_spark.operators import series
+
+GOLDEN_SQL = "((1 + sqrt(5)) / 2)"
+
+
+@query(
+    "a3_mean_median",
+    oracle="""
+    SELECT event_type, round(avg(value), 6) AS mean_value,
+           round(median(value), 6) AS median_value
+    FROM events GROUP BY event_type
+    """,
+)
+def a3_mean_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: avg+median (sis_ai_get_avg_and_mid, sis_ai.h:45). Exact median
+    (interpolated) matches DuckDB; at 100 TB swap to approx_percentile."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 6).alias("mean_value"),
+            F.round(F.median("value"), 6).alias("median_value"),
+        )
+    )
+
+
+@query(
+    "a4_variance",
+    oracle="""
+    SELECT event_type, round(avg(value), 6) AS mean_value,
+           round(var_samp(value), 6) AS var_value,
+           round(stddev_samp(value), 6) AS std_value
+    FROM events GROUP BY event_type
+    """,
+)
+def a4_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: sample mean+variance (sis_ai_series_argv, sis_ai.h:138)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 6).alias("mean_value"),
+            F.round(F.var_samp("value"), 6).alias("var_value"),
+            F.round(F.stddev_samp("value"), 6).alias("std_value"),
+        )
+    )
+
+
+@query(
+    "a5_normal_density",
+    oracle="""
+    SELECT event_type,
+           round(exp(-pow(50.0 - avg(value), 2) / (2 * var_samp(value)))
+                 / sqrt(2 * pi() * var_samp(value)), 6) AS chance_at_50
+    FROM events GROUP BY event_type
+    """,
+)
+def a5_normal_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 'chance': density of x=50 under per-group (mu, var) (sis_ai.h:140)."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.var_samp("value").alias("s2")
+    )
+    return g.select(
+        "event_type",
+        F.round(
+            series.normal_density(F.lit(50.0), F.col("mu"), F.col("s2")), 6
+        ).alias("chance_at_50"),
+    )
+
+
+@query(
+    "a6_correlation",
+    oracle="""
+    SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a6_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: Pearson correlation (sis_ai_corr.h:15-25)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"))
+    )
+
+
+@query(
+    "a6_lagged_corr",
+    oracle="""
+    WITH lagged AS (
+        SELECT event_type, value,
+               lag(value, 1) OVER (PARTITION BY event_type ORDER BY event_id) AS prev_value
+        FROM events)
+    SELECT event_type, round(corr(value, prev_value), 6) AS autocorr_1
+    FROM lagged GROUP BY event_type
+    """,
+)
+def a6_lagged_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 offset-corr: lag-1 autocorrelation per series (sis_ai_corr.h:20-25)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    lagged = ev.select(
+        "event_type", "value", F.lag("value", 1).over(w).alias("prev_value")
+    )
+    return lagged.groupBy("event_type").agg(
+        F.round(F.corr("value", "prev_value"), 6).alias("autocorr_1")
+    )
+
+
+@query(
+    "a7_regr_slope",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a7_regr_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: least-squares slope (sis_ai.h:135-136)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 6).alias(
+                "intercept"
+            ),
+        )
+    )
+
+
+@query(
+    "a9_drift",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, event_id, value,
+               value - lag(value, 1) OVER (PARTITION BY event_type ORDER BY event_id) AS d1
+        FROM events),
+    dd AS (
+        SELECT event_type, event_id, d1,
+               d1 - lag(d1, 1) OVER (PARTITION BY event_type ORDER BY event_id) AS d2
+        FROM d)
+    SELECT event_type, round(avg(d1), 6) AS mean_drift,
+           round(avg(d2), 6) AS mean_accel,
+           round(max_by(d1, event_id), 6) AS last_drift
+    FROM dd GROUP BY event_type
+    """,
+)
+def a9_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: drift/acceleration via lag differences (sis_ai.h:35-37)."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    d = series.drift(ev, ["event_type"], [F.col("event_id")], "value")
+    return d.groupBy("event_type").agg(
+        F.round(F.avg("d1"), 6).alias("mean_drift"),
+        F.round(F.avg("d2"), 6).alias("mean_accel"),
+        F.round(F.max_by("d1", "event_id"), 6).alias("last_drift"),
+    )
+
+
+@query(
+    "a10_minmax_norm",
+    oracle="""
+    SELECT event_id, event_type,
+           round((value - min(value) OVER (PARTITION BY event_type))
+                 / nullif(max(value) OVER (PARTITION BY event_type)
+                          - min(value) OVER (PARTITION BY event_type), 0), 6) AS norm_value
+    FROM events
+    """,
+)
+def a10_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: min-max normalization per series (sis_ai.h:22-33)."""
+    ev = _t(spark, sf_dir, "events")
+    norm = series.minmax_normalize(ev, ["event_type"], "value")
+    return ev.select(
+        "event_id", "event_type", F.round(norm, 6).alias("norm_value")
+    )
+
+
+@query(
+    "a11_fib_weighted_mean",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+    SELECT event_type,
+           round(sum(value * pow({GOLDEN_SQL}, 20 - rn))
+                 / sum(pow({GOLDEN_SQL}, 20 - rn)), 6) AS fib_wmean
+    FROM ranked WHERE rn <= 20 GROUP BY event_type
+    """,
+)
+def a11_fib_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: Fibonacci/golden-ratio recency-weighted mean of the last 20
+    records per series (sis_ai.h:142)."""
+    ev = _t(spark, sf_dir, "events")
+    out = series.fib_weighted_mean(
+        ev, ["event_type"], [F.col("ts"), F.col("event_id")], "value", 20
+    )
+    return out.select("event_type", F.round("fib_wmean", 6).alias("fib_wmean"))
+
+
+@query(
+    "a12_running_avg",
+    oracle="""
+    SELECT event_id, event_type,
+           round(avg(value) OVER (PARTITION BY event_type ORDER BY event_id
+                                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS run_avg
+    FROM events
+    """,
+)
+def a12_running_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: trailing-5 running average with warmup (sis_ai.h:46-64)."""
+    ev = _t(spark, sf_dir, "events")
+    ra = series.running_avg(ev, ["event_type"], [F.col("event_id")], "value", 5)
+    return ev.select("event_id", "event_type", F.round(ra, 6).alias("run_avg"))
+
+
+@query(
+    "a13_trend_code",
+    oracle="""
+    WITH coded AS (
+        SELECT event_type,
+               CAST(value > lag(value, 1) OVER w AS INTEGER)
+             + CAST(value > lag(value, 2) OVER w AS INTEGER) * 2
+             + CAST(value > lag(value, 3) OVER w AS INTEGER) * 4 AS trend_code
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY event_id))
+    SELECT event_type, trend_code, count(*) AS n
+    FROM coded WHERE trend_code IS NOT NULL
+    GROUP BY event_type, trend_code
+    """,
+)
+def a13_trend_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: 3-period up/down pattern code distribution (sis_ai.h:180-280)."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    code = series.trend_code(ev, ["event_type"], [F.col("event_id")], "value")
+    return (
+        ev.withColumn("trend_code", code)
+        .where(F.col("trend_code").isNotNull())
+        .groupBy("event_type", "trend_code")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "a14_local_extrema",
+    oracle="""
+    WITH n AS (
+        SELECT event_type, value,
+               lag(value) OVER w AS prev, lead(value) OVER w AS nxt
+        FROM events WINDOW w AS (PARTITION BY event_type ORDER BY event_id))
+    SELECT event_type,
+           sum(CASE WHEN value > prev AND value > nxt THEN 1 ELSE 0 END) AS n_peaks,
+           sum(CASE WHEN value < prev AND value < nxt THEN 1 ELSE 0 END) AS n_troughs
+    FROM n GROUP BY event_type
+    """,
+)
+def a14_local_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 relational core: local extrema counts per series (sis_ai.h:66-112)."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    marked = series.local_extrema(ev, ["event_type"], [F.col("event_id")], "value")
+    return marked.groupBy("event_type").agg(
+        F.sum(F.col("is_peak").cast("int")).alias("n_peaks"),
+        F.sum(F.col("is_trough").cast("int")).alias("n_troughs"),
+    )
+
+
+@query("a14_turning_points", oracle=None)
+def a14_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 full stateful turning-point scan (sis_ai.h:66-112) — per-key
+    Arrow-batched applyInPandas; rows-only check (non-SQL-expressible)."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return series.turning_points_pandas(ev, ["event_type"], "ts", "value", 0.05)
+
+
+@query("a8_polyfit", oracle=None)
+def a8_polyfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: degree-2 polyfit of value over time per series (sis_ai.h:131-133)
+    via numpy in applyInPandas; rows-only check."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_type", F.col("event_id").cast("double").alias("x"), "value")
+    )
+    return series.polyfit_pandas(ev, ["event_type"], "x", "value", 2)
