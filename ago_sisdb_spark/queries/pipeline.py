@@ -73,8 +73,7 @@ def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprint per document + 16-bit band keys for
     Hamming-neighbor blocking; rows-only check."""
     docs = _t(spark, sf_dir, "documents")
-    fp = dedup.simhash64(F.col("text"))
-    out = docs.select("doc_id", fp.alias("simhash"))
+    out = dedup.simhash64(docs, "doc_id", "text").withColumnRenamed("doc", "doc_id")
     return out.select(
         "doc_id",
         "simhash",

@@ -1,0 +1,73 @@
+"""Benchmark harness — runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with a full collect (driver-side) to count the
+whole pipeline including Arrow transfer.  Warm-up runs once (JVM/codegen
+warm), then the median of 3 timed runs per query is reported.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family, the queries a 100 TB deployment
+# would actually run hot.
+HEADLINE = [
+    "q1_pricing_summary",     # scan+agg
+    "q3_shipping_priority",   # 3-way join
+    "a1_ohlcv_rollup",        # time-scale rollup
+    "j3_asof_join",           # as-of join
+    "j4_range_join",          # interval join
+    "p6_last_per_key",        # latest-per-key
+    "a12_running_avg",        # window series math
+    "d1_dedup_exact",         # exact dedup
+    "d3_minhash_lsh",         # near-dup LSH
+    "n1_knn_bruteforce",      # similarity search
+    "t2_quality_score",       # text analysis
+    "s2_time_range_scan",     # pruned range scan
+]
+
+RUNS = 3
+
+
+def main() -> None:
+    from ago_sisdb_spark.inventory import all_queries
+    from ago_sisdb_spark.session import get_spark
+
+    spark = get_spark(app_name="ago_sisdb_bench")
+    queries = all_queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        fn(spark, SF_DIR).collect()  # warm-up (codegen + file listing)
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).collect()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline query wall time at sf (median of 3, local[N])",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
