@@ -44,7 +44,7 @@ class Catalog:
         return os.path.join(self.root, f"{name}.parquet")
 
     def load(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(name))
+        return load_table(self.spark, self.root, name)
 
     def register_views(self, names: tuple[str, ...] = TESTDATA_TABLES) -> None:
         """Register each table as a temp view for spark.sql use."""
@@ -58,6 +58,26 @@ class Catalog:
             for f in sorted(os.listdir(self.root))
             if f.endswith(".parquet")
         ]
+
+
+def load_table(spark: SparkSession, root: str, name: str) -> DataFrame:
+    """Load a parquet table, normalizing nanosecond timestamps.
+
+    The driver's `events` table stores ts as parquet TIMESTAMP(NANOS), which
+    Spark's reader rejects; with the legacy nanosAsLong conf it arrives as
+    LongType nanos and is normalized to TimestampType (µs precision — the
+    same truncation DuckDB applies).  Integer `div`, not `/`: ns epoch
+    values exceed double's 2^53 mantissa, float division rounds the µs.
+    W-type µs encodings in the reference normalize identically (SURVEY §1.2).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(root, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def catalog_for(spark: SparkSession, root: str) -> Catalog:

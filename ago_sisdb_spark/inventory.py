@@ -42,24 +42,9 @@ def query(name: str, oracle: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load a test table.
+    from ago_sisdb_spark.catalog import load_table
 
-    The driver's `events` table stores ts as parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects; with the legacy nanosAsLong conf the
-    column arrives as LongType nanos and is normalized here to TimestampType
-    (µs precision — same truncation DuckDB applies).  W-type µs encodings in
-    the reference normalize identically (SURVEY §1.2).
-    """
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        # integer `div`, not `/`: ns values exceed double's 2^53 mantissa, so
-        # float division would round the microsecond (off-by-one vs DuckDB).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return load_table(spark, sf_dir, name)
 
 
 # Import side-effect modules that register queries.  Split by SURVEY §2

@@ -1,0 +1,144 @@
+"""Engine — the reference's command surface as a PySpark API (SURVEY §3).
+
+Reference protocol (README1.MD §指令集): ``get key.sdb {"fields": …,
+"range": {start, stop, offset, count, ifprev}, "format": …}``, ``gets``,
+``set/bset``, ``del``, ``sub/psub``.  Here ``key.sdb`` resolves to
+(table, key-predicate): the table is a catalog dataset, the key a column —
+so every request compiles to a declarative DataFrame plan that Catalyst
+prunes/pushes down, and distribution comes free (SURVEY §3.1 mapping).
+
+    eng = Engine(spark, root="/root/testdata/sf0.1",
+                 table_specs={"events": TableSpec("events", "user_id", "ts",
+                                                 order_col="event_id")})
+    eng.get("42.events", fields="ts,value", start=..., stop=...)
+    eng.get("*.events", count=-5)            # tail 5 per the key pattern
+    eng.gets(["1.events", "2.events"])       # last record per key
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ago_sisdb_spark.catalog import Catalog
+from ago_sisdb_spark.operators import lastper, rangescan
+from ago_sisdb_spark.sources.formats import render
+from ago_sisdb_spark.streaming.pubsub import key_pattern_filter
+
+
+@dataclass
+class TableSpec:
+    """Schema contract per sdb: which columns are key / time / tie-break
+    (the reference's mindex + solely declaration, sis_dynamic.h:105-106)."""
+
+    table: str
+    key_col: str
+    time_col: str
+    order_col: str | None = None  # deterministic tie-break within same time
+
+
+class Engine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        table_specs: dict[str, TableSpec],
+    ):
+        self.spark = spark
+        self.catalog = Catalog(spark, root)
+        self.specs = table_specs
+
+    def _resolve(self, key_sdb: str) -> tuple[DataFrame, TableSpec, str]:
+        """``key.sdb`` → (keyed scan, spec, key pattern).  Key patterns are
+        the reference's fan-out forms (P5): exact, comma list, glob."""
+        key, _, sdb = key_sdb.rpartition(".")
+        if sdb not in self.specs:
+            raise KeyError(f"unknown sdb {sdb!r}; known: {sorted(self.specs)}")
+        spec = self.specs[sdb]
+        df = self.catalog.load(spec.table)
+        if key and key != "*":
+            df = df.where(
+                key_pattern_filter(F.col(spec.key_col).cast("string"), key)
+            )
+        return df, spec, key
+
+    def _order(self, spec: TableSpec) -> list:
+        cols = [F.col(spec.time_col)]
+        if spec.order_col:
+            cols.append(F.col(spec.order_col))
+        return cols
+
+    def get(
+        self,
+        key_sdb: str,
+        fields: str | None = None,
+        start=None,
+        stop=None,
+        count: int | None = None,
+        ifprev: bool = False,
+        fmt: str | None = None,
+    ):
+        """The reference `get` (S1/S2 + P1/P3 semantics matrix).
+
+        No range args → latest record.  ``count>0`` head / ``count<0``
+        tail.  ``ifprev`` falls back to the last day with data ≤ start.
+        ``fmt`` renders to json/array/csv/struct bytes; None returns the
+        DataFrame (the composable form).
+        """
+        df, spec, _ = self._resolve(key_sdb)
+        order = self._order(spec)
+
+        if ifprev and start is not None:
+            df = rangescan.ifprev_day_scan(df, spec.time_col, start)
+        else:
+            df = rangescan.time_range(df, spec.time_col, start, stop)
+            if start is None and stop is None and count is None:
+                df = rangescan.last_record(df, order)
+        if count is not None:
+            df = (
+                rangescan.head_n(df, count, order)
+                if count > 0
+                else rangescan.tail_n(df, -count, order)
+            )
+        if fields:
+            df = df.select(*[c.strip() for c in fields.split(",")])
+        return render(df, fmt) if fmt else df
+
+    def gets(self, key_sdbs: list[str], fields: str | None = None) -> DataFrame:
+        """Reference `gets` (P6): latest record for many key.sdb at once.
+
+        All keys of the same sdb resolve in ONE plan (single max_by agg),
+        not per-key point reads — the fan-out the reference loops in C
+        becomes one shuffle of one row per key.
+        """
+        by_sdb: dict[str, list[str]] = {}
+        for ks in key_sdbs:
+            key, _, sdb = ks.rpartition(".")
+            by_sdb.setdefault(sdb, []).append(key)
+        outs = []
+        for sdb, keys in by_sdb.items():
+            spec = self.specs[sdb]
+            df, _, _ = self._resolve(f"{','.join(keys)}.{sdb}")
+            last = lastper.last_per_key(
+                df, [spec.key_col], spec.order_col or spec.time_col
+            ).withColumn("sdb", F.lit(sdb))
+            outs.append(last)
+        merged = outs[0]
+        for o in outs[1:]:
+            merged = merged.unionByName(o, allowMissingColumns=True)
+        if fields:
+            merged = merged.select(*[c.strip() for c in fields.split(",")])
+        return merged
+
+    def delete(self, key_sdb: str, start=None, stop=None) -> DataFrame:
+        """T9 `del`: the surviving DataFrame (caller persists via
+        streaming.write.write_partitioned / Delta DELETE in production)."""
+        from ago_sisdb_spark.streaming.write import delete_range
+
+        df, spec, key = self._resolve(f"*.{key_sdb.rpartition('.')[2]}")
+        pred = key_pattern_filter(
+            F.col(spec.key_col).cast("string"), key_sdb.rpartition(".")[0] or "*"
+        )
+        return delete_range(df, pred, spec.time_col, start, stop)

@@ -1,0 +1,86 @@
+"""CSV / JSON sources and the multi-format result renderer.
+
+Reference: csv codecs `src/core/sis_csv.h:29-75` (S6), JSON struct codecs
+`src/core/sis_utils.h:47-50` (S8), and the 5-way output format switch
+``json|array|csv|struct|zip`` (`src/core/sis_db.h:20-30`, S10).
+
+Spark: readers are the built-in DataFrameReader with explicit schemas
+(never inferSchema in production paths); the renderer returns driver-side
+bytes for API responses — result sets here are post-aggregation and small,
+the reference's own responses cap at 64 KB before going async
+(`workers/sisdb/sisdb.h:73`).  Large exports go through ``df.write`` sinks.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: StructType, header: bool = True
+) -> DataFrame:
+    return spark.read.schema(schema).option("header", str(header).lower()).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def from_json_records(
+    spark: SparkSession, records: str | list[dict], schema: StructType
+) -> DataFrame:
+    """S8 inline form: a JSON object (single row) or array (multi-row)
+    string → DataFrame, the `set key.sdb {json}` decode path
+    (`workers/sisdb/sisdb_io.c:209-237`)."""
+    if isinstance(records, str):
+        parsed = json.loads(records)
+    else:
+        parsed = records
+    rows = [parsed] if isinstance(parsed, dict) else list(parsed)
+    return spark.createDataFrame(rows, schema)
+
+
+def render(df: DataFrame, fmt: str = "json", limit: int | None = None) -> bytes:
+    """S10: render a (small) result set to one of the reference's formats.
+
+    - ``json``   : array of objects (the reference's {} rows form)
+    - ``array``  : column-name header + row arrays (compact form)
+    - ``csv``    : header + comma rows
+    - ``struct`` : Arrow IPC stream bytes (the binary-struct analogue —
+                   schema-carrying, zero-copy; replaces packed C structs)
+    """
+    if limit is not None:
+        df = df.limit(limit)
+    if fmt == "json":
+        rows = df.toJSON().collect()
+        return ("[" + ",".join(rows) + "]").encode()
+    if fmt == "array":
+        head = [f.name for f in df.schema.fields]
+        data = [list(r) for r in df.collect()]
+        return json.dumps({"fields": head, "rows": data}, default=str).encode()
+    if fmt == "csv":
+        cols = df.columns
+        out = [",".join(cols)]
+        for r in df.collect():
+            out.append(",".join("" if v is None else str(v) for v in r))
+        return ("\n".join(out) + "\n").encode()
+    if fmt == "struct":
+        import io
+
+        import pyarrow as pa
+
+        table = pa.Table.from_pandas(df.toPandas(), preserve_index=False)
+        sink = io.BytesIO()
+        with pa.ipc.new_stream(sink, table.schema) as w:
+            w.write_table(table)
+        return sink.getvalue()
+    raise ValueError(f"unknown format: {fmt!r} (json|array|csv|struct)")
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S6 sink: distributed CSV export (the large-result path)."""
+    df.write.mode(mode).option("header", "true").csv(path)

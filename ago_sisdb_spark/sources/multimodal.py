@@ -1,0 +1,119 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata
+(SURVEY §2.11).
+
+Design for 100 TB: media bytes live in a ``content BINARY`` column (or an
+object-store URI column for >row-group-sized blobs) beside typed metadata
+(modality, mime, width/height/duration).  Decode / feature-extract /
+resize / frame-sample run as Arrow-batched ``mapInPandas`` stages so bytes
+stream executor-side in columnar batches and never concentrate on the
+driver.  Partition by content-size-balanced buckets, not row count, so one
+task doesn't absorb all the large blobs.
+
+The decode kernels themselves need image/audio libs not present in this
+container, so they are STUBBED behind ``_decode_image_stub`` (deterministic
+fake, clearly marked); the Spark-side plumbing — schema, batch iteration,
+UDF signatures, metadata extraction — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),  # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("uri", T.StringType(), True),  # object-store ref for big blobs
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, modality string, n_bytes int, magic string, feature array<float>"
+)
+
+
+def attach_binary_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Cheap metadata pass (no decode): byte length + magic-number sniff,
+    pure column expressions."""
+    c = F.col(content_col)
+    magic = F.hex(F.substring(c, 1, 4))
+    return df.withColumn("n_bytes", F.length(c)).withColumn(
+        "magic",
+        F.when(magic.startswith("FFD8"), "jpeg")
+        .when(magic.startswith("89504E47"), "png")
+        .when(magic.startswith("52494646"), "riff-wav")
+        .when(magic.startswith("00000018") | magic.startswith("00000020"), "mp4")
+        .otherwise("unknown"),
+    )
+
+
+def _decode_image_stub(buf: bytes) -> list[float]:
+    """STUB: deterministic fake 8-dim feature in place of a real decoder.
+
+    Real deployment: ``PIL.Image.open(io.BytesIO(buf))`` → resize →
+    normalize → model features.  This container has no imaging libs, so the
+    stub hashes fixed byte positions into a stable vector — keeps the
+    pipeline shape (bytes → fixed-width float vector) real and testable.
+    """
+    if buf is None or len(buf) == 0:
+        raise NotImplementedError("empty media content; real decoder stubbed out")
+    step = max(len(buf) // 8, 1)
+    return [float(buf[min(i * step, len(buf) - 1)]) / 255.0 for i in range(8)]
+
+
+def extract_features(df: DataFrame, batch_limit: int = 1024) -> DataFrame:
+    """Decode + featurize media rows via Arrow-batched mapInPandas.
+
+    Batch shape: the iterator yields pandas frames capped upstream by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` — set it so
+    (records × avg blob size) fits executor memory; re-yield per chunk to
+    keep peak memory at one batch.
+    """
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _decode_image_stub(b if b is None or isinstance(b, bytes) else bytes(b))
+                for b in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": [len(b) if b is not None else 0 for b in pdf["content"]],
+                    "magic": [
+                        bytes(b)[:2].hex() if b is not None else ""
+                        for b in pdf["content"]
+                    ],
+                    "feature": feats,
+                }
+            )
+
+    return df.select("media_id", "modality", "content").mapInPandas(
+        run, FEATURE_SCHEMA
+    )
+
+
+def frame_sample_plan(df: DataFrame, every_n_seconds: int = 5) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per planned frame via
+    sequence+explode on the duration metadata — the real decoder (stubbed)
+    would fill ``frame_content``.  Shows the partitioning shape: explode
+    happens executor-side, fan-out is bounded by duration/step."""
+    dur = F.coalesce(
+        F.element_at(F.col("meta"), "duration_s").cast("int"), F.lit(0)
+    )
+    return df.where(F.col("modality") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(dur - 1, F.lit(0)), F.lit(every_n_seconds))
+        ).alias("frame_ts"),
+        F.lit(None).cast("binary").alias("frame_content"),
+    )
