@@ -25,15 +25,27 @@ def streaming_ohlcv(
     width: str,
     watermark: str = "10 minutes",
     volume_col: str | None = None,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Watermarked streaming bars; append-mode emits a bar once its window
     is past the watermark (bar finalization = the reference's day cutover
-    flush, generalized)."""
+    flush, generalized).
+
+    open/close are ``min_by``/``max_by`` against event time (plus optional
+    ``order_col`` tie-break), never ``first``/``last`` — those are
+    "first encountered", which is partition-order-dependent and wrong for
+    OHLC under any parallelism.
+    """
+    order = (
+        F.struct(F.col(time_col), F.col(order_col))
+        if order_col
+        else F.col(time_col)
+    )
     aggs = [
-        F.first(price_col).alias("open"),
+        F.min_by(F.col(price_col), order).alias("open"),
         F.max(price_col).alias("high"),
         F.min(price_col).alias("low"),
-        F.last(price_col).alias("close"),
+        F.max_by(F.col(price_col), order).alias("close"),
         F.count(F.lit(1)).alias("volume"),
     ]
     if volume_col:

@@ -1,0 +1,85 @@
+"""Engine facade: the reference command surface (get/gets/del) end-to-end
+over the driver's events table."""
+
+from __future__ import annotations
+
+import pytest
+
+from ago_sisdb_spark.plans.engine import Engine, TableSpec
+
+
+@pytest.fixture(scope="module")
+def eng(spark, sf_small):
+    return Engine(
+        spark,
+        sf_small,
+        {
+            "events": TableSpec("events", "user_id", "ts", order_col="event_id"),
+            "orders": TableSpec("orders", "o_custkey", "o_orderdate", order_col="o_orderkey"),
+        },
+    )
+
+
+def test_get_latest_record(eng):
+    rows = eng.get("*.events").collect()
+    assert len(rows) == 1
+
+
+def test_get_exact_key_head(eng, spark, sf_small):
+    from ago_sisdb_spark.catalog import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    some_key = ev.select("user_id").first()[0]
+    rows = eng.get(f"{some_key}.events", count=3).collect()
+    assert 1 <= len(rows) <= 3
+    assert all(r.user_id == some_key for r in rows)
+
+
+def test_get_fields_projection(eng):
+    rows = eng.get("*.events", fields="ts,value", count=5)
+    assert rows.columns == ["ts", "value"]
+
+
+def test_get_tail(eng, spark, sf_small):
+    from ago_sisdb_spark.catalog import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    top2 = [
+        r.event_id
+        for r in ev.orderBy(ev.ts.desc(), ev.event_id.desc()).limit(2).collect()
+    ]
+    rows = eng.get("*.events", count=-2).collect()
+    assert sorted(r.event_id for r in rows) == sorted(top2)
+
+
+def test_get_csv_format(eng):
+    out = eng.get("*.events", fields="event_id,value", count=2, fmt="csv")
+    assert isinstance(out, bytes)
+    assert out.decode().splitlines()[0] == "event_id,value"
+
+
+def test_gets_multi_sdb(eng, spark, sf_small):
+    from ago_sisdb_spark.catalog import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    k1, k2 = [r.user_id for r in ev.select("user_id").distinct().limit(2).collect()]
+    out = eng.gets([f"{k1}.events", f"{k2}.events"]).collect()
+    assert len(out) == 2
+    assert {r.sdb for r in out} == {"events"}
+
+
+def test_delete_range(eng, spark, sf_small):
+    from ago_sisdb_spark.catalog import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    total = ev.count()
+    lo, hi = ev.selectExpr("min(ts)", "max(ts)").first()
+    survivors = eng.delete("*.events", start=lo, stop=hi)
+    assert survivors.count() == 0
+    nothing = eng.delete("zzz-no-such-key.events", start=lo, stop=hi)
+    assert nothing.count() == total
+
+
+def test_unknown_sdb_raises(eng):
+    with pytest.raises(KeyError):
+        eng.get("X.nope")

@@ -1,0 +1,68 @@
+"""S6/S8/S10 format codecs: render round-trips + inline JSON decode +
+DBF read/write round-trip."""
+
+from __future__ import annotations
+
+import json
+
+from ago_sisdb_spark.sources.dbf import read_dbf, write_dbf
+from ago_sisdb_spark.sources.formats import from_json_records, render
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [("A", 1, 1.5), ("B", 2, 2.5)], "sym string, t int, v double"
+    )
+
+
+def test_render_json(spark):
+    out = json.loads(render(_df(spark), "json").decode())
+    assert {r["sym"] for r in out} == {"A", "B"}
+
+
+def test_render_array(spark):
+    out = json.loads(render(_df(spark), "array").decode())
+    assert out["fields"] == ["sym", "t", "v"]
+    assert sorted(out["rows"]) == [["A", 1, 1.5], ["B", 2, 2.5]]
+
+
+def test_render_csv_and_limit(spark):
+    lines = render(_df(spark), "csv", limit=1).decode().splitlines()
+    assert lines[0] == "sym,t,v"
+    assert len(lines) == 2
+
+
+def test_render_struct_arrow_roundtrip(spark):
+    import io
+
+    import pyarrow as pa
+
+    buf = render(_df(spark), "struct")
+    table = pa.ipc.open_stream(io.BytesIO(buf)).read_all()
+    assert table.num_rows == 2
+    assert table.schema.names == ["sym", "t", "v"]
+
+
+def test_from_json_records_single_and_multi(spark):
+    schema = "sym string, t int"
+    one = from_json_records(spark, '{"sym": "A", "t": 1}', schema)
+    assert one.count() == 1
+    many = from_json_records(spark, '[{"sym":"A","t":1},{"sym":"B","t":2}]', schema)
+    assert many.count() == 2
+
+
+def test_dbf_roundtrip(spark, tmp_path):
+    from datetime import date
+
+    df = spark.createDataFrame(
+        [("SH600600", 42, 12.345678, date(2024, 1, 31), True)],
+        "sym string, qty int, px double, d date, act boolean",
+    )
+    path = str(tmp_path / "t.dbf")
+    write_dbf(df, path)
+    back = read_dbf(spark, path).collect()[0]
+    assert back.sym == "SH600600"
+    assert back.qty == 42
+    assert abs(back.px - 12.345678) < 1e-6
+    assert back.d == date(2024, 1, 31)
+    assert back.act is True

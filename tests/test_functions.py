@@ -1,0 +1,92 @@
+"""Time-codec + P-decimal property tests (SURVEY §5 plan items 4)."""
+
+from __future__ import annotations
+
+from datetime import date
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ago_sisdb_spark.functions import price, timecodec
+
+# module-level handle filled by the spark fixture via an autouse fixture
+_SPARK = {}
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _grab_spark(spark):
+    _SPARK["s"] = spark
+    yield
+
+
+def _one_col(values, schema, expr):
+    s = _SPARK["s"]
+    df = s.createDataFrame([(v,) for v in values], schema)
+    return [r[0] for r in df.select(expr(F.col(df.columns[0]))).collect()]
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.dates(min_value=date(1970, 1, 2), max_value=date(2199, 12, 31)))
+def test_int_date_roundtrip(d):
+    intd = d.year * 10000 + d.month * 100 + d.day
+    [as_date] = _one_col([intd], "d int", timecodec.from_int_date)
+    assert as_date == d
+    [back] = _one_col([d], "d date", timecodec.to_int_date)
+    assert back == intd
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(min_value=0, max_value=86399))
+def test_int_time_roundtrip(sec):
+    h, rem = divmod(sec, 3600)
+    m, s = divmod(rem, 60)
+    hhmmss = h * 10000 + m * 100 + s
+    [got_sec] = _one_col([hhmmss], "t int", timecodec.from_int_time)
+    assert got_sec == sec
+    [back] = _one_col([sec], "t int", timecodec.to_int_time)
+    assert back == hhmmss
+
+
+def test_from_int_minute():
+    # 28489680 min × 60 = 1709380800 s epoch = 2024-03-02 12:00:00 UTC
+    [ts] = _one_col([28489680], "m long", timecodec.from_int_minute)
+    assert str(ts) == "2024-03-02 12:00:00"
+
+
+def test_next_workday_skips_weekend():
+    fri, sat, sun, mon = (
+        date(2024, 2, 2),
+        date(2024, 2, 3),
+        date(2024, 2, 4),
+        date(2024, 2, 5),
+    )
+    got = _one_col([fri, sat, sun, mon], "d date", timecodec.next_workday)
+    assert got == [date(2024, 2, 5), date(2024, 2, 5), date(2024, 2, 5), date(2024, 2, 6)]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.floats(min_value=-99999.0, max_value=99999.0, allow_nan=False).map(
+        lambda x: round(x, 3)
+    )
+)
+def test_zint_roundtrip(v):
+    s = _SPARK["s"]
+    df = s.createDataFrame([(float(v),)], "v double")
+    out = df.select(
+        price.zint_decode(price.zint_encode(F.col("v"), 3)).alias("d")
+    ).collect()[0][0]
+    assert out is not None
+    assert abs(float(out) - v) < 1e-9
+
+
+def test_zint_invalid_scale_is_null():
+    s = _SPARK["s"]
+    # scale bits = 7 → invalid → NULL
+    packed = (123 << 4) | (7 << 1)
+    df = s.createDataFrame([(packed,)], "p int")
+    assert df.select(price.zint_decode(F.col("p"))).collect()[0][0] is None

@@ -1,0 +1,50 @@
+"""Multimodal plumbing (SURVEY §2.11): binary metadata, stubbed feature
+extraction via mapInPandas, frame-sampling plan."""
+
+from __future__ import annotations
+
+import pytest
+
+from ago_sisdb_spark.sources.multimodal import (
+    MEDIA_SCHEMA,
+    attach_binary_meta,
+    extract_features,
+    frame_sample_plan,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", "image/jpeg", b"\xff\xd8\xff\xe0" + bytes(range(64)), None, {}),
+        (2, "image", "image/png", b"\x89PNG\r\n\x1a\n" + bytes(64), None, {}),
+        (3, "video", "video/mp4", b"\x00\x00\x00\x18ftyp" + bytes(32), None,
+         {"duration_s": "12"}),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_attach_binary_meta(media):
+    got = {r.media_id: (r.n_bytes, r.magic) for r in attach_binary_meta(media).collect()}
+    assert got[1] == (68, "jpeg")
+    assert got[2] == (72, "png")
+    assert got[3][1] == "mp4"
+
+
+def test_extract_features_shape(media):
+    out = extract_features(media).collect()
+    assert len(out) == 3
+    for r in out:
+        assert len(r.feature) == 8
+        assert all(0.0 <= x <= 1.0 for x in r.feature)
+    # deterministic stub: same row twice → same feature
+    again = extract_features(media).collect()
+    assert {r.media_id: r.feature for r in out} == {
+        r.media_id: r.feature for r in again
+    }
+
+
+def test_frame_sample_plan(media):
+    out = frame_sample_plan(media, every_n_seconds=5).collect()
+    # video duration 12s, frames at 0,5,10
+    assert [(r.media_id, r.frame_ts) for r in out] == [(3, 0), (3, 5), (3, 10)]

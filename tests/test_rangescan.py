@@ -1,0 +1,70 @@
+"""P2/P3 range-semantics matrix (reference sisdb_fmap.h:102-137) on a
+hand-built series — the "hard part (a)" of SURVEY §7, test-first."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from ago_sisdb_spark.operators import rangescan
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    # three trading days with a gap day (the 4th has no data)
+    rows = [
+        (i, datetime(2024, 1, d, 9 + h, 0, 0), float(100 + i))
+        for i, (d, h) in enumerate(
+            [(1, 0), (1, 1), (1, 2), (2, 0), (2, 1), (3, 0), (5, 0), (5, 1)]
+        )
+    ]
+    return spark.createDataFrame(rows, "seq long, ts timestamp, price double")
+
+
+def _order():
+    return [F.col("ts"), F.col("seq")]
+
+
+def test_time_range_inclusive(series):
+    out = rangescan.time_range(
+        series, "ts", datetime(2024, 1, 1, 10), datetime(2024, 1, 2, 9)
+    )
+    assert [r.seq for r in out.orderBy("seq").collect()] == [1, 2, 3]
+
+
+def test_time_range_open_ends(series):
+    assert rangescan.time_range(series, "ts", None, None).count() == 8
+    assert (
+        rangescan.time_range(series, "ts", datetime(2024, 1, 3), None).count() == 3
+    )
+    assert (
+        rangescan.time_range(series, "ts", None, datetime(2024, 1, 1, 23)).count() == 3
+    )
+    # LATEST sentinel behaves as open
+    assert rangescan.time_range(series, "ts", rangescan.LATEST, None).count() == 8
+
+
+def test_head_tail_last(series):
+    assert [r.seq for r in rangescan.head_n(series, 3, _order()).collect()] == [0, 1, 2]
+    tail = rangescan.tail_n(series, 2, _order())
+    assert sorted(r.seq for r in tail.collect()) == [6, 7]
+    last = rangescan.last_record(series, _order()).collect()
+    assert len(last) == 1 and last[0].seq == 7
+
+
+def test_ifprev_falls_back_to_previous_day_with_data(series):
+    # Jan 4 has no rows -> fall back to Jan 3's full day
+    out = rangescan.ifprev_day_scan(series, "ts", datetime(2024, 1, 4, 23))
+    assert [r.seq for r in out.orderBy("seq").collect()] == [5]
+
+
+def test_ifprev_exact_day_hit(series):
+    out = rangescan.ifprev_day_scan(series, "ts", datetime(2024, 1, 5, 23))
+    assert [r.seq for r in out.orderBy("seq").collect()] == [6, 7]
+
+
+def test_ifprev_before_all_data_is_empty(series):
+    out = rangescan.ifprev_day_scan(series, "ts", datetime(2023, 12, 31))
+    assert out.count() == 0

@@ -1,0 +1,108 @@
+"""Structured Streaming semantics: subscription key patterns (T1), file
+replay with availableNow (T2), watermarked OHLCV bars (A1-streaming)."""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from ago_sisdb_spark.streaming.pubsub import key_pattern_filter, subscribe
+from ago_sisdb_spark.streaming.replay import replay_stream
+from ago_sisdb_spark.streaming.rollup_stream import streaming_ohlcv
+
+
+def _await(query, timeout=60):
+    query.awaitTermination(timeout)
+    query.stop()
+
+
+@pytest.fixture()
+def tick_dir(spark, tmp_path):
+    base = datetime(2024, 1, 1, 9, 30, 0)
+    rows = [
+        ("SH600600", base + timedelta(seconds=s), 10.0 + s, 100)
+        for s in range(0, 120, 5)
+    ] + [
+        ("SZ300750", base + timedelta(seconds=s), 50.0 + s, 200)
+        for s in range(0, 120, 10)
+    ]
+    df = spark.createDataFrame(rows, "sym string, ts timestamp, price double, vol int")
+    path = str(tmp_path / "ticks")
+    df.repartition(3).write.parquet(path)
+    return path, df.schema
+
+
+def test_key_pattern_filter_forms(spark):
+    df = spark.createDataFrame(
+        [("SH600600",), ("SH688001",), ("SZ300750",)], "sym string"
+    )
+    c = F.col("sym")
+
+    def keys(pat):
+        return sorted(
+            r.sym for r in df.where(key_pattern_filter(c, pat)).collect()
+        )
+
+    assert keys("*") == ["SH600600", "SH688001", "SZ300750"]
+    assert keys("SH600600") == ["SH600600"]
+    assert keys("SH6*") == ["SH600600", "SH688001"]
+    assert keys("SH688001,SZ300750") == ["SH688001", "SZ300750"]
+    assert keys("*0075*") == ["SZ300750"]
+
+
+def test_subscribe_availablenow_backfill(spark, tick_dir):
+    path, schema = tick_dir
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(path)
+    )
+    q = subscribe(stream, "sym", "SH6*", query_name="sub_test")
+    # availableNow not set on subscribe (live mode); wait for catch-up instead
+    deadline = time.time() + 60
+    expect = 24
+    while time.time() < deadline:
+        if spark.sql("select count(*) c from sub_test").first().c >= expect:
+            break
+        time.sleep(0.5)
+    q.stop()
+    got = spark.sql("select distinct sym from sub_test").collect()
+    assert {r.sym for r in got} == {"SH600600"}
+    assert spark.sql("select count(*) c from sub_test").first().c == expect
+
+
+def test_replay_stream_backfill_terminates(spark, tick_dir):
+    path, schema = tick_dir
+    q = replay_stream(spark, path, schema, "ts", query_name="replay_test")
+    _await(q)
+    n = spark.sql("select count(*) c from replay_test").first().c
+    assert n == 36
+
+
+def test_streaming_ohlcv_bars(spark, tick_dir):
+    path, schema = tick_dir
+    stream = spark.readStream.schema(schema).parquet(path)
+    bars = streaming_ohlcv(
+        stream, ["sym"], "ts", "price", "1 minute", watermark="0 seconds",
+        volume_col="vol",
+    )
+    q = (
+        bars.writeStream.format("memory")
+        .queryName("bars_test")
+        .outputMode("complete")  # memory sink + agg w/o append finalization
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = {
+        (r.sym, str(r.bar_start)): r
+        for r in spark.sql("select * from bars_test").collect()
+    }
+    b = got[("SH600600", "2024-01-01 09:30:00")]
+    # seconds 0..55 step 5 → open=10, high=10+55, low=10, close=65, 12 ticks
+    assert b.open == 10.0 and b.low == 10.0
+    assert b.high == 65.0 and b.close == 65.0
+    assert b.volume == 12 and b.money == 1200
+    b2 = got[("SZ300750", "2024-01-01 09:31:00")]
+    assert b2.open == 110.0 and b2.close == 160.0 and b2.volume == 6

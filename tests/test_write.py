@@ -1,0 +1,54 @@
+"""T5/T8/T9 write-path semantics: per-scale same-timestamp rules, upsert,
+delete — SURVEY §7 hard part (b)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ago_sisdb_spark.streaming.write import TimeScale, delete_range, delete_where, upsert
+
+
+def _cur(spark):
+    return spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 2, 20.0), ("B", 1, 100.0)],
+        "sym string, t int, v double",
+    )
+
+
+def test_append_scale_keeps_duplicates(spark):
+    incoming = spark.createDataFrame([("A", 2, 21.0)], "sym string, t int, v double")
+    out = upsert(_cur(spark), incoming, ["sym"], "t", TimeScale.MILLI)
+    assert out.count() == 4  # µs/ms: same-time rows append
+
+
+def test_overwrite_scale_replaces_same_time(spark):
+    incoming = spark.createDataFrame(
+        [("A", 2, 21.0), ("C", 7, 70.0)], "sym string, t int, v double"
+    )
+    out = upsert(_cur(spark), incoming, ["sym"], "t", TimeScale.DAY)
+    got = {(r.sym, r.t): r.v for r in out.collect()}
+    assert got == {
+        ("A", 1): 10.0,
+        ("A", 2): 21.0,  # overwritten
+        ("B", 1): 100.0,
+        ("C", 7): 70.0,  # inserted
+    }
+
+
+def test_overwrite_dedups_incoming_batch(spark):
+    incoming = spark.createDataFrame(
+        [("A", 2, 21.0), ("A", 2, 22.0)], "sym string, t int, v double"
+    )
+    out = upsert(_cur(spark), incoming, ["sym"], "t", TimeScale.MINUTE)
+    assert out.where("sym='A' and t=2").count() == 1
+
+
+def test_delete_range(spark):
+    out = delete_range(_cur(spark), F.col("sym") == "A", "t", start=2, stop=2)
+    got = sorted((r.sym, r.t) for r in out.collect())
+    assert got == [("A", 1), ("B", 1)]
+
+
+def test_delete_where(spark):
+    out = delete_where(_cur(spark), F.col("v") >= 20.0)
+    assert sorted(r.sym for r in out.collect()) == ["A"]
