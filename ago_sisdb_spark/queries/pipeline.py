@@ -85,6 +85,39 @@ def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d5_embedding_neardup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(
+               list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(
+               list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.40
+    """,
+)
+def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (threshold 0.40) — ground truth
+    twin of d6's LSH variant; codegen'd zip_with/aggregate cosine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.cosine_pairs(emb, "vec_id", "embedding", threshold=0.40)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+@query("d6_embedding_neardup_lsh", oracle=None)
+def d6_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via multi-table hyperplane LSH + exact re-check —
+    the 100 TB path (candidates via bucket equi-join, precision 1.0 by
+    construction; recall vs d5 asserted in tests).  Rows-only check."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.cosine_neardup_lsh(
+        emb, "vec_id", "embedding", threshold=0.40, dim=64, bits=6, tables=8
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+@query(
     "n1_knn_bruteforce",
     oracle="""
     WITH probe AS (SELECT embedding AS pvec FROM embeddings WHERE vec_id = 0)
@@ -118,6 +151,57 @@ def n2_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(
         emb, probes, "vec_id", "embedding", "vec_id", k=5, dim=64, bits=6
     )
+
+
+@query("n4_knn_ivf", oracle=None)
+def n4_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-5 for probes 0-4: deterministic centroid lists +
+    nprobe-bounded search (the trained-index scale path beside n2's
+    training-free LSH).  Rows-only; recall vs n1 asserted in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
+    return similarity.ivf_topk(
+        emb, probes, "vec_id", "embedding", "vec_id", k=5,
+        n_centroids=16, nprobe=4,
+    )
+
+
+@query(
+    "m1_multimodal_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           'unknown' AS magic
+    FROM documents
+    """,
+)
+def m1_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata pass over a binary content column (documents'
+    bytes standing in for media blobs — this container has no media libs).
+    Exercises the real plumbing: BinaryType column, length + magic-number
+    sniff as pure expressions (SURVEY §2.11)."""
+    from ago_sisdb_spark.sources.multimodal import attach_binary_meta
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    return attach_binary_meta(docs).select("media_id", "n_bytes", "magic")
+
+
+@query("m2_multimodal_features", oracle=None)
+def m2_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary media
+    content (decode kernel stubbed — deterministic fake; the batch shape,
+    schema, and partitioning are the real 100 TB plumbing).  Rows-only."""
+    from ago_sisdb_spark.sources.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("modality"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    return extract_features(docs)
 
 
 @query(

@@ -255,3 +255,79 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ev.where((F.col("event_type") == "view") & (F.col("value") > 100)).select("user_id")
     b = ev.where((F.col("event_type") == "purchase") & (F.col("value") > 100)).select("user_id")
     return a.subtract(b)
+
+
+@query(
+    "p3_offset_shift",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_id, ts, value,
+               row_number() OVER (ORDER BY ts, event_id) AS rn
+        FROM events WHERE user_id = 7),
+    anchor AS (
+        SELECT max(rn) AS arn FROM ranked
+        WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+    SELECT r.event_id, r.ts, r.value
+    FROM ranked r, anchor a WHERE r.rn = a.arn - 2
+    """,
+)
+def p3_offset_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 `offset: -n` record addressing (sisdb_fmap.h:156-158): locate the
+    record at/just before a time, then step n records back in series order.
+    Spark: row_number over the single-key slice + a 1-row anchor aggregate
+    joined back (broadcast) — no driver round-trip."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") == 7)
+    w = Window.orderBy("ts", "event_id")
+    ranked = ev.select(
+        "event_id", "ts", "value", F.row_number().over(w).alias("rn")
+    )
+    anchor = ranked.where(
+        F.col("ts") <= F.lit("2024-01-15 00:00:00").cast("timestamp")
+    ).agg(F.max("rn").alias("arn"))
+    return (
+        ranked.join(F.broadcast(anchor), ranked.rn == anchor.arn - 2)
+        .select("event_id", "ts", "value")
+    )
+
+
+@query(
+    "r1_kway_merge",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS key, ts AS event_time,
+           'events' AS source
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+                 AND TIMESTAMP '2024-01-20 23:59:59'
+    UNION ALL
+    SELECT CAST(o_custkey AS VARCHAR), CAST(o_orderdate AS TIMESTAMP),
+           'orders'
+    FROM orders
+    WHERE CAST(o_orderdate AS TIMESTAMP)
+          BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+              AND TIMESTAMP '2024-01-20 23:59:59'
+    """,
+)
+def r1_kway_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2/T3 batch replay: heterogeneous tables time-pruned *before* the
+    union (partition pruning per source), merged to one event-time-ordered
+    stream (`sis_db.c:420-533`).  Hash check is order-insensitive, so the
+    oracle is the UNION ALL row set; ordering semantics are pinned by
+    tests/test_replay.py."""
+    from datetime import datetime
+
+    from ago_sisdb_spark.streaming.replay import replay_range
+
+    ev = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("timestamp").alias("o_ts"),
+        "o_totalprice",
+    )
+    merged = replay_range(
+        spark,
+        [("events", ev, "user_id", "ts"), ("orders", orders, "o_custkey", "o_ts")],
+        start=datetime(2024, 1, 5),
+        stop=datetime(2024, 1, 20, 23, 59, 59),
+    )
+    return merged.select("key", "event_time", "source")

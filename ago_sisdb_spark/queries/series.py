@@ -300,3 +300,43 @@ def a8_polyfit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.col("event_id").cast("double").alias("x"), "value")
     )
     return series.polyfit_pandas(ev, ["event_type"], "x", "value", 2)
+
+
+@query(
+    "w1_window_suite",
+    oracle="""
+    SELECT event_id, user_id, value,
+           rank()       OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk,
+           dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS drnk,
+           lag(value)   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           lead(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_sum3
+    FROM events WHERE user_id < 20
+    """,
+)
+def w1_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 declared window surface in one plan: rank/dense_rank, lag/lead
+    (the reference's offset:-n record addressing, sisdb_fmap.h:156-158), and
+    a rowsBetween frame.  All five windows share the user_id partitioning —
+    one shuffle, multiple sorts."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    by_time = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.rank()
+        .over(Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id"))
+        .alias("rnk"),
+        F.dense_rank()
+        .over(Window.partitionBy("user_id").orderBy("event_type"))
+        .alias("drnk"),
+        F.lag("value").over(by_time).alias("prev_value"),
+        F.lead("value").over(by_time).alias("next_value"),
+        F.round(
+            F.sum("value").over(by_time.rowsBetween(-2, 0)), 6
+        ).alias("moving_sum3"),
+    )

@@ -1,0 +1,62 @@
+"""Approximate-vs-exact contracts: LSH near-dup precision, IVF/LSH ANN
+recall floors against the brute-force ground truth."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ago_sisdb_spark.catalog import load_table
+from ago_sisdb_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_small):
+    return load_table(spark, sf_small, "embeddings").cache()
+
+
+def test_lsh_neardup_subset_of_exact(spark, emb):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_pairs(emb, "vec_id", "embedding", 0.40).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_neardup_lsh(
+            emb, "vec_id", "embedding", 0.40, dim=64, bits=6, tables=8
+        ).collect()
+    }
+    # precision 1.0 by construction (exact re-check inside candidates)
+    assert approx <= exact
+
+
+def test_ivf_recall_floor(spark, emb):
+    probes = emb.where(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(
+        emb, probes, "vec_id", "embedding", "vec_id", 5
+    ).collect()
+    approx = similarity.ivf_topk(
+        emb, probes, "vec_id", "embedding", "vec_id", 5, n_centroids=16, nprobe=8
+    ).collect()
+    truth = {(r.probe_id, r.neighbor_id) for r in exact}
+    got = {(r.probe_id, r.neighbor_id) for r in approx}
+    # every returned neighbor exists and scores are exact cosines;
+    # nprobe=8/16 lists → expect well over half the true neighbors found
+    assert len(got & truth) >= len(truth) // 2
+    assert all(len([g for g in got if g[0] == p]) == 5 for p in range(5))
+
+
+def test_ivf_scores_match_bruteforce_on_hits(spark, emb):
+    probes = emb.where(F.col("vec_id") == 0)
+    exact = {
+        r.neighbor_id: round(r.score, 9)
+        for r in similarity.brute_force_topk(
+            emb, probes, "vec_id", "embedding", "vec_id", 20
+        ).collect()
+    }
+    approx = similarity.ivf_topk(
+        emb, probes, "vec_id", "embedding", "vec_id", 5, n_centroids=16, nprobe=8
+    ).collect()
+    for r in approx:
+        if r.neighbor_id in exact:
+            assert round(r.score, 9) == exact[r.neighbor_id]
