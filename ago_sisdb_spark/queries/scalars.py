@@ -221,3 +221,39 @@ def f_cast_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("string").alias("key_str"),
         F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
     )
+
+
+@query(
+    "u2_registered_methods",
+    oracle="""
+    SELECT event_id,
+           round(1.0 / (1.0 + exp(-(value / 100.0))), 6) AS logistic_score,
+           round(CASE WHEN value = 0 THEN NULL ELSE value / value END, 6)
+               AS self_ratio,
+           round(value * 100, 6) AS zoomed
+    FROM events WHERE event_id < 500
+    """,
+)
+def u2_registered_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2/U3 extension surface: a pandas-UDF method registered by name and
+    called through spark.sql, composed with expression methods resolved via
+    `call()` dispatch (the reference's python-plugin + call-by-name,
+    `pyscript/demo_method/demo_method.py:1-31`,
+    `workers/sisdb_server/sisdb_server.c:770`)."""
+    from ago_sisdb_spark.functions.registry import call, register_udfs
+
+    register_udfs(spark)
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    ev.createOrReplaceTempView("u2_events")
+    via_sql = spark.sql(
+        "SELECT event_id, sis_logistic(value / 100.0) AS logistic_score, value"
+        " FROM u2_events"
+    )
+    return via_sql.select(
+        "event_id",
+        F.round("logistic_score", 6).alias("logistic_score"),
+        F.round(call("zero_safe_div", F.col("value"), F.col("value")), 6).alias(
+            "self_ratio"
+        ),
+        F.round(call("zoom10", F.col("value"), 2), 6).alias("zoomed"),
+    )

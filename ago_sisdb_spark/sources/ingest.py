@@ -1,0 +1,106 @@
+"""Ingest normalization + compaction (reference S11 `save`/`pack`,
+T7 layout; `workers/sisdb/sisdb_disk.c:338-373`, `sis_disk.io.h:44-54`).
+
+Why this exists for scale: a query can only be as fast as its scan.  The
+driver's raw `events.parquet` stores ts as TIMESTAMP(NANOS), which Spark
+reads via the nanosAsLong legacy conf + a `timestamp_micros(ts div 1000)`
+normalization expression — and a filter on a *computed* column does NOT
+reach the parquet reader (no PushedFilters, no row-group skipping, no
+partition pruning).  At sf0.1 that's invisible; at 100 TB it's a full scan
+per query.
+
+The fix is the same one the reference applies (day files + per-key block
+index, written at `save`): land data once through ``materialize_table`` —
+plain µs timestamps, ``dt`` partition column, rows sorted by (key, time)
+within each partition — and every later time-range/key query gets partition
+pruning + row-group min/max skipping structurally.  ``compact`` is `pack`:
+rewrite small files into size-targeted ones, preserving the sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ago_sisdb_spark.catalog import load_table
+
+
+def materialize_table(
+    spark: SparkSession,
+    src_root: str,
+    name: str,
+    dst_path: str,
+    time_col: str | None = None,
+    key_col: str | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """One-time ingest: normalize encodings and write the query-optimal
+    layout (dt-partitioned, key/time-sorted).  Returns the written frame.
+
+    The written table needs no session conf and no normalization expression,
+    so filters on ``time_col`` push down to the scan (asserted in
+    tests/test_ingest.py by inspecting PushedFilters).
+    """
+    df = load_table(spark, src_root, name)
+    writer_df = df
+    if time_col is not None:
+        writer_df = writer_df.withColumn("dt", F.to_date(F.col(time_col)))
+        sort_cols = [c for c in (key_col, time_col) if c is not None]
+        (
+            writer_df.repartition("dt")
+            .sortWithinPartitions(*sort_cols)
+            .write.mode(mode)
+            .partitionBy("dt")
+            .parquet(dst_path)
+        )
+    else:
+        writer_df.write.mode(mode).parquet(dst_path)
+    return spark.read.parquet(dst_path)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 256,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """`pack` (S11): rewrite a parquet table into size-targeted files.
+
+    Uses total bytes / target to choose the file count per partition dir and
+    re-sorts within files so row-group stats stay tight.  On Delta this is
+    OPTIMIZE; here it is an explicit rewrite into a staging dir + swap —
+    the same safe-dir swap the reference does at save
+    (`workers/sisdb/sisdb.h:184-189`).
+    """
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    is_partitioned = "dt" in df.columns
+    size_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(size_bytes / (target_file_mb * 1024 * 1024)))
+    staging = path.rstrip("/") + ".__compact__"
+    out = df.repartition(n_files, "dt") if is_partitioned else df.coalesce(n_files)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    writer = out.write.mode("overwrite")
+    if is_partitioned:
+        writer = writer.partitionBy("dt")
+    writer.parquet(staging)
+    shutil.rmtree(path)
+    os.rename(staging, path)
+
+
+def scan_report(df: DataFrame) -> str:
+    """The executed-plan scan lines — used by tests to assert pushdown."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "\n".join(
+        line for line in plan.splitlines() if "Scan parquet" in line or "Pushed" in line
+    )

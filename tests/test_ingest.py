@@ -1,0 +1,78 @@
+"""Ingest layout contract: after materialize_table, time filters reach the
+parquet scan (PushedFilters) and dt partitions prune — the structural
+guarantee every 100 TB range query depends on."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ago_sisdb_spark.sources.ingest import compact, materialize_table
+
+
+@pytest.fixture(scope="module")
+def mat_events(spark, sf_small, tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("ingest") / "events")
+    return materialize_table(
+        spark, sf_small, "events", dst, time_col="ts", key_col="user_id"
+    ), dst
+
+
+def _scan_lines(df):
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return [l for l in plan.splitlines() if "Scan parquet" in l]
+
+
+def test_raw_events_filter_is_not_pushed(spark, sf_small):
+    # documents the problem: computed-ts filter can't push down on raw files
+    from ago_sisdb_spark.catalog import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    out = ev.where(F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+    scans = _scan_lines(out)
+    # only IsNotNull survives; the range comparison stays post-scan
+    assert scans and all("GreaterThan" not in s for s in scans)
+
+
+def test_materialized_events_filter_pushes_down(spark, mat_events):
+    df, _ = mat_events
+    out = df.where(F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+    scans = _scan_lines(out)
+    assert scans and any("GreaterThanOrEqual(ts" in s for s in scans)
+
+
+def test_materialized_events_partition_pruning(spark, mat_events):
+    df, _ = mat_events
+    out = df.where(F.col("dt") == "2024-01-10")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert out.count() == df.where(F.to_date("ts") == "2024-01-10").count()
+
+
+def test_materialized_preserves_rows(spark, sf_small, mat_events):
+    from ago_sisdb_spark.catalog import load_table
+
+    df, _ = mat_events
+    raw = load_table(spark, sf_small, "events")
+    assert df.count() == raw.count()
+    a = sorted(r.event_id for r in df.select("event_id").collect())
+    b = sorted(r.event_id for r in raw.select("event_id").collect())
+    assert a == b
+
+
+def test_compact_reduces_files_and_keeps_rows(spark, mat_events):
+    import glob
+
+    df, dst = mat_events
+    n_before = df.count()
+    compact(spark, dst, target_file_mb=512, sort_cols=["user_id", "ts"])
+    after = spark.read.parquet(dst)
+    assert after.count() == n_before
+    files = glob.glob(f"{dst}/**/*.parquet", recursive=True)
+    # 512 MB target on tiny data → one file per partition dir at most
+    by_dir = {}
+    for f in files:
+        by_dir.setdefault(f.rsplit("/", 1)[0], 0)
+        by_dir[f.rsplit("/", 1)[0]] += 1
+    assert max(by_dir.values()) == 1
