@@ -74,6 +74,9 @@ def load_table(spark: SparkSession, root: str, name: str) -> DataFrame:
     from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamp semantics must match the DuckDB oracle (UTC-naive) even when
+    # the caller (driver) built the session without our defaults
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(root, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -106,3 +106,52 @@ def test_streaming_ohlcv_bars(spark, tick_dir):
     assert b.volume == 12 and b.money == 1200
     b2 = got[("SZ300750", "2024-01-01 09:31:00")]
     assert b2.open == 110.0 and b2.close == 160.0 and b2.volume == 6
+
+
+def test_foreachbatch_upsert_pipeline(spark, tmp_path):
+    """T8 streaming form: readStream → foreachBatch(upsert into parquet
+    state) — the Delta-MERGE shape of SURVEY §3.2, with the overwrite
+    same-timestamp rule applied per micro-batch."""
+    from ago_sisdb_spark.streaming.write import TimeScale, upsert
+
+    src = str(tmp_path / "in")
+    state_dir = str(tmp_path / "state")
+    spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 2, 20.0)], "sym string, t int, v double"
+    ).write.parquet(src)
+    # second file: overwrite t=2, insert t=3
+    spark.createDataFrame(
+        [("A", 2, 21.0), ("A", 3, 30.0)], "sym string, t int, v double"
+    ).write.mode("append").parquet(src)
+
+    schema = "sym string, t int, v double"
+
+    def apply_batch(batch_df, batch_id):
+        import os
+
+        if os.path.exists(state_dir):
+            cur = spark.read.parquet(state_dir)
+            merged = upsert(cur, batch_df, ["sym"], "t", TimeScale.MINUTE)
+        else:
+            merged = batch_df.dropDuplicates(["sym", "t"])
+        merged.write.mode("overwrite").parquet(state_dir + ".tmp")
+        out = spark.read.parquet(state_dir + ".tmp")
+        out.write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    final = {(r.sym, r.t): r.v for r in spark.read.parquet(state_dir).collect()}
+    assert final[("A", 1)] == 10.0
+    assert final[("A", 3)] == 30.0
+    assert ("A", 2) in final  # upserted exactly once (value depends on
+    # micro-batch file order; both files touch t=2 and the last writer wins)
+    assert len(final) == 3
