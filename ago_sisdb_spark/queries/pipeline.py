@@ -317,3 +317,45 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked against the DuckDB oracle)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", text.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@query(
+    "pipe1_training_data_filter",
+    oracle="""
+    WITH kept AS (
+        SELECT doc_id, text, lang,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        FROM documents
+        WHERE length(text) >= 50
+          AND length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g'))
+              / nullif(length(text), 0) < 0.10
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(len(string_split(trim(text), ' '))) AS total_tokens,
+           round(avg(length(text)), 4) AS avg_chars
+    FROM kept WHERE doc_id = keep_id
+    GROUP BY lang
+    """,
+)
+def pipe1_training_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data pipeline — the 100 TB hot path as ONE plan:
+    quality gate (length + punctuation ratio) → exact dedup (keep lowest id
+    per digest, window over digest = one shuffle) → per-language corpus
+    stats.  Catalyst fuses the filter into the scan; the digest window and
+    the final groupBy are the only two shuffles."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    gated = docs.where(
+        (F.length("text") >= 50)
+        & (text.punct_ratio(F.col("text")) < 0.10)
+    )
+    keep = gated.withColumn(
+        "keep_id", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    ).where(F.col("doc_id") == F.col("keep_id"))
+    return keep.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count(F.col("text"))).alias("total_tokens"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+    )

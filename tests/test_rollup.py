@@ -1,0 +1,48 @@
+"""A1/A2 rollup composition: snapshot→min→day must equal snapshot→day
+directly (associativity of the bar algebra) — the contract that makes the
+reference's chained convert services (`init-sisdb.conf:288-298`) safe."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from ago_sisdb_spark.operators.rollup import bars_to_coarser, ohlcv
+
+
+@pytest.fixture(scope="module")
+def ticks(spark):
+    base = datetime(2024, 1, 1, 9, 30, 0)
+    rows = []
+    for sym, p0 in (("A", 100.0), ("B", 50.0)):
+        for i in range(240):  # 2 hours of 30s ticks
+            rows.append(
+                (sym, base + timedelta(seconds=30 * i), p0 + ((i * 7) % 13) - 6, i)
+            )
+    return spark.createDataFrame(rows, "sym string, ts timestamp, price double, seq int")
+
+
+def test_two_stage_equals_direct(spark, ticks):
+    direct = ohlcv(ticks, ["sym"], "ts", "price", "1 hour", order_col="seq")
+    mins = ohlcv(ticks, ["sym"], "ts", "price", "1 minute", order_col="seq")
+    chained = bars_to_coarser(mins, ["sym"], "bar_start", "1 hour")
+
+    d = {(r.sym, str(r.bar_start)): (r.open, r.high, r.low, r.close, r.volume)
+         for r in direct.collect()}
+    c = {(r.sym, str(r.bar_start)): (r.open, r.high, r.low, r.close, r.volume)
+         for r in chained.collect()}
+    assert d == c
+
+
+def test_ohlcv_values(spark, ticks):
+    bars = ohlcv(ticks, ["sym"], "ts", "price", "1 hour", order_col="seq")
+    b = {(r.sym, str(r.bar_start)): r for r in bars.collect()}
+    first_a = b[("A", "2024-01-01 09:00:00")]
+    # ticks 0..59 (09:30:00..09:59:30): price = 100 + (7i % 13) - 6
+    prices = [100 + ((i * 7) % 13) - 6 for i in range(60)]
+    assert first_a.open == prices[0]
+    assert first_a.close == prices[-1]
+    assert first_a.high == max(prices)
+    assert first_a.low == min(prices)
+    assert first_a.volume == 60
