@@ -132,6 +132,36 @@ class Engine:
             merged = merged.select(*[c.strip() for c in fields.split(",")])
         return merged
 
+    def set(
+        self,
+        key_sdb: str,
+        records,
+        scale=None,
+        schema=None,
+    ) -> DataFrame:
+        """Reference `set key.sdb {json}` (S8/T8, `sisdb_io.c:209-237`):
+        decode inline JSON records and upsert them into the current table
+        state under the per-scale same-timestamp rule.
+
+        Returns the merged DataFrame (production persists via Delta MERGE /
+        ``streaming.write.write_partitioned``).  ``records`` is a JSON
+        string (object = one row, array = many) or a list of dicts.
+        """
+        from ago_sisdb_spark.sources.formats import from_json_records
+        from ago_sisdb_spark.streaming.write import TimeScale, upsert
+
+        _, _, sdb = key_sdb.rpartition(".")
+        spec = self.specs[sdb]
+        current = self.catalog.load(spec.table)
+        incoming = from_json_records(self.spark, records, schema or current.schema)
+        return upsert(
+            current,
+            incoming.select(*current.columns),
+            [spec.key_col],
+            spec.time_col,
+            scale or TimeScale.MILLI,
+        )
+
     def delete(self, key_sdb: str, start=None, stop=None) -> DataFrame:
         """T9 `del`: the surviving DataFrame (caller persists via
         streaming.write.write_partitioned / Delta DELETE in production)."""

@@ -4,6 +4,7 @@ over the driver's events table."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from ago_sisdb_spark.plans.engine import Engine, TableSpec
 
@@ -83,3 +84,42 @@ def test_delete_range(eng, spark, sf_small):
 def test_unknown_sdb_raises(eng):
     with pytest.raises(KeyError):
         eng.get("X.nope")
+
+
+def test_set_appends_ms_scale(eng, spark, sf_small):
+    from ago_sisdb_spark.catalog import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    n = ev.count()
+    first = ev.first()
+    rec = {
+        "event_id": 10_000_000,
+        "ts": first.ts,
+        "user_id": first.user_id,
+        "event_type": "purchase",
+        "value": 1.5,
+        "props": "{}",
+    }
+    merged = eng.set("*.events", [rec])
+    assert merged.count() == n + 1
+    assert merged.where("event_id = 10000000").count() == 1
+
+
+def test_set_overwrites_day_scale(eng, spark, sf_small):
+    from ago_sisdb_spark.catalog import load_table
+    from ago_sisdb_spark.streaming.write import TimeScale
+
+    orders = load_table(spark, sf_small, "orders")
+    n = orders.count()
+    first = orders.first()
+    rec = {f.name: first[f.name] for f in orders.schema.fields}
+    rec["o_totalprice"] = 123.45
+    merged = eng.set("*.orders", [rec], scale=TimeScale.DAY)
+    # same (custkey, orderdate) may cover several orders; every survivor at
+    # that key+date is the overwritten record, total rows shrink accordingly
+    assert merged.count() <= n
+    hit = merged.where(
+        (F.col("o_custkey") == first.o_custkey)
+        & (F.col("o_orderdate") == first.o_orderdate)
+    ).collect()
+    assert len(hit) == 1 and float(hit[0].o_totalprice) == 123.45

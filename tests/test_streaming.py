@@ -155,3 +155,35 @@ def test_foreachbatch_upsert_pipeline(spark, tmp_path):
     assert ("A", 2) in final  # upserted exactly once (value depends on
     # micro-batch file order; both files touch t=2 and the last writer wins)
     assert len(final) == 3
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """T5 streaming dedup: duplicate (sym, ts) records arriving within the
+    watermark collapse to one — the stream-native same-timestamp rule for
+    overwrite-scale tables."""
+    src = str(tmp_path / "dups")
+    base = datetime(2024, 1, 1, 9, 30, 0)
+    spark.createDataFrame(
+        [("A", base, 10.0), ("A", base, 10.0), ("A", base + timedelta(seconds=1), 11.0)],
+        "sym string, ts timestamp, v double",
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("sym string, ts timestamp, v double").parquet(src)
+    deduped = stream.withWatermark("ts", "1 minute").dropDuplicatesWithinWatermark(
+        ["sym", "ts"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    q.stop()
+    rows = spark.sql("select * from dedup_test").collect()
+    assert len(rows) == 2
+    assert {str(r.ts) for r in rows} == {
+        "2024-01-01 09:30:00",
+        "2024-01-01 09:30:01",
+    }
