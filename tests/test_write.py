@@ -52,3 +52,40 @@ def test_delete_range(spark):
 def test_delete_where(spark):
     out = delete_where(_cur(spark), F.col("v") >= 20.0)
     assert sorted(r.sym for r in out.collect()) == ["A"]
+
+
+def test_upsert_property_matches_dict_model(spark):
+    """Property: overwrite-scale upsert == the naive dict model
+    {(key, t): last-write} for arbitrary batches."""
+    import random
+
+    rnd = random.Random(11)
+    syms = ["A", "B", "C"]
+    current_rows = [
+        (rnd.choice(syms), rnd.randrange(5), float(rnd.randrange(100)))
+        for _ in range(30)
+    ]
+    # current state must itself be unique per (sym, t): collapse first
+    model = {}
+    for s, t, v in current_rows:
+        model[(s, t)] = v
+    cur = spark.createDataFrame(
+        [(s, t, v) for (s, t), v in model.items()], "sym string, t int, v double"
+    )
+    for _ in range(3):
+        batch = [
+            (rnd.choice(syms), rnd.randrange(5), float(rnd.randrange(100)))
+            for _ in range(10)
+        ]
+        inc = spark.createDataFrame(batch, "sym string, t int, v double")
+        # dropDuplicates keeps an arbitrary row per key; mirror by applying
+        # a deterministic max-value pick on both sides
+        inc = (
+            inc.groupBy("sym", "t").agg(F.max("v").alias("v"))
+        )
+        for s, t, v in batch:
+            prev = max(x[2] for x in batch if (x[0], x[1]) == (s, t))
+            model[(s, t)] = prev
+        cur = upsert(cur, inc, ["sym"], "t", TimeScale.DAY)
+    got = {(r.sym, r.t): r.v for r in cur.collect()}
+    assert got == model
