@@ -104,3 +104,32 @@ def scan_report(df: DataFrame) -> str:
     return "\n".join(
         line for line in plan.splitlines() if "Scan parquet" in line or "Pushed" in line
     )
+
+
+def materialize_bucketed(
+    spark: SparkSession,
+    src_root: str,
+    name: str,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+) -> DataFrame:
+    """Bucketed landing (SURVEY §4 partitioning row): hash-bucket the table
+    by its join/aggregation key at write time.
+
+    Two tables bucketed the same way join with ZERO shuffle (plans show no
+    Exchange on either side — asserted in tests/test_ingest.py); a groupBy
+    on the bucket column also skips its shuffle.  At 100 TB this converts
+    every symbol-to-symbol join/agg from a full network pass into a local
+    merge.  Bucketing requires the session catalog (saveAsTable) — the
+    metastore records the bucket spec Catalyst plans against.
+    """
+    df = load_table(spark, src_root, name)
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, bucket_col
+    )
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)
+    return spark.table(table_name)
