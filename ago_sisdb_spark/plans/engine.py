@@ -46,9 +46,25 @@ class Engine:
         root: str,
         table_specs: dict[str, TableSpec],
     ):
+        from ago_sisdb_spark.schema import SchemaRegistry
+
         self.spark = spark
         self.catalog = Catalog(spark, root)
         self.specs = table_specs
+        self.schemas = SchemaRegistry()
+
+    def create(self, sdb: str, spec: dict) -> TableSpec:
+        """Reference `create` command (`workers/sisdb/sisdb_io.c:8-21`):
+        declare a table from a JSON field spec; mindex/solely flags become
+        the TableSpec's time/tie-break contract."""
+        sch = self.schemas.create(sdb, spec)
+        time_col = sch.time_field()
+        if time_col is None:
+            raise ValueError(f"{sdb}: spec declares no mindex (time) field")
+        uniq = sch.unique_fields()
+        ts = TableSpec(sdb, uniq[0] if uniq else time_col, time_col)
+        self.specs[sdb] = ts
+        return ts
 
     def _resolve(self, key_sdb: str) -> tuple[DataFrame, TableSpec, str]:
         """``key.sdb`` → (keyed scan, spec, key pattern).  Key patterns are

@@ -123,3 +123,15 @@ def test_set_overwrites_day_scale(eng, spark, sf_small):
         & (F.col("o_orderdate") == first.o_orderdate)
     ).collect()
     assert len(hit) == 1 and float(hit[0].o_totalprice) == 123.45
+
+
+def test_create_registers_spec(eng):
+    spec = {
+        "fields": {"time": ["S", 8], "code": ["C", 16], "newp": ["P", 4, 1, 2]},
+        "index": {"time": "mindex", "code": "solely"},
+    }
+    ts = eng.create("stk_snap", spec)
+    assert ts.time_col == "time" and ts.key_col == "code"
+    assert eng.schemas.get("stk_snap").version == 1
+    with pytest.raises(ValueError):
+        eng.create("bad", {"fields": {"x": ["I", 4]}})
