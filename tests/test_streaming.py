@@ -187,3 +187,41 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
         "2024-01-01 09:30:00",
         "2024-01-01 09:30:01",
     }
+
+
+def test_lifecycle_listener_records_start_stop(spark, tmp_path):
+    """T4: the OPEN/.../STOP tag protocol maps to StreamingQueryListener
+    events; START and STOP must be observed for a finished backfill."""
+    import time as _time
+
+    from ago_sisdb_spark.streaming.pubsub import LifecycleLog
+
+    src = str(tmp_path / "lc")
+    spark.createDataFrame(
+        [("A", datetime(2024, 1, 1, 9, 30, 0), 1.0)],
+        "sym string, ts timestamp, v double",
+    ).write.parquet(src)
+
+    log = LifecycleLog()
+    listener = log.listener()
+    spark.streams.addListener(listener)
+    try:
+        q = (
+            spark.readStream.schema("sym string, ts timestamp, v double")
+            .parquet(src)
+            .writeStream.format("memory")
+            .queryName("lc_test")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        q.stop()
+        deadline = _time.time() + 15
+        while _time.time() < deadline:
+            kinds = {k for k, _ in log.events}
+            if {"START", "STOP"} <= kinds:
+                break
+            _time.sleep(0.25)
+        assert {"START", "STOP"} <= {k for k, _ in log.events}
+    finally:
+        spark.streams.removeListener(listener)
