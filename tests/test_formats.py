@@ -66,3 +66,17 @@ def test_dbf_roundtrip(spark, tmp_path):
     assert abs(back.px - 12.345678) < 1e-6
     assert back.d == date(2024, 1, 31)
     assert back.act is True
+
+
+def test_read_dbf_dir_distributed(spark, tmp_path):
+    """S7 directory form: mapInPandas decode of several same-schema DBF
+    files on executors."""
+    from ago_sisdb_spark.sources.dbf import read_dbf_dir
+
+    df1 = spark.createDataFrame([("SH600600", 1)], "sym string, qty int")
+    df2 = spark.createDataFrame([("SZ300750", 2)], "sym string, qty int")
+    for i, d in enumerate((df1, df2)):
+        write_dbf(d, str(tmp_path / f"f{i}.dbf"))
+    out = read_dbf_dir(spark, str(tmp_path / "*.dbf"))
+    rows = sorted((r.sym, r.qty) for r in out.collect())
+    assert rows == [("SH600600", 1), ("SZ300750", 2)]

@@ -60,3 +60,37 @@ def test_ivf_scores_match_bruteforce_on_hits(spark, emb):
     for r in approx:
         if r.neighbor_id in exact:
             assert round(r.score, 9) == exact[r.neighbor_id]
+
+
+def test_lsh_topk_candidates_are_exactly_scored(spark, emb):
+    """n2 contract: every (probe, neighbor) the LSH returns carries the
+    exact cosine (re-ranked inside buckets), and neighbors are a subset of
+    the corpus minus the probe itself."""
+    probes = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r.probe_id, r.neighbor_id): round(r.score, 9)
+        for r in similarity.brute_force_topk(
+            emb, probes, "vec_id", "embedding", "vec_id", 500
+        ).collect()
+    }
+    approx = similarity.lsh_topk(
+        emb, probes, "vec_id", "embedding", "vec_id", k=5, dim=64, bits=6
+    ).collect()
+    assert approx, "bucket join returned nothing"
+    for r in approx:
+        assert r.probe_id != r.neighbor_id
+        key = (r.probe_id, r.neighbor_id)
+        assert key in exact
+        assert round(r.score, 9) == exact[key]
+
+
+def test_lsh_topk_same_bucket_recall(spark, emb):
+    """A vector always shares every bucket with itself ⇒ querying the corpus
+    with its own members must return ≥1 same-bucket neighbor per probe when
+    buckets are non-trivial (sanity floor, not a tuned recall claim)."""
+    probes = emb.where(F.col("vec_id") < 10)
+    out = similarity.lsh_topk(
+        emb, probes, "vec_id", "embedding", "vec_id", k=3, dim=64, bits=4
+    )
+    per_probe = {r.probe_id for r in out.collect()}
+    assert len(per_probe) >= 5  # 4-bit buckets: most probes find neighbors
