@@ -28,11 +28,16 @@ def asof_join(
     value_cols: list[str],
     order_col: str | None = None,
     strict: bool = False,
+    tolerance=None,
 ) -> DataFrame:
     """Left rows + latest right ``value_cols`` as of each left row's time.
 
     ``strict=True`` uses ``right.time < left.time`` (right rows at the exact
-    same timestamp are not visible).
+    same timestamp are not visible).  ``tolerance`` (a Column-compatible
+    interval/number, e.g. ``F.expr("INTERVAL 5 SECONDS")``) nulls the as-of
+    values when the matched right row is older than ``left.time - tolerance``
+    — pandas merge_asof's tolerance, expressed with one extra filled column
+    (the as-of right *time*) and a conditional, still one shuffle.
     """
     lcols = left.columns
     # side: right=0 sorts before left=1 at equal time → right row at equal
@@ -64,18 +69,26 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    r = r.withColumn("__rt", F.col(time_col))
+    l = l.withColumn("__rt", F.lit(None).cast(left.schema[time_col].dataType))
     filled = l.unionByName(r).select(
         "*",
         *[
             F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w).alias(f"__asof_{c}")
             for c in value_cols
         ],
+        F.last(F.col("__rt"), ignorenulls=True).over(w).alias("__asof_t"),
     )
     is_left = F.col("__side") == F.lit(l_side)
-    return filled.where(is_left).select(
-        *[c for c in lcols],
-        *[F.col(f"__asof_{c}").alias(f"asof_{c}") for c in value_cols],
-    )
+    out_vals = []
+    for c in value_cols:
+        v = F.col(f"__asof_{c}")
+        if tolerance is not None:
+            v = F.when(
+                F.col("__asof_t") >= F.col(time_col) - tolerance, v
+            ).otherwise(F.lit(None))
+        out_vals.append(v.alias(f"asof_{c}"))
+    return filled.where(is_left).select(*[c for c in lcols], *out_vals)
 
 
 def asof_join_pandas(
