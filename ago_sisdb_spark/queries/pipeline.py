@@ -359,3 +359,24 @@ def pipe1_training_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(text.token_count(F.col("text"))).alias("total_tokens"),
         F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
     )
+
+
+@query(
+    "t5_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+               AS n_bpe_tokens,
+           len(string_split(trim(text), ' ')) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def t5_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (letter runs / digit runs / punctuation
+    marks) beside the whitespace count — both pure JVM regexp expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.regex_token_count(F.col("text")).alias("n_bpe_tokens"),
+        text.token_count(F.col("text")).alias("n_ws_tokens"),
+    )
