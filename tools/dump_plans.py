@@ -1,0 +1,51 @@
+"""Regenerate PLANS.md: executed physical plans of headline queries with
+plan-quality commentary.  Usage: python tools/dump_plans.py [sf_dir]"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+NOTES = {
+    "q1_pricing_summary": "single scan -> partial agg -> one shuffle of 6 groups -> final agg; filter pushed to parquet",
+    "q3_shipping_priority": "both dims broadcast; lineitem never shuffles before the aggregation",
+    "p6_last_per_key": "max_by partial aggregation: one candidate row per key leaves each map task",
+    "a1_ohlcv_rollup": "six bar aggregates partial-combine map-side; shuffle carries one row per (key, bar)",
+    "j4_range_join": "interval predicate rides a broadcast hash join on the user key",
+    "d1_dedup_exact": "digest computed in the scan projection; shuffle carries (digest, id) only",
+}
+
+HEADER = """# PLANS — executed physical plans of headline queries (sf0.1, AQE final)
+
+Generated from `df._jdf.queryExecution().executedPlan()` after execution.
+What to look for in each: filters in `PushedFilters`, `WholeStageCodegen`
+spans (`*(n)` prefixes), broadcast vs shuffle exchanges, and partial
+aggregation before every exchange.  Regenerate with
+`python tools/dump_plans.py`.
+"""
+
+
+def main() -> None:
+    from ago_sisdb_spark.inventory import all_queries
+    from ago_sisdb_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark()
+    qs = all_queries()
+    with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
+        f.write(HEADER)
+        for name, note in NOTES.items():
+            df = qs[name](spark, sf_dir)
+            df.collect()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            plan = plan.split("== Initial Plan ==")[0]
+            plan = re.sub(r"Location: InMemoryFileIndex[^,]*,?", "", plan)
+            plan = re.sub(r", \[plan_id=\d+\]", "", plan)
+            f.write(f"\n## {name}\n\n*{note}*\n\n```\n{plan.strip()}\n```\n")
+
+
+if __name__ == "__main__":
+    main()
