@@ -225,3 +225,41 @@ def test_lifecycle_listener_records_start_stop(spark, tmp_path):
         assert {"START", "STOP"} <= {k for k, _ in log.events}
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_convert_service_fanout(spark, tick_dir):
+    """Config-driven convert service: one tick stream fans out to 1-minute
+    and 2-minute bar tables, each a watermarked streaming agg."""
+    from ago_sisdb_spark.streaming.convert import ConvertService
+
+    path, schema = tick_dir
+    svc = ConvertService.from_config(
+        {
+            "key": ["sym"],
+            "time": "ts",
+            "price": "price",
+            "volume": "vol",
+            "convert": [
+                {"width": "1 minute", "sink": "conv_min", "watermark": "0 seconds"},
+                {"width": "2 minutes", "sink": "conv_2min", "watermark": "0 seconds"},
+            ],
+        }
+    )
+    stream = spark.readStream.schema(schema).parquet(path)
+    svc.start(stream)
+    svc.await_all()
+    svc.stop_all()
+
+    mins = {
+        (r.sym, str(r.bar_start)): r for r in spark.sql("select * from conv_min").collect()
+    }
+    two = {
+        (r.sym, str(r.bar_start)): r for r in spark.sql("select * from conv_2min").collect()
+    }
+    assert mins[("SH600600", "2024-01-01 09:30:00")].volume == 12
+    assert mins[("SH600600", "2024-01-01 09:31:00")].volume == 12
+    b = two[("SH600600", "2024-01-01 09:30:00")]
+    # 2-minute bar covers both minutes: 24 ticks, open of first, close of last
+    assert b.volume == 24
+    assert b.open == 10.0 and b.close == 125.0
+    assert b.money == 2400
