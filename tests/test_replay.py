@@ -59,3 +59,19 @@ def test_payload_preserved_as_json(spark):
     bars_rows = [r for r in out if r.source == "bars"]
     payload = json.loads(bars_rows[0].payload)
     assert set(payload) == {"o", "c"}
+
+
+def test_seq_col_tie_break_within_source(spark):
+    """Explicit seq column pins ordering of same-time rows within a source
+    (the reference's insertion order, made deterministic)."""
+    from datetime import datetime
+
+    t = datetime(2024, 1, 1, 9, 0, 0)
+    df = spark.createDataFrame(
+        [("A", t, 2, 20.0), ("A", t, 1, 10.0), ("A", t, 3, 30.0)],
+        "sym string, ts timestamp, seq int, v double",
+    ).repartition(3)
+    out = kway_merge([("s", df, "sym", "ts")], seq_cols={"s": "seq"}).collect()
+    import json
+
+    assert [json.loads(r.payload)["seq"] for r in out] == [1, 2, 3]

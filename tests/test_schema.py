@@ -96,3 +96,22 @@ def test_registry_versions():
 def test_unknown_style_raises():
     with pytest.raises(ValueError):
         parse_table_spec("t", {"fields": {"x": ["Z", 4]}}).to_struct_type()
+
+
+def test_conversion_property_numeric_widening(spark):
+    """Property: any numeric→numeric conversion preserves exactly-
+    representable values."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.integers(min_value=-127, max_value=127))
+    def run(v):
+        v1 = parse_table_spec("t", {"fields": {"x": ["I", 1]}})
+        for style, length in (("I", 2), ("I", 4), ("I", 8), ("F", 4), ("F", 8)):
+            v2 = parse_table_spec("t", {"fields": {"x": [style, length]}})
+            df = spark.createDataFrame([(v,)], v1.to_struct_type())
+            out = apply_conversion(df, v1, v2).collect()[0].x
+            assert float(out) == float(v)
+
+    run()
