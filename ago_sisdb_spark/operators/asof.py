@@ -69,16 +69,16 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    r = r.withColumn("__rt", F.col(time_col))
-    l = l.withColumn("__rt", F.lit(None).cast(left.schema[time_col].dataType))
-    filled = l.unionByName(r).select(
-        "*",
-        *[
-            F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w).alias(f"__asof_{c}")
-            for c in value_cols
-        ],
-        F.last(F.col("__rt"), ignorenulls=True).over(w).alias("__asof_t"),
-    )
+    fills = [
+        F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w).alias(f"__asof_{c}")
+        for c in value_cols
+    ]
+    if tolerance is not None:
+        # carry the matched right-row time only when a staleness bound needs it
+        r = r.withColumn("__rt", F.col(time_col))
+        l = l.withColumn("__rt", F.lit(None).cast(left.schema[time_col].dataType))
+        fills.append(F.last(F.col("__rt"), ignorenulls=True).over(w).alias("__asof_t"))
+    filled = l.unionByName(r).select("*", *fills)
     is_left = F.col("__side") == F.lit(l_side)
     out_vals = []
     for c in value_cols:
