@@ -33,6 +33,7 @@ def materialize_table(
     time_col: str | None = None,
     key_col: str | None = None,
     mode: str = "overwrite",
+    compression: str = "zstd",
 ) -> DataFrame:
     """One-time ingest: normalize encodings and write the query-optimal
     layout (dt-partitioned, key/time-sorted).  Returns the written frame.
@@ -43,6 +44,8 @@ def materialize_table(
     """
     df = load_table(spark, src_root, name)
     writer_df = df
+    # zstd default: the reference's snappy-block layer upgraded (SURVEY §4
+    # compression row) — better ratio at similar decode speed for cold data
     if time_col is not None:
         writer_df = writer_df.withColumn("dt", F.to_date(F.col(time_col)))
         sort_cols = [c for c in (key_col, time_col) if c is not None]
@@ -50,11 +53,12 @@ def materialize_table(
             writer_df.repartition("dt")
             .sortWithinPartitions(*sort_cols)
             .write.mode(mode)
+            .option("compression", compression)
             .partitionBy("dt")
             .parquet(dst_path)
         )
     else:
-        writer_df.write.mode(mode).parquet(dst_path)
+        writer_df.write.mode(mode).option("compression", compression).parquet(dst_path)
     return spark.read.parquet(dst_path)
 
 
