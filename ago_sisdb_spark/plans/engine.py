@@ -188,3 +188,27 @@ class Engine:
             F.col(spec.key_col).cast("string"), key_sdb.rpartition(".")[0] or "*"
         )
         return delete_range(df, pred, spec.time_col, start, stop)
+
+    def sub(self, key_sdb: str, stream: DataFrame, query_name: str = "subscription"):
+        """T1 `sub`: live subscription to a streaming DataFrame filtered by
+        the key pattern; returns the StreamingQuery (stop() = `unsub`)."""
+        from ago_sisdb_spark.streaming.pubsub import subscribe
+
+        key, _, sdb = key_sdb.rpartition(".")
+        spec = self.specs[sdb]
+        return subscribe(stream, spec.key_col, key or "*", query_name=query_name)
+
+    def save(self, sdb: str, path: str) -> None:
+        """S11 `save`: persist the table in the query-optimal layout
+        (dt-partitioned, key/time-sorted — sources/ingest)."""
+        from ago_sisdb_spark.streaming.write import write_partitioned
+
+        spec = self.specs[sdb]
+        df = self.catalog.load(spec.table)
+        write_partitioned(df, path, spec.time_col, key_bucket_col=spec.key_col)
+
+    def pack(self, path: str, target_file_mb: int = 256) -> None:
+        """S11 `pack`: compact a saved table's files (sources/ingest.compact)."""
+        from ago_sisdb_spark.sources.ingest import compact
+
+        compact(self.spark, path, target_file_mb=target_file_mb)

@@ -135,3 +135,40 @@ def test_create_registers_spec(eng):
     assert eng.schemas.get("stk_snap").version == 1
     with pytest.raises(ValueError):
         eng.create("bad", {"fields": {"x": ["I", 4]}})
+
+
+def test_save_and_pack_roundtrip(eng, spark, sf_small, tmp_path):
+    from ago_sisdb_spark.catalog import load_table
+
+    out = str(tmp_path / "events_saved")
+    eng.save("events", out)
+    saved = spark.read.parquet(out)
+    raw = load_table(spark, sf_small, "events")
+    assert saved.count() == raw.count()
+    assert "dt" in saved.columns  # partition layout
+    eng.pack(out, target_file_mb=512)
+    assert spark.read.parquet(out).count() == raw.count()
+
+
+def test_sub_filters_stream_by_key(eng, spark, sf_small, tmp_path):
+    from ago_sisdb_spark.catalog import load_table
+
+    raw = load_table(spark, sf_small, "events")
+    some_key = raw.select("user_id").first()[0]
+    src = str(tmp_path / "stream_src")
+    raw.write.parquet(src)  # full table: the key's rows are guaranteed present
+    stream = spark.readStream.schema(raw.schema).parquet(src)
+    q = eng.sub(f"{some_key}.events", stream, query_name="eng_sub_test")
+    try:
+        import time as _t
+
+        deadline = _t.time() + 60
+        while _t.time() < deadline:
+            n = spark.sql("select count(*) c from eng_sub_test").first().c
+            if n > 0:
+                break
+            _t.sleep(0.5)
+    finally:
+        q.stop()
+    got = spark.sql("select distinct user_id from eng_sub_test").collect()
+    assert {r.user_id for r in got} == {some_key}
