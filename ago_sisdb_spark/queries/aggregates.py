@@ -130,7 +130,7 @@ def a15_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.least(
         F.greatest(F.floor(F.col("value") / 10.0).cast("int"), F.lit(0)), F.lit(9)
     )
-    return ev.groupBy(bucket.alias("bucket")).agg(
+    return ev.groupBy(bucket.cast("bigint").alias("bucket")).agg(
         F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value")
     )
 

@@ -162,7 +162,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("revenue")
         )
-        .select("l_orderkey", "revenue", "o_orderdate")
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        )
     )
 
 

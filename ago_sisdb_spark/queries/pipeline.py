@@ -186,7 +186,9 @@ def m1_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("content"),
     )
-    return attach_binary_meta(docs).select("media_id", "n_bytes", "magic")
+    return attach_binary_meta(docs).select(
+        "media_id", F.col("n_bytes").cast("bigint").alias("n_bytes"), "magic"
+    )
 
 
 @query("m2_multimodal_features", oracle=None)
@@ -241,8 +243,8 @@ def t1_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        text.token_count(F.col("text")).alias("n_tokens"),
-        F.length("text").alias("n_chars_actual"),
+        text.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
         "n_chars",
     )
 
@@ -332,7 +334,7 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            count(*) AS n_docs,
-           sum(len(string_split(trim(text), ' '))) AS total_tokens,
+           CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
            round(avg(length(text)), 4) AS avg_chars
     FROM kept WHERE doc_id = keep_id
     GROUP BY lang
@@ -377,6 +379,6 @@ def t5_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        text.regex_token_count(F.col("text")).alias("n_bpe_tokens"),
-        text.token_count(F.col("text")).alias("n_ws_tokens"),
+        text.regex_token_count(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
+        text.token_count(F.col("text")).cast("bigint").alias("n_ws_tokens"),
     )

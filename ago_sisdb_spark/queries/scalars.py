@@ -34,10 +34,10 @@ def f_datetime_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
     return o.select(
         "o_orderkey",
-        F.year("o_orderdate").alias("y"),
-        F.month("o_orderdate").alias("mo"),
-        F.dayofmonth("o_orderdate").alias("d"),
-        (F.weekday("o_orderdate") + 1).alias("dow_iso"),
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("d"),
+        (F.weekday("o_orderdate") + 1).cast("bigint").alias("dow_iso"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("ymd"),
         timecodec.to_int_date(F.col("o_orderdate")).alias("int_date"),
     )
@@ -63,7 +63,7 @@ def f_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         F.date_add(d, 30).alias("due_date"),
-        F.datediff(F.lit("2002-01-01").cast("date"), d).alias("days_to_2002"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).cast("bigint").alias("days_to_2002"),
         timecodec.next_workday(d).alias("next_workday"),
     )
 
@@ -94,8 +94,8 @@ def f_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.least(F.col("l_quantity"), F.col("l_discount") * 100).alias("least_v"),
         F.greatest(F.col("l_quantity"), F.col("l_discount") * 100).alias("greatest_v"),
-        F.floor(F.col("l_extendedprice") / 100).alias("floor_v"),
-        F.ceil(F.col("l_extendedprice") / 100).alias("ceil_v"),
+        F.floor(F.col("l_extendedprice") / 100).cast("double").alias("floor_v"),
+        F.ceil(F.col("l_extendedprice") / 100).cast("double").alias("ceil_v"),
         F.round(
             mathx.safe_div(F.col("l_extendedprice"), F.col("l_discount")), 4
         ).alias("safe_div"),
@@ -126,7 +126,7 @@ def f_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("c_mktsegment").alias("seg_upper"),
         F.lower("c_name").alias("name_lower"),
         F.substring("c_name", 1, 8).alias("name_prefix"),
-        F.length("c_name").alias("name_len"),
+        F.length("c_name").cast("bigint").alias("name_len"),
         F.col("c_name").contains("1").alias("has_one"),
         F.col("c_name").startswith("Customer").alias("is_cust"),
     )
@@ -194,7 +194,7 @@ def f_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.select(
         "vec_id",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("bigint").alias("dim"),
         F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_elem"),
         F.round(sq, 4).alias("sq_norm"),
         F.round(F.array_max("embedding").cast("double"), 6).alias("max_elem"),

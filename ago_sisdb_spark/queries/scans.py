@@ -66,7 +66,11 @@ def p2_exact_time_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "orders")
         .where(F.col("o_orderdate") == F.lit("1996-06-01 00:00:00").cast("timestamp"))
-        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            "o_totalprice",
+        )
     )
 
 

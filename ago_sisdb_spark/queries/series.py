@@ -268,8 +268,8 @@ def a13_trend_code(spark: SparkSession, sf_dir: str) -> DataFrame:
                lag(value) OVER w AS prev, lead(value) OVER w AS nxt
         FROM events WINDOW w AS (PARTITION BY event_type ORDER BY event_id))
     SELECT event_type,
-           sum(CASE WHEN value > prev AND value > nxt THEN 1 ELSE 0 END) AS n_peaks,
-           sum(CASE WHEN value < prev AND value < nxt THEN 1 ELSE 0 END) AS n_troughs
+           CAST(sum(CASE WHEN value > prev AND value > nxt THEN 1 ELSE 0 END) AS BIGINT) AS n_peaks,
+           CAST(sum(CASE WHEN value < prev AND value < nxt THEN 1 ELSE 0 END) AS BIGINT) AS n_troughs
     FROM n GROUP BY event_type
     """,
 )
@@ -330,10 +330,10 @@ def w1_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.rank()
         .over(Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id"))
-        .alias("rnk"),
+        .cast("bigint").alias("rnk"),
         F.dense_rank()
         .over(Window.partitionBy("user_id").orderBy("event_type"))
-        .alias("drnk"),
+        .cast("bigint").alias("drnk"),
         F.lag("value").over(by_time).alias("prev_value"),
         F.lead("value").over(by_time).alias("next_value"),
         F.round(
