@@ -189,6 +189,63 @@ class Engine:
         )
         return delete_range(df, pred, spec.time_col, start, stop)
 
+    def show(self) -> dict:
+        """`show`: declared sdbs and their schema versions
+        (`workers/sisdb/sisdb.c:15`)."""
+        return {
+            sdb: {
+                "key_col": spec.key_col,
+                "time_col": spec.time_col,
+                "schema_versions": self.schemas.versions(sdb),
+            }
+            for sdb, spec in self.specs.items()
+        }
+
+    def keys(self, key_sdb: str = "*.*") -> DataFrame:
+        """`keys`: distinct keys matching a pattern across one sdb
+        (`sisdb.c:23`) — an aggregation, never a driver-side key dict."""
+        df, spec, _ = self._resolve(key_sdb)
+        return df.select(F.col(spec.key_col).alias("key")).distinct()
+
+    def drop(self, sdb: str) -> None:
+        """`drop`: remove a declared table (`sisdb.c:21`)."""
+        self.specs.pop(sdb, None)
+
+    def bset(self, key_sdb: str, arrow_ipc: bytes, scale=None) -> DataFrame:
+        """`bset` (S9, `sisdb.c:286-309`): binary-struct ingest.  The packed
+        C-struct wire format maps to Arrow IPC — schema-carrying, columnar,
+        zero-copy into Spark via createDataFrame(pandas)."""
+        import io
+
+        import pyarrow as pa
+
+        from ago_sisdb_spark.streaming.write import TimeScale, upsert
+
+        table = pa.ipc.open_stream(io.BytesIO(arrow_ipc)).read_all()
+        _, _, sdb = key_sdb.rpartition(".")
+        spec = self.specs[sdb]
+        current = self.catalog.load(spec.table)
+        incoming = self.spark.createDataFrame(table.to_pandas())
+        return upsert(
+            current,
+            incoming.select(*current.columns),
+            [spec.key_col],
+            spec.time_col,
+            scale or TimeScale.MILLI,
+        )
+
+    def psub(self, key_sdbs: list[str], start=None, stop=None) -> DataFrame:
+        """`psub` (T2, `sisdb.c:494-546`): historical replay — all requested
+        key.sdb streams merged to one event-time-ordered DataFrame; iterate
+        with ``toLocalIterator`` for one-by-one emission."""
+        from ago_sisdb_spark.streaming.replay import replay_range
+
+        tables = []
+        for ks in key_sdbs:
+            df, spec, _ = self._resolve(ks)
+            tables.append((spec.table, df, spec.key_col, spec.time_col))
+        return replay_range(self.spark, tables, start=start, stop=stop)
+
     def sub(self, key_sdb: str, stream: DataFrame, query_name: str = "subscription"):
         """T1 `sub`: live subscription to a streaming DataFrame filtered by
         the key pattern; returns the StreamingQuery (stop() = `unsub`)."""

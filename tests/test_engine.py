@@ -172,3 +172,44 @@ def test_sub_filters_stream_by_key(eng, spark, sf_small, tmp_path):
         q.stop()
     got = spark.sql("select distinct user_id from eng_sub_test").collect()
     assert {r.user_id for r in got} == {some_key}
+
+
+def test_show_keys_drop(eng, spark, sf_small):
+    info = eng.show()
+    assert "events" in info and info["events"]["time_col"] == "ts"
+    ks = eng.keys("*.events")
+    from ago_sisdb_spark.catalog import load_table
+
+    raw = load_table(spark, sf_small, "events")
+    assert ks.count() == raw.select("user_id").distinct().count()
+    eng.create("tmp_tbl", {"fields": {"time": ["S", 8]}, "index": {"time": "mindex"}})
+    assert "tmp_tbl" in eng.show()
+    eng.drop("tmp_tbl")
+    assert "tmp_tbl" not in eng.show()
+
+
+def test_bset_arrow_ingest(eng, spark, sf_small):
+    import io
+
+    import pyarrow as pa
+
+    from ago_sisdb_spark.catalog import load_table
+
+    raw = load_table(spark, sf_small, "events")
+    n = raw.count()
+    one = raw.limit(1).toPandas()
+    one["event_id"] = 20_000_000
+    sink = io.BytesIO()
+    t = pa.Table.from_pandas(one, preserve_index=False)
+    with pa.ipc.new_stream(sink, t.schema) as w:
+        w.write_table(t)
+    merged = eng.bset("*.events", sink.getvalue())
+    assert merged.count() == n + 1
+
+
+def test_psub_replay_merge(eng, spark, sf_small):
+    out = eng.psub(["*.events", "*.orders"])
+    rows = out.limit(50).collect()
+    assert {"events", "orders"} >= {r.source for r in rows}
+    times = [r.event_time for r in out.limit(200).collect()]
+    assert times == sorted(times)
