@@ -69,6 +69,30 @@ def last_record(df: DataFrame, order: list[Column]) -> DataFrame:
     return tail_n(df, 1, order)
 
 
+def offset_shift(
+    df: DataFrame, time_col: str, anchor, offset: int, order: list[Column]
+) -> DataFrame:
+    """P3 ``offset: ±n`` record addressing (`sisdb_fmap.h:156-158`): locate
+    the record at/just before ``anchor`` in series order, then step ``offset``
+    records (negative = back).
+
+    row_number over the slice + a 1-row anchor aggregate joined back
+    (broadcast) — no driver round-trip.  Intended for single-key slices
+    (the reference semantic); the window is unpartitioned by design.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*order)
+    ranked = df.withColumn("__rn", F.row_number().over(w))
+    anchor_rn = ranked.where(F.col(time_col) <= F.lit(anchor)).agg(
+        F.max("__rn").alias("__arn")
+    )
+    return (
+        ranked.join(F.broadcast(anchor_rn), ranked["__rn"] == anchor_rn["__arn"] + offset)
+        .drop("__rn", "__arn")
+    )
+
+
 def ifprev_day_scan(df: DataFrame, time_col: str, start) -> DataFrame:
     """All records of the most recent day with data at or before ``start``.
 

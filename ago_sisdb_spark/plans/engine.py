@@ -94,19 +94,23 @@ class Engine:
         stop=None,
         count: int | None = None,
         ifprev: bool = False,
+        offset: int | None = None,
         fmt: str | None = None,
     ):
         """The reference `get` (S1/S2 + P1/P3 semantics matrix).
 
         No range args → latest record.  ``count>0`` head / ``count<0``
         tail.  ``ifprev`` falls back to the last day with data ≤ start.
-        ``fmt`` renders to json/array/csv/struct bytes; None returns the
-        DataFrame (the composable form).
+        ``offset=±n`` shifts the record located at ``start`` by n records
+        in series order.  ``fmt`` renders to json/array/csv/struct bytes;
+        None returns the DataFrame (the composable form).
         """
         df, spec, _ = self._resolve(key_sdb)
         order = self._order(spec)
 
-        if ifprev and start is not None:
+        if offset is not None and start is not None:
+            df = rangescan.offset_shift(df, spec.time_col, start, offset, order)
+        elif ifprev and start is not None:
             df = rangescan.ifprev_day_scan(df, spec.time_col, start)
         else:
             df = rangescan.time_range(df, spec.time_col, start, stop)

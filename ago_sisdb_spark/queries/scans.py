@@ -277,23 +277,18 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def p3_offset_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3 `offset: -n` record addressing (sisdb_fmap.h:156-158): locate the
-    record at/just before a time, then step n records back in series order.
-    Spark: row_number over the single-key slice + a 1-row anchor aggregate
-    joined back (broadcast) — no driver round-trip."""
-    from pyspark.sql import Window
-
+    record at/just before a time, then step n records back in series order
+    (operators/rangescan.offset_shift — row_number + broadcast anchor,
+    no driver round-trip)."""
     ev = _t(spark, sf_dir, "events").where(F.col("user_id") == 7)
-    w = Window.orderBy("ts", "event_id")
-    ranked = ev.select(
-        "event_id", "ts", "value", F.row_number().over(w).alias("rn")
+    out = rangescan.offset_shift(
+        ev,
+        "ts",
+        "2024-01-15 00:00:00",
+        -2,
+        [F.col("ts"), F.col("event_id")],
     )
-    anchor = ranked.where(
-        F.col("ts") <= F.lit("2024-01-15 00:00:00").cast("timestamp")
-    ).agg(F.max("rn").alias("arn"))
-    return (
-        ranked.join(F.broadcast(anchor), ranked.rn == anchor.arn - 2)
-        .select("event_id", "ts", "value")
-    )
+    return out.select("event_id", "ts", "value")
 
 
 @query(

@@ -213,3 +213,20 @@ def test_psub_replay_merge(eng, spark, sf_small):
     assert {"events", "orders"} >= {r.source for r in rows}
     times = [r.event_time for r in out.limit(200).collect()]
     assert times == sorted(times)
+
+
+def test_get_offset_addressing(eng, spark, sf_small):
+    from ago_sisdb_spark.catalog import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    key = ev.select("user_id").first()[0]
+    slice_rows = (
+        ev.where(F.col("user_id") == key)
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    if len(slice_rows) < 3:
+        pytest.skip("key has too few rows")
+    anchor = slice_rows[2].ts
+    got = eng.get(f"{key}.events", start=anchor, offset=-1).collect()
+    assert len(got) == 1 and got[0].event_id == slice_rows[1].event_id

@@ -68,3 +68,15 @@ def test_ifprev_exact_day_hit(series):
 def test_ifprev_before_all_data_is_empty(series):
     out = rangescan.ifprev_day_scan(series, "ts", datetime(2023, 12, 31))
     assert out.count() == 0
+
+
+def test_offset_shift(series):
+    from datetime import datetime as dt
+
+    # anchor at Jan 2 10:00 (seq 4); offset -2 -> seq 2; +1 -> seq 5
+    back = rangescan.offset_shift(series, "ts", dt(2024, 1, 2, 10), -2, _order())
+    assert [r.seq for r in back.collect()] == [2]
+    fwd = rangescan.offset_shift(series, "ts", dt(2024, 1, 2, 10), 1, _order())
+    assert [r.seq for r in fwd.collect()] == [5]
+    # offset past the ends -> empty
+    assert rangescan.offset_shift(series, "ts", dt(2024, 1, 2, 10), -10, _order()).count() == 0
