@@ -80,3 +80,43 @@ def test_offset_shift(series):
     assert [r.seq for r in fwd.collect()] == [5]
     # offset past the ends -> empty
     assert rangescan.offset_shift(series, "ts", dt(2024, 1, 2, 10), -10, _order()).count() == 0
+
+
+def test_range_matrix_property_vs_model(spark):
+    """Property: (start, stop, count) combinations match a Python list model
+    on randomized series — the P3 matrix, exhaustively cross-checked."""
+    import random
+
+    rnd = random.Random(31)
+    base = datetime(2024, 1, 1)
+    from datetime import timedelta
+
+    rows = sorted(
+        (i, base + timedelta(minutes=rnd.randrange(0, 5000)))
+        for i in range(120)
+    )
+    # make time strictly increasing to keep the model unambiguous
+    rows = [(i, base + timedelta(minutes=m * 7 + i)) for i, (_, t) in enumerate(rows) for m in [i]]
+    df = spark.createDataFrame(
+        [(i, t, float(i)) for i, t in rows], "seq long, ts timestamp, v double"
+    ).repartition(4)
+    times = [t for _, t in rows]
+
+    for _ in range(25):
+        lo = rnd.choice(times + [None])
+        hi = rnd.choice(times + [None])
+        model = [
+            (i, t)
+            for i, t in rows
+            if (lo is None or t >= lo) and (hi is None or t <= hi)
+        ]
+        got = rangescan.time_range(df, "ts", lo, hi)
+        assert sorted(r.seq for r in got.collect()) == [i for i, _ in model]
+
+        n = rnd.randrange(1, 6)
+        head = rangescan.head_n(got, n, _order()).collect()
+        assert [r.seq for r in head] == [i for i, _ in model[:n]]
+        tail = rangescan.tail_n(got, n, _order())
+        assert sorted(r.seq for r in tail.collect()) == sorted(
+            i for i, _ in model[-n:]
+        )
