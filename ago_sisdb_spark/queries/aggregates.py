@@ -229,3 +229,39 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((event_type), (user_id))
         """
     )
+
+
+@query(
+    "w2_session_window",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WHERE user_id < 50),
+    ids AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked)
+    SELECT user_id, min(ts) AS session_start,
+           count(*) AS n_events, round(sum(value), 4) AS session_value
+    FROM ids GROUP BY user_id, session_id
+    """,
+)
+def w2_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via F.session_window (30-minute inactivity gap) — the
+    Spark-native form of gaps-and-islands; state-store-backed under
+    streaming, plain agg in batch.  Oracle computes the same sessions with
+    lag + running-sum island ids."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    out = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("sw")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+        F.min("ts").alias("session_start"),
+    )
+    return out.select("user_id", "session_start", "n_events", "session_value")
