@@ -340,3 +340,33 @@ def w1_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value").over(by_time.rowsBetween(-2, 0)), 6
         ).alias("moving_sum3"),
     )
+
+
+@query(
+    "a12_ewma",
+    oracle="""
+    SELECT user_id,
+           round(list_reduce(list(value ORDER BY ts, event_id),
+                 (acc, x) -> acc * 0.9 + x * 0.1), 6) AS ewma
+    FROM events WHERE user_id < 30
+    GROUP BY user_id
+    """,
+)
+def a12_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12-family: exponentially-weighted moving average per key (α=0.1) —
+    the recency-weighted running average family (sis_ai.h:46-64, A11's
+    Fibonacci weighting generalized).  One groupBy; the fold runs as a
+    codegen'd `aggregate` over the sorted per-key series (series must fit
+    the array limit per key — same bound as any collect_list window)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    series_arr = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "value"))
+    )
+    fold = F.aggregate(
+        series_arr,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x["value"]).otherwise(
+            acc * 0.9 + x["value"] * 0.1
+        ),
+    )
+    return ev.groupBy("user_id").agg(F.round(fold, 6).alias("ewma"))

@@ -298,3 +298,35 @@ def test_checkpoint_recovery_processes_only_new_data(spark, tmp_path):
     # so the union of both incarnations is exactly-once (3 rows, no dups)
     got = sorted((r.sym, r.t) for r in spark.read.parquet(out).collect())
     assert got == [("A", 1), ("A", 2), ("B", 3)]
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """Sessionization under Structured Streaming: session_window + watermark
+    merges events within the gap into one session per key."""
+    src = str(tmp_path / "sess")
+    base = datetime(2024, 1, 1, 9, 0, 0)
+    rows = [
+        ("u1", base + timedelta(minutes=m), 1.0) for m in (0, 5, 8)  # session 1
+    ] + [
+        ("u1", base + timedelta(minutes=m), 2.0) for m in (60, 62)   # session 2
+    ]
+    spark.createDataFrame(rows, "user string, ts timestamp, v double").write.parquet(src)
+    stream = spark.readStream.schema("user string, ts timestamp, v double").parquet(src)
+    sessions = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy("user", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = sorted(
+        (r.n, r.total) for r in spark.sql("select * from sess_test").collect()
+    )
+    assert got == [(2, 4.0), (3, 3.0)]
