@@ -382,3 +382,73 @@ def t5_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.regex_token_count(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
         text.token_count(F.col("text")).cast("bigint").alias("n_ws_tokens"),
     )
+
+
+@query(
+    "t6_repetition_ratio",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+                   i -> string_split(text,' ')[i] || ' ' ||
+                        string_split(text,' ')[i+1] || ' ' ||
+                        string_split(text,' ')[i+2]) AS grams
+        FROM documents)
+    SELECT doc_id,
+           len(grams) AS n_grams,
+           CASE WHEN len(grams) = 0 THEN 0.0
+                ELSE round(1.0 - len(list_distinct(grams)) / len(grams), 6)
+           END AS rep_ratio
+    FROM g
+    """,
+)
+def t6_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality signal: fraction of duplicated 3-grams within a
+    document (high → boilerplate/spam).  Pure array expressions — the
+    shingle list never leaves the row."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0)))
+    grams = F.when(n >= 3, F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(words, i),
+                                   F.element_at(words, i + 1),
+                                   F.element_at(words, i + 2))
+    )).otherwise(F.array())
+    g = docs.select("doc_id", grams.alias("grams"))
+    return g.select(
+        "doc_id",
+        F.size("grams").cast("bigint").alias("n_grams"),
+        F.when(F.size("grams") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct("grams")) / F.size("grams"), 6
+            )
+        )
+        .alias("rep_ratio"),
+    )
+
+
+@query(
+    "s1_stratified_split",
+    oracle="""
+    SELECT lang,
+           CASE WHEN doc_id % 10 < 8 THEN 'train'
+                WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def s1_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10 by id modulo — portable,
+    reproducible, no RNG state) with per-language stratum counts; the split
+    expression stays in the scan projection, no shuffle beyond the count."""
+    docs = _t(spark, sf_dir, "documents")
+    split = (
+        F.when(F.col("doc_id") % 10 < 8, "train")
+        .when(F.col("doc_id") % 10 == 8, "val")
+        .otherwise("test")
+    )
+    return docs.groupBy("lang", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

@@ -22,8 +22,8 @@ def test_every_oracle_has_query():
 
 def test_inventory_size_floor():
     # SURVEY §2 coverage should only grow
-    assert len(QUERIES) >= 79
-    assert len(ORACLES) >= 70
+    assert len(QUERIES) >= 82
+    assert len(ORACLES) >= 73
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
