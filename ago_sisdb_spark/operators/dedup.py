@@ -208,16 +208,27 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 2,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs above threshold.
 
     Explode distinct shingles → self-equi-join on shingle (the shuffle key)
     → |∩| per pair → |A∪B| = |A|+|B|−|∩|.  The equi-join means only docs
-    *sharing a shingle* ever pair up — no O(n²) crossjoin.  At corpus scale,
-    cap pair fan-out by dropping ultra-common shingles (stop-shingle filter)
-    before the join.
+    *sharing a shingle* ever pair up — no O(n²) crossjoin.
+
+    ``max_doc_freq`` is the stop-shingle filter for corpus scale: a shingle
+    appearing in d documents generates O(d²) join rows, so one boilerplate
+    phrase shared by 1M docs would alone produce 10¹² pairs.  Dropping
+    shingles with doc-frequency > max_doc_freq bounds the fan-out; sizes
+    are computed on the FILTERED shingle sets so the Jaccard stays an exact
+    similarity over the reduced universe (standard practice — common
+    shingles carry no near-dup signal).
     """
     sh = shingle_rows(df, id_col, text_col, n).distinct()
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        keep = freq.where(F.col("__df") <= max_doc_freq).select("shingle")
+        sh = sh.join(keep, "shingle")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -1,0 +1,65 @@
+"""Dedup operator unit tests: Jaccard values, stop-shingle filter bound,
+MinHash candidate quality on a controlled corpus."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ago_sisdb_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "completely different text about spark engines here"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(docs, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark, corpus):
+    groups = dedup.exact_dedup_groups(corpus, "doc_id", "text").collect()
+    by_size = sorted(r.n_docs for r in groups)
+    assert by_size == [1, 1, 2]
+    dup = [r for r in groups if r.n_docs == 2][0]
+    assert dup.keep_id == 1
+
+
+def test_jaccard_exact_value(spark, corpus):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            corpus, "doc_id", "text", n=2, threshold=0.05
+        ).collect()
+    }
+    # docs 1 and 4 identical → jaccard 1.0
+    assert pairs[(1, 4)] == 1.0
+    # docs 1 and 2 share 7 of 9 distinct bigrams (8 each): J = 7/9
+    assert abs(pairs[(1, 2)] - 7 / 9) < 1e-9
+
+
+def test_stop_shingle_filter_prunes_common(spark):
+    # "common common" appears in every doc; unique shingles differ
+    docs = [(i, f"common common unique{i} word{i}") for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # without filter: every pair shares the common bigram → 15 candidate pairs
+    all_pairs = dedup.ngram_jaccard_pairs(df, "doc_id", "text", 2, 0.0)
+    assert all_pairs.count() == 15
+    # with max_doc_freq=2 the ubiquitous shingle is dropped → no pairs left
+    filtered = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", 2, 0.0, max_doc_freq=2
+    )
+    assert filtered.count() == 0
+
+
+def test_minhash_finds_near_dup_pair(spark, corpus):
+    cand = dedup.minhash_lsh_candidates(
+        corpus, "doc_id", "text", shingle_k=2, num_hashes=32, bands=16
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in cand}
+    assert (1, 4) in got  # identical docs always collide in every band
+    assert (1, 2) in got or (2, 4) in got  # high-overlap pair found
+    assert all(3 not in pair for pair in got)  # unrelated doc never pairs
