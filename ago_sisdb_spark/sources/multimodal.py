@@ -102,6 +102,51 @@ def extract_features(df: DataFrame, batch_limit: int = 1024) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = (
+    "media_id long, width int, height int, content binary, n_bytes_out int"
+)
+
+
+def _resize_stub(buf: bytes, width: int, height: int) -> bytes:
+    """STUB resize kernel: real deployment decodes, resamples (PIL/opencv),
+    re-encodes.  The deterministic fake scales the byte budget by the pixel
+    ratio against a nominal 64×64 source — keeps the contract (bytes in,
+    smaller bytes out, deterministic) testable without imaging libs."""
+    if buf is None:
+        raise NotImplementedError("no media content; real decoder stubbed out")
+    target = max(1, int(len(buf) * (width * height) / (64 * 64)))
+    return bytes(buf[:target])
+
+
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stage as Arrow-batched mapInPandas — the shape of every
+    transcode step at 100 TB: bytes stream executor-side per batch, output
+    rows carry the new typed metadata beside the new bytes."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                _resize_stub(
+                    b if b is None or isinstance(b, bytes) else bytes(b),
+                    width,
+                    height,
+                )
+                for b in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "content": out,
+                    "n_bytes_out": [len(b) for b in out],
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(run, RESIZE_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n_seconds: int = 5) -> DataFrame:
     """Video frame-sampling *plan*: one output row per planned frame via
     sequence+explode on the duration metadata — the real decoder (stubbed)

@@ -48,3 +48,20 @@ def test_frame_sample_plan(media):
     out = frame_sample_plan(media, every_n_seconds=5).collect()
     # video duration 12s, frames at 0,5,10
     assert [(r.media_id, r.frame_ts) for r in out] == [(3, 0), (3, 5), (3, 10)]
+
+
+def test_resize_media_shrinks_bytes(media):
+    from ago_sisdb_spark.sources.multimodal import resize_media
+
+    out = {r.media_id: r for r in resize_media(media, 32, 32).collect()}
+    assert len(out) == 3
+    for mid, r in out.items():
+        assert r.width == 32 and r.height == 32
+        assert r.n_bytes_out == len(r.content)
+    # 32x32 vs nominal 64x64 → quarter of the bytes
+    src = {r.media_id: len(r.content) for r in media.collect()}
+    for mid, r in out.items():
+        assert r.n_bytes_out == max(1, src[mid] // 4)
+    # deterministic
+    again = {r.media_id: bytes(r.content) for r in resize_media(media, 32, 32).collect()}
+    assert {m: bytes(r.content) for m, r in out.items()} == again
