@@ -298,11 +298,17 @@ def lsh_topk(
     dim: int,
     bits: int = 8,
     seed: int = 13,
+    multi_probe: bool = True,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane bucket equi-join + exact re-rank.
 
     The equi-join on bucket replaces the cross join — candidates shrink
     ~2^bits-fold; recall is tuned by ``bits`` (fewer bits → more candidates).
+
+    ``multi_probe``: each probe also searches the ``bits`` buckets at
+    Hamming distance 1 (one sign flipped) — the standard multi-probe LSH
+    recall boost.  Cost scales with the (tiny) probe side only: probe rows
+    ×(bits+1); the corpus is still hashed and scanned once.
     """
     import random
 
@@ -319,6 +325,17 @@ def lsh_topk(
         F.col(vec_col).alias("__pvec"),
         hyperplane_bits(F.col(vec_col), planes).alias("__bucket"),
     )
+    if multi_probe:
+        flips = F.array(
+            F.col("__bucket"),
+            *[
+                F.col("__bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(bits)
+            ],
+        )
+        p = p.select(
+            "probe_id", "__pvec", F.explode(flips).alias("__bucket")
+        )
     scored = (
         c.join(F.broadcast(p), "__bucket")
         .where(F.col("neighbor_id") != F.col("probe_id"))
@@ -327,6 +344,7 @@ def lsh_topk(
             "neighbor_id",
             cosine(F.col("__cvec"), F.col("__pvec")).alias("score"),
         )
+        .dropDuplicates(["probe_id", "neighbor_id"])
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
