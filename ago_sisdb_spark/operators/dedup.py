@@ -112,19 +112,31 @@ def minhash_signatures(
     The min aggregates combine map-side, so the shuffle carries one
     num_hashes-wide row per document.
     """
+    return _minhash_mins(df, id_col, text_col, shingle_k, num_hashes, seed).select(
+        "doc", F.array(*[f"s{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def _minhash_mins(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    num_hashes: int,
+    seed: int = 7,
+) -> DataFrame:
+    """One min column per permutation (s0..sN-1) — the wide form both the
+    signature array and the band hashes derive from."""
     base = shingle_rows(df, id_col, text_col, shingle_k).select(
         "doc", (F.abs(F.xxhash64("shingle")) % F.lit(_MERSENNE)).alias("h")
     )
-    mins = base.groupBy("doc").agg(
+    return base.groupBy("doc").agg(
         *[
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MERSENNE)).alias(
                 f"s{i}"
             )
             for i, (a, b) in enumerate(_perm_params(num_hashes, seed))
         ]
-    )
-    return mins.select(
-        "doc", F.array(*[f"s{i}" for i in range(num_hashes)]).alias("sig")
     )
 
 
@@ -143,15 +155,19 @@ def minhash_lsh_candidates(
     verifies with exact Jaccard (``ngram_jaccard_pairs``) on candidates only.
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, shingle_k, num_hashes)
-    banded = sigs.select(
+    mins = _minhash_mins(df, id_col, text_col, shingle_k, num_hashes)
+    # band hash = multi-arg xxhash64 over that band's min columns directly —
+    # no signature array, no concat_ws string building per band
+    banded = mins.select(
         "doc",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(",", F.slice("sig", b * rows + 1, rows)), b
-                ),
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b), *[F.col(f"s{b * rows + j}") for j in range(rows)]
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("band", "bucket"),
     )
