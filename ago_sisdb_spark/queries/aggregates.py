@@ -265,3 +265,54 @@ def w2_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
     )
     return out.select("user_id", "session_start", "n_events", "session_value")
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) FILTER (event_type = 'click')    AS BIGINT) AS click,
+           CAST(count(*) FILTER (event_type = 'view')     AS BIGINT) AS view,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (event_type = 'error')    AS BIGINT) AS error
+    FROM events WHERE user_id < 40 GROUP BY user_id
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide reshaping: df.groupBy().pivot() with an explicit value list —
+    explicit values keep it ONE pass (auto-discovery adds a distinct scan
+    and is unbounded-width at scale)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "error"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+          for c in ("click", "view", "purchase", "error")],
+    )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+    SELECT o_orderkey, 'price' AS metric, o_totalprice AS value
+    FROM orders WHERE o_orderkey < 300
+    UNION ALL
+    SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE)
+    FROM orders WHERE o_orderkey < 300
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long reshaping (melt): unpivot two measures into (metric, value)
+    rows — stack() expands row-wise in the scan projection, no shuffle."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 300)
+    return o.unpivot(
+        "o_orderkey",
+        [F.col("o_totalprice").alias("price"),
+         F.col("o_custkey").cast("double").alias("custkey")],
+        "metric",
+        "value",
+    )
