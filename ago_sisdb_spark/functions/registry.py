@@ -95,6 +95,19 @@ def register_udfs(spark: SparkSession) -> list[str]:
         phi = (1 + np.sqrt(5.0)) / 2
         return np.rint((phi**n - (-phi) ** (-n)) / np.sqrt(5.0)).astype(float)
 
+    from pyspark.sql.functions import PandasUDFType
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def sis_geomean(v: pd.Series) -> float:
+        # UDAF form (grouped-agg pandas UDF): geometric mean; partial
+        # aggregation is handled by Spark splitting groups across batches
+        import numpy as np
+
+        x = v.astype("float64")
+        x = x[x > 0]
+        return float(np.exp(np.log(x).mean())) if len(x) else float("nan")
+
     spark.udf.register("sis_logistic", sis_logistic)
     spark.udf.register("sis_fib_weight", sis_fib_weight)
-    return ["sis_logistic", "sis_fib_weight"]
+    spark.udf.register("sis_geomean", sis_geomean)
+    return ["sis_logistic", "sis_fib_weight", "sis_geomean"]

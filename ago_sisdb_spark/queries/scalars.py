@@ -257,3 +257,27 @@ def u2_registered_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(call("zoom10", F.col("value"), 2), 6).alias("zoomed"),
     )
+
+
+@query(
+    "u5_grouped_agg_udaf",
+    oracle="""
+    SELECT event_type,
+           round(exp(avg(ln(value))), 6) AS geo_mean
+    FROM events WHERE value > 0 GROUP BY event_type
+    """,
+)
+def u5_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF surface: a grouped-agg pandas UDF (geometric mean) registered by
+    name and used in a groupBy — the custom-aggregate extension path the
+    reference exposes through worker plugins (U1/U2)."""
+    from ago_sisdb_spark.functions.registry import register_udfs
+
+    register_udfs(spark)
+    ev = _t(spark, sf_dir, "events").where(F.col("value") > 0)
+    ev.createOrReplaceTempView("u5_events")
+    out = spark.sql(
+        "SELECT event_type, sis_geomean(value) AS geo_mean"
+        " FROM u5_events GROUP BY event_type"
+    )
+    return out.select("event_type", F.round("geo_mean", 6).alias("geo_mean"))

@@ -22,8 +22,8 @@ def test_every_oracle_has_query():
 
 def test_inventory_size_floor():
     # SURVEY §2 coverage should only grow
-    assert len(QUERIES) >= 84
-    assert len(ORACLES) >= 75
+    assert len(QUERIES) >= 85
+    assert len(ORACLES) >= 76
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

@@ -30,7 +30,7 @@ def test_call_unknown_raises(spark):
 
 def test_registered_pandas_udfs(spark):
     names = register_udfs(spark)
-    assert set(names) == {"sis_logistic", "sis_fib_weight"}
+    assert set(names) == {"sis_logistic", "sis_fib_weight", "sis_geomean"}
     row = spark.sql(
         "SELECT sis_logistic(0.0) AS l, sis_fib_weight(10.0) AS f"
     ).first()
