@@ -281,3 +281,25 @@ def u5_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         " FROM u5_events GROUP BY event_type"
     )
     return out.select("event_type", F.round("geo_mean", 6).alias("geo_mean"))
+
+
+@query(
+    "f_next_workday",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) + CAST(
+               CASE isodow(o_orderdate)
+                    WHEN 5 THEN 3 WHEN 6 THEN 2 ELSE 1 END AS INTEGER
+           ) AS next_wd
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def f_next_workday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-work-day skipping weekends (sis_time.h next-work-day rule);
+    holiday-aware deployments broadcast-join a calendar table instead —
+    same plan shape, the rule becomes a lookup."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        timecodec.next_workday(F.to_date("o_orderdate")).alias("next_wd"),
+    )
