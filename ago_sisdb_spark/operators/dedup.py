@@ -267,3 +267,80 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup clustering: connected components over a pair graph →
+    (id, component) with component = min id in the group.
+
+    Pairs alone don't answer "which docs do I drop": A~B and B~C must
+    collapse to one group even when A~C was never emitted.  Distributed
+    min-label propagation: every node starts labeled with itself; each
+    round every node takes the min label in its neighborhood; converges in
+    O(graph diameter) rounds (near-dup clusters are shallow — usually ≤3).
+    All joins are on the node id; no driver-side union-find, no O(V) state
+    on any single machine.  Iterations stop early when a round changes no
+    labels (checked with one count per round — small aggregates, and near-
+    dup graphs are tiny relative to the corpus).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("__nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("__nmin"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "id")
+            .where(F.col("o.component") != F.col("n.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def neardup_groups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Full near-dup pipeline: exact n-gram Jaccard pairs → connected
+    components → (doc, keep) decisions (keep = min id per component;
+    singleton docs are implicitly kept — they never appear in pairs)."""
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, n, threshold, max_doc_freq)
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("id").alias(id_col),
+        F.col("component").alias("keep_id"),
+        (F.col("id") == F.col("component")).alias("is_keeper"),
+    )

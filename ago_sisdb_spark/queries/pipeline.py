@@ -452,3 +452,48 @@ def s1_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang", split.alias("split")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+@query(
+    "pipe2_neardup_groups",
+    oracle="""
+    WITH RECURSIVE sh AS (
+        SELECT DISTINCT doc_id AS doc, unnest(list_distinct(
+            list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1) + 1),
+                i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))) AS shingle
+        FROM documents WHERE doc_id < 60),
+    sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+    inter AS (
+        SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY a.doc, b.doc),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc = id_a
+        JOIN sizes sb ON sb.doc = id_b
+        WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.08),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT n.id, least(n.id, coalesce(min(r.dst), n.id)) AS component
+    FROM (SELECT DISTINCT src AS id FROM edges) n
+    LEFT JOIN reach r ON r.src = n.id
+    GROUP BY n.id
+    """,
+)
+def pipe2_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING (pairs alone can't answer "what do I drop"):
+    exact 2-gram Jaccard pairs (threshold 0.08, doc_id<60 slice) →
+    distributed connected components via min-label propagation
+    (operators/dedup.connected_components — iterative joins, no driver
+    union-find).  Oracle computes the same components with a recursive-CTE
+    transitive closure."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.08)
+    comp = dedup.connected_components(pairs)
+    return comp.select("id", "component")

@@ -63,3 +63,23 @@ def test_minhash_finds_near_dup_pair(spark, corpus):
     assert (1, 4) in got  # identical docs always collide in every band
     assert (1, 2) in got or (2, 4) in got  # high-overlap pair found
     assert all(3 not in pair for pair in got)  # unrelated doc never pairs
+
+
+def test_connected_components_chain_and_clique(spark):
+    # chain 1-2-3 (transitive, pair 1-3 absent) + island 7-8 + clique 10,11,12
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long",
+    )
+    comp = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 10: 10, 11: 10, 12: 10}
+
+
+def test_neardup_groups_end_to_end(spark, corpus):
+    groups = dedup.neardup_groups(corpus, "doc_id", "text", n=2, threshold=0.5)
+    got = {r.doc_id: (r.keep_id, r.is_keeper) for r in groups.collect()}
+    # docs 1, 2, 4 overlap heavily (≥0.5 jaccard), doc 3 is a singleton
+    assert got[1] == (1, True)
+    assert got[2] == (1, False)
+    assert got[4] == (1, False)
+    assert 3 not in got  # singletons never appear in pairs

@@ -22,8 +22,8 @@ def test_every_oracle_has_query():
 
 def test_inventory_size_floor():
     # SURVEY §2 coverage should only grow
-    assert len(QUERIES) >= 86
-    assert len(ORACLES) >= 77
+    assert len(QUERIES) >= 87
+    assert len(ORACLES) >= 78
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
