@@ -344,3 +344,57 @@ def neardup_groups(
         F.col("component").alias("keep_id"),
         (F.col("id") == F.col("component")).alias("is_keeper"),
     )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit fingerprints → 16-bit band blocking →
+    exact Hamming re-check.
+
+    Pigeonhole guarantee: fingerprints within Hamming distance d share at
+    least one of ``bands`` bands unchanged when d < bands — so blocking on
+    exact band match has 100% recall for d ≤ bands-1.  The re-check is
+    ``bit_count(xor)`` — one codegen'd instruction pair per candidate.
+    """
+    width = 64 // bands
+    fp = simhash64(df, id_col, text_col)
+    banded = fp.select(
+        "doc",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", b * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.simhash").alias("__fa"),
+            F.col("b.simhash").alias("__fb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb"))).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)

@@ -497,3 +497,13 @@ def pipe2_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.08)
     comp = dedup.connected_components(pairs)
     return comp.select("id", "component")
+
+
+@query("d7_simhash_pairs", oracle=None)
+def d7_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 6 over 64-bit fingerprints, 4-band
+    pigeonhole blocking — 100% recall for d ≤ 3 guaranteed, re-check via
+    bit_count(xor)).  xxhash64-based → rows-only; semantics pinned by
+    tests/test_dedup.py on a controlled corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=6)

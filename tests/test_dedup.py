@@ -83,3 +83,15 @@ def test_neardup_groups_end_to_end(spark, corpus):
     assert got[2] == (1, False)
     assert got[4] == (1, False)
     assert 3 not in got  # singletons never appear in pairs
+
+
+def test_simhash_neardup_pairs(spark, corpus):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_neardup_pairs(
+            corpus, "doc_id", "text", max_hamming=16
+        ).collect()
+    }
+    assert pairs[(1, 4)] == 0  # identical docs → identical fingerprints
+    assert (1, 2) in pairs  # near-dup within hamming budget
+    assert all(3 not in p for p in pairs)  # unrelated doc stays out

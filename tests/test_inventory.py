@@ -22,7 +22,7 @@ def test_every_oracle_has_query():
 
 def test_inventory_size_floor():
     # SURVEY §2 coverage should only grow
-    assert len(QUERIES) >= 87
+    assert len(QUERIES) >= 88
     assert len(ORACLES) >= 78
 
 
