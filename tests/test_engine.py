@@ -230,3 +230,18 @@ def test_get_offset_addressing(eng, spark, sf_small):
     anchor = slice_rows[2].ts
     got = eng.get(f"{key}.events", start=anchor, offset=-1).collect()
     assert len(got) == 1 and got[0].event_id == slice_rows[1].event_id
+
+
+def test_get_all_render_formats(eng):
+    import io
+    import json as _json
+
+    import pyarrow as pa
+
+    j = eng.get("*.events", fields="event_id,value", count=2, fmt="json")
+    assert len(_json.loads(j.decode())) == 2
+    a = _json.loads(eng.get("*.events", fields="event_id,value", count=2, fmt="array"))
+    assert a["fields"] == ["event_id", "value"] and len(a["rows"]) == 2
+    s = eng.get("*.events", fields="event_id,value", count=2, fmt="struct")
+    t = pa.ipc.open_stream(io.BytesIO(s)).read_all()
+    assert t.num_rows == 2 and t.schema.names == ["event_id", "value"]
