@@ -85,6 +85,28 @@ class ConvertService:
             self._queries.append(writer.start())
         return list(self._queries)
 
+    def start_to_parquet(
+        self, stream: DataFrame, base_dir: str, available_now: bool = True
+    ) -> list:
+        """Production sinks: one parquet append stream per width with its
+        own checkpoint dir — restartable (offsets resume) and exactly-once
+        per sink.  Append mode requires a watermark on the spec; bars emit
+        once finalized (the reference's day-cutover flush, per window)."""
+        for spec in self.specs:
+            writer = (
+                self.bars_for(stream, spec)
+                .writeStream.format("parquet")
+                .option("path", f"{base_dir}/{spec.sink_name}")
+                .option(
+                    "checkpointLocation", f"{base_dir}/_ckpt/{spec.sink_name}"
+                )
+                .outputMode("append")
+            )
+            if available_now:
+                writer = writer.trigger(availableNow=True)
+            self._queries.append(writer.start())
+        return list(self._queries)
+
     def await_all(self, timeout: int = 120) -> None:
         for q in self._queries:
             q.awaitTermination(timeout)

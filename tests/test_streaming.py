@@ -330,3 +330,31 @@ def test_streaming_session_window(spark, tmp_path):
         (r.n, r.total) for r in spark.sql("select * from sess_test").collect()
     )
     assert got == [(2, 4.0), (3, 3.0)]
+
+
+def test_convert_service_parquet_sinks(spark, tick_dir, tmp_path):
+    """Production form: per-width parquet sinks with checkpoints; append
+    mode emits finalized bars (watermark-passed windows) to durable files."""
+    from ago_sisdb_spark.streaming.convert import ConvertService
+
+    path, schema = tick_dir
+    base = str(tmp_path / "bars")
+    svc = ConvertService.from_config(
+        {
+            "key": ["sym"],
+            "time": "ts",
+            "price": "price",
+            "convert": [
+                {"width": "1 minute", "sink": "pmin", "watermark": "0 seconds"}
+            ],
+        }
+    )
+    stream = spark.readStream.schema(schema).parquet(path)
+    svc.start_to_parquet(stream, base)
+    svc.await_all()
+    svc.stop_all()
+    out = spark.read.parquet(f"{base}/pmin")
+    got = {(r.sym, str(r.bar_start)): r.volume for r in out.collect()}
+    # ticks end at 09:31:55; watermark 0s finalizes the 09:30 window only
+    assert got[("SH600600", "2024-01-01 09:30:00")] == 12
+    assert got[("SZ300750", "2024-01-01 09:30:00")] == 6
