@@ -358,3 +358,53 @@ def test_convert_service_parquet_sinks(spark, tick_dir, tmp_path):
     # ticks end at 09:31:55; watermark 0s finalizes the 09:30 window only
     assert got[("SH600600", "2024-01-01 09:30:00")] == 12
     assert got[("SZ300750", "2024-01-01 09:30:00")] == 6
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream join with watermarks + time-range condition (the
+    streaming form of J4): each purchase joins clicks from the prior hour;
+    state on both sides is bounded by the watermark + interval."""
+    clicks_dir = str(tmp_path / "clicks")
+    buys_dir = str(tmp_path / "buys")
+    base = datetime(2024, 1, 1, 9, 0, 0)
+    spark.createDataFrame(
+        [("u1", base + timedelta(minutes=m)) for m in (0, 30, 200)],
+        "user string, c_ts timestamp",
+    ).write.parquet(clicks_dir)
+    spark.createDataFrame(
+        [("u1", base + timedelta(minutes=45))],
+        "user string, p_ts timestamp",
+    ).write.parquet(buys_dir)
+
+    clicks = (
+        spark.readStream.schema("user string, c_ts timestamp")
+        .parquet(clicks_dir)
+        .withWatermark("c_ts", "10 minutes")
+    )
+    buys = (
+        spark.readStream.schema("user string, p_ts timestamp")
+        .parquet(buys_dir)
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = buys.join(
+        clicks,
+        (buys.user == clicks.user)
+        & (clicks.c_ts >= buys.p_ts - F.expr("INTERVAL 1 HOUR"))
+        & (clicks.c_ts < buys.p_ts),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    rows = spark.sql("select * from ssj_test").collect()
+    # clicks at 09:00 and 09:30 fall in the hour before the 09:45 purchase;
+    # the 12:20 click does not
+    assert sorted(str(r.c_ts) for r in rows) == [
+        "2024-01-01 09:00:00",
+        "2024-01-01 09:30:00",
+    ]
