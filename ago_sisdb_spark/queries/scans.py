@@ -240,6 +240,8 @@ def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 INTERSECT: users who both purchased and errored (set semantics,
+    dedup built in — implemented as an aggregate-marked join by Catalyst)."""
     ev = _t(spark, sf_dir, "events")
     a = ev.where(F.col("event_type") == "purchase").select("user_id")
     b = ev.where(F.col("event_type") == "error").select("user_id")
@@ -255,6 +257,8 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 EXCEPT: high-value viewers who never purchased at that level
+    (anti-semantics with set dedup)."""
     ev = _t(spark, sf_dir, "events")
     a = ev.where((F.col("event_type") == "view") & (F.col("value") > 100)).select("user_id")
     b = ev.where((F.col("event_type") == "purchase") & (F.col("value") > 100)).select("user_id")
