@@ -90,3 +90,19 @@ def test_zint_invalid_scale_is_null():
     packed = (123 << 4) | (7 << 1)
     df = s.createDataFrame([(packed,)], "p int")
     assert df.select(price.zint_decode(F.col("p"))).collect()[0][0] is None
+
+
+def test_mathx_helpers():
+    from ago_sisdb_spark.functions import mathx
+
+    s = _SPARK["s"]
+    df = s.createDataFrame([(7.0, 2.0), (1.0, 0.0)], "a double, b double")
+    out = df.select(
+        mathx.safe_div(F.col("a"), F.col("b")).alias("d"),
+        mathx.floor_at(F.lit(3.14159), 2).alias("fl"),
+        mathx.ceil_at(F.lit(3.14159), 2).alias("ce"),
+        mathx.zoom10(3).alias("z"),
+    ).collect()
+    assert out[0].d == 3.5 and out[1].d is None
+    assert out[0].fl == 3.14 and out[0].ce == 3.15
+    assert out[0].z == 1000.0
