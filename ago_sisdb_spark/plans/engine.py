@@ -206,10 +206,30 @@ class Engine:
         }
 
     def keys(self, key_sdb: str = "*.*") -> DataFrame:
-        """`keys`: distinct keys matching a pattern across one sdb
-        (`sisdb.c:23`) — an aggregation, never a driver-side key dict."""
-        df, spec, _ = self._resolve(key_sdb)
-        return df.select(F.col(spec.key_col).alias("key")).distinct()
+        """`keys`: distinct keys matching a pattern (`sisdb.c:23`) — an
+        aggregation, never a driver-side key dict.  ``*.*`` unions the
+        distinct key sets of every declared sdb with its sdb name."""
+        key, _, sdb = key_sdb.rpartition(".")
+        sdbs = sorted(self.specs) if sdb in ("*", "") else [sdb]
+        outs = []
+        for name in sdbs:
+            try:
+                df, spec, _ = self._resolve(f"{key or '*'}.{name}")
+            except Exception:
+                # declared (create) but never written — no keys yet, like the
+                # reference's empty-table case
+                continue
+            outs.append(
+                df.select(
+                    F.col(spec.key_col).cast("string").alias("key")
+                ).distinct().withColumn("sdb", F.lit(name))
+            )
+        if not outs:
+            raise KeyError(f"no readable sdb matches {key_sdb!r}")
+        merged = outs[0]
+        for o in outs[1:]:
+            merged = merged.unionByName(o)
+        return merged
 
     def drop(self, sdb: str) -> None:
         """`drop`: remove a declared table (`sisdb.c:21`)."""

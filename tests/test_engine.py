@@ -182,6 +182,11 @@ def test_show_keys_drop(eng, spark, sf_small):
 
     raw = load_table(spark, sf_small, "events")
     assert ks.count() == raw.select("user_id").distinct().count()
+    # all-sdb form unions every declared table's key set
+    all_keys = eng.keys()
+    assert {r.sdb for r in all_keys.select("sdb").distinct().collect()} == {
+        "events", "orders"
+    }
     eng.create("tmp_tbl", {"fields": {"time": ["S", 8]}, "index": {"time": "mindex"}})
     assert "tmp_tbl" in eng.show()
     eng.drop("tmp_tbl")
