@@ -95,6 +95,7 @@ class Engine:
         count: int | None = None,
         ifprev: bool = False,
         offset: int | None = None,
+        where: dict | list | None = None,
         fmt: str | None = None,
     ):
         """The reference `get` (S1/S2 + P1/P3 semantics matrix).
@@ -108,6 +109,10 @@ class Engine:
         df, spec, _ = self._resolve(key_sdb)
         order = self._order(spec)
 
+        if where is not None:
+            from ago_sisdb_spark.operators.search import compile_search
+
+            df = df.where(compile_search(where))
         if offset is not None and start is not None:
             df = rangescan.offset_shift(df, spec.time_col, start, offset, order)
         elif ifprev and start is not None:
@@ -182,15 +187,20 @@ class Engine:
             scale or TimeScale.MILLI,
         )
 
-    def delete(self, key_sdb: str, start=None, stop=None) -> DataFrame:
+    def delete(self, key_sdb: str, start=None, stop=None, where=None) -> DataFrame:
         """T9 `del`: the surviving DataFrame (caller persists via
-        streaming.write.write_partitioned / Delta DELETE in production)."""
+        streaming.write.write_partitioned / Delta DELETE in production).
+        ``where`` takes the reference search forms (AND-object/OR-array)."""
         from ago_sisdb_spark.streaming.write import delete_range
 
         df, spec, key = self._resolve(f"*.{key_sdb.rpartition('.')[2]}")
         pred = key_pattern_filter(
             F.col(spec.key_col).cast("string"), key_sdb.rpartition(".")[0] or "*"
         )
+        if where is not None:
+            from ago_sisdb_spark.operators.search import compile_search
+
+            pred = pred & compile_search(where)
         return delete_range(df, pred, spec.time_col, start, stop)
 
     def show(self) -> dict:
