@@ -138,3 +138,37 @@ class TestTimeDbWhere:
         # tail over ms data returns the latest records in record order
         out = rangescan.tail_n(timedb, 2, [F.col("time"), F.col("newp")])
         assert _newps(out) == [11, 12]
+
+
+class TestTimeDbRange:
+    """cmp_range probes over the ms-scale table (sisdb_fmap_ctrl.c:747-771)."""
+
+    def test_range_day1_to_latest(self, timedb):
+        # "day1 0: day1 到当日的所有数据" — from 1630187372600 to latest
+        out = rangescan.time_range(
+            timedb.withColumn("__ms", (F.unix_micros("time") / 1000).cast("long")),
+            "__ms",
+            1630187372600,
+            None,
+        )
+        assert _newps(out.select("newp")) == [5, 6, 7, 8, 9, 10, 11, 12]
+
+    def test_range_day1_day2(self, timedb):
+        # "day1 day2" probe: 1630187272600 → 1630287372600
+        out = rangescan.time_range(
+            timedb.withColumn("__ms", (F.unix_micros("time") / 1000).cast("long")),
+            "__ms",
+            1630187272600,
+            1630287372600,
+        )
+        assert _newps(out.select("newp")) == [4, 5, 6, 7, 8, 9, 10]
+
+    def test_range_exact_ms_keeps_all_same_time_records(self, timedb):
+        # "day1 day1": == day1, 可能有多条 — ms streams append at same ts
+        out = rangescan.time_range(
+            timedb.withColumn("__ms", (F.unix_micros("time") / 1000).cast("long")),
+            "__ms",
+            1630287372600,
+            1630287372600,
+        )
+        assert _newps(out.select("newp")) == [8, 9, 10]
