@@ -137,3 +137,42 @@ def materialize_bucketed(
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table_name)
     return spark.table(table_name)
+
+
+def incremental_rollup(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    key_cols: list[str],
+    time_col: str,
+    price_col: str,
+    width: str,
+    order_col: str | None = None,
+) -> int:
+    """Incremental bar refresh: aggregate only source dt partitions newer
+    than what the destination already holds, append them partition-wise.
+
+    The batch twin of the streaming convert service (T7 daily cutover):
+    each run reads max(dt) from the (tiny) destination footer stats, prunes
+    the source scan to dt > watermark — partition pruning makes the refresh
+    cost proportional to NEW data only, never a full-history rescan.
+    Correct because bars never span days when width divides a day (the
+    reference's day-file invariant).  Returns the number of rows appended.
+    """
+    from ago_sisdb_spark.operators.rollup import ohlcv
+
+    src = spark.read.parquet(src_path)
+    if "dt" not in src.columns:
+        raise ValueError("source must be dt-partitioned (materialize_table)")
+    try:
+        done = spark.read.parquet(dst_path).agg(F.max("dt")).first()[0]
+    except Exception:
+        done = None
+    fresh = src.where(F.col("dt") > F.lit(done)) if done is not None else src
+    if fresh.head(1) == []:
+        return 0
+    bars = ohlcv(fresh, key_cols, time_col, price_col, width, order_col=order_col)
+    out = bars.withColumn("dt", F.to_date("bar_start"))
+    n = out.count()
+    out.repartition("dt").write.mode("append").partitionBy("dt").parquet(dst_path)
+    return n

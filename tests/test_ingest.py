@@ -112,3 +112,34 @@ def test_bucketed_join_has_no_shuffle(spark, sf_small, tmp_path_factory):
     j2.collect()
     p2 = j2._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" in p2
+
+
+def test_incremental_rollup_processes_only_new_partitions(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from ago_sisdb_spark.sources.ingest import incremental_rollup
+
+    src = str(tmp_path / "ticks")
+    dst = str(tmp_path / "bars")
+    base = datetime(2024, 1, 1, 9, 0, 0)
+
+    def ticks(day_offset, n=24):
+        rows = [
+            ("A", base + timedelta(days=day_offset, minutes=5 * i), 10.0 + i, i)
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "sym string, ts timestamp, px double, seq int")
+        return df.withColumn("dt", F.to_date("ts"))
+
+    ticks(0).write.partitionBy("dt").mode("append").parquet(src)
+    n1 = incremental_rollup(spark, src, dst, ["sym"], "ts", "px", "1 hour", "seq")
+    assert n1 == 2  # 24 ticks × 5min = 2 hourly bars
+    # append a second day; refresh must process ONLY the new day
+    ticks(1).write.partitionBy("dt").mode("append").parquet(src)
+    n2 = incremental_rollup(spark, src, dst, ["sym"], "ts", "px", "1 hour", "seq")
+    assert n2 == 2
+    bars = spark.read.parquet(dst)
+    assert bars.count() == 4
+    assert bars.select("dt").distinct().count() == 2
+    # idempotent when nothing new
+    assert incremental_rollup(spark, src, dst, ["sym"], "ts", "px", "1 hour", "seq") == 0
