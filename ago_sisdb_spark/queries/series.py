@@ -370,3 +370,47 @@ def a12_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return ev.groupBy("user_id").agg(F.round(fold, 6).alias("ewma"))
+
+
+@query(
+    "a6_directional_corr",
+    oracle="""
+    WITH d AS (
+        SELECT date_trunc('day', ts) AS day,
+               avg(CASE WHEN event_type = 'click'    THEN value END) AS x,
+               avg(CASE WHEN event_type = 'purchase' THEN value END) AS y
+        FROM events GROUP BY 1),
+    s AS (
+        SELECT sign(x - lag(x) OVER (ORDER BY day)) AS dx,
+               sign(y - lag(y) OVER (ORDER BY day)) AS dy
+        FROM d)
+    SELECT round(corr(dx, dy), 6) AS dir_corr,
+           CAST(count(*) FILTER (dx = dy) AS BIGINT) AS n_same_dir,
+           CAST(count(*) FILTER (dx IS NOT NULL AND dy IS NOT NULL) AS BIGINT)
+               AS n_days
+    FROM s
+    """,
+)
+def a6_directional_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 directional correlation (sis_ai_corr.h:15-25): correlate the
+    *direction* of day-over-day moves of two series (sign of deltas), which
+    is what the reference's 方向 corr measures — robust to magnitude."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.avg(F.when(F.col("event_type") == "click", F.col("value"))).alias("x"),
+        F.avg(F.when(F.col("event_type") == "purchase", F.col("value"))).alias("y"),
+    )
+    w = Window.orderBy("day")
+    s = d.select(
+        F.signum(F.col("x") - F.lag("x").over(w)).alias("dx"),
+        F.signum(F.col("y") - F.lag("y").over(w)).alias("dy"),
+    )
+    return s.agg(
+        F.round(F.corr("dx", "dy"), 6).alias("dir_corr"),
+        F.count(F.when(F.col("dx") == F.col("dy"), 1)).alias("n_same_dir"),
+        F.count(
+            F.when(F.col("dx").isNotNull() & F.col("dy").isNotNull(), 1)
+        ).alias("n_days"),
+    )

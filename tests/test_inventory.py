@@ -22,8 +22,8 @@ def test_every_oracle_has_query():
 
 def test_inventory_size_floor():
     # SURVEY §2 coverage should only grow
-    assert len(QUERIES) >= 88
-    assert len(ORACLES) >= 78
+    assert len(QUERIES) >= 89
+    assert len(ORACLES) >= 79
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
