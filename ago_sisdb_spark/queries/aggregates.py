@@ -316,3 +316,23 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
+
+
+@query(
+    "a15_golden_buckets",
+    oracle="""
+    SELECT CAST(CASE WHEN value < 3.647451 THEN 0 WHEN value < 9.54915 THEN 1 WHEN value < 19.098301 THEN 2 WHEN value < 34.54915 THEN 3 WHEN value < 59.54915 THEN 4 ELSE 5 END AS BIGINT) AS bucket,
+           count(*) AS n, round(avg(value), 6) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def a15_golden_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 golden-ratio widths (sis_group.h:10-60 second mode): bucket
+    boundaries grow by phi so fine resolution sits at the low end — the
+    reference's 黄金分割 grouping; boundaries precomputed once, the bucket
+    expression stays in codegen."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.when(F.col("value") < 3.647451, 0).when(F.col("value") < 9.54915, 1).when(F.col("value") < 19.098301, 2).when(F.col("value") < 34.54915, 3).when(F.col("value") < 59.54915, 4).otherwise(5)
+    return ev.groupBy(bucket.cast("bigint").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value")
+    )

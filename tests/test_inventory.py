@@ -22,8 +22,8 @@ def test_every_oracle_has_query():
 
 def test_inventory_size_floor():
     # SURVEY §2 coverage should only grow
-    assert len(QUERIES) >= 89
-    assert len(ORACLES) >= 79
+    assert len(QUERIES) >= 90
+    assert len(ORACLES) >= 80
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
