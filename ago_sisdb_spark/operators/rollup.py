@@ -32,8 +32,13 @@ def ohlcv(
 
     ``order_col`` breaks same-timestamp ties deterministically (the reference
     relies on insertion order; we pin a total order — SURVEY §7 hard part d).
+    Open/close follow event time FIRST, tie-broken by ``order_col`` —
+    ordering by the tie-break id alone would be wrong whenever ids are not
+    time-monotonic (matches streaming/rollup_stream.py's struct ordering).
     """
-    order = F.col(order_col) if order_col else F.col(time_col)
+    order = (
+        F.struct(F.col(time_col), F.col(order_col)) if order_col else F.col(time_col)
+    )
     win = F.window(F.col(time_col), width)
     aggs = [
         F.min_by(F.col(price_col), order).alias("open"),

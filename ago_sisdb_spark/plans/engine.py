@@ -146,9 +146,16 @@ class Engine:
         for sdb, keys in by_sdb.items():
             spec = self.specs[sdb]
             df, _, _ = self._resolve(f"{','.join(keys)}.{sdb}")
-            last = lastper.last_per_key(
-                df, [spec.key_col], spec.order_col or spec.time_col
-            ).withColumn("sdb", F.lit(sdb))
+            # order by event time first, tie-broken by the id column — the id
+            # alone is wrong when ids aren't time-monotonic (ADVICE r1)
+            order = (
+                F.struct(F.col(spec.time_col), F.col(spec.order_col))
+                if spec.order_col and spec.time_col
+                else (spec.order_col or spec.time_col)
+            )
+            last = lastper.last_per_key(df, [spec.key_col], order).withColumn(
+                "sdb", F.lit(sdb)
+            )
             outs.append(last)
         merged = outs[0]
         for o in outs[1:]:

@@ -60,10 +60,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            date_trunc('hour', ts)            AS bar_start,
-           round(arg_min(value, event_id), 2) AS open,
+           round(arg_min(value, CAST(epoch_us(ts) AS HUGEINT) * 4294967296 + event_id), 2) AS open,
            round(max(value), 2)               AS high,
            round(min(value), 2)               AS low,
-           round(arg_max(value, event_id), 2) AS close,
+           round(arg_max(value, CAST(epoch_us(ts) AS HUGEINT) * 4294967296 + event_id), 2) AS close,
            count(*)                           AS volume,
            round(sum(value), 2)               AS money
     FROM events

@@ -195,7 +195,13 @@ def m1_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m2_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary media
     content (decode kernel stubbed — deterministic fake; the batch shape,
-    schema, and partitioning are the real 100 TB plumbing).  Rows-only."""
+    schema, and partitioning are the real 100 TB plumbing).  Rows-only.
+
+    Driver-checked output is scalar-only (no array columns — the r1 driver
+    hasher crashed on ``array<float>``): the 8-dim feature vector is
+    projected to dimension count, L2 norm, and first/last elements; the full
+    vector contents are pinned by tests/test_multimodal.py."""
+    from ago_sisdb_spark.operators.similarity import norm
     from ago_sisdb_spark.sources.multimodal import extract_features
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -203,7 +209,18 @@ def m2_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("text").alias("modality"),
         F.encode("text", "UTF-8").alias("content"),
     )
-    return extract_features(docs)
+    feats = extract_features(docs)
+    return feats.select(
+        "media_id",
+        "modality",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        "magic",
+        F.size("feature").cast("bigint").alias("n_dims"),
+        F.round(norm(F.col("feature")), 6).alias("feat_norm"),
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("feat_first"),
+        F.round(F.element_at("feature", 8).cast("double"), 6).alias("feat_last"),
+        "error",
+    )
 
 
 @query(

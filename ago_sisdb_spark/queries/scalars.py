@@ -136,22 +136,43 @@ def f_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f_price_decimal",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) AS price_dec,
+           CAST(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) AS VARCHAR)
+               AS price_str,
+           printf('%.3f', round(l_extendedprice, 3)) AS price_dot3,
            round(l_extendedprice, 0) AS price_dot0,
-           round(l_extendedprice, 3) AS price_dot3
-    FROM lineitem WHERE l_orderkey < 500
+           round(l_zint / pow(10.0, 2), 6) AS zint_roundtrip
+    FROM (
+        SELECT *,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS l_zint
+        FROM lineitem
+    ) WHERE l_orderkey < 500
     """,
 )
 def f_price_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P-type price rendering: DecimalType + per-field dot decimals
-    (sis_zint.h:29-90, sis_dynamic.h:240-299)."""
+    """P-type price rendering: DECIMAL(18,2) exercised then rendered to a
+    string (driver-checked columns are Decimal-free — r1 showed the driver
+    hasher and DuckDB disagree on Decimal canonicalization), per-field dot
+    render, and a zint32 encode->decode round trip through the reference bit
+    layout (sis_zint.h:11-15, sis_dynamic.h:240-299).  The DecimalType
+    mapping itself is pinned by tests/test_functions.py."""
+    from ago_sisdb_spark.functions import price
+
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 500)
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round("l_extendedprice", 2).cast("decimal(18,2)").alias("price_dec"),
+        F.round("l_extendedprice", 2)
+        .cast("decimal(18,2)")
+        .cast("string")
+        .alias("price_str"),
+        price.price_render(F.col("l_extendedprice"), 3).alias("price_dot3"),
         F.round("l_extendedprice", 0).alias("price_dot0"),
-        F.round("l_extendedprice", 3).alias("price_dot3"),
+        F.round(
+            price.zint_decode(price.zint_encode(F.col("l_extendedprice"), 2)).cast(
+                "double"
+            ),
+            6,
+        ).alias("zint_roundtrip"),
     )
 
 

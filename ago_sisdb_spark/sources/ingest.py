@@ -154,10 +154,14 @@ def incremental_rollup(
 
     The batch twin of the streaming convert service (T7 daily cutover):
     each run reads max(dt) from the (tiny) destination footer stats, prunes
-    the source scan to dt > watermark — partition pruning makes the refresh
-    cost proportional to NEW data only, never a full-history rescan.
-    Correct because bars never span days when width divides a day (the
-    reference's day-file invariant).  Returns the number of rows appended.
+    the source scan to dt >= watermark — partition pruning makes the refresh
+    cost proportional to NEW data only, never a full-history rescan.  The
+    watermark day itself is RE-aggregated and its destination partition
+    dynamically overwritten (not appended), so a day partition ingested in
+    several batches converges instead of leaving the newest day's bars
+    stale (ADVICE r1).  Correct because bars never span days when width
+    divides a day (the reference's day-file invariant).  Returns the number
+    of rows written.
     """
     from ago_sisdb_spark.operators.rollup import ohlcv
 
@@ -168,11 +172,19 @@ def incremental_rollup(
         done = spark.read.parquet(dst_path).agg(F.max("dt")).first()[0]
     except Exception:
         done = None
-    fresh = src.where(F.col("dt") > F.lit(done)) if done is not None else src
+    fresh = src.where(F.col("dt") >= F.lit(done)) if done is not None else src
     if fresh.head(1) == []:
         return 0
     bars = ohlcv(fresh, key_cols, time_col, price_col, width, order_col=order_col)
     out = bars.withColumn("dt", F.to_date("bar_start"))
     n = out.count()
-    out.repartition("dt").write.mode("append").partitionBy("dt").parquet(dst_path)
+    # dynamic mode: overwrite ONLY the dt partitions present in `out`
+    # (the watermark day + newer); completed older days are untouched
+    (
+        out.repartition("dt")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("dt")
+        .parquet(dst_path)
+    )
     return n

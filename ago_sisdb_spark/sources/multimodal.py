@@ -35,7 +35,8 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 FEATURE_SCHEMA = (
-    "media_id long, modality string, n_bytes int, magic string, feature array<float>"
+    "media_id long, modality string, n_bytes int, magic string,"
+    " feature array<float>, error string"
 )
 
 
@@ -54,18 +55,29 @@ def attach_binary_meta(df: DataFrame, content_col: str = "content") -> DataFrame
     )
 
 
-def _decode_image_stub(buf: bytes) -> list[float]:
+def _decode_image_stub(buf: bytes) -> tuple[list[float] | None, str | None]:
     """STUB: deterministic fake 8-dim feature in place of a real decoder.
 
     Real deployment: ``PIL.Image.open(io.BytesIO(buf))`` → resize →
     normalize → model features.  This container has no imaging libs, so the
     stub hashes fixed byte positions into a stable vector — keeps the
     pipeline shape (bytes → fixed-width float vector) real and testable.
+
+    Null-safe by contract: a poisoned blob (None/empty/decoder error) yields
+    ``(None, error_message)`` — never an exception, because one bad row must
+    not fail a 100 TB job.  Callers route errors via the ``error`` column.
     """
-    if buf is None or len(buf) == 0:
-        raise NotImplementedError("empty media content; real decoder stubbed out")
-    step = max(len(buf) // 8, 1)
-    return [float(buf[min(i * step, len(buf) - 1)]) / 255.0 for i in range(8)]
+    if buf is None:
+        return None, "null-content"
+    if len(buf) == 0:
+        return None, "empty-content"
+    try:
+        step = max(len(buf) // 8, 1)
+        return [
+            float(buf[min(i * step, len(buf) - 1)]) / 255.0 for i in range(8)
+        ], None
+    except Exception as e:  # real decoders raise on corrupt media
+        return None, f"decode-error: {e}"
 
 
 def extract_features(df: DataFrame, batch_limit: int = 1024) -> DataFrame:
@@ -80,7 +92,7 @@ def extract_features(df: DataFrame, batch_limit: int = 1024) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
+            decoded = [
                 _decode_image_stub(b if b is None or isinstance(b, bytes) else bytes(b))
                 for b in pdf["content"]
             ]
@@ -93,7 +105,8 @@ def extract_features(df: DataFrame, batch_limit: int = 1024) -> DataFrame:
                         bytes(b)[:2].hex() if b is not None else ""
                         for b in pdf["content"]
                     ],
-                    "feature": feats,
+                    "feature": [f for f, _ in decoded],
+                    "error": [e for _, e in decoded],
                 }
             )
 
@@ -107,13 +120,14 @@ RESIZE_SCHEMA = (
 )
 
 
-def _resize_stub(buf: bytes, width: int, height: int) -> bytes:
+def _resize_stub(buf: bytes, width: int, height: int) -> bytes | None:
     """STUB resize kernel: real deployment decodes, resamples (PIL/opencv),
     re-encodes.  The deterministic fake scales the byte budget by the pixel
     ratio against a nominal 64×64 source — keeps the contract (bytes in,
-    smaller bytes out, deterministic) testable without imaging libs."""
-    if buf is None:
-        raise NotImplementedError("no media content; real decoder stubbed out")
+    smaller bytes out, deterministic) testable without imaging libs.
+    Null-safe: a missing blob yields a null row, not an exception."""
+    if buf is None or len(buf) == 0:
+        return None
     target = max(1, int(len(buf) * (width * height) / (64 * 64)))
     return bytes(buf[:target])
 
@@ -140,7 +154,7 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
                     "width": width,
                     "height": height,
                     "content": out,
-                    "n_bytes_out": [len(b) for b in out],
+                    "n_bytes_out": [len(b) if b is not None else 0 for b in out],
                 }
             )
 

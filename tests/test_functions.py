@@ -86,10 +86,34 @@ def test_zint_roundtrip(v):
 
 def test_zint_invalid_scale_is_null():
     s = _SPARK["s"]
-    # scale bits = 7 → invalid → NULL
-    packed = (123 << 4) | (7 << 1)
+    # attr bits (28-30) = 7 → invalid → NULL (sis_zint.h:13)
+    packed = 7 << 28
     df = s.createDataFrame([(packed,)], "p int")
     assert df.select(price.zint_decode(F.col("p"))).collect()[0][0] is None
+
+
+def test_zint_reference_bit_layout():
+    """Decode known reference-packed constants (sis_double_to_zint32 of
+    123.45 at dot=2: zint=12345, attr=2, sign=0 → mantissa | attr<<28, and
+    the negative twin sets bit 31 → a negative int32)."""
+    s = _SPARK["s"]
+    pos = 12345 | (2 << 28)  # 0x20003039
+    neg = (12345 | (2 << 28) | (1 << 31)) - (1 << 32)  # int32 view of 0xA0003039
+    df = s.createDataFrame([(pos,), (neg,)], "p int")
+    got = [
+        None if r[0] is None else float(r[0])
+        for r in df.select(price.zint_decode(F.col("p"))).collect()
+    ]
+    assert got == [123.45, -123.45]
+
+
+def test_zint_encode_matches_reference_packing():
+    s = _SPARK["s"]
+    df = s.createDataFrame([(123.45,), (-123.45,), (0.0,)], "v double")
+    got = [r[0] for r in df.select(price.zint_encode(F.col("v"), 2)).collect()]
+    assert got[0] == 12345 | (2 << 28)
+    assert got[1] == (12345 | (2 << 28) | (1 << 31)) - (1 << 32)
+    assert got[2] == 0  # zero packs to all-zero bits (sis_zint.h:59 attr reset)
 
 
 def test_mathx_helpers():

@@ -134,12 +134,46 @@ def test_incremental_rollup_processes_only_new_partitions(spark, tmp_path):
     ticks(0).write.partitionBy("dt").mode("append").parquet(src)
     n1 = incremental_rollup(spark, src, dst, ["sym"], "ts", "px", "1 hour", "seq")
     assert n1 == 2  # 24 ticks × 5min = 2 hourly bars
-    # append a second day; refresh must process ONLY the new day
+    # append a second day; refresh re-aggregates watermark day + new day only
     ticks(1).write.partitionBy("dt").mode("append").parquet(src)
     n2 = incremental_rollup(spark, src, dst, ["sym"], "ts", "px", "1 hour", "seq")
-    assert n2 == 2
+    assert n2 == 4  # day0 (watermark, overwritten in place) + day1
     bars = spark.read.parquet(dst)
-    assert bars.count() == 4
+    assert bars.count() == 4  # no duplicate day0 bars after the overwrite
     assert bars.select("dt").distinct().count() == 2
-    # idempotent when nothing new
-    assert incremental_rollup(spark, src, dst, ["sym"], "ts", "px", "1 hour", "seq") == 0
+    # re-run with nothing new: only the watermark day re-aggregates, data stable
+    assert incremental_rollup(spark, src, dst, ["sym"], "ts", "px", "1 hour", "seq") == 2
+    assert spark.read.parquet(dst).count() == 4
+
+
+def test_incremental_rollup_converges_on_late_watermark_day_data(spark, tmp_path):
+    """A day partition ingested in two batches must converge — the second
+    batch's rows land in the re-aggregated watermark-day bars (ADVICE r1:
+    `dt > done` silently left the newest day stale)."""
+    from datetime import datetime, timedelta
+
+    from ago_sisdb_spark.sources.ingest import incremental_rollup
+
+    src = str(tmp_path / "ticks")
+    dst = str(tmp_path / "bars")
+    base = datetime(2024, 1, 1, 9, 0, 0)
+
+    def batch(start, n):
+        rows = [
+            ("A", base + timedelta(minutes=5 * i), 10.0 + i, i)
+            for i in range(start, start + n)
+        ]
+        df = spark.createDataFrame(rows, "sym string, ts timestamp, px double, seq int")
+        return df.withColumn("dt", F.to_date("ts"))
+
+    batch(0, 6).write.partitionBy("dt").mode("append").parquet(src)  # 09:00-09:25
+    incremental_rollup(spark, src, dst, ["sym"], "ts", "px", "1 hour", "seq")
+    first = {r.bar_start: r for r in spark.read.parquet(dst).collect()}
+    assert len(first) == 1 and first[base].close == 15.0
+    # same day, second batch: 09:30-10:25 → extends hour 9 AND opens hour 10
+    batch(6, 12).write.partitionBy("dt").mode("append").parquet(src)
+    incremental_rollup(spark, src, dst, ["sym"], "ts", "px", "1 hour", "seq")
+    bars = {r.bar_start: r for r in spark.read.parquet(dst).collect()}
+    assert len(bars) == 2
+    assert bars[base].open == 10.0 and bars[base].close == 21.0  # hour 9 refreshed
+    assert bars[base + timedelta(hours=1)].close == 27.0

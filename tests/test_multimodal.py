@@ -44,6 +44,30 @@ def test_extract_features_shape(media):
     }
 
 
+def test_poisoned_blobs_yield_null_rows(spark):
+    """One bad blob must not fail the job (100 TB rule): null/empty content
+    → null feature + error column, good rows unaffected."""
+    rows = [
+        (1, "image", "image/jpeg", b"\xff\xd8\xff\xe0" + bytes(range(64)), None, {}),
+        (2, "image", None, None, None, {}),  # null content
+        (3, "image", None, b"", None, {}),  # empty content
+    ]
+    out = {r.media_id: r for r in extract_features(
+        spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
+    assert len(out) == 3
+    assert out[1].feature is not None and out[1].error is None
+    assert out[2].feature is None and out[2].error == "null-content"
+    assert out[3].feature is None and out[3].error == "empty-content"
+
+    from ago_sisdb_spark.sources.multimodal import resize_media
+
+    rout = {r.media_id: r for r in resize_media(
+        spark.createDataFrame(rows, MEDIA_SCHEMA), 32, 32).collect()}
+    assert rout[1].content is not None
+    assert rout[2].content is None and rout[2].n_bytes_out == 0
+    assert rout[3].content is None and rout[3].n_bytes_out == 0
+
+
 def test_frame_sample_plan(media):
     out = frame_sample_plan(media, every_n_seconds=5).collect()
     # video duration 12s, frames at 0,5,10
