@@ -28,14 +28,29 @@ class Entry(NamedTuple):
     oracle: str | None  # ANSI SQL for DuckDB, or None → rows-only check
 
 
+# The driver's correctness gate checks the FIRST 50 ``queries()`` entries
+# (r1 lesson: 90 registered → 40 operators went unjudged).  The inventory is
+# therefore two-tier:
+#   REGISTRY  — driver-facing, hard-capped at DRIVER_WINDOW entries; every
+#               SURVEY §2 operator maps to exactly one of these (consolidated
+#               umbrella queries where families were merged).
+#   EXTENDED  — the fine-grained per-operator queries, kept for local
+#               debugging/localization; run by tools/run_all.py, never
+#               exported to the driver.
+DRIVER_WINDOW = 50
+
 REGISTRY: dict[str, Entry] = {}
+EXTENDED: dict[str, Entry] = {}
 
 
-def query(name: str, oracle: str | None = None):
-    """Register a query builder under ``name`` with its DuckDB oracle SQL."""
+def query(name: str, oracle: str | None = None, extended: bool = False):
+    """Register a query builder under ``name`` with its DuckDB oracle SQL.
+
+    ``extended=True`` keeps the query out of the driver-facing window (it
+    still runs in the local gate via ``extended_queries``)."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = Entry(fn, oracle)
+        (EXTENDED if extended else REGISTRY)[name] = Entry(fn, oracle)
         return fn
 
     return deco
@@ -52,6 +67,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _load_all() -> None:
     from ago_sisdb_spark.queries import (  # noqa: F401
         aggregates,
+        combined,
         joins,
         pipeline,
         scalars,
@@ -62,9 +78,23 @@ def _load_all() -> None:
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_all()
+    assert len(REGISTRY) <= DRIVER_WINDOW, (
+        f"{len(REGISTRY)} driver-facing queries > window {DRIVER_WINDOW}; "
+        "mark some extended=True or merge into an umbrella"
+    )
     return {name: e.builder for name, e in REGISTRY.items()}
 
 
 def all_oracles() -> dict[str, str]:
     _load_all()
     return {name: e.oracle for name, e in REGISTRY.items() if e.oracle is not None}
+
+
+def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_all()
+    return {name: e.builder for name, e in EXTENDED.items()}
+
+
+def extended_oracles() -> dict[str, str]:
+    _load_all()
+    return {name: e.oracle for name, e in EXTENDED.items() if e.oracle is not None}

@@ -122,6 +122,7 @@ def a2_time_unit_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n, round(avg(value), 6) AS avg_value
     FROM events GROUP BY 1
     """,
+    extended=True,
 )
 def a15_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A15: value-bucket grouping (s_sis_groups, sis_group.h:10-60) —
@@ -151,6 +152,7 @@ def a16_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
+    extended=True,
 )
 def agg_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parity: ROLLUP grouping (absent in reference, SURVEY §2.4)."""
@@ -171,6 +173,7 @@ def agg_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n, round(sum(value), 2) AS total
     FROM events GROUP BY CUBE (event_type, CAST(ts AS DATE))
     """,
+    extended=True,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parity: CUBE grouping."""
@@ -186,6 +189,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
     FROM events GROUP BY event_type
     """,
+    extended=True,
 )
 def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct-count per group (declared parity row)."""
@@ -199,7 +203,7 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_count_distinct", oracle=None)
+@query("agg_approx_count_distinct", oracle=None, extended=True)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL) — approximate by design, rows-only check;
     the scale path for distinct counts at 100 TB."""
@@ -217,6 +221,7 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY GROUPING SETS ((event_type), (user_id))
     """,
+    extended=True,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parity: GROUPING SETS via SQL (same Catalyst Expand as cube/rollup)."""
@@ -250,6 +255,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events, round(sum(value), 4) AS session_value
     FROM ids GROUP BY user_id, session_id
     """,
+    extended=True,
 )
 def w2_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via F.session_window (30-minute inactivity gap) — the
@@ -277,6 +283,7 @@ def w2_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) FILTER (event_type = 'error')    AS BIGINT) AS error
     FROM events WHERE user_id < 40 GROUP BY user_id
     """,
+    extended=True,
 )
 def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide reshaping: df.groupBy().pivot() with an explicit value list —
@@ -304,6 +311,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE)
     FROM orders WHERE o_orderkey < 300
     """,
+    extended=True,
 )
 def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long reshaping (melt): unpivot two measures into (metric, value)
@@ -325,6 +333,7 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n, round(avg(value), 6) AS avg_value
     FROM events GROUP BY 1
     """,
+    extended=True,
 )
 def a15_golden_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A15 golden-ratio widths (sis_group.h:10-60 second mode): bucket

@@ -1,0 +1,909 @@
+"""Consolidated driver-facing umbrella queries.
+
+The driver's correctness gate checks only the first 50 ``queries()``
+entries (r1 verdict: 90 registered → 40 operators unjudged).  This module
+merges each fine-grained query *family* into one umbrella entry so every
+SURVEY §2 operator lands inside the driver window:
+
+- same-shape families (set ops, join types, bucket modes, p3 range probes)
+  become tagged UNION ALLs — still one honest relational query;
+- same-table scalar families (text metrics, datetime functions, per-group
+  stats) become one wide projection — one scan, no extra shuffle;
+- cross-table function families (math/string, json/array/cast) become a
+  long-form matrix (family, row_key, values...) — every function value is
+  still hash-checked.
+
+The fine-grained originals stay registered with ``extended=True`` and run
+in the local gate (tools/run_all.py), so a red umbrella is localizable.
+
+Oracle SQL is composed from the demoted entries' oracle strings (single
+source of truth) wherever the demoted query exposes the needed columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ago_sisdb_spark.inventory import EXTENDED, _t, query
+
+# Demoted fine-grained builders are reused (tagged/aligned) so Spark-side
+# semantics cannot drift from the locally-gated originals.
+from ago_sisdb_spark.queries import (  # noqa: F401  (registration side-effect)
+    aggregates as _agg,
+    joins as _joins,
+    pipeline as _pipe,
+    scalars as _scal,
+    scans as _scans,
+    series as _series,
+)
+
+_O = {name: e.oracle for name, e in EXTENDED.items()}
+
+def _S():
+    return F.lit(None).cast("string")
+
+
+def _D():
+    return F.lit(None).cast("double")
+
+
+def _L():
+    return F.lit(None).cast("bigint")
+
+
+# --------------------------------------------------------------------------
+# §2.4 aggregates
+# --------------------------------------------------------------------------
+
+@query(
+    "a15_buckets",
+    oracle=f"""
+    SELECT 'equal' AS mode, bucket, n, avg_value FROM ({_O['a15_value_buckets']})
+    UNION ALL
+    SELECT 'golden', bucket, n, avg_value FROM ({_O['a15_golden_buckets']})
+    """,
+)
+def a15_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 value-bucket grouping, both reference modes in one matrix:
+    equal-width and golden-ratio widths (sis_group.h:10-60)."""
+    eq = _agg.a15_value_buckets(spark, sf_dir).select(
+        F.lit("equal").alias("mode"), "bucket", "n", "avg_value"
+    )
+    gold = _agg.a15_golden_buckets(spark, sf_dir).select(
+        F.lit("golden").alias("mode"), "bucket", "n", "avg_value"
+    )
+    return eq.unionByName(gold)
+
+
+@query(
+    "agg_multidim",
+    oracle=f"""
+    SELECT 'rollup' AS mode, l_returnflag AS g1, l_linestatus AS g2,
+           n, sum_qty AS total
+    FROM ({_O['agg_rollup_hierarchy']})
+    UNION ALL
+    SELECT 'cube', event_type, CAST(day AS VARCHAR), n, total
+    FROM ({_O['agg_cube']})
+    UNION ALL
+    SELECT 'gsets', event_type, CAST(user_id AS VARCHAR), n,
+           CAST(NULL AS DOUBLE)
+    FROM ({_O['agg_grouping_sets']})
+    """,
+)
+def agg_multidim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 multidimensional grouping surface — ROLLUP + CUBE + GROUPING
+    SETS (one Catalyst Expand each) aligned to a (mode, g1, g2) matrix."""
+    r = _agg.agg_rollup_hierarchy(spark, sf_dir).select(
+        F.lit("rollup").alias("mode"),
+        F.col("l_returnflag").alias("g1"),
+        F.col("l_linestatus").alias("g2"),
+        "n",
+        F.col("sum_qty").alias("total"),
+    )
+    c = _agg.agg_cube(spark, sf_dir).select(
+        F.lit("cube").alias("mode"),
+        F.col("event_type").alias("g1"),
+        F.col("day").cast("string").alias("g2"),
+        "n",
+        "total",
+    )
+    g = _agg.agg_grouping_sets(spark, sf_dir).select(
+        F.lit("gsets").alias("mode"),
+        F.col("event_type").alias("g1"),
+        F.col("user_id").cast("string").alias("g2"),
+        "n",
+        _D().alias("total"),
+    )
+    return r.unionByName(c).unionByName(g)
+
+
+@query(
+    "agg_distinct",
+    oracle=f"""
+    SELECT 'count_distinct' AS src, event_type, n_users, n
+    FROM ({_O['agg_count_distinct']})
+    UNION ALL
+    SELECT 'dedup_exact', event_type, count(*), CAST(NULL AS BIGINT)
+    FROM (SELECT DISTINCT user_id, event_type FROM events) GROUP BY event_type
+    UNION ALL
+    SELECT 'approx_ok', CAST(NULL AS VARCHAR), count(*), count(*)
+    FROM (SELECT DISTINCT event_type FROM events)
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 distinct surface: exact count-distinct per group, A16
+    dropDuplicates dedup (sis_dynamic.h:106,126), and the HLL scale path
+    checked as a derived invariant (|approx - exact| <= 5% of exact — exact
+    on both sides, so the flag is deterministic; rsd=0.01 gives ~1% error)."""
+    ev = _t(spark, sf_dir, "events")
+    cd = _agg.agg_count_distinct(spark, sf_dir).select(
+        F.lit("count_distinct").alias("src"), "event_type", "n_users", "n"
+    )
+    dd = (
+        ev.select("user_id", "event_type")
+        .dropDuplicates()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.lit("dedup_exact").alias("src"), "event_type", "n_users", _L().alias("n"))
+    )
+    per_group = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    ap = per_group.agg(
+        F.sum(
+            (F.abs(F.col("approx") - F.col("exact")) <= 0.05 * F.col("exact")).cast(
+                "bigint"
+            )
+        ).alias("n_users"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(F.lit("approx_ok").alias("src"), _S().alias("event_type"), "n_users", "n")
+    return cd.unionByName(dd).unionByName(ap)
+
+
+@query(
+    "agg_pivot_unpivot",
+    oracle="""
+    SELECT u.user_id, m.metric, coalesce(c.n, 0) AS value
+    FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 40) u
+    CROSS JOIN (VALUES ('click'), ('view'), ('purchase'), ('error')) m(metric)
+    LEFT JOIN (SELECT user_id, event_type, count(*) AS n FROM events
+               WHERE user_id < 40 GROUP BY 1, 2) c
+      ON c.user_id = u.user_id AND c.event_type = m.metric
+    """,
+)
+def agg_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide↔long reshaping round trip in one plan: groupBy().pivot() with an
+    explicit value list (one pass), then unpivot/melt back to
+    (user_id, metric, value) — exercises both §2.4 reshaping operators."""
+    wide = _agg.agg_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ["user_id"], ["click", "view", "purchase", "error"], "metric", "value"
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.3 joins
+# --------------------------------------------------------------------------
+
+@query(
+    "j1_join_matrix",
+    oracle=f"""
+    SELECT 'inner' AS jtype, nation AS grp, n_customers AS n,
+           total_acctbal AS metric
+    FROM ({_O['j1_equi_inner']})
+    UNION ALL
+    SELECT 'left', CAST(c_custkey AS VARCHAR), n_orders, total_spent
+    FROM ({_O['j1_left_outer']})
+    UNION ALL
+    SELECT 'full', CAST(user_id AS VARCHAR), n_click, CAST(n_purchase AS DOUBLE)
+    FROM ({_O['j1_full_outer']})
+    UNION ALL
+    SELECT 'broadcast', region, n_nations, 0.0
+    FROM ({_O['j2_broadcast_dim']})
+    UNION ALL
+    SELECT 'semi', 'all', count(*), round(sum(c_acctbal), 2) FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    UNION ALL
+    SELECT 'anti', 'all', count(*), round(sum(c_acctbal), 2) FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+    """,
+)
+def j1_join_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 join-type matrix: inner/left/full equi joins, the broadcast-dim
+    join (J2), and semi/anti membership joins (J5) — each branch reuses the
+    locally-gated fine-grained query, aligned to (jtype, grp, n, metric)."""
+    inner = _joins.j1_equi_inner(spark, sf_dir).select(
+        F.lit("inner").alias("jtype"),
+        F.col("nation").alias("grp"),
+        F.col("n_customers").alias("n"),
+        F.col("total_acctbal").alias("metric"),
+    )
+    left = _joins.j1_left_outer(spark, sf_dir).select(
+        F.lit("left").alias("jtype"),
+        F.col("c_custkey").cast("string").alias("grp"),
+        F.col("n_orders").alias("n"),
+        F.col("total_spent").alias("metric"),
+    )
+    full = _joins.j1_full_outer(spark, sf_dir).select(
+        F.lit("full").alias("jtype"),
+        F.col("user_id").cast("string").alias("grp"),
+        F.col("n_click").alias("n"),
+        F.col("n_purchase").cast("double").alias("metric"),
+    )
+    bcast = _joins.j2_broadcast_dim(spark, sf_dir).select(
+        F.lit("broadcast").alias("jtype"),
+        F.col("region").alias("grp"),
+        F.col("n_nations").alias("n"),
+        F.lit(0.0).alias("metric"),
+    )
+    semi = _joins.j5_semi(spark, sf_dir)
+    anti = _joins.j5_anti(spark, sf_dir)
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+
+    def _agg_members(members: DataFrame, tag: str) -> DataFrame:
+        joined = c.join(members.select("c_custkey"), "c_custkey", "left_semi")
+        return joined.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("metric"),
+        ).select(F.lit(tag).alias("jtype"), F.lit("all").alias("grp"), "n", "metric")
+
+    return (
+        inner.unionByName(left)
+        .unionByName(full)
+        .unionByName(bcast)
+        .unionByName(_agg_members(semi, "semi"))
+        .unionByName(_agg_members(anti, "anti"))
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.11 dedup / ANN (rows-only umbrellas over xxhash64-based operators)
+# --------------------------------------------------------------------------
+
+@query("d4_simhash_pairs", oracle=None)
+def d4_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash surface (D4+D7): 64-bit fingerprints with pigeonhole band
+    blocking feeding Hamming<=6 near-dup pairs (re-check via bit_count(xor)).
+    xxhash64-based → rows-only; semantics pinned on a controlled corpus in
+    tests/test_dedup.py."""
+    return _pipe.d7_simhash_pairs(spark, sf_dir)
+
+
+@query("n2_knn_ann", oracle=None)
+def n2_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN scale paths in one matrix: hyperplane-LSH bucketed
+    top-5 (training-free) and IVF nprobe-bounded top-5 (trained index) for
+    probes 0-4.  Rows-only (approximate by design); recall vs n1 exact is
+    asserted in tests/test_similarity.py."""
+    lsh = _pipe.n2_knn_lsh(spark, sf_dir).select(
+        F.lit("lsh").alias("method"), "probe_id", "neighbor_id", "score"
+    )
+    ivf = _pipe.n4_knn_ivf(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "probe_id", "neighbor_id", "score"
+    )
+    return lsh.unionByName(ivf)
+
+
+# --------------------------------------------------------------------------
+# §2.11 text metrics — one wide scan over documents
+# --------------------------------------------------------------------------
+
+@query(
+    "t_text_suite",
+    oracle=f"""
+    SELECT a.doc_id, b.n_ws_tokens, b.n_bpe_tokens, a.n_chars_actual,
+           a.n_chars, c.lang, c.pred_lang, d.fingerprint, e.n_grams,
+           e.rep_ratio
+    FROM ({_O['t1_token_count']}) a
+    JOIN ({_O['t5_bpe_token_count']}) b ON a.doc_id = b.doc_id
+    JOIN ({_O['t3_lang_id']}) c ON a.doc_id = c.doc_id
+    JOIN ({_O['t4_fingerprint']}) d ON a.doc_id = d.doc_id
+    JOIN ({_O['t6_repetition_ratio']}) e ON a.doc_id = e.doc_id
+    """,
+)
+def t_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text-analysis suite as ONE scan projection (no joins, no
+    shuffle): whitespace + BPE-ish token counts (T1/T5), char counts,
+    heuristic language-ID (T3), rolling-hash fingerprint (T4), and the
+    Gopher-style 3-gram repetition ratio (T6).  The oracle joins the
+    locally-gated per-metric oracles on doc_id."""
+    from ago_sisdb_spark.operators import text
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0)))
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words, i),
+                F.element_at(words, i + 1),
+                F.element_at(words, i + 2),
+            ),
+        ),
+    ).otherwise(F.array())
+    with_grams = docs.withColumn("__grams", grams)
+    return with_grams.select(
+        "doc_id",
+        text.token_count(F.col("text")).cast("bigint").alias("n_ws_tokens"),
+        text.regex_token_count(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        "n_chars",
+        "lang",
+        text.lang_id_en(F.col("text"), 0.10).alias("pred_lang"),
+        text.fingerprint(F.col("text")).alias("fingerprint"),
+        F.size("__grams").cast("bigint").alias("n_grams"),
+        F.when(F.size("__grams") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct("__grams")) / F.size("__grams"),
+                6,
+            )
+        )
+        .alias("rep_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.8 scalar function families
+# --------------------------------------------------------------------------
+
+@query(
+    "f_datetime_family",
+    oracle=f"""
+    SELECT a.o_orderkey, a.y, a.mo, a.d, a.dow_iso, a.ymd, a.int_date,
+           b.due_date, b.days_to_2002, b.next_workday
+    FROM ({_O['f_datetime_extract']}) a
+    JOIN ({_O['f_date_arith']}) b ON a.o_orderkey = b.o_orderkey
+    """,
+)
+def f_datetime_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 date/time family in one projection: extractors + yyyymmdd codec
+    (sis_time.h:13-68), day offsets, date diff, and the next-work-day
+    weekend-skip rule — one scan, all codegen expressions."""
+    from ago_sisdb_spark.functions import timecodec
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("d"),
+        (F.weekday("o_orderdate") + 1).cast("bigint").alias("dow_iso"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("ymd"),
+        timecodec.to_int_date(F.col("o_orderdate")).alias("int_date"),
+        F.date_add(d, 30).alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d)
+        .cast("bigint")
+        .alias("days_to_2002"),
+        timecodec.next_workday(d).alias("next_workday"),
+    )
+
+
+@query(
+    "f_math_string",
+    oracle=f"""
+    SELECT 'math' AS family,
+           l_orderkey * 10 + l_linenumber AS row_key,
+           CAST(abs_diff AS DOUBLE) AS v1, CAST(least_v AS DOUBLE) AS v2,
+           CAST(greatest_v AS DOUBLE) AS v3, CAST(floor_v AS DOUBLE) AS v4,
+           CAST(ceil_v AS DOUBLE) AS v5, CAST(safe_div AS DOUBLE) AS v6,
+           CAST(zoom_sqrt AS DOUBLE) AS v7,
+           CAST(NULL AS VARCHAR) AS s1, CAST(NULL AS VARCHAR) AS s2,
+           CAST(NULL AS VARCHAR) AS s3, CAST(NULL AS VARCHAR) AS s4
+    FROM ({_O['f_math_funcs']})
+    UNION ALL
+    SELECT 'string', c_custkey,
+           CAST(name_len AS DOUBLE), CAST(CAST(has_one AS INTEGER) AS DOUBLE),
+           CAST(CAST(is_cust AS INTEGER) AS DOUBLE),
+           NULL, NULL, NULL, NULL,
+           cust_num, seg_upper, name_lower, name_prefix
+    FROM ({_O['f_string_funcs']})
+    """,
+)
+def f_math_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 math + string families as one long-form matrix
+    (family, row_key, v1..v7, s1..s4) — every function value hash-checked;
+    the wide originals stay in the extended gate."""
+    m = _scal.f_math_funcs(spark, sf_dir).select(
+        F.lit("math").alias("family"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("row_key"),
+        F.col("abs_diff").cast("double").alias("v1"),
+        F.col("least_v").cast("double").alias("v2"),
+        F.col("greatest_v").cast("double").alias("v3"),
+        F.col("floor_v").cast("double").alias("v4"),
+        F.col("ceil_v").cast("double").alias("v5"),
+        F.col("safe_div").cast("double").alias("v6"),
+        F.col("zoom_sqrt").cast("double").alias("v7"),
+        _S().alias("s1"), _S().alias("s2"), _S().alias("s3"), _S().alias("s4"),
+    )
+    s = _scal.f_string_funcs(spark, sf_dir).select(
+        F.lit("string").alias("family"),
+        F.col("c_custkey").alias("row_key"),
+        F.col("name_len").cast("double").alias("v1"),
+        F.col("has_one").cast("int").cast("double").alias("v2"),
+        F.col("is_cust").cast("int").cast("double").alias("v3"),
+        _D().alias("v4"), _D().alias("v5"), _D().alias("v6"), _D().alias("v7"),
+        F.col("cust_num").alias("s1"),
+        F.col("seg_upper").alias("s2"),
+        F.col("name_lower").alias("s3"),
+        F.col("name_prefix").alias("s4"),
+    )
+    return m.unionByName(s)
+
+
+@query(
+    "f_semistructured",
+    oracle=f"""
+    SELECT 'json' AS family, row_id, int_val,
+           CAST(NULL AS DOUBLE) AS num1, CAST(NULL AS DOUBLE) AS num2,
+           CAST(NULL AS DOUBLE) AS num3, CAST(NULL AS VARCHAR) AS str_val
+    FROM (SELECT event_id AS row_id, CAST(k_value AS BIGINT) AS int_val
+          FROM ({_O['f_json_extract']}))
+    UNION ALL
+    SELECT 'cast', o_orderkey, price_int, CAST(bad_cast AS DOUBLE),
+           NULL, NULL, key_str
+    FROM ({_O['f_cast_rules']})
+    UNION ALL
+    SELECT 'array', vec_id, dim, first_elem, sq_norm, max_elem, NULL
+    FROM ({_O['f_array_funcs']})
+    """,
+)
+def f_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 semi-structured families — JSON extraction (sis_json.c), array
+    functions (repeated fields, sis_dynamic.h:155-187), and widening/try
+    cast rules (sis_dynamic.h:110-116) — in one long-form matrix."""
+    j = _scal.f_json_extract(spark, sf_dir).select(
+        F.lit("json").alias("family"),
+        F.col("event_id").alias("row_id"),
+        F.col("k_value").cast("bigint").alias("int_val"),
+        _D().alias("num1"), _D().alias("num2"), _D().alias("num3"),
+        _S().alias("str_val"),
+    )
+    c = _scal.f_cast_rules(spark, sf_dir).select(
+        F.lit("cast").alias("family"),
+        F.col("o_orderkey").alias("row_id"),
+        F.col("price_int").alias("int_val"),
+        F.col("bad_cast").cast("double").alias("num1"),
+        _D().alias("num2"), _D().alias("num3"),
+        F.col("key_str").alias("str_val"),
+    )
+    a = _scal.f_array_funcs(spark, sf_dir).select(
+        F.lit("array").alias("family"),
+        F.col("vec_id").alias("row_id"),
+        F.col("dim").alias("int_val"),
+        F.col("first_elem").alias("num1"),
+        F.col("sq_norm").alias("num2"),
+        F.col("max_elem").alias("num3"),
+        _S().alias("str_val"),
+    )
+    return j.unionByName(c).unionByName(a)
+
+
+@query(
+    "u_extension_suite",
+    oracle=f"""
+    SELECT 'sql_udf' AS part, event_id AS key, logistic_score AS v1,
+           self_ratio AS v2, zoomed AS v3, CAST(NULL AS VARCHAR) AS s1
+    FROM ({_O['u2_registered_methods']})
+    UNION ALL
+    SELECT 'udaf', CAST(NULL AS BIGINT), geo_mean, NULL, NULL, event_type
+    FROM ({_O['u5_grouped_agg_udaf']})
+    UNION ALL
+    SELECT 'enrich', c_custkey,
+           round(((c_custkey * 2654435761) % 1000003) / 1000003.0, 6),
+           NULL, NULL,
+           CASE WHEN ((c_custkey * 2654435761) % 1000003) / 1000003.0 >= 0.66
+                THEN 'hot'
+                WHEN ((c_custkey * 2654435761) % 1000003) / 1000003.0 >= 0.33
+                THEN 'warm' ELSE 'cold' END
+    FROM customer WHERE c_custkey < 200
+    """,
+)
+def u_extension_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 extension surface in one matrix: pandas-UDF methods registered
+    by name + call() dispatch (U2/U3), a grouped-agg UDAF (U1/U2), and the
+    U4 external-enrichment bridge — mapInPandas with an injectable fetcher
+    (pyscript/api_web.py:1-20 parity), here the deterministic local stub."""
+    from ago_sisdb_spark.functions.enrich import enrich, stub_score_fetcher
+
+    u2 = _scal.u2_registered_methods(spark, sf_dir).select(
+        F.lit("sql_udf").alias("part"),
+        F.col("event_id").alias("key"),
+        F.col("logistic_score").alias("v1"),
+        F.col("self_ratio").alias("v2"),
+        F.col("zoomed").alias("v3"),
+        _S().alias("s1"),
+    )
+    u5 = _scal.u5_grouped_agg_udaf(spark, sf_dir).select(
+        F.lit("udaf").alias("part"),
+        _L().alias("key"),
+        F.col("geo_mean").alias("v1"),
+        _D().alias("v2"), _D().alias("v3"),
+        F.col("event_type").alias("s1"),
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 200)
+        .select("c_custkey")
+    )
+    enriched = enrich(
+        cust, stub_score_fetcher("c_custkey"), "score double, tier string"
+    )
+    u4 = enriched.select(
+        F.lit("enrich").alias("part"),
+        F.col("c_custkey").alias("key"),
+        F.round("score", 6).alias("v1"),
+        _D().alias("v2"), _D().alias("v3"),
+        F.col("tier").alias("s1"),
+    )
+    return u2.unionByName(u5).unionByName(u4)
+
+
+# --------------------------------------------------------------------------
+# §2.2/§2.6 range-scan matrix + search DSL + set ops
+# --------------------------------------------------------------------------
+
+_EV5 = ["event_id", "ts", "user_id", "event_type", "value"]
+
+
+@query(
+    "p3_range_matrix",
+    oracle="""
+    WITH ev AS (SELECT event_id, ts, user_id, event_type, value FROM events),
+    ranked7 AS (
+        SELECT *, row_number() OVER (ORDER BY ts, event_id) AS rn
+        FROM ev WHERE user_id = 7),
+    anchor AS (
+        SELECT max(rn) AS arn FROM ranked7
+        WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+    SELECT 'last' AS probe, event_id, ts, user_id, event_type, value
+    FROM (SELECT * FROM ev ORDER BY ts DESC, event_id DESC LIMIT 1)
+    UNION ALL
+    SELECT 'head', event_id, ts, user_id, event_type, value
+    FROM (SELECT * FROM ev WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+          ORDER BY ts, event_id LIMIT 100)
+    UNION ALL
+    SELECT 'tail', event_id, ts, user_id, event_type, value
+    FROM (SELECT * FROM ev ORDER BY ts DESC, event_id DESC LIMIT 50)
+    UNION ALL
+    SELECT 'ifprev', event_id, ts, user_id, event_type, value
+    FROM ev WHERE CAST(ts AS DATE) = (
+        SELECT max(CAST(ts AS DATE)) FROM ev
+        WHERE ts <= TIMESTAMP '2024-02-15 00:00:00')
+    UNION ALL
+    SELECT 'offset', event_id, ts, user_id, event_type, value
+    FROM ranked7 r, anchor a WHERE r.rn = a.arn - 2
+    UNION ALL
+    SELECT 'fields', event_id, ts, user_id, event_type, value
+    FROM ev WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+    UNION ALL
+    SELECT 'topk', event_id, ts, user_id, event_type, value
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+               ORDER BY value DESC, event_id) AS rn FROM ev)
+    WHERE rn <= 3
+    """,
+)
+def p3_range_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's record-addressing matrix (P1/P3/O1-O5, S1) as one
+    tagged union: latest record, head-n from start, tail-n, ifprev
+    previous-day fallback, offset -n stepping, field projection of a day
+    slice, and top-k per group (sisdb_fmap.h:102-160, sis_group.h:15-47).
+    Every probe emits the full 5-column projection so the matrix is a real
+    multi-probe read, not a checksum."""
+    from ago_sisdb_spark.operators import lastper, rangescan
+
+    ev = _t(spark, sf_dir, "events").select(*_EV5)
+    order = [F.col("ts"), F.col("event_id")]
+
+    def tag(df: DataFrame, probe: str) -> DataFrame:
+        return df.select(F.lit(probe).alias("probe"), *_EV5)
+
+    last = tag(rangescan.last_record(ev, order), "last")
+    head = tag(
+        rangescan.head_n(
+            rangescan.time_range(ev, "ts", start="2024-01-15 00:00:00"), 100, order
+        ),
+        "head",
+    )
+    tail = tag(rangescan.tail_n(ev, 50, order), "tail")
+    ifprev = tag(rangescan.ifprev_day_scan(ev, "ts", "2024-02-15 00:00:00"), "ifprev")
+    offset = tag(
+        rangescan.offset_shift(
+            ev.where(F.col("user_id") == 7), "ts", "2024-01-15 00:00:00", -2, order
+        ),
+        "offset",
+    )
+    fields = tag(
+        ev.where(F.col("ts").cast("date") == F.lit("2024-01-05").cast("date")),
+        "fields",
+    )
+    topk = tag(
+        lastper.topk_per_key(
+            ev, ["event_type"], [F.col("value").desc(), F.col("event_id").asc()], 3
+        ),
+        "topk",
+    )
+    out = last
+    for part in (head, tail, ifprev, offset, fields, topk):
+        out = out.unionByName(part)
+    return out
+
+
+@query(
+    "p4_search_dsl",
+    oracle=f"""
+    SELECT 'and' AS form, event_id, event_type, value, user_id
+    FROM events
+    WHERE lower(event_type) IN ('click', 'view')
+      AND value BETWEEN 10.0 AND 50.0 AND user_id = 42
+    UNION ALL
+    SELECT 'or', event_id, event_type, value, user_id
+    FROM events
+    WHERE (event_type = 'error' AND value >= 90.0)
+       OR (event_type = 'purchase' AND value <= 2.0)
+    """,
+)
+def p4_search_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 search DSL, both composition forms through the actual compiler
+    (operators/search.compile_search): AND-object with in/range/equality
+    predicates, and OR-array of AND-objects (sisdb_fmap.h:92-100,
+    sisdb.h:50-53)."""
+    from ago_sisdb_spark.operators.search import compile_search
+
+    ev = _t(spark, sf_dir, "events")
+    and_pred = compile_search(
+        {
+            "event_type": {"in": ["click", "view"]},
+            "value": {"min": 10.0, "max": 50.0},
+            "user_id": 42,
+        }
+    )
+    or_pred = compile_search(
+        [
+            {"event_type": "error", "value": {"min": 90.0}},
+            {"event_type": "purchase", "value": {"max": 2.0}},
+        ]
+    )
+    cols = ["event_id", "event_type", "value", "user_id"]
+    a = ev.where(and_pred).select(F.lit("and").alias("form"), *cols)
+    b = ev.where(or_pred).select(F.lit("or").alias("form"), *cols)
+    return a.unionByName(b)
+
+
+@query(
+    "set_ops",
+    oracle=f"""
+    SELECT 'union' AS op, CAST(user_id AS VARCHAR) AS key,
+           CAST(NULL AS TIMESTAMP) AS event_time
+    FROM ({_O['set_union']})
+    UNION ALL
+    SELECT 'intersect', CAST(user_id AS VARCHAR), NULL
+    FROM ({_O['set_intersect']})
+    UNION ALL
+    SELECT 'except', CAST(user_id AS VARCHAR), NULL
+    FROM ({_O['set_except']})
+    UNION ALL
+    SELECT 'kway_' || source, key, event_time
+    FROM ({_O['r1_kway_merge']})
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set algebra (UNION/INTERSECT/EXCEPT key sets, sis_utils.h:60-82)
+    plus the T2/T3 k-way time-ordered replay merge (sis_db.c:420-533) in one
+    tagged matrix."""
+    _TS = F.lit(None).cast("timestamp")
+
+    def keyed(df: DataFrame, op: str) -> DataFrame:
+        return df.select(
+            F.lit(op).alias("op"),
+            F.col("user_id").cast("string").alias("key"),
+            _TS.alias("event_time"),
+        )
+
+    u = keyed(_scans.set_union(spark, sf_dir), "union")
+    i = keyed(_scans.set_intersect(spark, sf_dir), "intersect")
+    e = keyed(_scans.set_except(spark, sf_dir), "except")
+    k = _scans.r1_kway_merge(spark, sf_dir).select(
+        F.concat(F.lit("kway_"), F.col("source")).alias("op"),
+        "key",
+        "event_time",
+    )
+    return u.unionByName(i).unionByName(e).unionByName(k)
+
+
+# --------------------------------------------------------------------------
+# §2.4 series math umbrellas
+# --------------------------------------------------------------------------
+
+@query(
+    "a3_stat_suite",
+    oracle="""
+    SELECT event_type, round(avg(value), 6) AS mean_value,
+           round(median(value), 6) AS median_value,
+           round(var_samp(value), 6) AS var_value,
+           round(stddev_samp(value), 6) AS std_value,
+           round(exp(-pow(50.0 - avg(value), 2) / (2 * var_samp(value)))
+                 / sqrt(2 * pi() * var_samp(value)), 6) AS chance_at_50
+    FROM events GROUP BY event_type
+    """,
+)
+def a3_stat_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+A4+A5 per-series statistics in ONE aggregation: mean, exact
+    interpolated median (approx_percentile at 100 TB), sample variance and
+    stddev, and the A5 normal-density 'chance' at x=50 derived from the same
+    (mu, var) — one shuffle total (sis_ai.h:45,138,140)."""
+    from ago_sisdb_spark.operators import series
+
+    g = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.avg("value").alias("mu"),
+            F.median("value").alias("med"),
+            F.var_samp("value").alias("s2"),
+            F.stddev_samp("value").alias("sd"),
+        )
+    )
+    return g.select(
+        "event_type",
+        F.round("mu", 6).alias("mean_value"),
+        F.round("med", 6).alias("median_value"),
+        F.round("s2", 6).alias("var_value"),
+        F.round("sd", 6).alias("std_value"),
+        F.round(
+            series.normal_density(F.lit(50.0), F.col("mu"), F.col("s2")), 6
+        ).alias("chance_at_50"),
+    )
+
+
+@query(
+    "a6_corr_suite",
+    oracle=f"""
+    SELECT 'pearson' AS variant, l_returnflag AS grp, qty_price_corr AS v1,
+           CAST(NULL AS DOUBLE) AS v2, CAST(NULL AS DOUBLE) AS v3
+    FROM ({_O['a6_correlation']})
+    UNION ALL
+    SELECT 'lag1', event_type, autocorr_1, NULL, NULL
+    FROM ({_O['a6_lagged_corr']})
+    UNION ALL
+    SELECT 'dir', 'all', dir_corr, CAST(n_same_dir AS DOUBLE),
+           CAST(n_days AS DOUBLE)
+    FROM ({_O['a6_directional_corr']})
+    UNION ALL
+    SELECT 'regr', l_returnflag, slope, intercept, NULL
+    FROM ({_O['a7_regr_slope']})
+    """,
+)
+def a6_corr_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6+A7 correlation/regression family (sis_ai_corr.h:15-25,
+    sis_ai.h:135-136): Pearson, lag-1 autocorrelation, directional
+    (sign-of-delta) correlation, and least-squares slope/intercept — one
+    tagged matrix reusing the locally-gated originals."""
+    pearson = _series.a6_correlation(spark, sf_dir).select(
+        F.lit("pearson").alias("variant"),
+        F.col("l_returnflag").alias("grp"),
+        F.col("qty_price_corr").alias("v1"),
+        _D().alias("v2"), _D().alias("v3"),
+    )
+    lag1 = _series.a6_lagged_corr(spark, sf_dir).select(
+        F.lit("lag1").alias("variant"),
+        F.col("event_type").alias("grp"),
+        F.col("autocorr_1").alias("v1"),
+        _D().alias("v2"), _D().alias("v3"),
+    )
+    direc = _series.a6_directional_corr(spark, sf_dir).select(
+        F.lit("dir").alias("variant"),
+        F.lit("all").alias("grp"),
+        F.col("dir_corr").alias("v1"),
+        F.col("n_same_dir").cast("double").alias("v2"),
+        F.col("n_days").cast("double").alias("v3"),
+    )
+    regr = _series.a7_regr_slope(spark, sf_dir).select(
+        F.lit("regr").alias("variant"),
+        F.col("l_returnflag").alias("grp"),
+        F.col("slope").alias("v1"),
+        F.col("intercept").alias("v2"),
+        _D().alias("v3"),
+    )
+    return pearson.unionByName(lag1).unionByName(direc).unionByName(regr)
+
+
+@query(
+    "a10_norm_weighted",
+    oracle=f"""
+    SELECT 'minmax' AS variant, CAST(event_id AS VARCHAR) AS key,
+           norm_value AS x
+    FROM ({_O['a10_minmax_norm']})
+    UNION ALL
+    SELECT 'fib_wmean', event_type, fib_wmean
+    FROM ({_O['a11_fib_weighted_mean']})
+    UNION ALL
+    SELECT 'ewma', CAST(user_id AS VARCHAR), ewma
+    FROM ({_O['a12_ewma']})
+    """,
+)
+def a10_norm_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10-A12 normalization + recency weighting family: per-row min-max
+    normalization, golden-ratio (Fibonacci) weighted mean of the last 20,
+    and the EWMA fold (sis_ai.h:22-64,142) — one tagged matrix."""
+    mm = _series.a10_minmax_norm(spark, sf_dir).select(
+        F.lit("minmax").alias("variant"),
+        F.col("event_id").cast("string").alias("key"),
+        F.col("norm_value").alias("x"),
+    )
+    fib = _series.a11_fib_weighted_mean(spark, sf_dir).select(
+        F.lit("fib_wmean").alias("variant"),
+        F.col("event_type").alias("key"),
+        F.col("fib_wmean").alias("x"),
+    )
+    ew = _series.a12_ewma(spark, sf_dir).select(
+        F.lit("ewma").alias("variant"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("ewma").alias("x"),
+    )
+    return mm.unionByName(fib).unionByName(ew)
+
+
+@query(
+    "a13_a14_patterns",
+    oracle=f"""
+    SELECT 'trend' AS stat, event_type, CAST(trend_code AS BIGINT) AS code, n
+    FROM ({_O['a13_trend_code']})
+    UNION ALL
+    SELECT 'peaks', event_type, CAST(NULL AS BIGINT), n_peaks
+    FROM ({_O['a14_local_extrema']})
+    UNION ALL
+    SELECT 'troughs', event_type, CAST(NULL AS BIGINT), n_troughs
+    FROM ({_O['a14_local_extrema']})
+    """,
+)
+def a13_a14_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13+A14 pattern statistics: 3-period up/down trend-code distribution
+    and local peak/trough counts per series (sis_ai.h:66-112,180-280)."""
+    trend = _series.a13_trend_code(spark, sf_dir).select(
+        F.lit("trend").alias("stat"),
+        "event_type",
+        F.col("trend_code").cast("bigint").alias("code"),
+        "n",
+    )
+    ext = _series.a14_local_extrema(spark, sf_dir)
+    peaks = ext.select(
+        F.lit("peaks").alias("stat"), "event_type", _L().alias("code"),
+        F.col("n_peaks").alias("n"),
+    )
+    troughs = ext.select(
+        F.lit("troughs").alias("stat"), "event_type", _L().alias("code"),
+        F.col("n_troughs").alias("n"),
+    )
+    return trend.unionByName(peaks).unionByName(troughs)
+
+
+@query("a8_stateful_series", oracle=None)
+def a8_stateful_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 polyfit + A14 full turning-point scan — the two genuinely stateful
+    per-series algorithms (numpy / stateful loop in Arrow-batched
+    applyInPandas; sis_ai.h:66-112,131-133).  Rows-only; values pinned by
+    local-model tests in tests/test_series.py."""
+    poly = _series.a8_polyfit(spark, sf_dir).select(
+        F.lit("polyfit").alias("op"),
+        "event_type",
+        F.col("c2").alias("x1"),
+        F.col("c1").alias("x2"),
+        F.col("c0").alias("x3"),
+    )
+    turns = _series.a14_turning_points(spark, sf_dir).select(
+        F.lit("turn").alias("op"),
+        "event_type",
+        F.unix_timestamp("turn_time").cast("double").alias("x1"),
+        F.col("turn_value").alias("x2"),
+        F.col("direction").cast("double").alias("x3"),
+    )
+    return poly.unionByName(turns)

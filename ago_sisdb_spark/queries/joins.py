@@ -27,6 +27,7 @@ from ago_sisdb_spark.operators.asof import asof_join
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY n.n_name
     """,
+    extended=True,
 )
 def j1_equi_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 inner equi join; nation is a dim → Catalyst broadcasts it."""
@@ -50,6 +51,7 @@ def j1_equi_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_custkey
     """,
+    extended=True,
 )
 def j1_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 left outer: customers with zero orders kept (count=0, total=0)."""
@@ -79,6 +81,7 @@ def j1_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE event_type = 'purchase' GROUP BY 1) b
     ON a.user_id = b.user_id
     """,
+    extended=True,
 )
 def j1_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 full outer join of two aggregated sides."""
@@ -108,6 +111,7 @@ def j1_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY r.r_name
     """,
+    extended=True,
 )
 def j2_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: explicit broadcast hint for the small dim (memdb lookup-table
@@ -212,6 +216,7 @@ def j4_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, c_name FROM customer
     WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
     """,
+    extended=True,
 )
 def j5_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 left semi (EXISTS) — key-list membership (sis_utils.h:60-73)."""
@@ -228,6 +233,7 @@ def j5_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, c_name FROM customer
     WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
     """,
+    extended=True,
 )
 def j5_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 left anti (NOT EXISTS): customers with no half-million order."""

@@ -68,7 +68,7 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("d4_simhash", oracle=None)
+@query("d4_simhash", oracle=None, extended=True)
 def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprint per document + 16-bit band keys for
     Hamming-neighbor blocking; rows-only check."""
@@ -141,7 +141,7 @@ def n1_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("neighbor_id", F.round("score", 6).alias("score"))
 
 
-@query("n2_knn_lsh", oracle=None)
+@query("n2_knn_lsh", oracle=None, extended=True)
 def n2_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via random-hyperplane LSH buckets (6 bits) + exact
     re-rank inside buckets — the 100 TB path; rows-only check (approximate
@@ -153,7 +153,7 @@ def n2_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("n4_knn_ivf", oracle=None)
+@query("n4_knn_ivf", oracle=None, extended=True)
 def n4_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN top-5 for probes 0-4: deterministic centroid lists +
     nprobe-bounded search (the trained-index scale path beside n2's
@@ -254,6 +254,7 @@ def n3_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            n_chars
     FROM documents
     """,
+    extended=True,
 )
 def t1_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace) + char counts vs the recorded n_chars."""
@@ -307,6 +308,7 @@ def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN 'en' ELSE 'other' END AS pred_lang
     FROM t
     """,
+    extended=True,
 )
 def t3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID via stopword hit ratio, with the stored lang
@@ -330,6 +332,7 @@ def t3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
              (acc, x) -> (acc * 31 + x) % 2147483647) AS fingerprint
     FROM documents
     """,
+    extended=True,
 )
 def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic rolling-hash document fingerprint (portable arithmetic,
@@ -389,6 +392,7 @@ def pipe1_training_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(string_split(trim(text), ' ')) AS n_ws_tokens
     FROM documents
     """,
+    extended=True,
 )
 def t5_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex tokenization (letter runs / digit runs / punctuation
@@ -418,6 +422,7 @@ def t5_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
            END AS rep_ratio
     FROM g
     """,
+    extended=True,
 )
 def t6_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality signal: fraction of duplicated 3-grams within a
@@ -516,7 +521,7 @@ def pipe2_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select("id", "component")
 
 
-@query("d7_simhash_pairs", oracle=None)
+@query("d7_simhash_pairs", oracle=None, extended=True)
 def d7_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 6 over 64-bit fingerprints, 4-band
     pigeonhole blocking — 100% recall for d ≤ 3 guaranteed, re-check via

@@ -28,6 +28,7 @@ from ago_sisdb_spark.inventory import _t, query
            CAST(strftime(o_orderdate, '%Y%m%d') AS INTEGER) AS int_date
     FROM orders WHERE o_orderkey < 1000
     """,
+    extended=True,
 )
 def f_datetime_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date extractors + yyyymmdd codec (idate/iyear family, sis_time.h:13-68)."""
@@ -55,6 +56,7 @@ def f_datetime_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE CAST(o_orderdate + INTERVAL 1 DAY AS DATE) END AS next_workday
     FROM orders WHERE o_orderkey < 1000
     """,
+    extended=True,
 )
 def f_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day offsets + next-work-day weekend skip (sis_time.h:49-61)."""
@@ -81,6 +83,7 @@ def f_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(pow(10, 2) * sqrt(l_quantity), 6)                AS zoom_sqrt
     FROM lineitem WHERE l_orderkey < 500
     """,
+    extended=True,
 )
 def f_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math family: abs/least/greatest/floor/ceil, zero-safe divide
@@ -116,6 +119,7 @@ def f_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            starts_with(c_name, 'Customer')     AS is_cust
     FROM customer WHERE c_custkey < 200
     """,
+    extended=True,
 )
 def f_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String family: split/case/substring/prefix (sis_str.c, sis_utils.h:60-73)."""
@@ -183,6 +187,7 @@ def f_price_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
     FROM events WHERE event_id < 1000
     """,
+    extended=True,
 )
 def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON family (sis_json.c): extract + cast from the props column."""
@@ -203,6 +208,7 @@ def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(list_max(embedding) AS DOUBLE), 6)            AS max_elem
     FROM embeddings WHERE vec_id < 100
     """,
+    extended=True,
 )
 def f_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family (repeated fields, sis_dynamic.h:155-187): element access,
@@ -231,6 +237,7 @@ def f_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast
     FROM orders WHERE o_orderkey < 1000
     """,
+    extended=True,
 )
 def f_cast_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion rules (sis_dynamic.h:110-116): widening casts + the
@@ -254,6 +261,7 @@ def f_cast_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(value * 100, 6) AS zoomed
     FROM events WHERE event_id < 500
     """,
+    extended=True,
 )
 def u2_registered_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2/U3 extension surface: a pandas-UDF method registered by name and
@@ -287,6 +295,7 @@ def u2_registered_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(exp(avg(ln(value))), 6) AS geo_mean
     FROM events WHERE value > 0 GROUP BY event_type
     """,
+    extended=True,
 )
 def u5_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDAF surface: a grouped-agg pandas UDF (geometric mean) registered by
@@ -314,6 +323,7 @@ def u5_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
            ) AS next_wd
     FROM orders WHERE o_orderkey < 2000
     """,
+    extended=True,
 )
 def f_next_workday(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Next-work-day skipping weekends (sis_time.h next-work-day rule);

@@ -23,6 +23,7 @@ EV_COLS = ["event_id", "ts", "user_id", "event_type", "value"]
     SELECT event_id, ts, user_id, event_type, value
     FROM events ORDER BY ts DESC, event_id DESC LIMIT 1
     """,
+    extended=True,
 )
 def s1_last_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`get key.sdb` with no args → latest record (sisdb.c:217-258)."""
@@ -60,6 +61,7 @@ def p1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
     WHERE o_orderdate = TIMESTAMP '1996-06-01 00:00:00'
     """,
+    extended=True,
 )
 def p2_exact_time_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict main-index match (P2: sisdb_fmap_ctrl.c:575-593) at day scale."""
@@ -81,6 +83,7 @@ def p2_exact_time_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
     ORDER BY ts, event_id LIMIT 100
     """,
+    extended=True,
 )
 def p3_head_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """start + count>0 → first n from start (P3/O2: sisdb_fmap.h:155-160)."""
@@ -98,6 +101,7 @@ def p3_head_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, ts, value FROM events
     ORDER BY ts DESC, event_id DESC LIMIT 50
     """,
+    extended=True,
 )
 def p3_tail_lastn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count<0 / start=-1 → last n (O3: sisdb_fmap.h:104,127)."""
@@ -113,6 +117,7 @@ def p3_tail_lastn(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT max(CAST(ts AS DATE)) FROM events
         WHERE ts <= TIMESTAMP '2024-02-15 00:00:00')
     """,
+    extended=True,
 )
 def p3_ifprev_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ifprev → fall back to most recent day with data (sisdb_fmap.h:112-117).
@@ -132,6 +137,7 @@ def p3_ifprev_day(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND value BETWEEN 10.0 AND 50.0
       AND user_id = 42
     """,
+    extended=True,
 )
 def p4_field_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """same/group/in predicates AND-composed (P4: sisdb_fmap.h:92-100),
@@ -151,6 +157,7 @@ def p4_field_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE (event_type = 'error' AND value > 90.0)
        OR (event_type = 'purchase' AND value < 2.0)
     """,
+    extended=True,
 )
 def p4_or_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OR-array search form (P4: sisdb.h:50-53)."""
@@ -202,6 +209,7 @@ def p6_last_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
         FROM events) WHERE rn <= 3
     """,
+    extended=True,
 )
 def o5_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k by score per bucket (O5: sis_group.h:15-47)."""
@@ -222,6 +230,7 @@ def o5_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION
     SELECT user_id FROM events WHERE event_type = 'signup'
     """,
+    extended=True,
 )
 def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 union (key-set algebra analogue, sis_utils.h:60-82)."""
@@ -238,6 +247,7 @@ def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     INTERSECT
     SELECT user_id FROM events WHERE event_type = 'error'
     """,
+    extended=True,
 )
 def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 INTERSECT: users who both purchased and errored (set semantics,
@@ -255,6 +265,7 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXCEPT
     SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 100
     """,
+    extended=True,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 EXCEPT: high-value viewers who never purchased at that level
@@ -278,6 +289,7 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT r.event_id, r.ts, r.value
     FROM ranked r, anchor a WHERE r.rn = a.arn - 2
     """,
+    extended=True,
 )
 def p3_offset_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3 `offset: -n` record addressing (sisdb_fmap.h:156-158): locate the
@@ -311,6 +323,7 @@ def p3_offset_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
           BETWEEN TIMESTAMP '2024-01-05 00:00:00'
               AND TIMESTAMP '2024-01-20 23:59:59'
     """,
+    extended=True,
 )
 def r1_kway_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2/T3 batch replay: heterogeneous tables time-pruned *before* the

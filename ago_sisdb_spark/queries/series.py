@@ -25,6 +25,7 @@ GOLDEN_SQL = "((1 + sqrt(5)) / 2)"
            round(median(value), 6) AS median_value
     FROM events GROUP BY event_type
     """,
+    extended=True,
 )
 def a3_mean_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: avg+median (sis_ai_get_avg_and_mid, sis_ai.h:45). Exact median
@@ -47,6 +48,7 @@ def a3_mean_median(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(stddev_samp(value), 6) AS std_value
     FROM events GROUP BY event_type
     """,
+    extended=True,
 )
 def a4_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: sample mean+variance (sis_ai_series_argv, sis_ai.h:138)."""
@@ -69,6 +71,7 @@ def a4_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / sqrt(2 * pi() * var_samp(value)), 6) AS chance_at_50
     FROM events GROUP BY event_type
     """,
+    extended=True,
 )
 def a5_normal_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 'chance': density of x=50 under per-group (mu, var) (sis_ai.h:140)."""
@@ -90,6 +93,7 @@ def a5_normal_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr
     FROM lineitem GROUP BY l_returnflag
     """,
+    extended=True,
 )
 def a6_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: Pearson correlation (sis_ai_corr.h:15-25)."""
@@ -110,6 +114,7 @@ def a6_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, round(corr(value, prev_value), 6) AS autocorr_1
     FROM lagged GROUP BY event_type
     """,
+    extended=True,
 )
 def a6_lagged_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 offset-corr: lag-1 autocorrelation per series (sis_ai_corr.h:20-25)."""
@@ -131,6 +136,7 @@ def a6_lagged_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept
     FROM lineitem GROUP BY l_returnflag
     """,
+    extended=True,
 )
 def a7_regr_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: least-squares slope (sis_ai.h:135-136)."""
@@ -183,6 +189,7 @@ def a9_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                           - min(value) OVER (PARTITION BY event_type), 0), 6) AS norm_value
     FROM events
     """,
+    extended=True,
 )
 def a10_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10: min-max normalization per series (sis_ai.h:22-33)."""
@@ -206,6 +213,7 @@ def a10_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / sum(pow({GOLDEN_SQL}, 20 - rn)), 6) AS fib_wmean
     FROM ranked WHERE rn <= 20 GROUP BY event_type
     """,
+    extended=True,
 )
 def a11_fib_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11: Fibonacci/golden-ratio recency-weighted mean of the last 20
@@ -247,6 +255,7 @@ def a12_running_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM coded WHERE trend_code IS NOT NULL
     GROUP BY event_type, trend_code
     """,
+    extended=True,
 )
 def a13_trend_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13: 3-period up/down pattern code distribution (sis_ai.h:180-280)."""
@@ -272,6 +281,7 @@ def a13_trend_code(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN value < prev AND value < nxt THEN 1 ELSE 0 END) AS BIGINT) AS n_troughs
     FROM n GROUP BY event_type
     """,
+    extended=True,
 )
 def a14_local_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A14 relational core: local extrema counts per series (sis_ai.h:66-112)."""
@@ -283,7 +293,7 @@ def a14_local_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a14_turning_points", oracle=None)
+@query("a14_turning_points", oracle=None, extended=True)
 def a14_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A14 full stateful turning-point scan (sis_ai.h:66-112) — per-key
     Arrow-batched applyInPandas; rows-only check (non-SQL-expressible)."""
@@ -291,7 +301,7 @@ def a14_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return series.turning_points_pandas(ev, ["event_type"], "ts", "value", 0.05)
 
 
-@query("a8_polyfit", oracle=None)
+@query("a8_polyfit", oracle=None, extended=True)
 def a8_polyfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: degree-2 polyfit of value over time per series (sis_ai.h:131-133)
     via numpy in applyInPandas; rows-only check."""
@@ -351,6 +361,7 @@ def w1_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events WHERE user_id < 30
     GROUP BY user_id
     """,
+    extended=True,
 )
 def a12_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12-family: exponentially-weighted moving average per key (α=0.1) —
@@ -390,6 +401,7 @@ def a12_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_days
     FROM s
     """,
+    extended=True,
 )
 def a6_directional_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 directional correlation (sis_ai_corr.h:15-25): correlate the

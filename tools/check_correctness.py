@@ -53,6 +53,7 @@ def main() -> int:
     import duckdb
 
     from __spark_entry__ import oracle_sql, queries
+    from ago_sisdb_spark.inventory import extended_oracles, extended_queries
     from ago_sisdb_spark.session import get_spark
 
     prefixes = sys.argv[1:]
@@ -65,7 +66,11 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
 
+    # driver-facing entries first, then the fine-grained extended registry
+    # (kept for localization — the driver only sees the first group)
     qs, oracles = queries(), oracle_sql()
+    qs.update(extended_queries())
+    oracles.update(extended_oracles())
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in sorted(qs.items()):
         if prefixes and not any(name.startswith(p) for p in prefixes):

@@ -31,7 +31,12 @@ MAP = {
 def main() -> int:
     import duckdb
 
-    from ago_sisdb_spark.inventory import all_oracles, all_queries
+    from ago_sisdb_spark.inventory import (
+        all_oracles,
+        all_queries,
+        extended_oracles,
+        extended_queries,
+    )
     from ago_sisdb_spark.session import get_spark
 
     spark = get_spark()
@@ -39,6 +44,8 @@ def main() -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     qs, oracles = all_queries(), all_oracles()
+    qs.update(extended_queries())
+    oracles.update(extended_oracles())
     bad = 0
     for name, sql in sorted(oracles.items()):
         rel = con.sql(sql)
