@@ -140,6 +140,48 @@ def _minhash_mins(
     )
 
 
+def cap_bucket_fanout(
+    df: DataFrame,
+    bucket_cols: list[str],
+    max_bucket_size: int,
+    log_drops: bool = False,
+    name: str = "lsh",
+) -> DataFrame:
+    """Drop over-full LSH buckets before a self-join emits O(m²) candidates.
+
+    A single degenerate bucket of m members (near-constant docs, zero
+    vectors, boilerplate) emits m(m-1)/2 candidate pairs — at corpus scale
+    one such bucket stalls the whole job.  Same rationale as the
+    ``max_doc_freq`` stop-shingle filter in ``ngram_jaccard_pairs``: members
+    of a bucket that large are not near-dup signal.  The ENTIRE bucket is
+    dropped (keeping a subset would bias which pairs surface).
+
+    Cost: a count window over the bucket keys — the window's hash
+    partitioning is exactly the distribution the downstream self-join
+    requires, so Catalyst adds no extra shuffle for the cap.
+
+    ``log_drops=True`` runs one extra action to count what was dropped and
+    logs it — diagnostics only; leave False in production plans.  Silent
+    truncation would read as "covered everything", so callers that cap
+    should surface the count in their own metrics when it matters.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*bucket_cols)
+    sized = df.withColumn("__bsz", F.count(F.lit(1)).over(w))
+    if log_drops:
+        import logging
+
+        dropped = sized.where(F.col("__bsz") > max_bucket_size)
+        n_rows = dropped.count()
+        n_buckets = dropped.select(*bucket_cols).distinct().count()
+        logging.getLogger(__name__).warning(
+            "%s: dropped %d over-cap buckets (> %d members, %d rows total)",
+            name, n_buckets, max_bucket_size, n_rows,
+        )
+    return sized.where(F.col("__bsz") <= max_bucket_size).drop("__bsz")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -147,12 +189,19 @@ def minhash_lsh_candidates(
     shingle_k: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    max_bucket_size: int = 1000,
+    log_drops: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
     rows_per_band = num_hashes // bands; docs sharing any band bucket become
     a candidate pair.  Returns (id_a, id_b, n_shared_bands); downstream
     verifies with exact Jaccard (``ngram_jaccard_pairs``) on candidates only.
+
+    ``max_bucket_size`` bounds the per-(band, bucket) self-join fan-out
+    (``cap_bucket_fanout``); exact duplicates should be removed by
+    ``exact_dedup_groups`` first — a bucket of 10⁶ byte-identical docs is
+    the exact-dedup operator's job, not LSH's.
     """
     rows = num_hashes // bands
     mins = _minhash_mins(df, id_col, text_col, shingle_k, num_hashes)
@@ -170,6 +219,9 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("band", "bucket"),
+    )
+    banded = cap_bucket_fanout(
+        banded, ["band", "bucket"], max_bucket_size, log_drops, "minhash_lsh"
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -352,6 +404,8 @@ def simhash_neardup_pairs(
     text_col: str,
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket_size: int = 1000,
+    log_drops: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs: 64-bit fingerprints → 16-bit band blocking →
     exact Hamming re-check.
@@ -360,6 +414,10 @@ def simhash_neardup_pairs(
     least one of ``bands`` bands unchanged when d < bands — so blocking on
     exact band match has 100% recall for d ≤ bands-1.  The re-check is
     ``bit_count(xor)`` — one codegen'd instruction pair per candidate.
+
+    ``max_bucket_size`` bounds the per-(band, bucket) fan-out — near-
+    constant documents collapse to a handful of fingerprints and would
+    otherwise emit O(m²) candidates from one bucket (``cap_bucket_fanout``).
     """
     width = 64 // bands
     fp = simhash64(df, id_col, text_col)
@@ -376,6 +434,9 @@ def simhash_neardup_pairs(
                 ]
             )
         ).alias("band", "bucket"),
+    )
+    banded = cap_bucket_fanout(
+        banded, ["band", "bucket"], max_bucket_size, log_drops, "simhash"
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

@@ -167,6 +167,8 @@ def cosine_neardup_lsh(
     bits: int = 8,
     tables: int = 8,
     seed: int = 29,
+    max_bucket_size: int = 1000,
+    log_drops: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs at scale: multi-table hyperplane LSH.
 
@@ -174,9 +176,13 @@ def cosine_neardup_lsh(
     pairs via bucket equi-joins; every candidate is re-checked with the exact
     cosine, so precision is 1.0 and only recall depends on (bits, tables).
     The join key is (table, bucket) — candidate fan-out per bucket is
-    ~n/2^bits per table, never O(n²).
+    ~n/2^bits per table *on average*; ``max_bucket_size`` bounds the
+    degenerate case (e.g. zero/constant vectors all hashing to one bucket
+    → O(m²) pairs) via ``dedup.cap_bucket_fanout``.
     """
     import random
+
+    from ago_sisdb_spark.operators.dedup import cap_bucket_fanout
 
     rnd = random.Random(seed)
     planes = [
@@ -188,6 +194,9 @@ def cosine_neardup_lsh(
     # moves 16-byte pairs, not 2×dim doubles per candidate
     exploded = base.select(
         "id", F.posexplode(_bucket_udf(planes, bits, tables)(F.col("__v"))).alias("table", "bucket")
+    )
+    exploded = cap_bucket_fanout(
+        exploded, ["table", "bucket"], max_bucket_size, log_drops, "cosine_lsh"
     )
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (

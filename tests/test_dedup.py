@@ -95,3 +95,85 @@ def test_simhash_neardup_pairs(spark, corpus):
     assert pairs[(1, 4)] == 0  # identical docs → identical fingerprints
     assert (1, 2) in pairs  # near-dup within hamming budget
     assert all(3 not in p for p in pairs)  # unrelated doc stays out
+
+
+def test_bucket_fanout_cap_bounds_hot_bucket(spark):
+    """Adversarial corpus: many distinct docs that all share the same LSH
+    buckets (near-constant text).  The cap must drop the degenerate bucket
+    entirely; a permissive cap must keep it."""
+    from ago_sisdb_spark.operators import dedup
+
+    # 40 docs, identical but for a trailing id token → same minhash bands
+    # with high probability, and identical simhash bands
+    rows = [(i, "the same boilerplate sentence repeated " * 4) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = dedup.minhash_lsh_candidates(
+        df, "doc_id", "text", shingle_k=3, num_hashes=16, bands=4,
+        max_bucket_size=10, log_drops=True,
+    )
+    assert capped.count() == 0  # whole hot bucket dropped, no O(m²) blow-up
+
+    open_cap = dedup.minhash_lsh_candidates(
+        df, "doc_id", "text", shingle_k=3, num_hashes=16, bands=4,
+        max_bucket_size=1000,
+    )
+    assert open_cap.count() == 40 * 39 // 2  # identical docs all pair up
+
+    sim_capped = dedup.simhash_neardup_pairs(
+        df, "doc_id", "text", max_hamming=6, max_bucket_size=10
+    )
+    assert sim_capped.count() == 0
+    sim_open = dedup.simhash_neardup_pairs(
+        df, "doc_id", "text", max_hamming=6, max_bucket_size=1000
+    )
+    assert sim_open.count() == 40 * 39 // 2
+
+
+def test_bucket_fanout_cap_keeps_normal_buckets(spark):
+    """The cap must not disturb healthy buckets below the threshold."""
+    from ago_sisdb_spark.operators import dedup
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    with_cap = dedup.minhash_lsh_candidates(
+        df, "doc_id", "text", shingle_k=2, num_hashes=16, bands=8,
+        max_bucket_size=5,
+    ).collect()
+    no_cap = dedup.minhash_lsh_candidates(
+        df, "doc_id", "text", shingle_k=2, num_hashes=16, bands=8,
+        max_bucket_size=10**9,
+    ).collect()
+    assert sorted((r.id_a, r.id_b) for r in with_cap) == sorted(
+        (r.id_a, r.id_b) for r in no_cap
+    )
+    assert any(r.id_a == 1 and r.id_b == 2 for r in with_cap)
+
+
+def test_cosine_lsh_bucket_cap(spark):
+    """Degenerate embedding corpus: identical vectors land in one bucket per
+    table; the cap bounds the candidate explosion."""
+    from ago_sisdb_spark.operators import similarity
+
+    dim = 8
+    rows = [(i, [1.0] * dim) for i in range(30)] + [
+        (100 + i, [float(j == i) for j in range(dim)]) for i in range(dim)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    capped = similarity.cosine_neardup_lsh(
+        df, "vec_id", "embedding", threshold=0.9, dim=dim, bits=4, tables=4,
+        max_bucket_size=8, log_drops=True,
+    )
+    got = capped.collect()
+    # the 30 identical vectors' bucket (size 30 > 8) is dropped everywhere
+    assert not any(r.id_a < 100 and r.id_b < 100 for r in got)
+    open_cap = similarity.cosine_neardup_lsh(
+        df, "vec_id", "embedding", threshold=0.9, dim=dim, bits=4, tables=4,
+        max_bucket_size=1000,
+    )
+    pairs = {(r.id_a, r.id_b) for r in open_cap.collect()}
+    assert {(a, b) for a in range(30) for b in range(30) if a < b} <= pairs

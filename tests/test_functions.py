@@ -130,3 +130,37 @@ def test_mathx_helpers():
     assert out[0].d == 3.5 and out[1].d is None
     assert out[0].fl == 3.14 and out[0].ce == 3.15
     assert out[0].z == 1000.0
+
+
+def test_enrich_appends_fetcher_columns(spark):
+    """U4 enrichment bridge: mapInPandas stage appends the fetcher's columns
+    batch-wise; the deterministic stub mirrors the oracle arithmetic."""
+    from ago_sisdb_spark.functions.enrich import enrich, stub_score_fetcher
+
+    df = spark.createDataFrame([(i,) for i in range(50)], ["k"])
+    out = enrich(df, stub_score_fetcher("k"), "score double, tier string")
+    assert out.columns == ["k", "score", "tier"]
+    rows = {r.k: r for r in out.collect()}
+    assert len(rows) == 50
+    for k, r in rows.items():
+        expect = ((k * 2654435761) % 1000003) / 1000003.0
+        assert abs(r.score - expect) < 1e-12
+        assert r.tier == ("hot" if expect >= 0.66 else "warm" if expect >= 0.33 else "cold")
+
+
+def test_enrich_null_safe_fetcher(spark):
+    """A failing key must not fail the job: the fetcher contract is to
+    return null cells, mirroring the media-stub null-safety rule."""
+    import pandas as pd
+
+    from ago_sisdb_spark.functions.enrich import enrich
+
+    def flaky(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # simulate per-key fetch errors as null cells
+        vals = [None if k % 2 else float(k) for k in pdf["k"]]
+        return pd.DataFrame({"score": pd.array(vals, dtype="float64")})
+
+    df = spark.createDataFrame([(i,) for i in range(10)], ["k"])
+    out = enrich(df, flaky, "score double").collect()
+    assert len(out) == 10
+    assert sum(1 for r in out if r.score is None) == 5
