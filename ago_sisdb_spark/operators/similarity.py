@@ -218,6 +218,79 @@ def cosine_neardup_lsh(
     ).where(F.col("cosine") >= threshold)
 
 
+def train_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    iters: int = 3,
+) -> DataFrame:
+    """Spherical k-means (Lloyd) centroid training in pure DataFrame ops.
+
+    Seeds with the ``n_centroids`` lowest-id vectors (deterministic), then
+    ``iters`` rounds of assign + update:
+
+    - assign: broadcast the tiny centroid set, ``min_by`` on -cosine — one
+      corpus pass, no shuffle of vectors;
+    - update: elementwise mean per list via posexplode → groupBy(list, pos)
+      avg.  The avg partial-aggregates map-side, so the shuffle carries only
+      ~partitions × k × dim rows regardless of corpus size — the same
+      pattern MLlib's KMeans uses;
+    - the k×dim result is collected to the driver between rounds (like
+      MLlib) — centroids are O(k·dim) doubles, not data-scale.
+
+    Empty clusters keep their previous centroid.  Returns
+    (centroid_id, __cent) ready for ``ivf_topk``'s broadcast side.
+    """
+    seeds = (
+        corpus.orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cent"))
+        .collect()
+    )
+    spark = corpus.sparkSession
+    cents = {int(r["centroid_id"]): [float(x) for x in r["__cent"]] for r in seeds}
+
+    def cent_df():
+        return spark.createDataFrame(
+            [(cid, vec) for cid, vec in sorted(cents.items())],
+            "centroid_id bigint, __cent array<double>",
+        )
+
+    base = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    for _ in range(iters):
+        assigned = (
+            base.crossJoin(F.broadcast(cent_df()))
+            .groupBy("__id")
+            .agg(
+                F.min_by(
+                    F.struct(
+                        F.col("centroid_id").alias("list_id"),
+                        F.col("__v").alias("vec"),
+                    ),
+                    -cosine(F.col("__v"), F.col("__cent")),
+                ).alias("__a")
+            )
+            .select(F.col("__a.list_id").alias("list_id"), F.col("__a.vec").alias("vec"))
+        )
+        means = (
+            assigned.select("list_id", F.posexplode("vec").alias("pos", "val"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("val").alias("val"))
+            .groupBy("list_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                    lambda s: s["val"],
+                ).alias("vec")
+            )
+            .collect()
+        )
+        for r in means:  # empty clusters keep their previous centroid
+            cents[int(r.list_id)] = [float(x) for x in r.vec]
+    return cent_df()
+
+
 def ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -227,23 +300,29 @@ def ivf_topk(
     k: int,
     n_centroids: int = 16,
     nprobe: int = 4,
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into centroid lists, search only
     the ``nprobe`` nearest lists per probe.
 
-    Deterministic training-free centroids: the ``n_centroids`` lowest-id
-    vectors seed the lists (a k-means job would refine them offline; the
-    query-side plan is identical).  Assignment is a broadcast join of the
-    (tiny) centroid set against the corpus + ``min_by`` — one pass, no
-    shuffle of vectors beyond the final per-probe top-k.
+    ``train_iters=0`` uses deterministic training-free centroids (the
+    ``n_centroids`` lowest-id vectors seed the lists); ``train_iters>0``
+    refines them with that many Lloyd rounds (``train_centroids`` —
+    spherical k-means in DataFrame ops).  The query-side plan is identical
+    either way: assignment is a broadcast join of the (tiny) centroid set
+    against the corpus + ``min_by`` — one pass, no shuffle of vectors
+    beyond the final per-probe top-k.
     """
-    cent = (
-        corpus.orderBy(F.col(id_col))
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cent")
+    if train_iters > 0:
+        cent = train_centroids(corpus, id_col, vec_col, n_centroids, train_iters)
+    else:
+        cent = (
+            corpus.orderBy(F.col(id_col))
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cent")
+            )
         )
-    )
     assigned = (
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
         .crossJoin(F.broadcast(cent))

@@ -274,15 +274,22 @@ def d4_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("n2_knn_ann", oracle=None)
 def n2_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate kNN scale paths in one matrix: hyperplane-LSH bucketed
-    top-5 (training-free) and IVF nprobe-bounded top-5 (trained index) for
-    probes 0-4.  Rows-only (approximate by design); recall vs n1 exact is
-    asserted in tests/test_similarity.py."""
+    top-5 (training-free) and IVF nprobe-bounded top-5 with Lloyd-trained
+    centroids (operators/similarity.train_centroids — spherical k-means in
+    DataFrame ops) for probes 0-4.  Rows-only (approximate by design);
+    recall vs n1 exact and trained-vs-seeded recall are asserted in
+    tests/test_similarity.py."""
+    from ago_sisdb_spark.operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
     lsh = _pipe.n2_knn_lsh(spark, sf_dir).select(
         F.lit("lsh").alias("method"), "probe_id", "neighbor_id", "score"
     )
-    ivf = _pipe.n4_knn_ivf(spark, sf_dir).select(
-        F.lit("ivf").alias("method"), "probe_id", "neighbor_id", "score"
-    )
+    ivf = similarity.ivf_topk(
+        emb, probes, "vec_id", "embedding", "vec_id", k=5,
+        n_centroids=16, nprobe=4, train_iters=2,
+    ).select(F.lit("ivf").alias("method"), "probe_id", "neighbor_id", "score")
     return lsh.unionByName(ivf)
 
 

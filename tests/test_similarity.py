@@ -94,3 +94,60 @@ def test_lsh_topk_same_bucket_recall(spark, emb):
     )
     per_probe = {r.probe_id for r in out.collect()}
     assert len(per_probe) >= 5  # 4-bit buckets: most probes find neighbors
+
+
+def test_trained_centroids_recall_at_least_seeded(spark):
+    """On a clustered corpus with pathological seeds (all lowest-id vectors
+    in ONE cluster), Lloyd training must spread the centroids and beat the
+    seeded recall at the same nprobe."""
+    import random
+
+    rnd = random.Random(5)
+    dim, per = 8, 40
+    centers = [[80.0 * (j == c) for j in range(dim)] for c in range(4)]
+    rows = []
+    # ids 0..39 all in cluster 0 → the 8 lowest-id seeds are degenerate
+    for c in range(4):
+        for i in range(per):
+            # cluster 0 nearly point-like → the 8 lowest-id seeds are
+            # near-identical, scattering every other cluster across lists
+            sigma = 0.01 if c == 0 else 4.0
+            vec = [centers[c][j] + rnd.gauss(0, sigma) for j in range(dim)]
+            rows.append((c * per + i, vec))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>").cache()
+    probes = df.where(F.col("vec_id").isin([10, 50, 90, 130]))
+    exact = similarity.brute_force_topk(
+        df, probes, "vec_id", "embedding", "vec_id", 5
+    ).collect()
+    truth = {(r.probe_id, r.neighbor_id) for r in exact}
+
+    def recall(train_iters):
+        got = {
+            (r.probe_id, r.neighbor_id)
+            for r in similarity.ivf_topk(
+                df, probes, "vec_id", "embedding", "vec_id", 5,
+                n_centroids=8, nprobe=2, train_iters=train_iters,
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    seeded, trained = recall(0), recall(4)
+    assert trained >= seeded
+    assert trained >= 0.9  # training recovers the cluster structure
+
+
+def test_train_centroids_shape_and_convergence(spark):
+    """Two tight clusters: training must move the (deliberately bad) seeds
+    onto the cluster means."""
+    a = [[10.0, 0.0, 0.0, 0.1 * i] for i in range(8)]
+    b = [[0.0, 10.0, 0.0, 0.1 * i] for i in range(8)]
+    rows = [(i, v) for i, v in enumerate(a + b)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = similarity.train_centroids(
+        df, "vec_id", "embedding", n_centroids=2, iters=4
+    ).collect()
+    assert len(cents) == 2
+    assert all(len(r["__cent"]) == 4 for r in cents)
+    # one centroid per cluster direction
+    dirs = sorted((r["__cent"][0] > r["__cent"][1]) for r in cents)
+    assert dirs == [False, True]
