@@ -107,10 +107,25 @@ def read_dbf_dir(spark: SparkSession, glob_path: str) -> DataFrame:
     return files.select("content").mapInPandas(decode, sample.schema)
 
 
-def write_dbf(df: DataFrame, path: str) -> None:
-    """DataFrame → single DBF file (driver-side; interchange exports are
-    small by design — large exports use parquet/csv sinks)."""
-    rows = df.collect()
+def _field_specs(df: DataFrame) -> list[tuple[str, str, int, int]]:
+    """Derive the DBF field table from the schema.  C-column widths come
+    from ONE aggregate job (max string length per column) — never a
+    driver-side scan of the data."""
+    from pyspark.sql import functions as F
+
+    text_cols = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.simpleString()
+        not in ("int", "bigint", "smallint", "tinyint", "double", "float", "date", "boolean")
+        and not f.dataType.simpleString().startswith("decimal")
+    ]
+    widths: dict[str, int] = {}
+    if text_cols:
+        row = df.agg(
+            *[F.max(F.length(F.col(c).cast("string"))).alias(c) for c in text_cols]
+        ).collect()[0]
+        widths = {c: row[c] or 1 for c in text_cols}
     fields = []
     for f in df.schema.fields:
         t = f.dataType.simpleString()
@@ -123,47 +138,78 @@ def write_dbf(df: DataFrame, path: str) -> None:
         elif t == "boolean":
             fields.append((f.name[:10], "L", 1, 0))
         else:
-            width = max([len(str(r[f.name])) for r in rows if r[f.name] is not None] or [1])
-            fields.append((f.name[:10], "C", min(max(width, 1), 254), 0))
+            fields.append((f.name[:10], "C", min(max(widths.get(f.name, 1), 1), 254), 0))
+    return fields
 
+
+def _record_encoder(fields, colnames):
+    """Per-Arrow-batch record encoder (runs on executors via mapInPandas):
+    each batch → one (chunk bytes, n rows) row."""
+    import pandas as pd
+
+    def encode(batches):
+        for pdf in batches:
+            out = io.BytesIO()
+            n = 0
+            for row in pdf[colnames].itertuples(index=False):
+                out.write(b" ")
+                for (name, ftype, flen, fdec), v in zip(fields, row):
+                    if v is None or (isinstance(v, float) and pd.isna(v)) or pd.isna(v):
+                        s = ""
+                    elif ftype == "D":
+                        s = v.strftime("%Y%m%d")
+                    elif ftype == "N" and fdec:
+                        s = f"{float(v):.{fdec}f}"
+                    elif ftype == "N":
+                        s = str(int(v))
+                    elif ftype == "L":
+                        s = "T" if v else "F"
+                    else:
+                        s = str(v)
+                    enc = s.encode("ascii", "replace")[:flen]
+                    pad = b" " * (flen - len(enc))
+                    out.write(pad + enc if ftype in ("N", "F") else enc + pad)
+                n += 1
+            yield pd.DataFrame({"chunk": [out.getvalue()], "n": [n]})
+
+    return encode
+
+
+def write_dbf(df: DataFrame, path: str) -> None:
+    """DataFrame → single DBF file with executor-side encoding.
+
+    Records are encoded to fixed-width bytes per Arrow batch ON EXECUTORS
+    (mapInPandas); the driver only streams the encoded chunks to the output
+    file via ``toLocalIterator`` — one partition in memory at a time, never
+    the full row set — then patches the record count into the header.
+    (DBF is a single-file interchange format, so the final byte stream must
+    pass through one writer; the bound is driver *memory*, not file size.)
+    """
+    fields = _field_specs(df)
+    colnames = [f.name for f in df.schema.fields]
     record_len = 1 + sum(fl for _, _, fl, _ in fields)
     header_len = 32 + 32 * len(fields) + 1
-    buf = io.BytesIO()
     now = datetime.now()
-    buf.write(
-        struct.pack(
-            "<BBBBIHH20x",
-            0x03,
-            now.year % 100,
-            now.month,
-            now.day,
-            len(rows),
-            header_len,
-            record_len,
-        )
-    )
-    for name, ftype, flen, fdec in fields:
-        buf.write(
-            _FIELD_DESC.pack(name.encode("ascii")[:11], ftype.encode(), flen, fdec)
-        )
-    buf.write(b"\x0d")
-    for r in rows:
-        buf.write(b" ")
-        for (name, ftype, flen, fdec), f in zip(fields, df.schema.fields):
-            v = r[f.name]
-            if v is None:
-                s = ""
-            elif ftype == "D":
-                s = v.strftime("%Y%m%d")
-            elif ftype == "N" and fdec:
-                s = f"{float(v):.{fdec}f}"
-            elif ftype == "L":
-                s = "T" if v else "F"
-            else:
-                s = str(v)
-            enc = s.encode("ascii", "replace")[:flen]
-            pad = b" " * (flen - len(enc))
-            buf.write(pad + enc if ftype in ("N", "F") else enc + pad)
-    buf.write(b"\x1a")
+
+    chunks = df.mapInPandas(_record_encoder(fields, colnames), "chunk binary, n long")
+    total = 0
     with open(path, "wb") as f:
-        f.write(buf.getvalue())
+        f.write(
+            struct.pack(
+                "<BBBBIHH20x",
+                0x03, now.year % 100, now.month, now.day,
+                0,  # record count patched below
+                header_len, record_len,
+            )
+        )
+        for name, ftype, flen, fdec in fields:
+            f.write(
+                _FIELD_DESC.pack(name.encode("ascii")[:11], ftype.encode(), flen, fdec)
+            )
+        f.write(b"\x0d")
+        for row in chunks.toLocalIterator():
+            f.write(bytes(row["chunk"]))
+            total += row["n"]
+        f.write(b"\x1a")
+        f.seek(4)
+        f.write(struct.pack("<I", total))

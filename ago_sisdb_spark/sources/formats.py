@@ -44,17 +44,57 @@ def from_json_records(
     return spark.createDataFrame(rows, schema)
 
 
-def render(df: DataFrame, fmt: str = "json", limit: int | None = None) -> bytes:
-    """S10: render a (small) result set to one of the reference's formats.
+class RenderLimitError(RuntimeError):
+    """Raised when a render() target exceeds ``max_rows`` — the driver-side
+    formats are for API responses, not bulk export.  Use ``write_csv`` /
+    ``df.write.parquet`` (distributed sinks) for large results."""
+
+
+def _arrow_ipc(df: DataFrame, compression: str | None) -> bytes:
+    import io
+
+    import pyarrow as pa
+
+    table = pa.Table.from_pandas(df.toPandas(), preserve_index=False)
+    sink = io.BytesIO()
+    opts = pa.ipc.IpcWriteOptions(compression=compression)
+    with pa.ipc.new_stream(sink, table.schema, options=opts) as w:
+        w.write_table(table)
+    return sink.getvalue()
+
+
+def render(
+    df: DataFrame,
+    fmt: str = "json",
+    limit: int | None = None,
+    max_rows: int = 100_000,
+) -> bytes:
+    """S10: render a (small) result set to one of the reference's 5 formats
+    (`sis_db.h:20-30`).
 
     - ``json``   : array of objects (the reference's {} rows form)
     - ``array``  : column-name header + row arrays (compact form)
     - ``csv``    : header + comma rows
     - ``struct`` : Arrow IPC stream bytes (the binary-struct analogue —
                    schema-carrying, zero-copy; replaces packed C structs)
+    - ``zip``    : Arrow IPC with zstd body compression — the compressed
+                   bulk-pull form (`workers/sisdb_server/sisdb_incr.h:17-30`
+                   incr-zip analogue; schema-carrying, seekable by batch)
+
+    ``max_rows`` is the scale guard: rendering collects to the driver, so a
+    result larger than the cap raises ``RenderLimitError`` BEFORE any full
+    collect (the probe scans at most max_rows+1 rows thanks to the limit
+    pushdown).  Large exports belong in the distributed sinks
+    (``write_csv``, ``df.write.parquet``) — mirroring the reference's own
+    64 KB-reply-then-async rule (`workers/sisdb/sisdb.h:73`).
     """
     if limit is not None:
         df = df.limit(limit)
+    if max_rows is not None and df.limit(max_rows + 1).count() > max_rows:
+        raise RenderLimitError(
+            f"render({fmt!r}) over {max_rows} rows — use write_csv/parquet "
+            "sinks for bulk export, or pass limit="
+        )
     if fmt == "json":
         rows = df.toJSON().collect()
         return ("[" + ",".join(rows) + "]").encode()
@@ -69,16 +109,23 @@ def render(df: DataFrame, fmt: str = "json", limit: int | None = None) -> bytes:
             out.append(",".join("" if v is None else str(v) for v in r))
         return ("\n".join(out) + "\n").encode()
     if fmt == "struct":
+        return _arrow_ipc(df, compression=None)
+    if fmt == "zip":
+        return _arrow_ipc(df, compression="zstd")
+    raise ValueError(f"unknown format: {fmt!r} (json|array|csv|struct|zip)")
+
+
+def parse_render(data: bytes, fmt: str):
+    """Inverse of ``render`` for the binary formats → pyarrow Table
+    (client-side decode; compression is transparent in the IPC stream)."""
+    if fmt in ("struct", "zip"):
         import io
 
         import pyarrow as pa
 
-        table = pa.Table.from_pandas(df.toPandas(), preserve_index=False)
-        sink = io.BytesIO()
-        with pa.ipc.new_stream(sink, table.schema) as w:
-            w.write_table(table)
-        return sink.getvalue()
-    raise ValueError(f"unknown format: {fmt!r} (json|array|csv|struct)")
+        with pa.ipc.open_stream(io.BytesIO(data)) as r:
+            return r.read_all()
+    raise ValueError(f"parse_render supports struct|zip, got {fmt!r}")
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:

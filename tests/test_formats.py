@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import json
 
+from pyspark.sql import functions as F
+
 from ago_sisdb_spark.sources.dbf import read_dbf, write_dbf
 from ago_sisdb_spark.sources.formats import from_json_records, render
 
@@ -80,3 +82,55 @@ def test_read_dbf_dir_distributed(spark, tmp_path):
     out = read_dbf_dir(spark, str(tmp_path / "*.dbf"))
     rows = sorted((r.sym, r.qty) for r in out.collect())
     assert rows == [("SH600600", 1), ("SZ300750", 2)]
+
+
+def test_render_zip_roundtrip(spark):
+    """S10 5th format: Arrow IPC + zstd round-trips schema and values and
+    compresses repetitive data."""
+    from ago_sisdb_spark.sources.formats import parse_render, render
+
+    df = spark.createDataFrame(
+        [(i, "the same repetitive payload " * 4, float(i)) for i in range(500)],
+        "id bigint, body string, x double",
+    )
+    z = render(df, "zip")
+    s = render(df, "struct")
+    table = parse_render(z, "zip")
+    assert table.num_rows == 500
+    assert table.column_names == ["id", "body", "x"]
+    assert sorted(table.column("id").to_pylist()) == list(range(500))
+    assert parse_render(s, "struct").equals(table)
+    assert len(z) < len(s) / 2  # zstd actually compressed the stream
+
+
+def test_render_guard_blocks_big_results(spark):
+    """Scale guard: the driver-side renderer must refuse oversized results
+    before collecting them; limit= and distributed sinks are the way out."""
+    import pytest
+
+    from ago_sisdb_spark.sources.formats import RenderLimitError, render
+
+    df = spark.range(5000).withColumnRenamed("id", "k")
+    with pytest.raises(RenderLimitError):
+        render(df, "json", max_rows=1000)
+    # explicit limit brings it under the cap
+    out = render(df, "json", limit=10, max_rows=1000)
+    assert len(json.loads(out.decode())) == 10
+
+
+def test_write_dbf_executor_side_large(spark, tmp_path):
+    """The DBF sink encodes on executors and streams chunks — a result
+    bigger than any single Arrow batch round-trips intact."""
+    from ago_sisdb_spark.sources.dbf import read_dbf, write_dbf
+
+    df = spark.range(2000).select(
+        F.col("id").cast("bigint").alias("k"),
+        (F.col("id") * 1.5).alias("x"),
+        F.concat(F.lit("name_"), F.col("id")).alias("nm"),
+    ).repartition(4)
+    path = str(tmp_path / "big.dbf")
+    write_dbf(df, path)
+    back = read_dbf(spark, path)
+    assert back.count() == 2000
+    rows = {r.k: r for r in back.collect()}
+    assert rows[7].nm == "name_7" and abs(rows[7].x - 10.5) < 1e-9
