@@ -70,18 +70,45 @@ def last_record(df: DataFrame, order: list[Column]) -> DataFrame:
 
 
 def offset_shift(
-    df: DataFrame, time_col: str, anchor, offset: int, order: list[Column]
+    df: DataFrame,
+    time_col: str,
+    anchor,
+    offset: int,
+    order: list[Column],
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """P3 ``offset: ±n`` record addressing (`sisdb_fmap.h:156-158`): locate
     the record at/just before ``anchor`` in series order, then step ``offset``
     records (negative = back).
 
-    row_number over the slice + a 1-row anchor aggregate joined back
-    (broadcast) — no driver round-trip.  Intended for single-key slices
-    (the reference semantic); the window is unpartitioned by design.
+    row_number over the slice + an anchor aggregate joined back (broadcast)
+    — no driver round-trip.  For a single-key slice (the reference's
+    per-key read) the window is unpartitioned — fine, the slice is one
+    series.  For a multi-key slice (``gets`` on a ``*`` pattern) pass
+    ``key_cols``: the window partitions per key and each key gets its own
+    anchor, so no single partition ever funnels the whole input
+    (WindowExec's single-partition warning is the 100 TB stall this
+    avoids).
     """
     from pyspark.sql import Window
 
+    if key_cols:
+        w = Window.partitionBy(*key_cols).orderBy(*order)
+        ranked = df.withColumn("__rn", F.row_number().over(w))
+        anchor_rn = (
+            ranked.where(F.col(time_col) <= F.lit(anchor))
+            .groupBy(*key_cols)
+            .agg(F.max("__rn").alias("__arn"))
+        )
+        joined = ranked.alias("r").join(
+            F.broadcast(anchor_rn).alias("a"),
+            [F.col(f"r.{k}").eqNullSafe(F.col(f"a.{k}")) for k in key_cols],
+        )
+        return (
+            joined.where(F.col("r.__rn") == F.col("a.__arn") + offset)
+            .select("r.*")
+            .drop("__rn")
+        )
     w = Window.orderBy(*order)
     ranked = df.withColumn("__rn", F.row_number().over(w))
     anchor_rn = ranked.where(F.col(time_col) <= F.lit(anchor)).agg(

@@ -106,7 +106,7 @@ class Engine:
         in series order.  ``fmt`` renders to json/array/csv/struct bytes;
         None returns the DataFrame (the composable form).
         """
-        df, spec, _ = self._resolve(key_sdb)
+        df, spec, key = self._resolve(key_sdb)
         order = self._order(spec)
 
         if where is not None:
@@ -114,7 +114,14 @@ class Engine:
 
             df = df.where(compile_search(where))
         if offset is not None and start is not None:
-            df = rangescan.offset_shift(df, spec.time_col, start, offset, order)
+            # multi-key slice (empty/*/glob/comma fan-out) → per-key window
+            # partitions + per-key anchors; a single exact key keeps the
+            # reference's one-series unpartitioned form
+            fan_out = (not key) or key == "*" or any(c in key for c in "*?[,")
+            df = rangescan.offset_shift(
+                df, spec.time_col, start, offset, order,
+                key_cols=[spec.key_col] if fan_out else None,
+            )
         elif ifprev and start is not None:
             df = rangescan.ifprev_day_scan(df, spec.time_col, start)
         else:

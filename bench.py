@@ -37,18 +37,30 @@ HEADLINE = [
     "s2_time_range_scan",     # pruned range scan
 ]
 
+# Secondary set (BASELINE.md's second table, tracked round-over-round):
+# approximate / pandas-UDF paths whose cost profile differs from the
+# expression-only headline queries.  Not part of "value" (headline total
+# stays comparable across rounds); reported under "secondary".
+SECONDARY = [
+    "d6_embedding_neardup_lsh",
+    "n4_knn_ivf",
+    "a14_turning_points",
+    "a8_polyfit",
+    "m2_multimodal_features",
+]
+
 RUNS = 3
 
 
 def main() -> None:
-    from ago_sisdb_spark.inventory import all_queries
+    from ago_sisdb_spark.inventory import all_queries, extended_queries
     from ago_sisdb_spark.session import get_spark
 
     spark = get_spark(app_name="ago_sisdb_bench")
     queries = all_queries()
+    queries.update(extended_queries())
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
+    def median_time(name: str) -> float:
         fn = queries[name]
         fn(spark, SF_DIR).collect()  # warm-up (codegen + file listing)
         samples = []
@@ -56,7 +68,10 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).collect()
             samples.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(samples), 4)
+        return round(statistics.median(samples), 4)
+
+    timings = {name: median_time(name) for name in HEADLINE}
+    secondary = {name: median_time(name) for name in SECONDARY}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -64,6 +79,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "secondary": secondary,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

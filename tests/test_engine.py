@@ -250,3 +250,11 @@ def test_get_all_render_formats(eng):
     s = eng.get("*.events", fields="event_id,value", count=2, fmt="struct")
     t = pa.ipc.open_stream(io.BytesIO(s)).read_all()
     assert t.num_rows == 2 and t.schema.names == ["event_id", "value"]
+
+
+def test_get_offset_multikey_fanout(eng):
+    """offset on a fan-out key pattern must return one shifted record PER
+    KEY (per-key window partitions — no single-partition global window)."""
+    rows = eng.get("*.events", start="2024-01-10 00:00:00", offset=-1).collect()
+    keys = [r.user_id for r in rows]
+    assert len(keys) == len(set(keys)) and len(keys) > 1
