@@ -1,0 +1,110 @@
+"""Training-data preparation operators (SURVEY §2.11 extension — the ops a
+large-scale LLM data pipeline runs between dedup and the trainer; no
+reference analogue, included under the 100 TB pipeline mandate).
+
+- decontaminate: benchmark/test-set leakage scan — train docs sharing any
+  word k-gram with an eval set.  Shingle equi-join (the d2 pattern): only
+  docs sharing a shingle ever meet, never O(train × eval); the stop-shingle
+  cap bounds boilerplate fan-out.
+- pack_sequences: contiguous context-window packing — deterministic binning
+  of docs into fixed token budgets.  Packing is inherently sequential, so
+  it runs per SHARD (hash of the id): the running-sum window partitions by
+  shard — no single-partition global window, bins are reproducible at any
+  parallelism.
+- quality_sample: temperature-style sampling — per-quality-bucket keep
+  rates applied via a deterministic Knuth-hash gate, so the sample is
+  reproducible (no RNG state) and pushes down as a plain filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ago_sisdb_spark.operators.dedup import shingle_rows
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """(train_id, n_shared_shingles): train docs overlapping the eval set.
+
+    Both sides shingle to (doc, shingle) rows; the equi-join on the shingle
+    string is the only pairing mechanism — shuffle keys are shingles, so
+    cost scales with shared-shingle count, not |train|×|eval|.
+    ``max_doc_freq`` (train-side document frequency) drops boilerplate
+    shingles exactly like ``ngram_jaccard_pairs`` does.
+    """
+    tr = shingle_rows(train, id_col, text_col, ngram).distinct()
+    ev = shingle_rows(eval_df, id_col, text_col, ngram).distinct()
+    if max_doc_freq is not None:
+        freq = tr.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        keep = freq.where(F.col("__df") <= max_doc_freq).select("shingle")
+        tr = tr.join(keep, "shingle")
+    hits = tr.alias("t").join(
+        ev.select("shingle").distinct().alias("e"), "shingle"
+    )
+    return (
+        hits.groupBy(F.col("t.doc").alias("train_id"))
+        .agg(F.countDistinct("shingle").alias("n_shared_shingles"))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col,
+    window_tokens: int = 2048,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Assign each doc a (shard, bin) context-window slot; returns the input
+    plus ``shard``, ``bin``, ``tokens`` columns.
+
+    Contiguous greedy packing in id order *within a shard*: bin of a doc =
+    floor(tokens_before_it_in_shard / window_tokens).  The running sum is a
+    window partitioned by shard — at 1000 executors each shard packs
+    independently; no global sort, no driver loop.  Deterministic: same
+    data → same bins at any parallelism.
+    """
+    from pyspark.sql import Window
+
+    tokens = token_count_col if not isinstance(token_count_col, str) else F.col(
+        token_count_col
+    )
+    shard = F.pmod(F.col(id_col), F.lit(n_shards))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = df.withColumn("shard", shard.cast("bigint")).withColumn(
+        "tokens", tokens.cast("bigint")
+    )
+    cum_before = F.coalesce(F.sum("tokens").over(w), F.lit(0))
+    return out.withColumn(
+        "bin", F.floor(cum_before / window_tokens).cast("bigint")
+    )
+
+
+def quality_sample(
+    df: DataFrame,
+    id_col: str,
+    bucket_col,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row with its bucket's probability, decided by a
+    deterministic hash of the id (Knuth multiplicative, mod 1e6) — the
+    reproducible form of temperature sampling: same corpus → same sample,
+    resumable, and the gate is a plain pushed-down filter."""
+    bucket = bucket_col if not isinstance(bucket_col, str) else F.col(bucket_col)
+    gate = (F.col(id_col) * F.lit(2654435761)) % F.lit(1000003)
+    rate = F.lit(default_rate)
+    for name, r in rates.items():
+        rate = F.when(bucket == name, F.lit(r)).otherwise(rate)
+    return df.where(gate < rate * 1000003)

@@ -914,3 +914,45 @@ def a8_stateful_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("direction").cast("double").alias("x3"),
     )
     return poly.unionByName(turns)
+
+
+@query(
+    "pipe3_training_prep",
+    oracle=f"""
+    SELECT 'decontam' AS part, CAST(train_id AS VARCHAR) AS key,
+           n_shared_shingles AS n1, CAST(NULL AS BIGINT) AS n2
+    FROM ({_O['pipe3_decontam']})
+    UNION ALL
+    SELECT 'pack', shard || ':' || bin, n_docs, total_tokens
+    FROM ({_O['pipe4_packing']})
+    UNION ALL
+    SELECT 'sample', bucket, n_kept, n_total
+    FROM ({_O['pipe5_sampling']})
+    """,
+)
+def pipe3_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data preparation suite (operators/prep): benchmark
+    decontamination (train docs sharing word 3-grams with the held-out
+    doc_id%97 eval slice — shingle equi-join, never |train|x|eval|),
+    contiguous context-window packing (512-token bins, running-sum window
+    per shard — no global sort), and reproducible quality-temperature
+    sampling (deterministic hash gate per bucket)."""
+    dec = _pipe.pipe3_decontam(spark, sf_dir).select(
+        F.lit("decontam").alias("part"),
+        F.col("train_id").cast("string").alias("key"),
+        F.col("n_shared_shingles").alias("n1"),
+        _L().alias("n2"),
+    )
+    pack = _pipe.pipe4_packing(spark, sf_dir).select(
+        F.lit("pack").alias("part"),
+        F.concat_ws(":", "shard", "bin").alias("key"),
+        F.col("n_docs").alias("n1"),
+        F.col("total_tokens").alias("n2"),
+    )
+    samp = _pipe.pipe5_sampling(spark, sf_dir).select(
+        F.lit("sample").alias("part"),
+        F.col("bucket").alias("key"),
+        F.col("n_kept").alias("n1"),
+        F.col("n_total").alias("n2"),
+    )
+    return dec.unionByName(pack).unionByName(samp)

@@ -529,3 +529,121 @@ def d7_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup.py on a controlled corpus."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=6)
+
+
+_SH3 = """list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+            i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                 || ' ' || string_split(text,' ')[i+2])"""
+
+
+@query(
+    "pipe3_decontam",
+    oracle=f"""
+    WITH tr AS (
+        SELECT DISTINCT doc_id AS doc, unnest(list_distinct({_SH3})) AS shingle
+        FROM documents
+        WHERE doc_id % 97 != 0 AND len(string_split(trim(text), ' ')) >= 3),
+    ev AS (
+        SELECT DISTINCT unnest(list_distinct({_SH3})) AS shingle
+        FROM documents
+        WHERE doc_id % 97 = 0 AND len(string_split(trim(text), ' ')) >= 3)
+    SELECT tr.doc AS train_id, count(DISTINCT tr.shingle) AS n_shared_shingles
+    FROM tr JOIN ev ON tr.shingle = ev.shingle
+    GROUP BY tr.doc
+    """,
+    extended=True,
+)
+def pipe3_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs sharing any word 3-gram with
+    the held-out eval slice (doc_id % 97).  Shingle equi-join — shuffle
+    keys are shingles, never |train|x|eval| (operators/prep.decontaminate)."""
+    from ago_sisdb_spark.operators import prep
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
+    )
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    eval_df = docs.where(F.col("doc_id") % 97 == 0)
+    return prep.decontaminate(train, eval_df, "doc_id", "text", ngram=3)
+
+
+@query(
+    "pipe4_packing",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, len(string_split(trim(text), ' ')) AS tokens,
+               doc_id % 8 AS shard
+        FROM documents),
+    c AS (
+        SELECT shard, doc_id, tokens,
+               coalesce(sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        FROM t)
+    SELECT shard, CAST(floor(cum / 512) AS BIGINT) AS bin,
+           count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS total_tokens
+    FROM c GROUP BY 1, 2
+    """,
+    extended=True,
+)
+def pipe4_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window sequence packing: contiguous 512-token bins per shard
+    (operators/prep.pack_sequences — running-sum window partitioned by
+    shard, no global sort).  Reports per-(shard, bin) fill."""
+    from ago_sisdb_spark.operators import prep, text
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = prep.pack_sequences(
+        docs.select("doc_id", text.token_count(F.col("text")).alias("tokens")),
+        "doc_id", "tokens", window_tokens=512, n_shards=8,
+    )
+    return packed.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("tokens").alias("total_tokens")
+    )
+
+
+@query(
+    "pipe5_sampling",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               CASE WHEN n_chars >= 400 THEN 'high'
+                    WHEN n_chars >= 200 THEN 'mid' ELSE 'low' END AS bucket
+        FROM documents),
+    gated AS (
+        SELECT bucket,
+               CAST((doc_id * 2654435761) % 1000003 <
+                    CASE bucket WHEN 'high' THEN 1.0
+                                WHEN 'mid' THEN 0.5 ELSE 0.1 END * 1000003
+                    AS INTEGER) AS kept
+        FROM b)
+    SELECT bucket, CAST(sum(kept) AS BIGINT) AS n_kept, count(*) AS n_total
+    FROM gated GROUP BY bucket
+    """,
+    extended=True,
+)
+def pipe5_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-temperature sampling: per-bucket keep rates (high 100% /
+    mid 50% / low 10%) through the deterministic hash gate
+    (operators/prep.quality_sample) — reproducible, filter-pushdown."""
+    from ago_sisdb_spark.operators import prep
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.when(F.col("n_chars") >= 400, "high")
+        .when(F.col("n_chars") >= 200, "mid")
+        .otherwise("low")
+    )
+    bucketed = docs.select("doc_id", bucket.alias("bucket"))
+    kept = prep.quality_sample(
+        bucketed, "doc_id", "bucket", {"high": 1.0, "mid": 0.5, "low": 0.1}
+    )
+    totals = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_total"))
+    kept_n = kept.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        totals.join(kept_n, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            "n_total",
+        )
+    )
