@@ -61,3 +61,19 @@ def test_extended_query_executes(name, spark, sf_small):
     df = EXT_QUERIES[name](spark, sf_small)
     assert df.columns, f"{name}: no columns"
     assert df.count() >= 0
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_driver_result_has_no_complex_columns(name, spark, sf_small):
+    """r1 regression guard: the driver's value-hasher crashes on Python
+    lists — no array/map/struct column may appear in a driver-facing
+    result (serialize or project scalars instead)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = QUERIES[name](spark, sf_small)
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, f"{name}: complex-typed driver columns {bad}"
