@@ -177,3 +177,65 @@ def test_cosine_lsh_bucket_cap(spark):
     )
     pairs = {(r.id_a, r.id_b) for r in open_cap.collect()}
     assert {(a, b) for a in range(30) for b in range(30) if a < b} <= pairs
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing contract: bins fill contiguously per shard — every doc
+    lands in exactly one bin, bin token totals stay within window+max_doc,
+    and bin ids are dense from 0 per shard."""
+    from ago_sisdb_spark.operators import prep
+
+    rows = [(i, 10 + (i * 37) % 90) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id bigint, tokens bigint")
+    packed = prep.pack_sequences(df, "doc_id", "tokens", window_tokens=256, n_shards=4)
+    got = packed.collect()
+    assert len(got) == 500  # every doc assigned exactly once
+    per_bin = {}
+    for r in got:
+        per_bin.setdefault((r.shard, r.bin), []).append(r.tokens)
+    max_doc = max(t for _, t in rows)
+    for (shard, b), toks in per_bin.items():
+        assert sum(toks) <= 256 + max_doc  # only the overflow doc crosses
+    bins_by_shard = {}
+    for shard, b in per_bin:
+        bins_by_shard.setdefault(shard, set()).add(b)
+    for shard, bins in bins_by_shard.items():
+        assert bins == set(range(len(bins)))  # dense from 0
+
+
+def test_quality_sample_deterministic_and_rates(spark):
+    """Sampling contract: reproducible (same input → same rows) and the
+    realized rate tracks the configured rate per bucket."""
+    from ago_sisdb_spark.operators import prep
+
+    rows = [(i, "a" if i % 2 else "b") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, bucket string")
+    kept1 = {r.doc_id for r in prep.quality_sample(df, "doc_id", "bucket", {"a": 0.3, "b": 0.8}).collect()}
+    kept2 = {r.doc_id for r in prep.quality_sample(df, "doc_id", "bucket", {"a": 0.3, "b": 0.8}).collect()}
+    assert kept1 == kept2
+    n_a = sum(1 for k in kept1 if k % 2)
+    n_b = sum(1 for k in kept1 if not k % 2)
+    assert abs(n_a / 2000 - 0.3) < 0.05
+    assert abs(n_b / 2000 - 0.8) < 0.05
+
+
+def test_decontaminate_finds_planted_overlap(spark):
+    """A train doc sharing a 3-gram with the eval set is reported; clean
+    docs are not."""
+    from ago_sisdb_spark.operators import prep
+
+    train = spark.createDataFrame(
+        [
+            (1, "the secret benchmark passage lives here today"),
+            (2, "completely unrelated text about other topics entirely"),
+        ],
+        "doc_id bigint, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "we quote the secret benchmark passage verbatim")],
+        "doc_id bigint, text string",
+    )
+    got = {r.train_id: r.n_shared_shingles for r in
+           prep.decontaminate(train, eval_df, "doc_id", "text", ngram=3).collect()}
+    assert 1 in got and got[1] >= 2  # "the secret benchmark", "secret benchmark passage"
+    assert 2 not in got

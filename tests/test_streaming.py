@@ -408,3 +408,37 @@ def test_stream_stream_interval_join(spark, tmp_path):
         "2024-01-01 09:00:00",
         "2024-01-01 09:30:00",
     ]
+
+
+def test_streaming_content_dedup(spark, tmp_path):
+    """LLM ingest-time dedup: byte-identical documents arriving within the
+    watermark collapse to the first copy; distinct bodies pass through."""
+    from ago_sisdb_spark.streaming.dedupe import streaming_content_dedup
+
+    src = str(tmp_path / "docs_stream")
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox", base),
+            (2, "the quick brown fox", base + timedelta(seconds=5)),
+            (3, "a different document", base + timedelta(seconds=10)),
+            (4, "the quick brown fox", base + timedelta(seconds=20)),
+        ],
+        "doc_id bigint, text string, ts timestamp",
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id bigint, text string, ts timestamp").parquet(src)
+    deduped = streaming_content_dedup(stream, "text", "ts", delay="1 minute")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("content_dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    q.stop()
+    rows = spark.sql("select * from content_dedup_test").collect()
+    texts = sorted(r.text for r in rows)
+    assert texts == ["a different document", "the quick brown fox"]
+    assert "__digest" not in spark.sql("select * from content_dedup_test").columns
