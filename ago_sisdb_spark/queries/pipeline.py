@@ -539,10 +539,13 @@ _SH3 = """list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 0) +
 @query(
     "pipe3_decontam",
     oracle=f"""
-    WITH tr AS (
+    WITH tr0 AS (
         SELECT DISTINCT doc_id AS doc, unnest(list_distinct({_SH3})) AS shingle
         FROM documents
         WHERE doc_id % 97 != 0 AND len(string_split(trim(text), ' ')) >= 3),
+    keep AS (
+        SELECT shingle FROM tr0 GROUP BY shingle HAVING count(*) <= 50),
+    tr AS (SELECT tr0.* FROM tr0 JOIN keep USING (shingle)),
     ev AS (
         SELECT DISTINCT unnest(list_distinct({_SH3})) AS shingle
         FROM documents
@@ -556,7 +559,9 @@ _SH3 = """list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 0) +
 def pipe3_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: train docs sharing any word 3-gram with
     the held-out eval slice (doc_id % 97).  Shingle equi-join — shuffle
-    keys are shingles, never |train|x|eval| (operators/prep.decontaminate)."""
+    keys are shingles, never |train|x|eval| — with the stop-shingle cap
+    (train-side doc-freq <= 50) bounding boilerplate fan-out at corpus
+    scale (operators/prep.decontaminate)."""
     from ago_sisdb_spark.operators import prep
 
     docs = _t(spark, sf_dir, "documents").where(
@@ -564,7 +569,9 @@ def pipe3_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = docs.where(F.col("doc_id") % 97 != 0)
     eval_df = docs.where(F.col("doc_id") % 97 == 0)
-    return prep.decontaminate(train, eval_df, "doc_id", "text", ngram=3)
+    return prep.decontaminate(
+        train, eval_df, "doc_id", "text", ngram=3, max_doc_freq=50
+    )
 
 
 @query(
