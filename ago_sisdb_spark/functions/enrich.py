@@ -60,9 +60,11 @@ def stub_score_fetcher(key_col: str) -> Callable[["pd.DataFrame"], "pd.DataFrame
         import numpy as np
 
         k = pdf[key_col].to_numpy(dtype="int64")
-        # raw double — callers round in the plan so Spark and the DuckDB
-        # oracle round the same value exactly once
-        score = ((k * 2654435761) % 1000003) / 1000003.0
+        # mod BEFORE the multiply (int64-safe at any key magnitude — numpy
+        # would wrap silently, the SQL oracle would not); raw double —
+        # callers round in the plan so Spark and the DuckDB oracle round
+        # the same value exactly once
+        score = (((k % 1000003) * 2654435761) % 1000003) / 1000003.0
         tier = np.where(score >= 0.66, "hot", np.where(score >= 0.33, "warm", "cold"))
         return pd.DataFrame({"score": score, "tier": tier})
 

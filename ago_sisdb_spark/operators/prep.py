@@ -103,7 +103,10 @@ def quality_sample(
     reproducible form of temperature sampling: same corpus → same sample,
     resumable, and the gate is a plain pushed-down filter."""
     bucket = bucket_col if not isinstance(bucket_col, str) else F.col(bucket_col)
-    gate = (F.col(id_col) * F.lit(2654435761)) % F.lit(1000003)
+    # mod BEFORE the multiply: id * 2654435761 overflows int64 (ANSI mode
+    # raises) once ids pass ~3.4e9 — real at 100 TB.  (id % p) * a % p is
+    # the same multiplicative hash, kept inside 2^62.
+    gate = (F.pmod(F.col(id_col), F.lit(1000003)) * F.lit(2654435761)) % F.lit(1000003)
     rate = F.lit(default_rate)
     for name, r in rates.items():
         rate = F.when(bucket == name, F.lit(r)).otherwise(rate)

@@ -505,11 +505,11 @@ def f_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ({_O['u5_grouped_agg_udaf']})
     UNION ALL
     SELECT 'enrich', c_custkey,
-           round(((c_custkey * 2654435761) % 1000003) / 1000003.0, 6),
+           round((((c_custkey % 1000003) * 2654435761) % 1000003) / 1000003.0, 6),
            NULL, NULL,
-           CASE WHEN ((c_custkey * 2654435761) % 1000003) / 1000003.0 >= 0.66
+           CASE WHEN (((c_custkey % 1000003) * 2654435761) % 1000003) / 1000003.0 >= 0.66
                 THEN 'hot'
-                WHEN ((c_custkey * 2654435761) % 1000003) / 1000003.0 >= 0.33
+                WHEN (((c_custkey % 1000003) * 2654435761) % 1000003) / 1000003.0 >= 0.33
                 THEN 'warm' ELSE 'cold' END
     FROM customer WHERE c_custkey < 200
     """,

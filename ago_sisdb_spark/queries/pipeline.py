@@ -618,7 +618,7 @@ def pipe4_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents),
     gated AS (
         SELECT bucket,
-               CAST((doc_id * 2654435761) % 1000003 <
+               CAST(((doc_id % 1000003) * 2654435761) % 1000003 <
                     CASE bucket WHEN 'high' THEN 1.0
                                 WHEN 'mid' THEN 0.5 ELSE 0.1 END * 1000003
                     AS INTEGER) AS kept

@@ -143,7 +143,7 @@ def test_enrich_appends_fetcher_columns(spark):
     rows = {r.k: r for r in out.collect()}
     assert len(rows) == 50
     for k, r in rows.items():
-        expect = ((k * 2654435761) % 1000003) / 1000003.0
+        expect = (((k % 1000003) * 2654435761) % 1000003) / 1000003.0
         assert abs(r.score - expect) < 1e-12
         assert r.tier == ("hot" if expect >= 0.66 else "warm" if expect >= 0.33 else "cold")
 
