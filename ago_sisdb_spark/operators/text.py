@@ -87,3 +87,66 @@ def fingerprint(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, t: (acc * 31 + word_code(t)) % F.lit(2147483647).cast("long"),
     )
+
+
+def unigram_logprob(docs, id_col: str, text_col: str, vocab_cap: int = 500_000):
+    """Corpus-statistics quality score: mean log10 unigram frequency of a
+    doc's tokens under the corpus's own unigram distribution (the KenLM-ish
+    stand-in — rare-token-heavy docs score low, natural prose scores high).
+
+    Two-pass relational pipeline: (1) build the unigram table with one
+    explode + groupBy (top ``vocab_cap`` tokens — the long tail carries no
+    signal and bounds the join side); (2) score = explode + join on the
+    token + per-doc average.  The vocabulary join key is the token string;
+    at corpus scale the vocab table is small enough to broadcast.
+    Out-of-vocabulary tokens take the floor probability (1 / corpus size).
+    """
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("tok"))
+        .limit(vocab_cap)
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("n")).select("n")
+    scored = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc",
+            F.log10(F.coalesce(F.col("tf"), F.lit(1)) / F.col("n")).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc").agg(
+        F.avg("lp").alias("mean_logprob"), F.count(F.lit(1)).alias("n_toks")
+    )
+
+
+# PII-ish patterns (training-data scrubbing): email, phone-like digit runs,
+# IPv4.  RE2/Java-regex-portable subset — no backrefs, no lookarounds.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9 ()-]{7,}[0-9]",
+    "ipv4": r"([0-9]{1,3}\.){3}[0-9]{1,3}",
+}
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace email/phone/IPv4-shaped spans with type tags."""
+    out = text
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{name}>")
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-pattern match counts (pre-redaction audit columns)."""
+    return {
+        name: F.size(F.regexp_extract_all(text, F.lit(f"({pat})"), 1))
+        for name, pat in PII_PATTERNS.items()
+    }

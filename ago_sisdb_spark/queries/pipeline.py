@@ -654,3 +654,64 @@ def pipe5_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_total",
         )
     )
+
+
+@query(
+    "t7_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id AS doc,
+               unnest(string_split(lower(trim(text)), ' ')) AS tok
+        FROM documents),
+    vocab AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+    total AS (SELECT count(*) AS n FROM toks)
+    SELECT t.doc AS doc,
+           round(avg(log10(coalesce(v.tf, 1) / total.n)), 6) AS mean_logprob,
+           count(*) AS n_toks
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok, total
+    GROUP BY t.doc
+    """,
+    extended=True,
+)
+def t7_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality score: mean log10 unigram frequency per doc
+    under the corpus's own distribution (operators/text.unigram_logprob —
+    two-pass: explode+groupBy vocabulary, broadcast join scoring)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = text.unigram_logprob(docs, "doc_id", "text")
+    return out.select(
+        "doc", F.round("mean_logprob", 6).alias("mean_logprob"), "n_toks"
+    )
+
+
+@query(
+    "t8_pii_redact",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(text,
+               '\+?[0-9][0-9 ()-]{7,}[0-9]')) AS n_phone,
+           len(regexp_extract_all(text,
+               '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ipv4,
+           length(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+               '\+?[0-9][0-9 ()-]{7,}[0-9]', '<phone>', 'g'),
+               '([0-9]{1,3}\.){3}[0-9]{1,3}', '<ipv4>', 'g')) AS redacted_len
+    FROM documents
+    """,
+    extended=True,
+)
+def t8_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data scrubbing: email/phone/IPv4 span redaction with audit
+    counts (operators/text.redact_pii — portable regex subset, pure
+    expressions, no UDF)."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = text.pii_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        counts["email"].cast("bigint").alias("n_email"),
+        counts["phone"].cast("bigint").alias("n_phone"),
+        counts["ipv4"].cast("bigint").alias("n_ipv4"),
+        F.length(text.redact_pii(F.col("text"))).cast("bigint").alias("redacted_len"),
+    )

@@ -239,3 +239,37 @@ def test_decontaminate_finds_planted_overlap(spark):
            prep.decontaminate(train, eval_df, "doc_id", "text", ngram=3).collect()}
     assert 1 in got and got[1] >= 2  # "the secret benchmark", "secret benchmark passage"
     assert 2 not in got
+
+
+def test_pii_redaction_planted(spark):
+    """Planted email/phone/IP spans are tagged; clean text unchanged."""
+    from ago_sisdb_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@example.co.uk or +1 (555) 123-4567 now"),
+            (2, "server at 192.168.001.12 responded"),
+            (3, "perfectly clean prose with no identifiers"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in df.select(
+        "doc_id", T.redact_pii(F.col("text")).alias("red"),
+        *[v.alias(k) for k, v in T.pii_counts(F.col("text")).items()],
+    ).collect()}
+    assert "<email>" in out[1].red and "<phone>" in out[1].red
+    assert out[1].email == 1 and out[1].phone == 1
+    assert out[2].red == "server at <ipv4> responded" and out[2].ipv4 == 1
+    assert out[3].red == "perfectly clean prose with no identifiers"
+
+
+def test_unigram_logprob_orders_quality(spark):
+    """Docs made of corpus-common tokens outscore rare-token docs."""
+    from ago_sisdb_spark.operators import text as T
+
+    common = "the market opened higher the market closed lower"
+    rows = [(i, common) for i in range(20)] + [(100, "zxqv kjwp qqrst vvbnm")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc: r.mean_logprob for r in
+           T.unigram_logprob(df, "doc_id", "text").collect()}
+    assert got[0] > got[100]
