@@ -101,7 +101,9 @@ def quality_sample(
     """Keep each row with its bucket's probability, decided by a
     deterministic hash of the id (Knuth multiplicative, mod 1e6) — the
     reproducible form of temperature sampling: same corpus → same sample,
-    resumable, and the gate is a plain pushed-down filter."""
+    resumable.  The gate is a codegen'd filter evaluated in the scan stage
+    (it is NOT a parquet-pushable predicate — hash of a column — so expect
+    a full scan; pair with partition filters for bounded passes)."""
     bucket = bucket_col if not isinstance(bucket_col, str) else F.col(bucket_col)
     # mod BEFORE the multiply: id * 2654435761 overflows int64 (ANSI mode
     # raises) once ids pass ~3.4e9 — real at 100 TB.  (id % p) * a % p is
