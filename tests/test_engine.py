@@ -258,3 +258,14 @@ def test_get_offset_multikey_fanout(eng):
     rows = eng.get("*.events", start="2024-01-10 00:00:00", offset=-1).collect()
     keys = [r.user_id for r in rows]
     assert len(keys) == len(set(keys)) and len(keys) > 1
+
+
+def test_get_zip_render_roundtrip(eng):
+    """Engine.get(fmt='zip') returns the compressed Arrow form and decodes
+    back with schema (the reference's compressed bulk-pull path)."""
+    from ago_sisdb_spark.sources.formats import parse_render
+
+    data = eng.get("*.events", count=10, fmt="zip")
+    table = parse_render(data, "zip")
+    assert table.num_rows == 10
+    assert "ts" in table.column_names
