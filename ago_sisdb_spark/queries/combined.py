@@ -917,6 +917,45 @@ def a8_stateful_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "p2_w2_exact_session",
+    oracle=f"""
+    SELECT 'exact' AS branch, o_orderkey AS key, o_orderdate AS ts,
+           CAST(NULL AS BIGINT) AS n, o_totalprice AS metric
+    FROM ({_O['p2_exact_time_where']})
+    UNION ALL
+    SELECT 'session', user_id, session_start,
+           CAST(n_events AS BIGINT), session_value
+    FROM ({_O['w2_session_window']})
+    """,
+)
+def p2_w2_exact_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver slot 50 (r2 verdict #1): the two §2 operators that previously
+    had no driver row, as one tagged union —
+
+    - 'exact':   P2 strict main-index equality where (sisdb_fmap_ctrl.c:
+      575-593) — an exact-timestamp predicate that prunes to one partition;
+    - 'session': W2 sessionization via F.session_window (30-minute gap),
+      the state-store-backed gaps-and-islands operator.
+
+    Both branches reuse the locally-gated fine-grained builders verbatim."""
+    p2 = _scans.p2_exact_time_where(spark, sf_dir).select(
+        F.lit("exact").alias("branch"),
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderdate").alias("ts"),
+        _L().alias("n"),
+        F.col("o_totalprice").alias("metric"),
+    )
+    w2 = _agg.w2_session_window(spark, sf_dir).select(
+        F.lit("session").alias("branch"),
+        F.col("user_id").alias("key"),
+        F.col("session_start").alias("ts"),
+        F.col("n_events").cast("bigint").alias("n"),
+        F.col("session_value").alias("metric"),
+    )
+    return p2.unionByName(w2)
+
+
+@query(
     "pipe3_training_prep",
     oracle=f"""
     SELECT 'decontam' AS part, CAST(train_id AS VARCHAR) AS key,
