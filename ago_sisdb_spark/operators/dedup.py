@@ -33,6 +33,24 @@ def content_digest(text: Column) -> Column:
     return F.md5(text)
 
 
+def portable_hash60(col: Column) -> Column:
+    """Engine-portable 60-bit string hash: first 15 hex chars of md5,
+    parsed base-16.  Produces the identical value in any engine with md5
+    (DuckDB twin: fold over the hex digits) — the hash behind the
+    oracle-checkable MinHash/SimHash twins.  xxhash64 stays the production
+    hash (one JVM intrinsic vs a full md5); the twins exist so the banded
+    pair LOGIC is hash-checked end-to-end by the SQL oracle."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# DuckDB expression computing the same 60-bit value ({col} is interpolated).
+PORTABLE_HASH_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, 16), i -> CAST(strpos('0123456789abcdef', "
+    "substring(md5({col}), i, 1)) - 1 AS BIGINT))), (acc, x) -> acc * 16 + x)"
+)
+
+
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Groups of byte-identical documents: digest, group size, keeper id."""
     return (
@@ -124,11 +142,20 @@ def _minhash_mins(
     shingle_k: int,
     num_hashes: int,
     seed: int = 7,
+    portable: bool = False,
 ) -> DataFrame:
     """One min column per permutation (s0..sN-1) — the wide form both the
-    signature array and the band hashes derive from."""
+    signature array and the band hashes derive from.
+
+    ``portable=True`` swaps xxhash64 for ``portable_hash60`` so the result
+    is reproducible in the DuckDB oracle (same mins, same bands)."""
+    shingle_hash = (
+        portable_hash60(F.col("shingle"))
+        if portable
+        else F.abs(F.xxhash64("shingle"))
+    )
     base = shingle_rows(df, id_col, text_col, shingle_k).select(
-        "doc", (F.abs(F.xxhash64("shingle")) % F.lit(_MERSENNE)).alias("h")
+        "doc", (shingle_hash % F.lit(_MERSENNE)).alias("h")
     )
     return base.groupBy("doc").agg(
         *[
@@ -191,6 +218,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     max_bucket_size: int = 1000,
     log_drops: bool = False,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
@@ -202,23 +230,38 @@ def minhash_lsh_candidates(
     (``cap_bucket_fanout``); exact duplicates should be removed by
     ``exact_dedup_groups`` first — a bucket of 10⁶ byte-identical docs is
     the exact-dedup operator's job, not LSH's.
+
+    ``portable=True`` uses ``portable_hash60`` for the shingle hash and a
+    mod-p polynomial fold for the band bucket, so the ENTIRE banded pair
+    logic is reproducible in the DuckDB oracle
+    (``minhash_lsh_oracle_sql``).  Callers of the portable form should
+    pre-filter docs with >= shingle_k words: ``shingle_rows`` gives shorter
+    docs their first word, which the SQL twin's range() expansion omits.
     """
     rows = num_hashes // bands
-    mins = _minhash_mins(df, id_col, text_col, shingle_k, num_hashes)
-    # band hash = multi-arg xxhash64 over that band's min columns directly —
-    # no signature array, no concat_ws string building per band
+    mins = _minhash_mins(df, id_col, text_col, shingle_k, num_hashes, portable=portable)
+
+    if portable:
+        # band bucket = polynomial fold of the band's mins mod p — each
+        # step keeps acc < 2^31 so acc*31 + s stays well inside int64.
+        def _bucket(b: int) -> Column:
+            acc: Column = F.lit(b).cast("long")
+            for j in range(rows):
+                acc = (acc * 31 + F.col(f"s{b * rows + j}")) % F.lit(_MERSENNE)
+            return acc
+    else:
+        # band hash = multi-arg xxhash64 over that band's min columns
+        # directly — no signature array, no concat_ws string per band
+        def _bucket(b: int) -> Column:
+            return F.xxhash64(
+                F.lit(b), *[F.col(f"s{b * rows + j}") for j in range(rows)]
+            )
+
     banded = mins.select(
         "doc",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(b), *[F.col(f"s{b * rows + j}") for j in range(rows)]
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+        F.posexplode(F.array(*[_bucket(b) for b in range(bands)])).alias(
+            "band", "bucket"
+        ),
     )
     banded = cap_bucket_fanout(
         banded, ["band", "bucket"], max_bucket_size, log_drops, "minhash_lsh"
@@ -239,29 +282,34 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, simhash) — 64-bit SimHash over whitespace tokens.
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str, portable: bool = False
+) -> DataFrame:
+    """(id, simhash) — SimHash over whitespace tokens (64-bit; 60-bit when
+    ``portable``, the width of ``portable_hash60``).
 
     For each bit position, sum +1/-1 token votes (token hash bit set → +1);
     fingerprint bit = sign of the sum.  Explode → hash each token ONCE →
-    64 conditional-sum aggregates (map-side combined), then pack the sign
-    bits into one long.  Same shape as ``minhash_signatures`` and for the
-    same reason: the token hash is the expensive part.
+    one conditional-sum aggregate per bit (map-side combined), then pack
+    the sign bits into one long.  Same shape as ``minhash_signatures`` and
+    for the same reason: the token hash is the expensive part.
     """
+    nbits = 60 if portable else 64
+    tok_hash = portable_hash60(F.col("tok")) if portable else F.xxhash64("tok")
     base = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
-    ).select("doc", F.xxhash64("tok").alias("h"))
+    ).select("doc", tok_hash.alias("h"))
     votes = base.groupBy("doc").agg(
         *[
             F.sum(
                 F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{i}")
-            for i in range(64)
+            for i in range(nbits)
         ]
     )
     fp = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(nbits):
         fp = fp.bitwiseOR(
             F.when(
                 F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
@@ -406,9 +454,10 @@ def simhash_neardup_pairs(
     bands: int = 4,
     max_bucket_size: int = 1000,
     log_drops: bool = False,
+    portable: bool = False,
 ) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit fingerprints → 16-bit band blocking →
-    exact Hamming re-check.
+    """SimHash near-dup pairs: fingerprints → band blocking → exact
+    Hamming re-check (64-bit/16-bit bands; 60-bit/15-bit when ``portable``).
 
     Pigeonhole guarantee: fingerprints within Hamming distance d share at
     least one of ``bands`` bands unchanged when d < bands — so blocking on
@@ -419,8 +468,8 @@ def simhash_neardup_pairs(
     constant documents collapse to a handful of fingerprints and would
     otherwise emit O(m²) candidates from one bucket (``cap_bucket_fanout``).
     """
-    width = 64 // bands
-    fp = simhash64(df, id_col, text_col)
+    width = (60 if portable else 64) // bands
+    fp = simhash64(df, id_col, text_col, portable=portable)
     banded = fp.select(
         "doc",
         "simhash",
@@ -459,3 +508,118 @@ def simhash_neardup_pairs(
         "id_b",
         F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb"))).alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle twins — generated from the SAME permutation/band parameters
+# as the portable builders above, so the banded pair logic is hash-checked
+# end-to-end by the driver gate (r2 verdict #2).
+# --------------------------------------------------------------------------
+
+
+def minhash_lsh_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 7,
+    max_bucket_size: int = 1000,
+) -> str:
+    """DuckDB SQL reproducing ``minhash_lsh_candidates(..., portable=True)``
+    exactly: same shingles, same md5-derived 60-bit hash, same affine
+    permutations (shared ``_perm_params``), same polynomial band buckets,
+    same bucket cap."""
+    rows = num_hashes // bands
+    words = f"string_split({text_col}, ' ')"
+    shingle = " || ' ' || ".join(
+        f"{words}[i + {j}]" if j else f"{words}[i]" for j in range(shingle_k)
+    )
+    mins = ",\n         ".join(
+        f"min(({a} * h + {b}) % 2147483647) AS s{i}"
+        for i, (a, b) in enumerate(_perm_params(num_hashes, seed))
+    )
+    band_selects = []
+    for b in range(bands):
+        acc = str(b)
+        for j in range(rows):
+            acc = f"(({acc}) * 31 + s{b * rows + j}) % 2147483647"
+        band_selects.append(f"SELECT doc, {b} AS band, {acc} AS bucket FROM mins")
+    bands_sql = "\n      UNION ALL\n      ".join(band_selects)
+    hash_sql = PORTABLE_HASH_SQL.format(col="shingle")
+    return f"""
+    WITH sh AS (
+        SELECT {id_col} AS doc,
+               unnest(list_transform(range(1, len({words}) - {shingle_k - 1} + 1),
+                      i -> {shingle})) AS shingle
+        FROM {table} WHERE len({words}) >= {shingle_k}),
+    h AS (SELECT doc, {hash_sql} % 2147483647 AS h FROM sh),
+    mins AS (
+        SELECT doc,
+         {mins}
+        FROM h GROUP BY doc),
+    bands AS (
+      {bands_sql}),
+    capped AS (
+        SELECT * FROM bands
+        QUALIFY count(*) OVER (PARTITION BY band, bucket) <= {max_bucket_size})
+    SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_shared_bands
+    FROM capped a
+    JOIN capped b ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+    GROUP BY a.doc, b.doc
+    """
+
+
+def simhash_pairs_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 6,
+    bands: int = 4,
+    max_bucket_size: int = 1000,
+) -> str:
+    """DuckDB SQL reproducing ``simhash_neardup_pairs(..., portable=True)``:
+    same 60-bit token hash, same per-bit votes and sign packing, same
+    15-bit band blocking and bit_count(xor) re-check."""
+    nbits = 60
+    width = nbits // bands
+    hash_sql = PORTABLE_HASH_SQL.format(col="tok")
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(nbits)
+    )
+    pack = "\n           + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(nbits)
+    )
+    band_sel = "\n      UNION ALL\n      ".join(
+        f"SELECT doc, simhash, {b} AS band,"
+        f" (simhash >> {b * width}) & {(1 << width) - 1} AS bucket FROM fp"
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT {id_col} AS doc, unnest(string_split({text_col}, ' ')) AS tok
+        FROM {table}),
+    h AS (SELECT doc, {hash_sql} AS h FROM toks),
+    votes AS (
+        SELECT doc,
+         {votes}
+        FROM h GROUP BY doc),
+    fp AS (
+        SELECT doc, {pack} AS simhash
+        FROM votes),
+    bands AS (
+      {band_sel}),
+    capped AS (
+        SELECT * FROM bands
+        QUALIFY count(*) OVER (PARTITION BY band, bucket) <= {max_bucket_size}),
+    cand AS (
+        SELECT DISTINCT a.doc AS id_a, b.doc AS id_b,
+               a.simhash AS fa, b.simhash AS fb
+        FROM capped a
+        JOIN capped b ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc)
+    SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= {max_hamming}
+    """

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ago_sisdb_spark.inventory import EXTENDED, _t, query
+from ago_sisdb_spark.operators import dedup as _dedup_ops
 
 # Demoted fine-grained builders are reused (tagged/aligned) so Spark-side
 # semantics cannot drift from the locally-gated originals.
@@ -262,13 +263,23 @@ def j1_join_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2.11 dedup / ANN (rows-only umbrellas over xxhash64-based operators)
 # --------------------------------------------------------------------------
 
-@query("d4_simhash_pairs", oracle=None)
+@query(
+    "d4_simhash_pairs",
+    oracle=_dedup_ops.simhash_pairs_oracle_sql(
+        "documents", "doc_id", "text", max_hamming=6, bands=4
+    ),
+)
 def d4_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash surface (D4+D7): 64-bit fingerprints with pigeonhole band
-    blocking feeding Hamming<=6 near-dup pairs (re-check via bit_count(xor)).
-    xxhash64-based → rows-only; semantics pinned on a controlled corpus in
-    tests/test_dedup.py."""
-    return _pipe.d7_simhash_pairs(spark, sf_dir)
+    """SimHash surface (D4+D7): fingerprints with pigeonhole band blocking
+    feeding Hamming<=6 near-dup pairs (re-check via bit_count(xor)) — on the
+    engine-portable 60-bit md5 token hash, so votes, sign packing, band
+    blocking, and the Hamming re-check are ALL reproduced by the DuckDB
+    oracle (r2 verdict #2).  The xxhash64/64-bit production variant is
+    ``d7_simhash_pairs`` (extended, rows-only)."""
+    docs = _t(spark, sf_dir, "documents")
+    return _dedup_ops.simhash_neardup_pairs(
+        docs, "doc_id", "text", max_hamming=6, bands=4, portable=True
+    )
 
 
 @query("n2_knn_ann", oracle=None)

@@ -58,10 +58,32 @@ def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@query("d3_minhash_lsh", oracle=None)
+@query(
+    "d3_minhash_lsh",
+    oracle=dedup.minhash_lsh_oracle_sql(
+        "documents", "doc_id", "text", shingle_k=3, num_hashes=32, bands=8
+    ),
+)
 def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH candidate pairs (32 hashes × 8 bands, 3-word
-    shingles).  xxhash64-based → rows-only check; d2 is the exact twin."""
+    shingles) on the engine-portable 60-bit md5 hash — the FULL banded pair
+    logic (shingle→min→band→bucket-join→cap) is reproduced by the DuckDB
+    oracle (r2 verdict #2).  The xxhash64 production variant is
+    ``d3_minhash_lsh_xx`` (extended, rows-only).  Docs need >= 3 words on
+    both sides (the SQL twin's range() expansion has no short-doc rule)."""
+    docs = _t(spark, sf_dir, "documents").where(
+        F.size(F.split(F.col("text"), r"\s+")) >= 3
+    )
+    return dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=32, bands=8, portable=True
+    )
+
+
+@query("d3_minhash_lsh_xx", oracle=None, extended=True)
+def d3_minhash_lsh_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production MinHash-LSH (xxhash64 shingle + band hash — faster, not
+    SQL-portable).  Pair logic identical to d3_minhash_lsh, which IS
+    oracle-checked; recall semantics pinned in tests/test_dedup.py."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_candidates(
         docs, "doc_id", "text", shingle_k=3, num_hashes=32, bands=8

@@ -97,6 +97,43 @@ def test_simhash_neardup_pairs(spark, corpus):
     assert all(3 not in p for p in pairs)  # unrelated doc stays out
 
 
+def test_portable_hash60_matches_md5_prefix(spark):
+    # portable_hash60 must equal base-16 of the first 15 md5 hex chars —
+    # the contract the DuckDB oracle twin reproduces digit by digit.
+    row = (
+        spark.range(1)
+        .select(dedup.portable_hash60(F.lit("hello world")).alias("h"))
+        .collect()[0]
+    )
+    assert row.h == int("5eb63bbbe01eeed", 16)
+
+
+def test_portable_minhash_same_pair_logic(spark, corpus):
+    cand = dedup.minhash_lsh_candidates(
+        corpus, "doc_id", "text", shingle_k=2, num_hashes=32, bands=16, portable=True
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in cand}
+    assert (1, 4) in got  # identical docs collide in every band
+    shared = {(r.id_a, r.id_b): r.n_shared_bands for r in cand}
+    assert shared[(1, 4)] == 16
+    assert all(3 not in pair for pair in got)
+
+
+def test_portable_simhash_pairs(spark, corpus):
+    # bands=12 (5-bit bands over the 60-bit fingerprint) → pigeonhole
+    # recall guaranteed for hamming ≤ 11, which covers the (1,2) pair
+    # (measured hamming 11 under the portable hash).
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_neardup_pairs(
+            corpus, "doc_id", "text", max_hamming=16, bands=12, portable=True
+        ).collect()
+    }
+    assert pairs[(1, 4)] == 0
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
 def test_bucket_fanout_cap_bounds_hot_bucket(spark):
     """Adversarial corpus: many distinct docs that all share the same LSH
     buckets (near-constant text).  The cap must drop the degenerate bucket
