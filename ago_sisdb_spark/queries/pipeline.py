@@ -213,16 +213,49 @@ def m1_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("m2_multimodal_features", oracle=None)
+# The stub decoder samples 8 byte positions (step = max(len//8, 1),
+# pos_i = min(i*step, len-1)) and scales by 255 into float32 — fully
+# deterministic, so the oracle reproduces it: documents.text is pure ASCII
+# at every SF (checked), hence byte i of encode(text) == ascii(char i+1),
+# and CAST AS REAL mirrors the array<float> quantization before the
+# double-precision norm (same pattern as d5's embedding casts).
+_M2_FEAT = [
+    f"CAST(CAST(ascii(substring(text, least({i} * step, n - 1) + 1, 1))"
+    " / 255.0 AS REAL) AS DOUBLE)"
+    for i in range(8)
+]
+
+
+@query(
+    "m2_multimodal_features",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id AS media_id, text, length(text) AS n,
+               greatest(length(text) // 8, 1) AS step
+        FROM documents)
+    SELECT media_id, 'text' AS modality,
+           CAST(n AS BIGINT) AS n_bytes,
+           lower(hex(substring(text, 1, 2))) AS magic,
+           CAST(8 AS BIGINT) AS n_dims,
+           round(sqrt({' + '.join(f'({t} * {t})' for t in _M2_FEAT)}), 6)
+               AS feat_norm,
+           round({_M2_FEAT[0]}, 6) AS feat_first,
+           round({_M2_FEAT[7]}, 6) AS feat_last,
+           CAST(NULL AS VARCHAR) AS error
+    FROM base
+    """,
+)
 def m2_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary media
     content (decode kernel stubbed — deterministic fake; the batch shape,
-    schema, and partitioning are the real 100 TB plumbing).  Rows-only.
+    schema, and partitioning are the real 100 TB plumbing).
 
     Driver-checked output is scalar-only (no array columns — the r1 driver
     hasher crashed on ``array<float>``): the 8-dim feature vector is
     projected to dimension count, L2 norm, and first/last elements; the full
-    vector contents are pinned by tests/test_multimodal.py."""
+    vector contents are pinned by tests/test_multimodal.py.  The stub is
+    deterministic byte sampling, so since r3 the WHOLE row — metadata AND
+    projected feature scalars — is oracle-checked (r2 verdict #3)."""
     from ago_sisdb_spark.operators.similarity import norm
     from ago_sisdb_spark.sources.multimodal import extract_features
 
