@@ -291,6 +291,42 @@ def train_centroids(
     return cent_df()
 
 
+def ivf_index_path(warehouse_dir: str, sf_dir: str) -> str:
+    """Stable on-disk location for a scale-factor's trained IVF centroids."""
+    import os
+
+    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    return os.path.join(warehouse_dir, "ivf_index", tag)
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    n_centroids: int = 16,
+    iters: int = 2,
+) -> None:
+    """The OFFLINE training job (r2 verdict #4): run Lloyd rounds once and
+    persist the k×dim centroid table as parquet.  At 100 TB centroid
+    training is a scheduled job, not query work — the serving query only
+    broadcast-joins the materialized table (``load_ivf_centroids``)."""
+    cent = train_centroids(corpus, id_col, vec_col, n_centroids, iters)
+    cent.write.mode("overwrite").parquet(path)
+
+
+def load_ivf_centroids(spark, path: str) -> DataFrame | None:
+    """Read a materialized IVF index; None if it was never built."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.schema(
+            "centroid_id bigint, __cent array<double>"
+        ).parquet(path)
+    except AnalysisException:
+        return None
+
+
 def ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -301,19 +337,24 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     train_iters: int = 0,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into centroid lists, search only
     the ``nprobe`` nearest lists per probe.
 
-    ``train_iters=0`` uses deterministic training-free centroids (the
-    ``n_centroids`` lowest-id vectors seed the lists); ``train_iters>0``
-    refines them with that many Lloyd rounds (``train_centroids`` —
-    spherical k-means in DataFrame ops).  The query-side plan is identical
-    either way: assignment is a broadcast join of the (tiny) centroid set
-    against the corpus + ``min_by`` — one pass, no shuffle of vectors
-    beyond the final per-probe top-k.
+    Centroid source, in priority order: ``centroids`` (a materialized
+    index from ``build_ivf_index`` — the 100 TB serving path: train runs
+    offline, the query is a pure broadcast-join read); else
+    ``train_iters>0`` Lloyd rounds inline (``train_centroids``, test/dev
+    convenience); else the deterministic training-free seed (the
+    ``n_centroids`` lowest-id vectors).  The query-side plan is identical
+    in all three cases: broadcast the tiny centroid set, ``min_by``
+    assignment — one corpus pass, no shuffle of vectors beyond the final
+    per-probe top-k.
     """
-    if train_iters > 0:
+    if centroids is not None:
+        cent = centroids
+    elif train_iters > 0:
         cent = train_centroids(corpus, id_col, vec_col, n_centroids, train_iters)
     else:
         cent = (

@@ -285,11 +285,16 @@ def d4_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("n2_knn_ann", oracle=None)
 def n2_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate kNN scale paths in one matrix: hyperplane-LSH bucketed
-    top-5 (training-free) and IVF nprobe-bounded top-5 with Lloyd-trained
-    centroids (operators/similarity.train_centroids — spherical k-means in
-    DataFrame ops) for probes 0-4.  Rows-only (approximate by design);
-    recall vs n1 exact and trained-vs-seeded recall are asserted in
-    tests/test_similarity.py."""
+    top-5 (training-free) and IVF nprobe-bounded top-5 against the
+    MATERIALIZED Lloyd-trained centroid index for probes 0-4.
+
+    Train and serve are split (r2 verdict #4): ``build_ivf_index`` runs the
+    spherical k-means offline and persists the k×dim parquet table under
+    the warehouse dir (built here once if absent — training is
+    deterministic, so the index is stable); the query itself is a pure
+    broadcast-join read with NO Lloyd iterations in its plan
+    (tests/test_similarity.py asserts this).  Rows-only (approximate by
+    design); recall vs n1 exact is asserted in tests."""
     from ago_sisdb_spark.operators import similarity
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -297,9 +302,17 @@ def n2_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = _pipe.n2_knn_lsh(spark, sf_dir).select(
         F.lit("lsh").alias("method"), "probe_id", "neighbor_id", "score"
     )
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    idx_path = similarity.ivf_index_path(warehouse, sf_dir)
+    cent = similarity.load_ivf_centroids(spark, idx_path)
+    if cent is None:
+        similarity.build_ivf_index(
+            emb, "vec_id", "embedding", idx_path, n_centroids=16, iters=2
+        )
+        cent = similarity.load_ivf_centroids(spark, idx_path)
     ivf = similarity.ivf_topk(
         emb, probes, "vec_id", "embedding", "vec_id", k=5,
-        n_centroids=16, nprobe=4, train_iters=2,
+        n_centroids=16, nprobe=4, centroids=cent,
     ).select(F.lit("ivf").alias("method"), "probe_id", "neighbor_id", "score")
     return lsh.unionByName(ivf)
 

@@ -136,6 +136,39 @@ def test_trained_centroids_recall_at_least_seeded(spark):
     assert trained >= 0.9  # training recovers the cluster structure
 
 
+def test_ivf_index_materialize_roundtrip(spark, emb, tmp_path):
+    """Train/serve split: a materialized index must serve the same results
+    as inline training, and serving must not re-run Lloyd (no collect-backed
+    createDataFrame in the plan — the centroid side is a parquet scan)."""
+    path = str(tmp_path / "ivf_index")
+    similarity.build_ivf_index(
+        emb, "vec_id", "embedding", path, n_centroids=16, iters=2
+    )
+    cent = similarity.load_ivf_centroids(spark, path)
+    assert cent is not None
+    probes = emb.where(F.col("vec_id") < 3)
+    served = similarity.ivf_topk(
+        emb, probes, "vec_id", "embedding", "vec_id", 5,
+        n_centroids=16, nprobe=4, centroids=cent,
+    )
+    inline = similarity.ivf_topk(
+        emb, probes, "vec_id", "embedding", "vec_id", 5,
+        n_centroids=16, nprobe=4, train_iters=2,
+    )
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+    # serving plan reads the index from parquet — no LocalTableScan of
+    # driver-collected centroids, i.e. no Lloyd ran at query time
+    plan = served._jdf.queryExecution().optimizedPlan().toString()
+    assert "centroid_id" in plan and "parquet" in plan
+    assert "LocalRelation" not in plan
+
+
+def test_load_ivf_centroids_missing_returns_none(spark, tmp_path):
+    assert similarity.load_ivf_centroids(spark, str(tmp_path / "nope")) is None
+
+
 def test_train_centroids_shape_and_convergence(spark):
     """Two tight clusters: training must move the (deliberately bad) seeds
     onto the cluster means."""
