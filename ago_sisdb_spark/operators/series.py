@@ -97,46 +97,95 @@ def local_extrema(
 
 
 def turning_points_pandas(
-    df: DataFrame, keys: list[str], time_col: str, col: str, min_rate: float = 0.02
+    df: DataFrame,
+    keys: list[str],
+    time_col: str,
+    col: str,
+    min_rate: float = 0.02,
+    prefilter: bool = True,
 ) -> DataFrame:
     """A14 full form (sis_ai.h:66-112): per-key stateful scan finding trend
-    start/stop with amplitude ≥ min_rate; Arrow-batched per key group."""
+    start/stop with amplitude ≥ min_rate; Arrow-batched per key group.
+
+    Scale design (r2 verdict #5): the sequential scan's output depends ONLY
+    on the series' local extrema — between consecutive extrema the values
+    move monotonically, so intermediate points can at most advance
+    ``last_turn`` toward the extremum the run ends at, and any emission they
+    could trigger is also triggered at that extremum with the identical
+    turn record (the record carries last_turn's time/value, which is
+    extremal).  ``prefilter=True`` therefore collapses plateaus and keeps
+    only local extrema (plus each key's first/last row) with two window
+    passes — fully parallel, whole-stage-codegen — before the pandas scan
+    sees anything.  Exactness is property-tested against the unfiltered
+    scan in tests/test_series_pandas.py.
+
+    For bounded per-task memory at corpus scale, additionally chunk the
+    scan by appending a coarse time bucket to ``keys`` (e.g. the day, as
+    ``a14_turning_points`` does) — the reference runs the scan per
+    day-series anyway (sis_ai.h:66, day-frame input), so per-bucket state
+    reset is parity, and task count becomes #keys × #buckets.
+    """
     import pandas as pd
+
+    if prefilter:
+        w = Window.partitionBy(*keys).orderBy(time_col)
+        prev_v = F.lag(col).over(w)
+        collapsed = (
+            df.withColumn("__pv", prev_v)
+            .where(F.col("__pv").isNull() | (F.col(col) != F.col("__pv")))
+            .drop("__pv")
+        )
+        w2 = Window.partitionBy(*keys).orderBy(time_col)
+        p, n = F.lag(col).over(w2), F.lead(col).over(w2)
+        c = F.col(col)
+        df = (
+            collapsed.withColumn(
+                "__keep",
+                p.isNull()
+                | n.isNull()
+                | ((c > p) & (c > n))
+                | ((c < p) & (c < n)),
+            )
+            .where(F.col("__keep"))
+            .drop("__keep")
+        )
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(time_col).reset_index(drop=True)
+        # .tolist() → plain python floats: the state loop runs ~3× faster
+        # than over numpy scalars, and output columns are built by array
+        # indexing, never per-row dicts.
         vals = pdf[col].to_numpy()
-        out = []
-        if len(vals) < 3:
-            return pd.DataFrame(
-                columns=[*keys, "turn_time", "turn_value", "direction"]
-            )
+        vlist = vals.tolist()
+        empty = pd.DataFrame(columns=[*keys, "turn_time", "turn_value", "direction"])
+        if len(vlist) < 3:
+            return empty
+        turn_idx: list[int] = []
+        turn_dir: list[int] = []
         last_turn = 0
         direction = 0  # +1 rising, -1 falling
-        for i in range(1, len(vals)):
-            d = 1 if vals[i] > vals[last_turn] else -1
-            amp = abs(vals[i] - vals[last_turn]) / max(abs(vals[last_turn]), 1e-12)
+        for i in range(1, len(vlist)):
+            v, lt = vlist[i], vlist[last_turn]
+            d = 1 if v > lt else -1
+            amp = abs(v - lt) / max(abs(lt), 1e-12)
             if direction == 0:
                 if amp >= min_rate:
                     direction = d
                     last_turn = i
             elif d != direction and amp >= min_rate:
-                out.append(
-                    {
-                        **{k: pdf[k].iloc[0] for k in keys},
-                        "turn_time": pdf[time_col].iloc[last_turn],
-                        "turn_value": float(vals[last_turn]),
-                        "direction": int(direction),
-                    }
-                )
+                turn_idx.append(last_turn)
+                turn_dir.append(direction)
                 direction = d
                 last_turn = i
-            elif d == direction and (
-                (d > 0 and vals[i] > vals[last_turn])
-                or (d < 0 and vals[i] < vals[last_turn])
-            ):
+            elif d == direction and ((d > 0 and v > lt) or (d < 0 and v < lt)):
                 last_turn = i
-        return pd.DataFrame(out, columns=[*keys, "turn_time", "turn_value", "direction"])
+        if not turn_idx:
+            return empty
+        out = {k: pdf[k].iloc[turn_idx].to_numpy() for k in keys}
+        out["turn_time"] = pdf[time_col].iloc[turn_idx].to_numpy()
+        out["turn_value"] = vals[turn_idx].astype(float)
+        out["direction"] = pd.array(turn_dir, dtype="int32")
+        return pd.DataFrame(out)
 
     key_fields = ", ".join(
         f"{k} {df.schema[k].dataType.simpleString()}" for k in keys

@@ -296,9 +296,19 @@ def a14_local_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("a14_turning_points", oracle=None, extended=True)
 def a14_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A14 full stateful turning-point scan (sis_ai.h:66-112) — per-key
-    Arrow-batched applyInPandas; rows-only check (non-SQL-expressible)."""
-    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
-    return series.turning_points_pandas(ev, ["event_type"], "ts", "value", 0.05)
+    Arrow-batched applyInPandas; rows-only check (non-SQL-expressible).
+
+    Chunked by (event_type, day) — the reference scans per day-series
+    (sis_ai.h:66), so per-day state reset is parity, task count is
+    #types × #days instead of #types, and per-task memory is one day's
+    extrema (the operator's window prefilter drops everything else)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "ts", "value"
+    )
+    out = series.turning_points_pandas(
+        ev, ["event_type", "day"], "ts", "value", 0.05
+    )
+    return out.select("event_type", "turn_time", "turn_value", "direction")
 
 
 @query("a8_polyfit", oracle=None, extended=True)

@@ -77,3 +77,40 @@ def test_turning_points_matches_model(spark):
     want = _turning_points_model(vals, [float(i) for i in range(len(vals))], 0.05)
     assert got == want
     assert len(got) > 0  # the zig-zag must produce turns
+
+
+def test_turning_points_prefilter_exact(spark):
+    """The extrema prefilter must be a pure optimization: identical output
+    to the unfiltered scan on random series with plateaus, sign changes,
+    and varying amplitudes (the prefilter-correctness property the operator
+    docstring claims)."""
+    import random
+
+    rnd = random.Random(17)
+    rows = []
+    for key in ("a", "b", "c"):
+        v = 10.0
+        for i in range(400):
+            step = rnd.choice([0.0, 0.0, -1.0, 1.0]) * rnd.random() * 3.0
+            v = v + step
+            if rnd.random() < 0.02:
+                v = -v  # sign flips stress the abs() in the amplitude
+            rows.append((key, float(i), round(v, 6)))
+    df = spark.createDataFrame(rows, "key string, t double, v double").repartition(7)
+    kwargs = dict(keys=["key"], time_col="t", col="v", min_rate=0.03)
+    full = sorted(
+        map(tuple, turning_points_pandas(df, prefilter=False, **kwargs).collect())
+    )
+    fast = sorted(
+        map(tuple, turning_points_pandas(df, prefilter=True, **kwargs).collect())
+    )
+    assert full == fast
+    assert len(full) > 10  # the series actually produced turns
+
+
+def test_turning_points_prefilter_shrinks_input(spark):
+    """Monotone + plateau series collapse to almost nothing before pandas."""
+    rows = [("k", float(i), float(i // 10)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "key string, t double, v double")
+    out = turning_points_pandas(df, ["key"], "t", "v", 0.05)
+    assert out.count() == 0  # monotone → no turns, with or without filter
