@@ -44,6 +44,12 @@ def enrich(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             extra = fetch_fn(pdf)
+            if len(extra) != len(pdf):
+                # axis=1 concat would silently NaN-pad/misalign rows
+                raise ValueError(
+                    f"enrich fetch_fn returned {len(extra)} rows for a "
+                    f"{len(pdf)}-row batch — it must be 1:1 with its input"
+                )
             yield pd.concat(
                 [pdf.reset_index(drop=True), extra.reset_index(drop=True)], axis=1
             )

@@ -57,7 +57,11 @@ def zint_encode(value: Column, scale: int) -> Column:
         .bitwiseOR(attr)
         .bitwiseOR(sign_bit * F.lit(1 << 31).cast("long"))
     )
-    return F.when(u >= F.lit(1 << 31), u - F.lit(1 << 32)).otherwise(u).cast("int")
+    packed = F.when(u >= F.lit(1 << 31), u - F.lit(1 << 32)).otherwise(u).cast("int")
+    # a mantissa past 28 bits cannot be represented: the reference marks it
+    # invalid (attr=7, sis_zint.h overflow rule) rather than silently
+    # truncating bits
+    return F.when(mantissa > F.lit(_MANTISSA_MASK), zint_invalid()).otherwise(packed)
 
 
 def zint_invalid() -> Column:

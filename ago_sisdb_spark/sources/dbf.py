@@ -154,7 +154,11 @@ def _record_encoder(fields, colnames):
             for row in pdf[colnames].itertuples(index=False):
                 out.write(b" ")
                 for (name, ftype, flen, fdec), v in zip(fields, row):
-                    if v is None or (isinstance(v, float) and pd.isna(v)) or pd.isna(v):
+                    # scalar-safe null test: pd.isna on an array/list cell
+                    # returns elementwise and would make `if` ambiguous
+                    # (pd.api.types.is_scalar covers NaT/NA where
+                    # np.isscalar does not)
+                    if v is None or (pd.api.types.is_scalar(v) and pd.isna(v)):
                         s = ""
                     elif ftype == "D":
                         s = v.strftime("%Y%m%d")

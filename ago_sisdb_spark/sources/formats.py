@@ -50,12 +50,12 @@ class RenderLimitError(RuntimeError):
     ``df.write.parquet`` (distributed sinks) for large results."""
 
 
-def _arrow_ipc(df: DataFrame, compression: str | None) -> bytes:
+def _arrow_ipc(pdf, compression: str | None) -> bytes:
     import io
 
     import pyarrow as pa
 
-    table = pa.Table.from_pandas(df.toPandas(), preserve_index=False)
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
     sink = io.BytesIO()
     opts = pa.ipc.IpcWriteOptions(compression=compression)
     with pa.ipc.new_stream(sink, table.schema, options=opts) as w:
@@ -82,36 +82,46 @@ def render(
                    incr-zip analogue; schema-carrying, seekable by batch)
 
     ``max_rows`` is the scale guard: rendering collects to the driver, so a
-    result larger than the cap raises ``RenderLimitError`` BEFORE any full
-    collect (the probe scans at most max_rows+1 rows thanks to the limit
-    pushdown).  Large exports belong in the distributed sinks
-    (``write_csv``, ``df.write.parquet``) — mirroring the reference's own
+    result larger than the cap raises ``RenderLimitError``.  The guard and
+    the render share ONE bounded collect of ``limit(max_rows+1)`` rows —
+    the plan executes once and at most max_rows+1 rows ever reach the
+    driver (r2 verdict #6: the old count-probe re-executed the full plan).
+    Large exports belong in the distributed sinks (``write_csv``,
+    ``df.write.parquet``) — mirroring the reference's own
     64 KB-reply-then-async rule (`workers/sisdb/sisdb.h:73`).
     """
     if limit is not None:
         df = df.limit(limit)
-    if max_rows is not None and df.limit(max_rows + 1).count() > max_rows:
-        raise RenderLimitError(
-            f"render({fmt!r}) over {max_rows} rows — use write_csv/parquet "
-            "sinks for bulk export, or pass limit="
-        )
+    capped = df.limit(max_rows + 1) if max_rows is not None else df
+
+    def guard(n_rows: int) -> None:
+        if max_rows is not None and n_rows > max_rows:
+            raise RenderLimitError(
+                f"render({fmt!r}) over {max_rows} rows — use write_csv/parquet "
+                "sinks for bulk export, or pass limit="
+            )
+
     if fmt == "json":
-        rows = df.toJSON().collect()
+        rows = capped.toJSON().collect()
+        guard(len(rows))
         return ("[" + ",".join(rows) + "]").encode()
     if fmt == "array":
+        data = [list(r) for r in capped.collect()]
+        guard(len(data))
         head = [f.name for f in df.schema.fields]
-        data = [list(r) for r in df.collect()]
         return json.dumps({"fields": head, "rows": data}, default=str).encode()
     if fmt == "csv":
+        rows = capped.collect()
+        guard(len(rows))
         cols = df.columns
         out = [",".join(cols)]
-        for r in df.collect():
+        for r in rows:
             out.append(",".join("" if v is None else str(v) for v in r))
         return ("\n".join(out) + "\n").encode()
-    if fmt == "struct":
-        return _arrow_ipc(df, compression=None)
-    if fmt == "zip":
-        return _arrow_ipc(df, compression="zstd")
+    if fmt in ("struct", "zip"):
+        pdf = capped.toPandas()
+        guard(len(pdf))
+        return _arrow_ipc(pdf, compression="zstd" if fmt == "zip" else None)
     raise ValueError(f"unknown format: {fmt!r} (json|array|csv|struct|zip)")
 
 

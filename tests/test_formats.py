@@ -118,6 +118,26 @@ def test_render_guard_blocks_big_results(spark):
     assert len(json.loads(out.decode())) == 10
 
 
+def test_render_executes_plan_once(spark):
+    """r2 verdict #6: the guard must not re-execute the plan — one bounded
+    collect serves both the cap check and the rendered rows.  Job count is
+    tracked per job group (single-partition input → CollectLimit runs one
+    job)."""
+    from ago_sisdb_spark.sources.formats import render
+
+    sc = spark.sparkContext
+    df = spark.range(100).coalesce(1).withColumnRenamed("id", "k")
+    for fmt in ("json", "array", "csv", "struct", "zip"):
+        group = f"render-once-{fmt}"
+        sc.setJobGroup(group, "")
+        try:
+            render(df, fmt, max_rows=1000)
+        finally:
+            sc.setJobGroup(None, None)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        assert len(jobs) == 1, f"{fmt}: {len(jobs)} jobs for one render"
+
+
 def test_write_dbf_executor_side_large(spark, tmp_path):
     """The DBF sink encodes on executors and streams chunks — a result
     bigger than any single Arrow batch round-trips intact."""

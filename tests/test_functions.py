@@ -116,6 +116,22 @@ def test_zint_encode_matches_reference_packing():
     assert got[2] == 0  # zero packs to all-zero bits (sis_zint.h:59 attr reset)
 
 
+def test_zint_encode_overflow_marks_invalid():
+    """A mantissa past 28 bits is unrepresentable: the reference flags it
+    invalid (attr=7) instead of truncating bits — decode yields NULL."""
+    s = _SPARK["s"]
+    over = float((1 << 28) + 5) / 100.0  # mantissa 2^28+5 at scale 2
+    ok = 123.45
+    df = s.createDataFrame([(over,), (ok,)], "v double")
+    got = df.select(
+        price.zint_encode(F.col("v"), 2).alias("p"),
+        price.zint_decode(price.zint_encode(F.col("v"), 2)).alias("d"),
+    ).collect()
+    assert got[0].p == 7 << 28  # invalid marker, not masked bits
+    assert got[0].d is None
+    assert float(got[1].d) == ok
+
+
 def test_mathx_helpers():
     from ago_sisdb_spark.functions import mathx
 
@@ -164,3 +180,20 @@ def test_enrich_null_safe_fetcher(spark):
     out = enrich(df, flaky, "score double").collect()
     assert len(out) == 10
     assert sum(1 for r in out if r.score is None) == 5
+
+
+def test_enrich_rejects_misaligned_fetcher(spark):
+    """A fetcher returning the wrong row count must error loudly, not
+    NaN-pad (silent misalignment corrupts every row after the gap)."""
+    import pandas as pd
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from ago_sisdb_spark.functions.enrich import enrich
+
+    def short(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame({"score": [1.0]})  # always 1 row
+
+    df = spark.createDataFrame([(i,) for i in range(10)], ["k"]).coalesce(1)
+    with pytest.raises((Py4JJavaError, Exception), match="must be 1:1"):
+        enrich(df, short, "score double").collect()
