@@ -35,6 +35,35 @@ def test_two_stage_equals_direct(spark, ticks):
     assert d == c
 
 
+def test_packed_order_equals_struct_order(spark):
+    """The packed-long (time, id) ordering (hash-agg fast path) must pick
+    the same open/close as the struct ordering, including same-timestamp
+    ties where ids arrive out of time order."""
+    from datetime import datetime
+
+    t0 = datetime(2024, 1, 1, 9, 0, 0)
+    t1 = datetime(2024, 1, 1, 9, 20, 0)
+    rows = [  # two events share t0 (tie → lower seq wins open)
+        ("A", t0, 11.0, 5),
+        ("A", t0, 10.0, 2),
+        ("A", t1, 12.0, 1),  # latest time but LOWEST id: close must be 12
+        ("B", t1, 7.0, 9),
+    ]
+    df = spark.createDataFrame(rows, "sym string, ts timestamp, price double, seq long")
+    fast = ohlcv(df, ["sym"], "ts", "price", "1 hour", order_col="seq")
+    slow = ohlcv(df, ["sym"], "ts", "price", "1 day", order_col="seq")  # struct path
+    f = {r.sym: (r.open, r.close) for r in fast.collect()}
+    s = {r.sym: (r.open, r.close) for r in slow.collect()}
+    assert f == s == {"A": (10.0, 12.0), "B": (7.0, 7.0)}
+    # and the fast path actually hash-aggregates (the whole point)
+    fast.collect()
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan and "SortAggregate" not in plan
+    slow.collect()
+    plan_slow = slow._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" in plan_slow  # struct fallback is the slow shape
+
+
 def test_ohlcv_values(spark, ticks):
     bars = ohlcv(ticks, ["sym"], "ts", "price", "1 hour", order_col="seq")
     b = {(r.sym, str(r.bar_start)): r for r in bars.collect()}
