@@ -157,3 +157,55 @@ def pii_counts(text: Column) -> dict[str, Column]:
         name: F.size(F.regexp_extract_all(text, F.lit(f"({pat})"), 1))
         for name, pat in PII_PATTERNS.items()
     }
+
+
+# URL shape — RE2/Java/DuckDB-portable subset (no lookarounds); host is
+# capture group 1 so domain extraction is one regexp_extract.
+URL_PATTERN = r"https?://([A-Za-z0-9.-]+)[^\s]*"
+
+
+def url_stats(text: Column) -> dict[str, Column]:
+    """Per-document URL audit columns (the RefinedWeb-style URL filter
+    inputs): total URL count and distinct host list.  Pure expressions —
+    corpus-level domain frequencies are one explode + groupBy away."""
+    hosts = F.regexp_extract_all(text, F.lit(URL_PATTERN), 1)
+    return {
+        "n_urls": F.size(hosts),
+        "hosts": F.array_distinct(F.transform(hosts, F.lower)),
+    }
+
+
+def paragraph_dedup_stats(
+    docs, id_col: str, text_col: str, sep: str = r"\.\s+"
+) -> "DataFrame":
+    """Intra-corpus paragraph-level dedup audit (the Gopher/RefinedWeb
+    line-dedup signal): split each doc into paragraph units, hash each
+    unit, keep the FIRST occurrence corpus-wide (min (doc, pos) per
+    digest), and report per-doc kept/total counts + the dup ratio.
+
+    Scale shape: explode → one shuffle keyed by the unit digest (never the
+    unit text beyond the digest row), min-agg + join back on digest.  The
+    same digest-keyed layout serves actual removal (filter on keep) —
+    this operator returns the audit aggregate per doc.
+    """
+    units = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).where(F.length(F.trim(F.col("para"))) > 0)
+    # (doc, pos) packed into one long keeps the min-agg hash-mutable (the
+    # struct-ordering SortAggregate trap, see rollup.ohlcv); bounds: doc
+    # id < 2^43, < 2^20 paragraphs per doc
+    hashed = units.select(
+        "doc",
+        (F.col("doc") * F.lit(1 << 20) + F.col("pos")).alias("__k"),
+        F.md5(F.trim(F.col("para"))).alias("digest"),
+    )
+    first = hashed.groupBy("digest").agg(F.min("__k").alias("__kmin"))
+    marked = hashed.join(first, "digest").select(
+        "doc", (F.col("__k") == F.col("__kmin")).cast("int").alias("keep")
+    )
+    return marked.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum("keep").alias("n_kept"),
+        F.round(1.0 - F.sum("keep") / F.count(F.lit(1)), 6).alias("dup_ratio"),
+    )

@@ -770,3 +770,60 @@ def t8_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["ipv4"].cast("bigint").alias("n_ipv4"),
         F.length(text.redact_pii(F.col("text"))).cast("bigint").alias("redacted_len"),
     )
+
+
+@query(
+    "t9_url_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               'https?://([A-Za-z0-9.-]+)[^\s]*')) AS BIGINT) AS n_urls,
+           CAST(len(list_distinct(list_transform(
+               regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)[^\s]*', 1),
+               h -> lower(h)))) AS BIGINT) AS n_hosts
+    FROM documents
+    """,
+    extended=True,
+)
+def t9_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-filter audit (RefinedWeb-style): per-doc URL count + distinct
+    host count, pure expressions (operators/text.url_stats).  Corpus
+    domain frequencies = explode(hosts) + groupBy, same layout."""
+    docs = _t(spark, sf_dir, "documents")
+    stats = text.url_stats(F.col("text"))
+    return docs.select(
+        "doc_id",
+        stats["n_urls"].cast("bigint").alias("n_urls"),
+        F.size(stats["hosts"]).cast("bigint").alias("n_hosts"),
+    )
+
+
+@query(
+    "t10_paragraph_dedup",
+    oracle=r"""
+    WITH units AS (
+        -- zipped unnests: pos i pairs with element i (DuckDB semantics)
+        SELECT doc_id AS doc,
+               unnest(range(len(string_split_regex(text, '\.\s+')))) AS pos,
+               unnest(string_split_regex(text, '\.\s+')) AS para
+        FROM documents),
+    hashed AS (
+        SELECT doc, doc * 1048576 + pos AS k, md5(trim(para)) AS digest
+        FROM units WHERE length(trim(para)) > 0),
+    first AS (SELECT digest, min(k) AS kmin FROM hashed GROUP BY digest),
+    marked AS (
+        SELECT h.doc, CAST(h.k = f.kmin AS INT) AS keep
+        FROM hashed h JOIN first f ON h.digest = f.digest)
+    SELECT doc, count(*) AS n_paras, CAST(sum(keep) AS BIGINT) AS n_kept,
+           round(1.0 - CAST(sum(keep) AS DOUBLE) / count(*), 6) AS dup_ratio
+    FROM marked GROUP BY doc
+    """,
+    extended=True,
+)
+def t10_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-corpus paragraph-level dedup audit (Gopher/RefinedWeb line
+    dedup): corpus-wide first-occurrence keep decisions keyed by unit
+    digest, per-doc kept/total + dup ratio
+    (operators/text.paragraph_dedup_stats)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.paragraph_dedup_stats(docs, "doc_id", "text")

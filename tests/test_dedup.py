@@ -300,6 +300,49 @@ def test_pii_redaction_planted(spark):
     assert out[3].red == "perfectly clean prose with no identifiers"
 
 
+def test_url_stats_counts_and_hosts(spark):
+    from ago_sisdb_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "see https://Example.com/a and http://example.com/b plus https://other.org ok"),
+            (2, "no links here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id",
+            T.url_stats(F.col("text"))["n_urls"].alias("n_urls"),
+            T.url_stats(F.col("text"))["hosts"].alias("hosts"),
+        ).collect()
+    }
+    assert out[1].n_urls == 3
+    assert sorted(out[1].hosts) == ["example.com", "other.org"]  # lowercased, distinct
+    assert out[2].n_urls == 0 and out[2].hosts == []
+
+
+def test_paragraph_dedup_stats(spark):
+    from ago_sisdb_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta. gamma delta. alpha beta"),   # self-dup para
+            (2, "alpha beta. unique here"),               # cross-doc dup of doc 1's para
+            (3, "totally fresh text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc: r for r in T.paragraph_dedup_stats(docs, "doc_id", "text").collect()}
+    # doc 1: 3 units, 'alpha beta' repeated → 2 kept
+    assert (out[1].n_paras, out[1].n_kept) == (3, 2)
+    # doc 2: 'alpha beta' already seen in doc 1 (lower packed key) → 1 kept
+    assert (out[2].n_paras, out[2].n_kept) == (2, 1)
+    assert (out[3].n_paras, out[3].n_kept) == (1, 1)
+    assert out[3].dup_ratio == 0.0
+
+
 def test_unigram_logprob_orders_quality(spark):
     """Docs made of corpus-common tokens outscore rare-token docs."""
     from ago_sisdb_spark.operators import text as T
