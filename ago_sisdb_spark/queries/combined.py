@@ -326,20 +326,24 @@ def n2_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT a.doc_id, b.n_ws_tokens, b.n_bpe_tokens, a.n_chars_actual,
            a.n_chars, c.lang, c.pred_lang, d.fingerprint, e.n_grams,
-           e.rep_ratio
+           e.rep_ratio, p.n_email, p.n_phone, p.n_ipv4, p.redacted_len,
+           u.n_urls, u.n_hosts
     FROM ({_O['t1_token_count']}) a
     JOIN ({_O['t5_bpe_token_count']}) b ON a.doc_id = b.doc_id
     JOIN ({_O['t3_lang_id']}) c ON a.doc_id = c.doc_id
     JOIN ({_O['t4_fingerprint']}) d ON a.doc_id = d.doc_id
     JOIN ({_O['t6_repetition_ratio']}) e ON a.doc_id = e.doc_id
+    JOIN ({_O['t8_pii_redact']}) p ON a.doc_id = p.doc_id
+    JOIN ({_O['t9_url_stats']}) u ON a.doc_id = u.doc_id
     """,
 )
 def t_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text-analysis suite as ONE scan projection (no joins, no
     shuffle): whitespace + BPE-ish token counts (T1/T5), char counts,
-    heuristic language-ID (T3), rolling-hash fingerprint (T4), and the
-    Gopher-style 3-gram repetition ratio (T6).  The oracle joins the
-    locally-gated per-metric oracles on doc_id."""
+    heuristic language-ID (T3), rolling-hash fingerprint (T4), the
+    Gopher-style 3-gram repetition ratio (T6), PII redaction audit counts
+    (t8), and URL-filter stats (t9).  The oracle joins the locally-gated
+    per-metric oracles on doc_id."""
     from ago_sisdb_spark.operators import text
 
     docs = _t(spark, sf_dir, "documents")
@@ -378,6 +382,12 @@ def t_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .alias("rep_ratio"),
+        text.pii_counts(F.col("text"))["email"].cast("bigint").alias("n_email"),
+        text.pii_counts(F.col("text"))["phone"].cast("bigint").alias("n_phone"),
+        text.pii_counts(F.col("text"))["ipv4"].cast("bigint").alias("n_ipv4"),
+        F.length(text.redact_pii(F.col("text"))).cast("bigint").alias("redacted_len"),
+        text.url_stats(F.col("text"))["n_urls"].cast("bigint").alias("n_urls"),
+        F.size(text.url_stats(F.col("text"))["hosts"]).cast("bigint").alias("n_hosts"),
     )
 
 
@@ -983,39 +993,74 @@ def p2_w2_exact_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipe3_training_prep",
     oracle=f"""
     SELECT 'decontam' AS part, CAST(train_id AS VARCHAR) AS key,
-           n_shared_shingles AS n1, CAST(NULL AS BIGINT) AS n2
+           n_shared_shingles AS n1, CAST(NULL AS BIGINT) AS n2,
+           CAST(NULL AS DOUBLE) AS metric
     FROM ({_O['pipe3_decontam']})
     UNION ALL
-    SELECT 'pack', shard || ':' || bin, n_docs, total_tokens
+    SELECT 'pack', shard || ':' || bin, n_docs, total_tokens,
+           CAST(NULL AS DOUBLE)
     FROM ({_O['pipe4_packing']})
     UNION ALL
-    SELECT 'sample', bucket, n_kept, n_total
+    SELECT 'sample', bucket, n_kept, n_total, CAST(NULL AS DOUBLE)
     FROM ({_O['pipe5_sampling']})
+    UNION ALL
+    SELECT 'logprob', CAST(doc AS VARCHAR), n_toks, CAST(NULL AS BIGINT),
+           mean_logprob
+    FROM ({_O['t7_unigram_logprob']})
+    UNION ALL
+    SELECT 'paradedup', CAST(doc AS VARCHAR), n_paras,
+           CAST(n_kept AS BIGINT), dup_ratio
+    FROM ({_O['t10_paragraph_dedup']})
     """,
 )
 def pipe3_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-data preparation suite (operators/prep): benchmark
-    decontamination (train docs sharing word 3-grams with the held-out
-    doc_id%97 eval slice — shingle equi-join, never |train|x|eval|),
-    contiguous context-window packing (512-token bins, running-sum window
-    per shard — no global sort), and reproducible quality-temperature
-    sampling (deterministic hash gate per bucket)."""
+    """Training-data preparation suite (operators/prep, operators/text):
+    benchmark decontamination (train docs sharing word 3-grams with the
+    held-out doc_id%97 eval slice — shingle equi-join, never
+    |train|x|eval|), contiguous context-window packing (512-token bins,
+    running-sum window per shard — no global sort), reproducible
+    quality-temperature sampling (deterministic hash gate per bucket),
+    corpus unigram-logprob quality scoring (two-pass vocab + broadcast
+    join), and the Gopher-style paragraph-level first-occurrence dedup
+    audit (digest-keyed shuffle, never the unit text)."""
     dec = _pipe.pipe3_decontam(spark, sf_dir).select(
         F.lit("decontam").alias("part"),
         F.col("train_id").cast("string").alias("key"),
         F.col("n_shared_shingles").alias("n1"),
         _L().alias("n2"),
+        _D().alias("metric"),
     )
     pack = _pipe.pipe4_packing(spark, sf_dir).select(
         F.lit("pack").alias("part"),
         F.concat_ws(":", "shard", "bin").alias("key"),
         F.col("n_docs").alias("n1"),
         F.col("total_tokens").alias("n2"),
+        _D().alias("metric"),
     )
     samp = _pipe.pipe5_sampling(spark, sf_dir).select(
         F.lit("sample").alias("part"),
         F.col("bucket").alias("key"),
         F.col("n_kept").alias("n1"),
         F.col("n_total").alias("n2"),
+        _D().alias("metric"),
     )
-    return dec.unionByName(pack).unionByName(samp)
+    logp = _pipe.t7_unigram_logprob(spark, sf_dir).select(
+        F.lit("logprob").alias("part"),
+        F.col("doc").cast("string").alias("key"),
+        F.col("n_toks").alias("n1"),
+        _L().alias("n2"),
+        F.col("mean_logprob").alias("metric"),
+    )
+    para = _pipe.t10_paragraph_dedup(spark, sf_dir).select(
+        F.lit("paradedup").alias("part"),
+        F.col("doc").cast("string").alias("key"),
+        F.col("n_paras").alias("n1"),
+        F.col("n_kept").cast("bigint").alias("n2"),
+        F.col("dup_ratio").alias("metric"),
+    )
+    return (
+        dec.unionByName(pack)
+        .unionByName(samp)
+        .unionByName(logp)
+        .unionByName(para)
+    )
