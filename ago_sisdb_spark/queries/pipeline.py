@@ -827,3 +827,57 @@ def t10_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.paragraph_dedup_stats)."""
     docs = _t(spark, sf_dir, "documents")
     return text.paragraph_dedup_stats(docs, "doc_id", "text")
+
+
+# Fixed benchmark queries for the BM25 relevance-search entry; terms drawn
+# from the synthetic corpus vocabulary so every query has matches.
+_BM25_QUERIES = [
+    (0, ["spark", "join"]),
+    (1, ["hash", "table", "scan"]),
+    (2, ["window", "agg"]),
+]
+
+
+@query(
+    "n5_bm25_search",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id AS doc,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+    tf AS (SELECT doc, term, count(*) AS tf FROM toks GROUP BY doc, term),
+    dl AS (SELECT doc, count(*) AS dl FROM toks GROUP BY doc),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    q(query_id, term) AS (VALUES (0,'spark'),(0,'join'),(1,'hash'),
+                                 (1,'table'),(1,'scan'),(2,'window'),
+                                 (2,'agg')),
+    post AS (SELECT q.query_id, q.term, tf.doc, tf.tf
+             FROM q JOIN tf USING (term)),
+    dfreq AS (SELECT term, count(*) AS df
+              FROM (SELECT DISTINCT term, doc FROM post) GROUP BY term),
+    scored AS (
+        SELECT query_id, doc,
+               round(sum(ln(1 + (stats.n - df + 0.5) / (df + 0.5))
+                     * (tf * 2.2)
+                     / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score
+        FROM post JOIN dfreq USING (term) JOIN dl USING (doc), stats
+        GROUP BY query_id, doc),
+    ranked AS (
+        SELECT CAST(query_id AS BIGINT) AS query_id, doc,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, doc) AS BIGINT) AS rank, score
+        FROM scored)
+    SELECT query_id, doc, rank, score FROM ranked WHERE rank <= 10
+    """,
+    extended=True,
+)
+def n5_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked full-text retrieval: Okapi BM25 top-10 per benchmark query
+    (operators/textsearch.bm25_topk — explode+groupBy inverted index,
+    broadcast query terms, only matching posting lists shuffled).  The
+    relevance-retrieval counterpart of the substring search DSL
+    (sisdb_fmap_get.c) for corpus curation workflows."""
+    from ago_sisdb_spark.operators import textsearch
+
+    docs = _t(spark, sf_dir, "documents")
+    return textsearch.bm25_topk(docs, "doc_id", "text", _BM25_QUERIES, k=10)
