@@ -209,3 +209,75 @@ def paragraph_dedup_stats(
         F.sum("keep").alias("n_kept"),
         F.round(1.0 - F.sum("keep") / F.count(F.lit(1)), 6).alias("dup_ratio"),
     )
+
+
+def bigram_logprob(
+    docs, id_col: str, text_col: str, min_count: int = 2, backoff: float = 0.4
+):
+    """Bigram language-model quality score with stupid backoff — the
+    CCNet/KenLM-style perplexity filter one order up from
+    ``unigram_logprob``: mean log10 P(w2|w1) per doc where
+
+    - P(w2|w1) = c(w1 w2) / c(w1 ·)          if the bigram count passes
+      ``min_count`` (c(w1 ·) = bigram occurrences with left word w1);
+    - else ``backoff`` · P_uni(w2), with the same OOV floor
+      (1 / corpus tokens) as the unigram scorer.
+
+    Plan shape: bigrams are built in-array per doc (transform over index
+    sequence — no shuffle), then ONE explode feeds three broadcastable
+    frequency tables (bigram counts with the ``min_count`` cutoff, left-
+    context counts, unigram counts).  Scoring is broadcast joins + one
+    per-doc aggregate; identical vocab-size bounds as unigram_logprob
+    (Heaps' law; raise ``min_count`` to shrink the bigram table).
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(words)
+    bg_arr = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bgs = docs.select(
+        F.col(id_col).alias("doc"), F.explode(bg_arr).alias("bg")
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc"), F.explode(words).alias("tok")
+    )
+    bg_counts = (
+        bgs.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .where(F.col("c2") >= min_count)
+    )
+    left_counts = bgs.select(
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1")
+    ).groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tfu"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        bgs.withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("bg"), F.lit(" "), F.lit(2)))
+        .join(F.broadcast(bg_counts), "bg", "left")
+        .join(F.broadcast(left_counts), "w1", "left")
+        .join(F.broadcast(uni.withColumnRenamed("tok", "w2")), "w2", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc",
+            F.log10(
+                F.when(
+                    F.col("c2").isNotNull(), F.col("c2") / F.col("c1")
+                ).otherwise(
+                    F.lit(backoff)
+                    * F.coalesce(F.col("tfu"), F.lit(1))
+                    / F.col("n_total")
+                )
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc").agg(
+        F.round(F.avg("lp"), 6).alias("mean_logprob"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )

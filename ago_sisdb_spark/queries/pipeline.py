@@ -881,3 +881,75 @@ def n5_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return textsearch.bm25_topk(docs, "doc_id", "text", _BM25_QUERIES, k=10)
+
+
+@query(
+    "t11_corpus_datacard",
+    oracle=r"""
+    WITH base AS (
+        SELECT lang, source,
+               len(string_split_regex(lower(trim(text)), '\s+')) AS toks,
+               length(text) AS chars
+        FROM documents)
+    SELECT CASE WHEN grouping(lang) = 0 THEN 'lang'
+                WHEN grouping(source) = 0 THEN 'source' ELSE 'all' END AS dim,
+           CASE WHEN grouping(lang) = 0 THEN lang
+                WHEN grouping(source) = 0 THEN source ELSE 'all' END AS grp,
+           count(*) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS n_tokens,
+           round(avg(toks), 6) AS avg_tokens,
+           round(median(chars), 6) AS median_chars,
+           round(quantile_cont(chars, 0.9), 6) AS p90_chars
+    FROM base GROUP BY GROUPING SETS ((lang), (source), ())
+    """,
+    extended=True,
+)
+def t11_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data-card report: docs/tokens/length distribution overall and
+    per lang/source slice, as grouping sets over ONE scan + ONE shuffle
+    (operators/report.corpus_datacard).  Exact medians here; the documented
+    100 TB swap is approx_percentile."""
+    from ago_sisdb_spark.operators import report
+
+    docs = _t(spark, sf_dir, "documents")
+    return report.corpus_datacard(docs, "text")
+
+
+@query(
+    "t12_bigram_logprob",
+    oracle=r"""
+    WITH ws AS (SELECT doc_id AS doc,
+                       string_split_regex(lower(trim(text)), '\s+') AS w
+                FROM documents),
+    bgs AS (SELECT doc,
+                   unnest(list_transform(range(1, len(w)),
+                                         i -> w[i] || ' ' || w[i+1])) AS bg
+            FROM ws WHERE len(w) >= 2),
+    toks AS (SELECT doc, unnest(w) AS tok FROM ws),
+    bgc AS (SELECT bg, count(*) AS c2 FROM bgs GROUP BY bg
+            HAVING count(*) >= 2),
+    lc AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
+           FROM bgs GROUP BY 1),
+    uni AS (SELECT tok, count(*) AS tfu FROM toks GROUP BY tok),
+    tot AS (SELECT count(*) AS n_total FROM toks),
+    sc AS (SELECT b.doc,
+                  log10(CASE WHEN bgc.c2 IS NOT NULL
+                        THEN CAST(bgc.c2 AS DOUBLE) / lc.c1
+                        ELSE 0.4 * coalesce(uni.tfu, 1) / tot.n_total
+                        END) AS lp
+           FROM bgs b
+           LEFT JOIN bgc USING (bg)
+           LEFT JOIN lc ON split_part(b.bg, ' ', 1) = lc.w1
+           LEFT JOIN uni ON split_part(b.bg, ' ', 2) = uni.tok, tot)
+    SELECT doc, round(avg(lp), 6) AS mean_logprob, count(*) AS n_bigrams
+    FROM sc GROUP BY doc
+    """,
+    extended=True,
+)
+def t12_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score with stupid backoff (CCNet/KenLM-style
+    perplexity filter, one order above t7's unigram scorer;
+    operators/text.bigram_logprob — in-array bigram build, broadcast
+    frequency tables)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bigram_logprob(docs, "doc_id", "text")

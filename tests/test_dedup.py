@@ -353,3 +353,22 @@ def test_unigram_logprob_orders_quality(spark):
     got = {r.doc: r.mean_logprob for r in
            T.unigram_logprob(df, "doc_id", "text").collect()}
     assert got[0] > got[100]
+
+
+def test_bigram_logprob_closed_form_and_ordering(spark):
+    """Hand-checked corpus: repeated natural bigrams outscore rare ones."""
+    import math
+
+    from ago_sisdb_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a zz qq b"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r.doc: r for r in T.bigram_logprob(docs, "doc_id", "text").collect()}
+    # doc 1: 'a b' c2=3 / c1('a ·')=4 → 3×log10(.75); 'b a' c2=2/c1=2 → 0
+    want = 3 * math.log10(0.75) / 5
+    assert abs(out[1].mean_logprob - round(want, 6)) < 1e-9
+    assert out[1].n_bigrams == 5
+    assert out[1].mean_logprob > out[2].mean_logprob  # rare bigrams punished
+    assert 3 not in out  # single-token doc has no bigrams
