@@ -483,3 +483,36 @@ def lsh_topk(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def ann_recall(truth: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """Recall@k of an approximate neighbor set against exact ground truth.
+
+    Both inputs carry (probe_id, neighbor_id) rows (extra columns ignored).
+    Returns one row per probe: ``(probe_id, n_hits, recall)`` with recall =
+    |approx ∩ truth| / k.  Probes present in ``truth`` but absent from
+    ``approx`` (e.g. an empty LSH bucket) score 0, not NULL — an index that
+    returns nothing must not look perfect.
+
+    The evaluation harness for the n2/n4 index tuning loop (bits, tables,
+    nprobe): joins are on (probe_id, neighbor_id) — candidate-set sized,
+    never corpus sized.
+    """
+    t = truth.select("probe_id", "neighbor_id")
+    a = approx.select("probe_id", "neighbor_id").distinct()
+    hits = (
+        t.join(a, ["probe_id", "neighbor_id"], "left_semi")
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    per_probe = (
+        t.select("probe_id")
+        .distinct()
+        .join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(k), 6).alias("recall"),
+        )
+    )
+    return per_probe

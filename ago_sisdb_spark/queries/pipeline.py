@@ -953,3 +953,31 @@ def t12_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency tables)."""
     docs = _t(spark, sf_dir, "documents")
     return text.bigram_logprob(docs, "doc_id", "text")
+
+
+@query("n6_ann_recall", oracle=None, extended=True)
+def n6_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation: recall@5 of the LSH and IVF approximate
+    indexes against exact brute-force ground truth for probes 0-4
+    (operators/similarity.ann_recall).  Rows-only by design (the
+    approximate indexes are not SQL-expressible); the recall floor is
+    pinned in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
+    truth = similarity.brute_force_topk(
+        emb, probes, "vec_id", "embedding", "vec_id", 5
+    )
+    lsh = similarity.lsh_topk(
+        emb, probes, "vec_id", "embedding", "vec_id", k=5, dim=64, bits=6
+    )
+    ivf = similarity.ivf_topk(
+        emb, probes, "vec_id", "embedding", "vec_id", k=5,
+        n_centroids=16, nprobe=4,
+    )
+    out_l = similarity.ann_recall(truth, lsh, 5).select(
+        F.lit("lsh").alias("method"), "probe_id", "n_hits", "recall"
+    )
+    out_i = similarity.ann_recall(truth, ivf, 5).select(
+        F.lit("ivf").alias("method"), "probe_id", "n_hits", "recall"
+    )
+    return out_l.unionByName(out_i)

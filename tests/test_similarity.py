@@ -184,3 +184,33 @@ def test_train_centroids_shape_and_convergence(spark):
     # one centroid per cluster direction
     dirs = sorted((r["__cent"][0] > r["__cent"][1]) for r in cents)
     assert dirs == [False, True]
+
+
+def test_ann_recall_counts_hits_and_zero_fills(spark):
+    from ago_sisdb_spark.operators.similarity import ann_recall
+
+    truth = spark.createDataFrame(
+        [(0, 10), (0, 11), (1, 20), (1, 21)], "probe_id long, neighbor_id long"
+    )
+    approx = spark.createDataFrame(
+        [(0, 10), (0, 99), (0, 10)],  # dup approx rows must not double-count
+        "probe_id long, neighbor_id long",
+    )
+    out = {r.probe_id: r for r in ann_recall(truth, approx, 2).collect()}
+    assert (out[0].n_hits, out[0].recall) == (1, 0.5)
+    assert (out[1].n_hits, out[1].recall) == (0, 0.0)  # absent probe → 0
+
+
+def test_ann_recall_on_real_indexes(spark):
+    """LSH and IVF recall@5 over the sf0.001 embeddings stays above floor."""
+    from ago_sisdb_spark.inventory import extended_queries
+
+    out = extended_queries()["n6_ann_recall"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert {r.method for r in rows} == {"lsh", "ivf"}
+    by_m = {}
+    for r in rows:
+        by_m.setdefault(r.method, []).append(r.recall)
+    for m, recalls in by_m.items():
+        assert len(recalls) == 5
+        assert sum(recalls) / len(recalls) >= 0.2, (m, recalls)
