@@ -77,29 +77,39 @@ def word_shingles(text: Column, k: int) -> Column:
 
 
 def shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """(doc, shingle) rows: posexplode words, window-lead concat per doc.
+    """(doc, shingle) rows: shingles built IN-ARRAY per document (slice +
+    array_join over an index sequence), then one explode — zero shuffles.
 
-    One shuffle on the doc key; per-doc groupBys downstream reuse the
-    partitioning (Catalyst sees the co-partitioning, no second shuffle).
+    A document's words arrive in one row, so the whole shingle set is a
+    per-row expression; the old window-lead formulation paid an exchange +
+    per-doc sort before any aggregation.  With no pre-shuffle, a downstream
+    ``groupBy(doc)`` min-agg gets map-side partial combine over co-located
+    rows — the exchange carries one signature-wide row per doc per
+    partition instead of every (doc, shingle) row.
+
     Multiset semantics — apply ``.distinct()`` for set semantics (Jaccard);
     MinHash doesn't need it (min over multiset == min over set).
-    Short documents (< k words) contribute their first word, matching
-    ``word_shingles``.
+    Short documents (< k words) contribute one truncated shingle of all
+    their words, matching the previous window form exactly (A/B verified
+    multiset-identical at sf0.01).
     """
-    from pyspark.sql import Window
-
-    w = df.select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "w"),
+    # Map parallelism comes from input splits at scale; a local corpus in
+    # one small file would otherwise run the whole shingle+hash pipeline in
+    # a single task.  Spreading the COMPACT doc rows (id + text, one row
+    # per doc) is strictly cheaper than the old window form's exchange of
+    # exploded word rows, and hash-partitioning on the doc id lets a
+    # downstream groupBy(doc) reuse the distribution with no second
+    # shuffle.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, F.col(id_col))
+    words = F.split(F.col(text_col), r"\s+")
+    n = F.size(words)
+    arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+        lambda i: F.array_join(F.slice(words, i, k), " "),
     )
-    win = Window.partitionBy("doc").orderBy("pos")
-    leads = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, k)]
-    tail_ok = F.lead("w", k - 1).over(win).isNotNull() | (F.col("pos") == 0)
-    return (
-        w.select("doc", "pos", F.concat_ws(" ", *leads).alias("shingle"), tail_ok.alias("__ok"))
-        .where(F.col("__ok"))
-        .select("doc", "shingle")
-    )
+    return df.select(F.col(id_col).alias("doc"), F.explode(arr).alias("shingle"))
 
 
 def _perm_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:

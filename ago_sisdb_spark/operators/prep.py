@@ -14,6 +14,12 @@ reference analogue, included under the 100 TB pipeline mandate).
 - quality_sample: temperature-style sampling — per-quality-bucket keep
   rates applied via a deterministic Knuth-hash gate, so the sample is
   reproducible (no RNG state) and pushes down as a plain filter.
+- chunk_documents: overlapping context-window chunking — each doc's chunks
+  are built as ONE per-row array expression then exploded, so the op is a
+  pure map (no shuffle, no window); parallelism comes from input splits.
+- mixture_sample: domain reweighting to target token shares — a tiny
+  per-domain totals aggregate broadcast back onto the corpus, then the
+  same deterministic hash gate; the only shuffle is the domains-sized agg.
 """
 
 from __future__ import annotations
@@ -105,11 +111,99 @@ def quality_sample(
     (it is NOT a parquet-pushable predicate — hash of a column — so expect
     a full scan; pair with partition filters for bounded passes)."""
     bucket = bucket_col if not isinstance(bucket_col, str) else F.col(bucket_col)
-    # mod BEFORE the multiply: id * 2654435761 overflows int64 (ANSI mode
-    # raises) once ids pass ~3.4e9 — real at 100 TB.  (id % p) * a % p is
-    # the same multiplicative hash, kept inside 2^62.
-    gate = (F.pmod(F.col(id_col), F.lit(1000003)) * F.lit(2654435761)) % F.lit(1000003)
     rate = F.lit(default_rate)
     for name, r in rates.items():
         rate = F.when(bucket == name, F.lit(r)).otherwise(rate)
-    return df.where(gate < rate * 1000003)
+    return df.where(hash_gate(id_col) < rate * 1000003)
+
+
+def hash_gate(id_col: str):
+    """Deterministic 0..1000002 gate value from an integer id (Knuth
+    multiplicative).  mod BEFORE the multiply: id * 2654435761 overflows
+    int64 (ANSI mode raises) once ids pass ~3.4e9 — real at 100 TB.
+    (id % p) * a % p is the same multiplicative hash, kept inside 2^62."""
+    return (F.pmod(F.col(id_col), F.lit(1000003)) * F.lit(2654435761)) % F.lit(1000003)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 256,
+    stride: int = 192,
+) -> DataFrame:
+    """Explode each document into overlapping word-token context windows.
+
+    Output: (doc, chunk_idx, start_tok, n_toks, chunk_text).  Chunk i
+    covers words [i*stride, i*stride + window); the last chunk may be
+    short; a doc shorter than one window yields exactly one chunk.
+
+    Scale shape: the whole chunk list is ONE per-row array expression
+    (sequence → slice → array_join) followed by a single posexplode — a
+    pure map stage with no shuffle and no per-doc window sort.  Row
+    explosion is bounded by ~n_words/stride per doc; downstream per-chunk
+    ops (embedding, dedup) see chunks already co-located with their doc.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    # number of chunks: 1 + ceil(max(0, n - window) / stride)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - window, F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start_tok"),
+            F.least(n - s, F.lit(window)).alias("n_toks"),
+            F.array_join(F.slice(words, s + 1, window), " ").alias("chunk_text"),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("doc"), F.posexplode(chunks).alias("chunk_idx", "c")
+    ).select(
+        "doc",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("c.start_tok").cast("bigint").alias("start_tok"),
+        F.col("c.n_toks").cast("bigint").alias("n_toks"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    token_col: str,
+    shares: dict[str, float],
+    budget_tokens: int,
+    default_share: float = 0.0,
+) -> DataFrame:
+    """Downsample each domain toward ``share * budget_tokens`` target
+    tokens; returns the input rows that survive, plus a ``keep_rate``
+    column.
+
+    rate(domain) = min(1, share(domain) * budget / tokens(domain)), applied
+    through the deterministic Knuth gate (reproducible, no RNG).  Domains
+    absent from ``shares`` get ``default_share``.  Cost at scale: one
+    domains-sized aggregate (map-side combine, output rows = #domains)
+    broadcast-joined back — no corpus-wide shuffle; the gate itself is a
+    codegen'd filter in the scan stage.
+    """
+    totals = df.groupBy(domain_col).agg(
+        F.sum(F.col(token_col).cast("bigint")).alias("__dom_toks")
+    )
+    share = F.lit(default_share)
+    for name, s in shares.items():
+        share = F.when(F.col(domain_col) == name, F.lit(s)).otherwise(share)
+    rate = F.least(
+        F.lit(1.0), share * F.lit(float(budget_tokens)) / F.col("__dom_toks")
+    )
+    joined = df.join(F.broadcast(totals), domain_col)
+    return (
+        joined.withColumn("keep_rate", rate)
+        .where(hash_gate(id_col) < F.col("keep_rate") * 1000003)
+        .drop("__dom_toks")
+    )
