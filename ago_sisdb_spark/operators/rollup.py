@@ -37,6 +37,20 @@ def _width_micros(width: str) -> int | None:
     return int(m.group(1)) * _WIDTH_US[m.group(2)]
 
 
+def _epoch_micros(df: DataFrame, time_col: str):
+    """Epoch-microseconds of ``time_col`` for either timestamp flavor.
+
+    ``unix_micros`` only accepts TIMESTAMP (with local tz); parquet written
+    with isAdjustedToUTC=false reads as TIMESTAMP_NTZ, where the cast to
+    TIMESTAMP is lossless because the session timezone is pinned UTC
+    (session.py).
+    """
+    col = F.col(time_col)
+    if dict(df.dtypes).get(time_col) == "timestamp_ntz":
+        col = col.cast("timestamp")
+    return F.unix_micros(col)
+
+
 def ohlcv(
     df: DataFrame,
     key_cols: list[str],
@@ -69,7 +83,7 @@ def ohlcv(
     elif width_us is not None and width_us <= (1 << 32) - 1:
         # delta < 2^32 and id < 2^31 keep delta·2³¹ + id inside int64
         # (ANSI-safe); id ≥ 2³¹ would need the struct path
-        delta = F.pmod(F.unix_micros(F.col(time_col)), F.lit(width_us))
+        delta = F.pmod(_epoch_micros(df, time_col), F.lit(width_us))
         order = delta * F.lit(1 << 31).cast("long") + F.col(order_col)
     else:
         order = F.struct(F.col(time_col), F.col(order_col))

@@ -169,6 +169,7 @@ def cosine_neardup_lsh(
     seed: int = 29,
     max_bucket_size: int = 1000,
     log_drops: bool = False,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs at scale: multi-table hyperplane LSH.
 
@@ -179,15 +180,22 @@ def cosine_neardup_lsh(
     ~n/2^bits per table *on average*; ``max_bucket_size`` bounds the
     degenerate case (e.g. zero/constant vectors all hashing to one bucket
     → O(m²) pairs) via ``dedup.cap_bucket_fanout``.
+
+    ``planes`` overrides the seeded gaussian hyperplanes (bits·tables rows
+    of dim values).  Bucketing only uses the SIGN of each projection, so any
+    scaling of a plane is equivalent — the d6 oracle twin exploits this by
+    passing integer-valued planes that a SQL oracle can restate verbatim.
     """
     import random
 
     from ago_sisdb_spark.operators.dedup import cap_bucket_fanout
 
-    rnd = random.Random(seed)
-    planes = [
-        [rnd.gauss(0, 1) for _ in range(dim)] for _ in range(bits * tables)
-    ]
+    if planes is None:
+        rnd = random.Random(seed)
+        planes = [
+            [rnd.gauss(0, 1) for _ in range(dim)] for _ in range(bits * tables)
+        ]
+    assert len(planes) == bits * tables and all(len(p) == dim for p in planes)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
     # candidate generation carries only (table, bucket, id) — the wide
     # vector column is joined back AFTER pair dedup so the dedup shuffle

@@ -927,23 +927,39 @@ def a13_a14_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trend.unionByName(peaks).unionByName(troughs)
 
 
-@query("a8_stateful_series", oracle=None)
+@query(
+    "a8_stateful_series",
+    oracle=f"""
+    SELECT 'polyfit' AS op, event_type, c2 AS x1, c1 AS x2, c0 AS x3
+    FROM ({_O['a8_polyfit_planted']})
+    UNION ALL
+    SELECT 'turn', event_type, turn_time,
+           turn_value, CAST(direction AS DOUBLE)
+    FROM ({_O['a14_turning_scan_planted']})
+    """,
+)
 def a8_stateful_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 polyfit + A14 full turning-point scan — the two genuinely stateful
     per-series algorithms (numpy / stateful loop in Arrow-batched
-    applyInPandas; sis_ai.h:66-112,131-133).  Rows-only; values pinned by
-    local-model tests in tests/test_series.py."""
-    poly = _series.a8_polyfit(spark, sf_dir).select(
+    applyInPandas; sis_ai.h:66-112,131-133).
+
+    Oracle-checked since r4 via the planted twins (r3 verdict #5): the same
+    operators run on closed-form inputs whose exact outputs DuckDB states
+    directly — an exact quadratic for polyfit, a triangle wave for the
+    turning scan.  The real-data runs remain as the extended rows-only
+    entries ``a8_polyfit`` / ``a14_turning_points`` with local-model tests
+    in tests/test_series_pandas.py."""
+    poly = _series.a8_polyfit_planted(spark, sf_dir).select(
         F.lit("polyfit").alias("op"),
         "event_type",
         F.col("c2").alias("x1"),
         F.col("c1").alias("x2"),
         F.col("c0").alias("x3"),
     )
-    turns = _series.a14_turning_points(spark, sf_dir).select(
+    turns = _series.a14_turning_scan_planted(spark, sf_dir).select(
         F.lit("turn").alias("op"),
         "event_type",
-        F.unix_timestamp("turn_time").cast("double").alias("x1"),
+        F.col("turn_time").alias("x1"),
         F.col("turn_value").alias("x2"),
         F.col("direction").cast("double").alias("x3"),
     )

@@ -127,14 +127,75 @@ def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
-@query("d6_embedding_neardup_lsh", oracle=None)
+_D6_BITS, _D6_TABLES, _D6_DIM = 6, 8, 64
+
+
+def _d6_planes() -> list[list[float]]:
+    """Seeded integer-valued hyperplanes for the d6 oracle twin (r3 verdict
+    #6): bucketing uses only sign(v·plane), which is invariant under
+    scaling, so gauss·10⁴ rounded to int carries the same buckets while
+    being restatable as exact literals in DuckDB SQL."""
+    import random
+
+    rnd = random.Random(29)
+    return [
+        [float(round(rnd.gauss(0, 1) * 10_000)) for _ in range(_D6_DIM)]
+        for _ in range(_D6_BITS * _D6_TABLES)
+    ]
+
+
+def _d6_oracle() -> str:
+    planes = _d6_planes()
+    per_table = []
+    for t in range(_D6_TABLES):
+        bexpr = " + ".join(
+            "(CASE WHEN list_dot_product(v, {lits}) > 0 THEN {w} ELSE 0 END)".format(
+                lits="[" + ", ".join(str(int(x)) for x in planes[t * _D6_BITS + i]) + "]",
+                w=1 << i,
+            )
+            for i in range(_D6_BITS)
+        )
+        per_table.append(f"SELECT id, {t} AS tbl, {bexpr} AS bucket FROM base")
+    buckets = "\n      UNION ALL ".join(per_table)
+    return f"""
+    WITH base AS (
+      SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    bk AS ({buckets}),
+    capped AS (
+      SELECT * FROM bk
+      QUALIFY count(*) OVER (PARTITION BY tbl, bucket) <= 1000
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM capped a JOIN capped b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id
+    )
+    SELECT c.id_a, c.id_b,
+           round(list_cosine_similarity(x.v, y.v), 6) AS cosine
+    FROM cand c
+    JOIN base x ON c.id_a = x.id
+    JOIN base y ON c.id_b = y.id
+    WHERE list_cosine_similarity(x.v, y.v) >= 0.40
+    """
+
+
+@query("d6_embedding_neardup_lsh", oracle=_d6_oracle())
 def d6_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via multi-table hyperplane LSH + exact re-check —
     the 100 TB path (candidates via bucket equi-join, precision 1.0 by
-    construction; recall vs d5 asserted in tests).  Rows-only check."""
+    construction; recall vs d5 asserted in tests).
+
+    Oracle-checked since r4: seeded integer hyperplanes (``_d6_planes``)
+    make every bucket, the fan-out cap, the candidate equi-join, and the
+    exact re-check reproducible in DuckDB — the full banded logic is
+    hash-checked, not just row counts."""
     emb = _t(spark, sf_dir, "embeddings")
     out = similarity.cosine_neardup_lsh(
-        emb, "vec_id", "embedding", threshold=0.40, dim=64, bits=6, tables=8
+        emb, "vec_id", "embedding", threshold=0.40,
+        dim=_D6_DIM, bits=_D6_BITS, tables=_D6_TABLES, planes=_d6_planes(),
     )
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 

@@ -323,6 +323,83 @@ def a8_polyfit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a8_polyfit_planted",
+    oracle="""
+    SELECT event_type,
+           CAST(length(event_type) + 2 AS DOUBLE) AS c2,
+           CAST(length(event_type) + 1 AS DOUBLE) AS c1,
+           CAST(length(event_type) AS DOUBLE) AS c0
+    FROM (SELECT DISTINCT event_type FROM events)
+    """,
+    extended=True,
+)
+def a8_polyfit_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 oracle twin (r3 verdict #5): the same numpy polyfit operator run
+    on a planted exact quadratic — per event_type, y = (L+2)x² + (L+1)x + L
+    with L = len(event_type), x = event_id mod 101 — so the recovered
+    coefficients are known integers and DuckDB states them in closed form.
+    Zero-residual input makes the least-squares solution exact up to
+    float noise ≪ the 6-decimal rounding.  The real-data run stays in
+    ``a8_polyfit`` (rows-only by contract)."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id")
+    code = F.length("event_type").cast("double")
+    x = (F.col("event_id") % 101).cast("double")
+    planted = ev.select(
+        "event_type",
+        x.alias("x"),
+        ((code + 2) * x * x + (code + 1) * x + code).alias("y"),
+    )
+    out = series.polyfit_pandas(planted, ["event_type"], "x", "y", 2)
+    return out.select(
+        "event_type",
+        F.round("c2", 6).alias("c2"),
+        F.round("c1", 6).alias("c1"),
+        F.round("c0", 6).alias("c0"),
+    )
+
+
+@query(
+    "a14_turning_scan_planted",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type,
+               row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS idx,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    )
+    SELECT event_type,
+           CAST(idx AS DOUBLE) AS turn_time,
+           CAST(CASE WHEN idx % 8 = 0 THEN 140 ELSE 100 END AS DOUBLE) AS turn_value,
+           CAST(CASE WHEN idx % 8 = 0 THEN 1 ELSE -1 END AS INTEGER) AS direction
+    FROM ranked
+    WHERE idx % 8 IN (0, 4) AND idx < n
+    """,
+    extended=True,
+)
+def a14_turning_scan_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 oracle twin (r3 verdict #5): the same stateful applyInPandas
+    turning-point scan run on a planted triangle wave — per event_type,
+    value = 100 + 10·|idx mod 8 − 4| over idx = rank by event_id — whose
+    turning points have a closed form: every trough (idx≡4 mod 8, value
+    100, direction −1) and peak (idx≡0, value 140, direction +1) except
+    the series' last point (a turn is only confirmed by the following
+    direction flip; every step here clears the 0.05 amplitude gate:
+    10/140 ≈ 0.071).  The real-data scan stays in ``a14_turning_points``
+    (rows-only by contract)."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id")
+    idx = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("event_id")
+    )
+    planted = ev.select(
+        "event_type",
+        idx.cast("double").alias("t"),
+        (F.lit(100.0) + F.lit(10.0) * F.abs((idx % 8) - F.lit(4)).cast("double")).alias("val"),
+    )
+    out = series.turning_points_pandas(planted, ["event_type"], "t", "val", 0.05)
+    return out.select("event_type", "turn_time", "turn_value", "direction")
+
+
+@query(
     "w1_window_suite",
     oracle="""
     SELECT event_id, user_id, value,

@@ -47,6 +47,10 @@ SECONDARY = [
     "a14_turning_points",
     "a8_polyfit",
     "m2_multimodal_features",
+    # r3 additions (r3 verdict #7): tracked from r4 on
+    "n5_bm25_search",
+    "t11_corpus_datacard",
+    "t12_bigram_logprob",
 ]
 
 RUNS = 3

@@ -24,15 +24,17 @@ def _scan_lines(df):
     return [l for l in plan.splitlines() if "Scan parquet" in l]
 
 
-def test_raw_events_filter_is_not_pushed(spark, sf_small):
-    # documents the problem: computed-ts filter can't push down on raw files
+def test_raw_events_filter_is_pushed(spark, sf_small):
+    # events.parquet reads natively as TIMESTAMP_NTZ here, so the ts range
+    # predicate reaches the parquet scan with no normalization in the way
+    # (r3 verdict #3 — the nanosAsLong branch stays only as compat for
+    # environments whose reader surfaces INT64 nanos)
     from ago_sisdb_spark.catalog import load_table
 
     ev = load_table(spark, sf_small, "events")
-    out = ev.where(F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+    out = ev.where(F.col("ts") >= F.lit("2024-01-10").cast("timestamp_ntz"))
     scans = _scan_lines(out)
-    # only IsNotNull survives; the range comparison stays post-scan
-    assert scans and all("GreaterThan" not in s for s in scans)
+    assert scans and any("GreaterThanOrEqual(ts" in s for s in scans)
 
 
 def test_materialized_events_filter_pushes_down(spark, mat_events):

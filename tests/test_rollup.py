@@ -75,3 +75,22 @@ def test_ohlcv_values(spark, ticks):
     assert first_a.high == max(prices)
     assert first_a.low == min(prices)
     assert first_a.volume == 60
+
+
+def test_ntz_timestamp_matches_timestamp(spark, ticks):
+    """events.parquet reads as TIMESTAMP_NTZ in this environment (r3 verdict
+    #1/#4): the packed-long fast path must produce identical bars for both
+    timestamp flavors AND keep the HashAggregate shape on NTZ input."""
+    from pyspark.sql import functions as F
+
+    ntz = ticks.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    assert dict(ntz.dtypes)["ts"] == "timestamp_ntz"
+    tz_bars = ohlcv(ticks, ["sym"], "ts", "price", "1 hour", order_col="seq")
+    ntz_bars = ohlcv(ntz, ["sym"], "ts", "price", "1 hour", order_col="seq")
+    a = {(r.sym, str(r.bar_start)): (r.open, r.high, r.low, r.close, r.volume)
+         for r in tz_bars.collect()}
+    b = {(r.sym, str(r.bar_start)): (r.open, r.high, r.low, r.close, r.volume)
+         for r in ntz_bars.collect()}
+    assert a == b
+    plan = ntz_bars._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan and "SortAggregate" not in plan

@@ -57,6 +57,12 @@ def main() -> int:
         for c, d in dcols.items():
             s = scols.get(c, "<missing>")
             dn = MAP.get(d, d.lower())
+            # DuckDB TIMESTAMP is WITHOUT time zone, so Spark timestamp_ntz
+            # is an exact semantic match; plain timestamp is also accepted
+            # because the session tz is pinned UTC (events.parquet reads
+            # natively as TIMESTAMP_NTZ in this environment — r3 verdict #3)
+            if dn == "timestamp" and s == "timestamp_ntz":
+                continue
             if dn != s and not (dn.startswith("decimal") and s.startswith("decimal")):
                 print(f"MISMATCH {name}.{c}: duckdb={d} spark={s}")
                 bad += 1
