@@ -103,13 +103,18 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target, F.col(id_col))
-    words = F.split(F.col(text_col), r"\s+")
-    n = F.size(words)
+    # split materialized as a column BEFORE the transform: a lambda that
+    # references the raw split() expression re-evaluates the split per
+    # element under the interpreted HOF path (~16× slower end-to-end)
+    wdf = df.select(
+        F.col(id_col).alias("doc"), F.split(F.col(text_col), r"\s+").alias("__w")
+    )
+    w, n = F.col("__w"), F.size("__w")
     arr = F.transform(
         F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
-        lambda i: F.array_join(F.slice(words, i, k), " "),
+        lambda i: F.array_join(F.slice(w, i, k), " "),
     )
-    return df.select(F.col(id_col).alias("doc"), F.explode(arr).alias("shingle"))
+    return wdf.select("doc", F.explode(arr).alias("shingle"))
 
 
 def _perm_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:

@@ -436,31 +436,46 @@ def lsh_topk(
     bits: int = 8,
     seed: int = 13,
     multi_probe: bool = True,
+    tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane bucket equi-join + exact re-rank.
 
-    The equi-join on bucket replaces the cross join — candidates shrink
-    ~2^bits-fold; recall is tuned by ``bits`` (fewer bits → more candidates).
+    The equi-join on (table, bucket) replaces the cross join — candidates
+    shrink ~2^bits-fold per table; recall is tuned by ``bits`` (fewer bits
+    → more candidates), ``tables`` (independent hash tables,
+    OR-amplification — the same recall lever as ``cosine_neardup_lsh``),
+    and ``multi_probe`` (each probe also searches the ``bits`` buckets at
+    Hamming distance 1 per table; cost scales with the tiny probe side
+    only: probe rows × tables × (bits+1)).
 
-    ``multi_probe``: each probe also searches the ``bits`` buckets at
-    Hamming distance 1 (one sign flipped) — the standard multi-probe LSH
-    recall boost.  Cost scales with the (tiny) probe side only: probe rows
-    ×(bits+1); the corpus is still hashed and scanned once.
+    Plan shape (r4): candidate generation explodes only
+    (neighbor_id, table, bucket) — the corpus VECTOR is joined back after
+    candidate dedup, so the bucket fan-out never carries dim doubles and
+    the corpus is scanned once however many tables are configured.
     """
     import random
 
     rnd = random.Random(seed)
-    planes = [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(bits)]
+    planes = [
+        [rnd.gauss(0, 1) for _ in range(dim)] for _ in range(bits * tables)
+    ]
 
-    c = corpus.select(
+    def buckets_arr(vec: Column) -> Column:
+        return F.array(
+            *[
+                hyperplane_bits(vec, planes[t * bits : (t + 1) * bits])
+                for t in range(tables)
+            ]
+        )
+
+    cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec"),
-        hyperplane_bits(F.col(vec_col), planes).alias("__bucket"),
+        F.posexplode(buckets_arr(F.col(vec_col))).alias("__table", "__bucket"),
     )
     p = probes.select(
         F.col(probe_id_col).alias("probe_id"),
         F.col(vec_col).alias("__pvec"),
-        hyperplane_bits(F.col(vec_col), planes).alias("__bucket"),
+        F.posexplode(buckets_arr(F.col(vec_col))).alias("__table", "__bucket"),
     )
     if multi_probe:
         flips = F.array(
@@ -471,17 +486,33 @@ def lsh_topk(
             ],
         )
         p = p.select(
-            "probe_id", "__pvec", F.explode(flips).alias("__bucket")
+            "probe_id", "__pvec", "__table", F.explode(flips).alias("__bucket")
         )
-    scored = (
-        c.join(F.broadcast(p), "__bucket")
+    cand = (
+        cb.join(
+            F.broadcast(p.select("probe_id", "__table", "__bucket")),
+            ["__table", "__bucket"],
+        )
         .where(F.col("neighbor_id") != F.col("probe_id"))
+        .select("probe_id", "neighbor_id")
+        .dropDuplicates(["probe_id", "neighbor_id"])
+    )
+    pvecs = probes.select(
+        F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("__pvec")
+    )
+    scored = (
+        cand.join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(pvecs), "probe_id")
         .select(
             "probe_id",
             "neighbor_id",
             cosine(F.col("__cvec"), F.col("__pvec")).alias("score"),
         )
-        .dropDuplicates(["probe_id", "neighbor_id"])
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")

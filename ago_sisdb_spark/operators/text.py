@@ -223,52 +223,65 @@ def bigram_logprob(
     - else ``backoff`` · P_uni(w2), with the same OOV floor
       (1 / corpus tokens) as the unigram scorer.
 
-    Plan shape: bigrams are built in-array per doc (transform over index
-    sequence — no shuffle), then ONE explode feeds three broadcastable
-    frequency tables (bigram counts with the ``min_count`` cutoff, left-
-    context counts, unigram counts).  Scoring is broadcast joins + one
-    per-doc aggregate; identical vocab-size bounds as unigram_logprob
-    (Heaps' law; raise ``min_count`` to shrink the bigram table).
+    Plan shape (r4 rewrite — the r3 form re-scanned the corpus ~5×, once
+    per frequency table, and joined them against per-OCCURRENCE rows):
+
+    - ONE bigram explode + groupBy gives the distinct-bigram count table;
+    - left-context counts c(w1 ·) derive from THAT table (sum of bigram
+      counts grouped by left word) — no second corpus pass;
+    - unigram counts come from one token explode; the corpus total is the
+      sum of unigram counts — no separate count pass;
+    - the stupid-backoff log-prob is computed once per DISTINCT bigram
+      (vocab-bounded joins), and only that (bg → lp) table is broadcast
+      into the final per-occurrence explode → per-doc mean.
+
+    Corpus passes: 3 (was ~5); the heavy joins run at vocabulary
+    cardinality, not corpus cardinality.  At 100 TB the (bg → lp) table
+    (Heaps-bounded, shrinkable via ``min_count``) outgrows broadcast —
+    swap the last join to a shuffle join on bg; everything upstream
+    already runs at vocab scale.
     """
+    # materialize the split ONCE as a column: a lambda that references the
+    # raw split() expression re-evaluates it per element under the
+    # interpreted higher-order-function path (~16× slower end-to-end)
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    n = F.size(words)
+    wdf = docs.select(F.col(id_col).alias("doc"), words.alias("__w"))
+    w, nw = F.col("__w"), F.size("__w")
     bg_arr = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
-            lambda i: F.concat_ws(
-                " ", F.element_at(words, i), F.element_at(words, i + 1)
-            ),
+        nw >= 2,
+        F.zip_with(
+            F.slice(w, 1, nw - 1),
+            F.slice(w, 2, nw - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    bgs = docs.select(
-        F.col(id_col).alias("doc"), F.explode(bg_arr).alias("bg")
+    bgs = wdf.select("doc", F.explode(bg_arr).alias("bg"))
+    toks = wdf.select(F.explode(w).alias("tok"))
+
+    # distinct-bigram counts (one corpus pass); c(w1 ·) derived from them
+    bg_all = bgs.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    left_counts = (
+        bg_all.select(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"), "cnt"
+        )
+        .groupBy("w1")
+        .agg(F.sum("cnt").alias("c1"))
     )
-    toks = docs.select(
-        F.col(id_col).alias("doc"), F.explode(words).alias("tok")
-    )
-    bg_counts = (
-        bgs.groupBy("bg")
-        .agg(F.count(F.lit(1)).alias("c2"))
-        .where(F.col("c2") >= min_count)
-    )
-    left_counts = bgs.select(
-        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1")
-    ).groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # unigram counts (one corpus pass); total = their sum, not a new pass
     uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tfu"))
-    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
-    scored = (
-        bgs.withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+    total = uni.agg(F.sum("tfu").alias("n_total"))
+
+    lp_table = (
+        bg_all.withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
         .withColumn("w2", F.split_part(F.col("bg"), F.lit(" "), F.lit(2)))
-        .join(F.broadcast(bg_counts), "bg", "left")
-        .join(F.broadcast(left_counts), "w1", "left")
+        .join(F.broadcast(left_counts), "w1")
         .join(F.broadcast(uni.withColumnRenamed("tok", "w2")), "w2", "left")
         .crossJoin(F.broadcast(total))
         .select(
-            "doc",
+            "bg",
             F.log10(
                 F.when(
-                    F.col("c2").isNotNull(), F.col("c2") / F.col("c1")
+                    F.col("cnt") >= min_count, F.col("cnt") / F.col("c1")
                 ).otherwise(
                     F.lit(backoff)
                     * F.coalesce(F.col("tfu"), F.lit(1))
@@ -277,6 +290,7 @@ def bigram_logprob(
             ).alias("lp"),
         )
     )
+    scored = bgs.join(F.broadcast(lp_table), "bg")
     return scored.groupBy("doc").agg(
         F.round(F.avg("lp"), 6).alias("mean_logprob"),
         F.count(F.lit(1)).alias("n_bigrams"),

@@ -347,22 +347,20 @@ def t_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ago_sisdb_spark.operators import text
 
     docs = _t(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), r"\s+")
-    n = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0)))
+    # split materialized as a column BEFORE the higher-order function — a
+    # lambda over the raw split() expression re-evaluates the split per
+    # element under the interpreted HOF path (t12 lesson, ~16× slower)
+    with_w = docs.withColumn("__w", F.split(F.col("text"), r"\s+"))
+    w, n = F.col("__w"), F.size("__w")
+    ln = F.greatest(n - 2, F.lit(0))
+    g12 = F.zip_with(
+        F.slice(w, 1, ln), F.slice(w, 2, ln), lambda a, b: F.concat_ws(" ", a, b)
+    )
     grams = F.when(
         n >= 3,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(words, i),
-                F.element_at(words, i + 1),
-                F.element_at(words, i + 2),
-            ),
-        ),
+        F.zip_with(g12, F.slice(w, 3, ln), lambda ab, c: F.concat_ws(" ", ab, c)),
     ).otherwise(F.array())
-    with_grams = docs.withColumn("__grams", grams)
+    with_grams = with_w.withColumn("__grams", grams)
     return with_grams.select(
         "doc_id",
         text.token_count(F.col("text")).cast("bigint").alias("n_ws_tokens"),

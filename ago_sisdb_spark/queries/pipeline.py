@@ -226,13 +226,40 @@ def n1_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("n2_knn_lsh", oracle=None, extended=True)
 def n2_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via random-hyperplane LSH buckets (6 bits) + exact
-    re-rank inside buckets — the 100 TB path; rows-only check (approximate
-    by design, recall vs n1 asserted in tests)."""
+    """Approximate top-5 via random-hyperplane LSH buckets (6 bits × 3
+    tables, OR-amplified since r4) + exact re-rank inside buckets — the
+    100 TB path; rows-only check (approximate by design, recall vs n1
+    asserted in tests)."""
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
     return similarity.lsh_topk(
-        emb, probes, "vec_id", "embedding", "vec_id", k=5, dim=64, bits=6
+        emb, probes, "vec_id", "embedding", "vec_id", k=5, dim=64, bits=6,
+        tables=3,
+    )
+
+
+@query("n7_knn_pq", oracle=None, extended=True)
+def n7_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN top-5 (operators/pq): per-subspace k-means
+    codebooks (m=8, k*=64 → 8 small-int codes per 64-dim vector, 32×
+    smaller than float32 at byte packing), ADC shortlist over the code
+    table only, exact cosine re-rank of the 8·k shortlist.  The
+    memory-bound scale path beside n2's LSH and n4's IVF; rows-only
+    (approximate by design; recall + determinism pinned in
+    tests/test_pq.py).  The synthetic corpora are tiny (500-2000 vectors)
+    so training runs on the full corpus; at scale train on a sample and
+    use k*=256 (8-bit codes)."""
+    from ago_sisdb_spark.operators import pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
+    books = pq.train_pq_codebooks(
+        emb, "vec_id", "embedding", dim=64, m=8, k=64, iters=2
+    )
+    codes = pq.encode_pq(emb, "vec_id", "embedding", books, 64)
+    return pq.pq_topk(
+        emb, codes, probes, "vec_id", "embedding", "vec_id", books, 64, 5,
+        rerank_factor=8,
     )
 
 
@@ -545,15 +572,20 @@ def t6_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     document (high → boilerplate/spam).  Pure array expressions — the
     shingle list never leaves the row."""
     docs = _t(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), r"\s+")
-    n = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0)))
-    grams = F.when(n >= 3, F.transform(
-        idx, lambda i: F.concat_ws(" ", F.element_at(words, i),
-                                   F.element_at(words, i + 1),
-                                   F.element_at(words, i + 2))
-    )).otherwise(F.array())
-    g = docs.select("doc_id", grams.alias("grams"))
+    # split materialized as a column BEFORE the higher-order function: a
+    # lambda over the raw split() expression re-evaluates the split per
+    # element under the interpreted HOF path (t12 lesson, ~16× slower)
+    wdf = docs.select("doc_id", F.split(F.col("text"), r"\s+").alias("__w"))
+    w, n = F.col("__w"), F.size("__w")
+    ln = F.greatest(n - 2, F.lit(0))
+    g12 = F.zip_with(
+        F.slice(w, 1, ln), F.slice(w, 2, ln), lambda a, b: F.concat_ws(" ", a, b)
+    )
+    grams = F.when(
+        n >= 3,
+        F.zip_with(g12, F.slice(w, 3, ln), lambda ab, c: F.concat_ws(" ", ab, c)),
+    ).otherwise(F.array())
+    g = wdf.select("doc_id", grams.alias("grams"))
     return g.select(
         "doc_id",
         F.size("grams").cast("bigint").alias("n_grams"),
@@ -1029,7 +1061,8 @@ def n6_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, probes, "vec_id", "embedding", "vec_id", 5
     )
     lsh = similarity.lsh_topk(
-        emb, probes, "vec_id", "embedding", "vec_id", k=5, dim=64, bits=6
+        emb, probes, "vec_id", "embedding", "vec_id", k=5, dim=64, bits=6,
+        tables=3,
     )
     ivf = similarity.ivf_topk(
         emb, probes, "vec_id", "embedding", "vec_id", k=5,
