@@ -59,14 +59,6 @@ def _sub_rows(df: DataFrame, id_col: str, vec_col: str, m: int, dim: int):
     )
 
 
-def _eucl2(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def train_pq_codebooks(
     corpus: DataFrame,
     id_col: str,
@@ -79,12 +71,14 @@ def train_pq_codebooks(
     """Per-subspace Euclidean k-means codebooks: m × k × (dim/m) floats.
 
     Deterministic seeding (k lowest-id subvectors per subspace); empty
-    clusters keep their previous centroid.  Collects only k × dim doubles
-    per Lloyd round — centroids are parameter-scale, never data-scale.
+    clusters keep their previous centroid.  Each Lloyd round assigns via
+    the SAME Arrow-batched argmin UDF the encoder uses (one matmul per
+    batch per subspace — no interpreted distance lambdas), and the
+    element-wise mean partial-aggregates map-side; only k × dim doubles
+    are collected per round.
     """
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
-    spark = corpus.sparkSession
     sub = _sub_rows(corpus, id_col, vec_col, m, dim)
 
     w = Window.partitionBy("sub").orderBy("__id")
@@ -104,20 +98,18 @@ def train_pq_codebooks(
             "pass a larger training set or smaller k"
         )
 
-    def cb_df():
-        return spark.createDataFrame(
-            [(s, c, v) for (s, c), v in sorted(books.items())],
-            "sub int, cid int, cent array<double>",
-        )
+    def as_list() -> list[list[list[float]]]:
+        return [[books[(s, c)] for c in range(k)] for s in range(m)]
 
     for _ in range(iters):
-        assigned = (
-            sub.join(F.broadcast(cb_df()), "sub")
-            .groupBy("sub", "__id")
-            .agg(
-                F.min_by("cid", _eucl2(F.col("subvec"), F.col("cent"))).alias("cid"),
-                F.first("subvec").alias("subvec"),
-            )
+        enc = _encode_udf(as_list(), dim)
+        codes = corpus.select(
+            F.col(id_col).alias("__id"), enc(F.col(vec_col)).alias("__codes")
+        )
+        assigned = sub.join(codes, "__id").select(
+            "sub",
+            F.element_at("__codes", F.col("sub") + 1).alias("cid"),
+            "subvec",
         )
         means = (
             assigned.select(
@@ -137,9 +129,57 @@ def train_pq_codebooks(
         )
         for r in means:
             books[(r["sub"], r["cid"])] = [float(x) for x in r["cent"]]
-    return [
-        [books[(s, c)] for c in range(k)] for s in range(m)
+    return as_list()
+
+
+def pq_index_path(warehouse_dir: str, sf_dir: str) -> str:
+    """Stable on-disk location for a scale-factor's trained PQ codebooks."""
+    import os
+
+    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    return os.path.join(warehouse_dir, "pq_index", tag)
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    dim: int,
+    m: int = 8,
+    k: int = 64,
+    iters: int = 2,
+) -> None:
+    """OFFLINE codebook training (same split as ``build_ivf_index``): run
+    the Lloyd rounds once, persist m·k centroid rows as parquet.  At scale
+    this is a scheduled job over a corpus sample; serving queries only
+    read the table back."""
+    books = train_pq_codebooks(corpus, id_col, vec_col, dim, m, k, iters)
+    rows = [
+        (s, c, books[s][c]) for s in range(m) for c in range(k)
     ]
+    corpus.sparkSession.createDataFrame(
+        rows, "sub int, cid int, cent array<double>"
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_pq_codebooks(spark, path: str, m: int, k: int):
+    """Read materialized codebooks back to the m × k × d list form; None if
+    never built."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = (
+            spark.read.schema("sub int, cid int, cent array<double>")
+            .parquet(path)
+            .collect()
+        )
+    except AnalysisException:
+        return None
+    by_key = {(r["sub"], r["cid"]): [float(x) for x in r["cent"]] for r in rows}
+    if len(by_key) != m * k:
+        return None
+    return [[by_key[(s, c)] for c in range(k)] for s in range(m)]
 
 
 def _encode_udf(codebooks, dim: int):

@@ -246,16 +246,24 @@ def n7_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     table only, exact cosine re-rank of the 8·k shortlist.  The
     memory-bound scale path beside n2's LSH and n4's IVF; rows-only
     (approximate by design; recall + determinism pinned in
-    tests/test_pq.py).  The synthetic corpora are tiny (500-2000 vectors)
-    so training runs on the full corpus; at scale train on a sample and
-    use k*=256 (8-bit codes)."""
+    tests/test_pq.py).  Train and serve split like n2's IVF branch:
+    ``build_pq_index`` persists the m·k codebook parquet under the
+    warehouse dir once (deterministic training → stable index); the query
+    itself only reads it back, encodes, and scans codes.  The synthetic
+    corpora are tiny (500-2000 vectors) so training uses the full corpus;
+    at scale train on a sample and use k*=256 (8-bit codes)."""
     from ago_sisdb_spark.operators import pq
 
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
-    books = pq.train_pq_codebooks(
-        emb, "vec_id", "embedding", dim=64, m=8, k=64, iters=2
-    )
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    idx = pq.pq_index_path(warehouse, sf_dir)
+    books = pq.load_pq_codebooks(spark, idx, m=8, k=64)
+    if books is None:
+        pq.build_pq_index(
+            emb, "vec_id", "embedding", idx, dim=64, m=8, k=64, iters=2
+        )
+        books = pq.load_pq_codebooks(spark, idx, m=8, k=64)
     codes = pq.encode_pq(emb, "vec_id", "embedding", books, 64)
     return pq.pq_topk(
         emb, codes, probes, "vec_id", "embedding", "vec_id", books, 64, 5,
@@ -677,6 +685,40 @@ def d7_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup.py on a controlled corpus."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=6)
+
+
+def _d8_oracle() -> str:
+    from ago_sisdb_spark.operators.incremental import bloom_screen_oracle_sql
+
+    return (
+        "SELECT id AS doc_id, status, is_dup FROM ("
+        + bloom_screen_oracle_sql(
+            hist_sql="SELECT * FROM documents WHERE doc_id % 3 != 0",
+            batch_sql="SELECT * FROM documents",
+            id_col="doc_id",
+            text_col="text",
+        )
+        + ")"
+    )
+
+
+@query("d8_bloom_incremental", oracle=_d8_oracle(), extended=True)
+def d8_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-snapshot dedup (operators/incremental): Bloom
+    bitmap over 2/3 of the corpus as 'history', the whole corpus screened
+    as the 'new batch' — history members must come back possible_dup +
+    verified is_dup, held-out docs definitely_new unless their text
+    collides or a Bloom false positive fires (both verdicts deterministic
+    and reproduced bit-for-bit by the DuckDB oracle twin)."""
+    from ago_sisdb_spark.operators import incremental
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.where(F.col("doc_id") % 3 != 0)
+    bloom = incremental.build_bloom(hist, "text")
+    out = incremental.screen_batch(
+        docs, bloom, "doc_id", "text", history=hist
+    )
+    return out.select(F.col("id").alias("doc_id"), "status", "is_dup")
 
 
 _SH3 = """list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),

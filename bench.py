@@ -51,6 +51,9 @@ SECONDARY = [
     "n5_bm25_search",
     "t11_corpus_datacard",
     "t12_bigram_logprob",
+    # r4 additions
+    "n7_knn_pq",
+    "d8_bloom_incremental",
 ]
 
 RUNS = 3

@@ -1,0 +1,72 @@
+"""Bloom incremental-dedup contracts: no false negatives ever, two-tier
+verify only touches flagged docs, bitmap stays compact, FP rate bounded."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ago_sisdb_spark.operators import incremental
+
+N_BITS, K = 1 << 16, 5
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, f"document body number {i} with shared prefix text") for i in range(400)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_no_false_negatives(spark, corpus):
+    """Every historical doc re-screened MUST be flagged possible_dup and
+    verify as a dup — a Bloom filter cannot miss a member."""
+    bloom = incremental.build_bloom(corpus, "text", N_BITS, K)
+    out = incremental.screen_batch(
+        corpus, bloom, "doc_id", "text", N_BITS, K, history=corpus
+    ).collect()
+    assert len(out) == 400
+    assert all(r.status == "possible_dup" and r.is_dup for r in out)
+
+
+def test_definitely_new_is_exact_and_fp_bounded(spark, corpus):
+    """Held-out docs: definitely_new ⇒ truly unseen (exactness), and the
+    possible_dup false-positive fraction stays under the theoretical
+    bound with slack (load 2000/65536 bits ⇒ FP ≈ (0.03)^5 ~ 1e-8)."""
+    hist = corpus.where(F.col("doc_id") < 200)
+    new = corpus.where(F.col("doc_id") >= 200)
+    bloom = incremental.build_bloom(hist, "text", N_BITS, K)
+    out = incremental.screen_batch(
+        new, bloom, "doc_id", "text", N_BITS, K, history=hist
+    ).collect()
+    assert len(out) == 200
+    assert all(not r.is_dup for r in out)  # no held-out doc verifies as dup
+    fps = [r for r in out if r.status == "possible_dup"]
+    assert len(fps) <= 2  # ~0 expected; tolerate extreme bad luck
+
+
+def test_bitmap_compact_and_mergeable(spark, corpus):
+    """The bitmap materializes at most n_bits/32 rows, and building over a
+    union equals bit_or-merging the two halves' bitmaps — the property that
+    makes per-batch blooms composable into one corpus bloom at 100 TB."""
+    a = corpus.where(F.col("doc_id") < 200)
+    b = corpus.where(F.col("doc_id") >= 200)
+    whole = incremental.build_bloom(corpus, "text", N_BITS, K)
+    assert whole.count() <= N_BITS / 32
+    merged = (
+        incremental.build_bloom(a, "text", N_BITS, K)
+        .unionByName(incremental.build_bloom(b, "text", N_BITS, K))
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("mask"))
+    )
+    w = {(r.word, r.mask) for r in whole.collect()}
+    m = {(r.word, r.mask) for r in merged.collect()}
+    assert w == m
+
+
+def test_without_history_is_dup_is_null(spark, corpus):
+    bloom = incremental.build_bloom(corpus, "text", N_BITS, K)
+    out = incremental.screen_batch(
+        corpus.limit(10), bloom, "doc_id", "text", N_BITS, K
+    ).collect()
+    assert all(r.is_dup is None for r in out)
+    assert all(r.status == "possible_dup" for r in out)
