@@ -1,0 +1,93 @@
+"""Scaling probe: do the hot operators stay near-linear when the input
+multiplies?
+
+The sf ladder (0.001→0.1) is scheduling-bound locally, so it can't show
+whether an operator's cost curve bends.  This probe multiplies sf0.1
+in-memory (union with id offsets — same key cardinality profile per
+copy, ×N rows) and times four representative operators at ×1/×4/×8:
+
+- a1 OHLCV rollup   (hash-agg; shuffle ∝ output bars, not input rows)
+- p6 last-per-key   (max_by partial agg; shuffle ∝ #keys)
+- d1 exact dedup    (digest groupBy; shuffle ∝ #distinct digests)
+- d3 MinHash-LSH    (xxhash production variant; explode + banded self-join)
+
+Pass criterion (reported, not asserted): time(×8)/time(×1) ≤ ~8·1.5.
+Superlinear growth flags a shape problem (e.g. a join that degenerated to
+cartesian, a bucket whose fan-out exploded).
+
+Usage: python tools/scale_probe.py [multipliers...]   (default 1 4 8)
+Prints one JSON line; results recorded in BASELINE.md's r4 notes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def scaled(df, n: int, id_cols: list[str]):
+    from pyspark.sql import functions as F
+
+    out = None
+    for i in range(n):
+        part = df
+        for c in id_cols:
+            part = part.withColumn(c, F.col(c) + F.lit(i * 100_000_000))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def timed(mk) -> float:
+    mk().count()  # warm: file listing + codegen
+    t0 = time.perf_counter()
+    mk().count()
+    return round(time.perf_counter() - t0, 3)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from ago_sisdb_spark.catalog import load_table
+    from ago_sisdb_spark.operators import dedup, lastper, rollup
+    from ago_sisdb_spark.session import get_spark
+
+    muls = [int(x) for x in sys.argv[1:]] or [1, 4, 8]
+    spark = get_spark(app_name="scale_probe")
+    events = load_table(spark, SF_DIR, "events")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+    out: dict = {"sf_dir": SF_DIR, "multipliers": muls, "ops": {}}
+    for n in muls:
+        ev = scaled(events, n, ["event_id", "user_id"]).localCheckpoint()
+        dc = scaled(docs, n, ["doc_id"]).localCheckpoint()
+        out["ops"].setdefault("a1_ohlcv", {})[n] = timed(
+            lambda: rollup.ohlcv(
+                ev, ["event_type"], "ts", "value", "1 hour", order_col="event_id"
+            )
+        )
+        out["ops"].setdefault("p6_last_per_key", {})[n] = timed(
+            lambda: lastper.last_per_key(
+                ev, ["user_id"], F.struct(F.col("ts"), F.col("event_id"))
+            )
+        )
+        out["ops"].setdefault("d1_exact_dedup", {})[n] = timed(
+            lambda: dedup.exact_dedup_groups(dc, "doc_id", "text")
+        )
+        out["ops"].setdefault("d3_minhash_xx", {})[n] = timed(
+            lambda: dedup.minhash_lsh_candidates(dc, "doc_id", "text")
+        )
+    lo, hi = muls[0], muls[-1]
+    out["ratio_vs_linear"] = {
+        op: round((t[hi] / t[lo]) / (hi / lo), 2) for op, t in out["ops"].items()
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
