@@ -1090,6 +1090,46 @@ def t12_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_logprob(docs, "doc_id", "text")
 
 
+@query(
+    "e1_pca_planted",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(vec_id % 13 AS DOUBLE) AS a FROM embeddings)
+    SELECT vec_id,
+           round(a - (SELECT avg(a) FROM v), 6) AS pc1,
+           CAST(1.0 AS DOUBLE) AS evr1
+    FROM v
+    """,
+    extended=True,
+)
+def e1_pca_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed-PCA oracle twin (operators/pca): the REAL Gram-accumulate
+    + eigh + project pipeline run on planted rank-1 data — vector =
+    a·u with a = vec_id mod 13 and u a fixed all-positive unit direction —
+    whose PCA has a closed form: pc1 = a − ā (sign fixed by the
+    largest-loading-positive convention, u's loadings all positive) and
+    explained-variance ratio exactly 1.  Real-embedding behavior
+    (orthonormality, variance ordering, reconstruction) is pinned in
+    tests/test_pca.py."""
+    from ago_sisdb_spark.operators import pca
+
+    dim = 8
+    u = [float(i + 1) for i in range(dim)]
+    nrm = sum(x * x for x in u) ** 0.5
+    u = [x / nrm for x in u]
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id")
+    a = (F.col("vec_id") % 13).cast("double")
+    planted = emb.select(
+        "vec_id", F.array(*[a * F.lit(x) for x in u]).alias("v")
+    )
+    mean, comps, evr = pca.fit_pca(planted, "v", dim, 1)
+    out = pca.project_pca(planted, "vec_id", "v", mean, comps)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.round(F.element_at("pc", 1), 6).alias("pc1"),
+        F.lit(round(evr[0], 6)).alias("evr1"),
+    )
+
+
 @query("n6_ann_recall", oracle=None, extended=True)
 def n6_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-quality evaluation: recall@5 of the LSH and IVF approximate

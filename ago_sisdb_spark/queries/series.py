@@ -408,19 +408,27 @@ def a14_turning_scan_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
            lag(value)   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
            lead(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
            round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_sum3
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_sum3,
+           CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS quartile,
+           round(percent_rank() OVER (PARTITION BY user_id ORDER BY value, event_id), 6) AS pct_rnk,
+           round(cume_dist() OVER (PARTITION BY user_id ORDER BY value, event_id), 6) AS cdist,
+           first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_val,
+           nth_value(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_val
     FROM events WHERE user_id < 20
     """,
 )
 def w1_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5 declared window surface in one plan: rank/dense_rank, lag/lead
-    (the reference's offset:-n record addressing, sisdb_fmap.h:156-158), and
-    a rowsBetween frame.  All five windows share the user_id partitioning —
-    one shuffle, multiple sorts."""
+    (the reference's offset:-n record addressing, sisdb_fmap.h:156-158), a
+    rowsBetween frame, and (r4) the distribution family — ntile quartiles,
+    percent_rank, cume_dist, first/nth_value.  All windows share the
+    user_id partitioning — one shuffle, multiple sorts."""
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 20)
     by_time = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    by_value = Window.partitionBy("user_id").orderBy("value", "event_id")
     return ev.select(
         "event_id",
         "user_id",
@@ -436,6 +444,13 @@ def w1_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum("value").over(by_time.rowsBetween(-2, 0)), 6
         ).alias("moving_sum3"),
+        F.ntile(4).over(by_time).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(by_value), 6).alias("pct_rnk"),
+        F.round(F.cume_dist().over(by_value), 6).alias("cdist"),
+        F.first("value").over(by_time).alias("first_val"),
+        F.nth_value("value", 2)
+        .over(by_time.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("second_val"),
     )
 
 

@@ -1,0 +1,96 @@
+"""Distributed-PCA contracts: orthonormal components, variance ordering,
+planted-subspace recovery, and reconstruction-error monotonicity."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ago_sisdb_spark.catalog import load_table
+from ago_sisdb_spark.operators import pca
+
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_small):
+    return load_table(spark, sf_small, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def fitted(spark, emb):
+    return pca.fit_pca(emb, "embedding", DIM, 8)
+
+
+def test_components_orthonormal(fitted):
+    _mean, comps, _evr = fitted
+    for i in range(len(comps)):
+        for j in range(i, len(comps)):
+            dot = sum(a * b for a, b in zip(comps[i], comps[j]))
+            assert abs(dot - (1.0 if i == j else 0.0)) < 1e-9
+
+
+def test_explained_variance_sorted_and_bounded(fitted):
+    _mean, _comps, evr = fitted
+    assert all(0 <= r <= 1 for r in evr)
+    assert evr == sorted(evr, reverse=True)
+    assert sum(evr) <= 1 + 1e-9
+
+
+def test_planted_subspace_recovered(spark):
+    """Rank-2 planted data with uncorrelated, different-variance factors:
+    the top-2 components must span the planted plane and order by
+    variance (the high-variance axis first)."""
+    import numpy as np
+
+    rng_ids = list(range(400))
+    # a: period-4 pattern scaled 10x (high variance), b: period-2 (low)
+    rows = []
+    for i in rng_ids:
+        a = 10.0 * (i % 4)
+        b = 1.0 * (i % 2)
+        v = [0.0] * 8
+        v[2] = a  # axis e2
+        v[5] = b  # axis e5
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    # i%4 and i%2 are correlated, but axes stay e2/e5 because covariance is
+    # diagonal-dominant in those coordinates; verify via loadings
+    _mean, comps, evr = pca.fit_pca(df, "v", 8, 2)
+    # first component ~ e2 direction mixed with at most small e5 part
+    assert abs(comps[0][2]) > 0.99
+    assert evr[0] > evr[1] > 0
+
+
+def test_projection_reconstruction_improves_with_k(spark, emb, fitted):
+    """Mean squared reconstruction error must shrink as components are
+    added — the defining property of the eigh ordering."""
+    import numpy as np
+
+    vecs = np.vstack(
+        [np.asarray(r.embedding, dtype=float) for r in emb.limit(200).collect()]
+    )
+    mean, comps, _evr = fitted
+    mu, w = np.asarray(mean), np.asarray(comps)
+    errs = []
+    for k in (1, 4, 8):
+        wk = w[:k]
+        proj = (vecs - mu) @ wk.T
+        recon = proj @ wk + mu
+        errs.append(float(((vecs - recon) ** 2).mean()))
+    assert errs[0] > errs[1] > errs[2]
+
+
+def test_project_matches_numpy(spark, emb, fitted):
+    import numpy as np
+
+    mean, comps, _evr = fitted
+    out = {r.id: list(r.pc) for r in
+           pca.project_pca(emb.limit(50), "vec_id", "embedding", mean, comps).collect()}
+    mu, w = np.asarray(mean), np.asarray(comps)
+    for r in emb.limit(50).collect():
+        want = (np.asarray(r.embedding, dtype=float) - mu) @ w.T
+        got = np.asarray(out[r.vec_id])
+        assert np.allclose(got, want, atol=1e-9)
