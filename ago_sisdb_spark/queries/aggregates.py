@@ -116,6 +116,63 @@ def a2_time_unit_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a17_resample_ffill",
+    oracle="""
+    WITH bars AS (
+        SELECT event_type, date_trunc('hour', ts) AS bar_start,
+               arg_max(value, CAST(epoch_us(ts) AS HUGEINT) * 4294967296
+                       + event_id) AS close,
+               count(*) AS volume
+        FROM events WHERE value >= 80 GROUP BY 1, 2),
+    bounds AS (
+        SELECT event_type, min(bar_start) AS t0, max(bar_start) AS t1
+        FROM bars GROUP BY 1),
+    grid AS (
+        SELECT event_type,
+               unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bar_start
+        FROM bounds),
+    j AS (
+        SELECT g.event_type, g.bar_start, b.close, b.volume
+        FROM grid g LEFT JOIN bars b
+          ON g.event_type = b.event_type AND g.bar_start = b.bar_start)
+    SELECT event_type, bar_start,
+           (volume IS NULL) AS is_gap,
+           round(last_value(close IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY bar_start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS close,
+           CAST(volume AS BIGINT) AS volume
+    FROM j
+    """,
+    extended=True,
+)
+def a17_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-free bar grid with forward fill (operators/resample): sparse
+    hourly bars (value ≥ 80 keeps ~1/5 of events, so real holes appear)
+    aligned to each key's complete hourly grid, close carried into gaps,
+    volume left NULL on generated slots — the reference's `ifprev`
+    carry-forward (sisdb_fmap.h:102-117) generalized to bar series."""
+    from ago_sisdb_spark.operators import resample
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value") >= 80)
+    bars = rollup.ohlcv(
+        ev, ["event_type"], "ts", "value", "1 hour",
+        order_col="event_id",
+    )
+    res = resample.resample_ffill(
+        bars.select("event_type", "bar_start", "close", "volume"),
+        ["event_type"], "bar_start", "1 hour",
+        fill_cols=["close"], carry_cols=["volume"],
+    )
+    return res.select(
+        "event_type",
+        "bar_start",
+        "is_gap",
+        F.round("close", 2).alias("close"),
+        F.col("volume").cast("bigint").alias("volume"),
+    )
+
+
+@query(
     "a15_value_buckets",
     oracle="""
     SELECT least(greatest(CAST(floor(value / 10.0) AS INTEGER), 0), 9) AS bucket,

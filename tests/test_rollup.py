@@ -94,3 +94,33 @@ def test_ntz_timestamp_matches_timestamp(spark, ticks):
     assert a == b
     plan = ntz_bars._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" in plan and "SortAggregate" not in plan
+
+
+def test_resample_ffill_fills_gaps(spark):
+    """Controlled grid: bars at hours 0,1,3,6 → slots 2,4,5 generated with
+    is_gap=true, close carried forward, volume NULL on gaps."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from ago_sisdb_spark.operators.resample import resample_ffill
+
+    t = lambda h: datetime(2024, 1, 1, h, 0, 0)  # noqa: E731
+    rows = [("A", t(0), 10.0, 3), ("A", t(1), 11.0, 4),
+            ("A", t(3), 13.0, 1), ("A", t(6), 16.0, 2),
+            ("B", t(2), 5.0, 9)]
+    bars = spark.createDataFrame(
+        rows, "sym string, bar_start timestamp, close double, volume long"
+    )
+    out = resample_ffill(
+        bars, ["sym"], "bar_start", "1 hour", ["close"], carry_cols=["volume"]
+    )
+    a = {r.bar_start.hour: r for r in out.where(F.col("sym") == "A").collect()}
+    assert sorted(a) == [0, 1, 2, 3, 4, 5, 6]  # complete grid
+    assert [a[h].is_gap for h in range(7)] == [
+        False, False, True, False, True, True, False]
+    assert a[2].close == 11.0 and a[4].close == 13.0 and a[5].close == 13.0
+    assert a[2].volume is None and a[3].volume == 1
+    # single-bar key: grid of one, no gaps
+    b = out.where(F.col("sym") == "B").collect()
+    assert len(b) == 1 and not b[0].is_gap and b[0].close == 5.0
