@@ -16,6 +16,8 @@ NOTES = {
     "a1_ohlcv_rollup": "six bar aggregates partial-combine map-side; shuffle carries one row per (key, bar)",
     "j4_range_join": "interval predicate rides a broadcast hash join on the user key",
     "d1_dedup_exact": "digest computed in the scan projection; shuffle carries (digest, id) only",
+    "d3_minhash_lsh": "explode -> hash once -> 32 affine mins in ONE hash-aggregate -> banded equi-join; the cap's count window reuses the (band,bucket) partitioning the join needs",
+    "d8_bloom_incremental": "bloom bitmap and verified-dup set both broadcast; the batch shuffles once (per-doc min over probe hits, map-side combined)",
 }
 
 HEADER = """# PLANS — executed physical plans of headline queries (sf0.1, AQE final)
@@ -29,12 +31,13 @@ aggregation before every exchange.  Regenerate with
 
 
 def main() -> None:
-    from ago_sisdb_spark.inventory import all_queries
+    from ago_sisdb_spark.inventory import all_queries, extended_queries
     from ago_sisdb_spark.session import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark()
     qs = all_queries()
+    qs.update(extended_queries())
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write(HEADER)
         for name, note in NOTES.items():
