@@ -70,3 +70,37 @@ def test_without_history_is_dup_is_null(spark, corpus):
     ).collect()
     assert all(r.is_dup is None for r in out)
     assert all(r.status == "possible_dup" for r in out)
+
+
+def test_property_no_false_negatives_random_corpora(spark):
+    """Property: for ANY history/batch split and any (n_bits, k), a doc
+    whose text appears in history is NEVER 'definitely_new'.  Runs a few
+    deterministic pseudo-random corpora rather than @given (a Spark
+    session per hypothesis example would be prohibitive)."""
+    import random
+
+    rnd = random.Random(421)
+    for trial in range(3):
+        n_bits = rnd.choice([1 << 10, 1 << 13, 1 << 16])
+        k = rnd.choice([3, 5, 7])
+        vocab = [f"w{j}" for j in range(30)]
+        texts = [
+            " ".join(rnd.choice(vocab) for _ in range(rnd.randrange(3, 12)))
+            for _ in range(120)
+        ]
+        rows = [(i, t) for i, t in enumerate(texts)]
+        corpus = spark.createDataFrame(rows, "doc_id long, text string")
+        cut = rnd.randrange(30, 90)
+        hist = corpus.where(F.col("doc_id") < cut)
+        hist_texts = {t for i, t in rows if i < cut}
+        bloom = incremental.build_bloom(hist, "text", n_bits, k)
+        out = incremental.screen_batch(
+            corpus, bloom, "doc_id", "text", n_bits, k, history=hist
+        ).collect()
+        by_id = {r.id: r for r in out}
+        for i, t in rows:
+            if t in hist_texts:  # member (incl. batch docs duplicating history)
+                assert by_id[i].status == "possible_dup", (trial, i)
+                assert by_id[i].is_dup, (trial, i)
+            elif by_id[i].status == "definitely_new":
+                assert not by_id[i].is_dup  # exactness of the Bloom 'no'

@@ -124,3 +124,48 @@ def test_resample_ffill_fills_gaps(spark):
     # single-bar key: grid of one, no gaps
     b = out.where(F.col("sym") == "B").collect()
     assert len(b) == 1 and not b[0].is_gap and b[0].close == 5.0
+
+
+def test_property_resample_invariants_random_gaps(spark):
+    """Property over random gap patterns: the output grid is exactly
+    [min,max] at 1h steps per key; original bars pass through unchanged
+    with is_gap=false; every gap row carries the latest preceding close."""
+    import random
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from ago_sisdb_spark.operators.resample import resample_ffill
+
+    rnd = random.Random(99)
+    base = datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    truth = {}
+    for sym in ("A", "B", "C"):
+        hours = sorted(rnd.sample(range(48), rnd.randrange(2, 20)))
+        for h in hours:
+            price = round(rnd.uniform(10, 99), 2)
+            rows.append((sym, base + timedelta(hours=h), price, h))
+            truth.setdefault(sym, {})[h] = price
+    bars = spark.createDataFrame(
+        rows, "sym string, bar_start timestamp, close double, volume long"
+    )
+    out = resample_ffill(
+        bars, ["sym"], "bar_start", "1 hour", ["close"], carry_cols=["volume"]
+    ).collect()
+    by_sym = {}
+    for r in out:
+        by_sym.setdefault(r.sym, {})[int((r.bar_start - base).total_seconds() // 3600)] = r
+    for sym, slots in truth.items():
+        lo, hi = min(slots), max(slots)
+        got = by_sym[sym]
+        assert sorted(got) == list(range(lo, hi + 1))  # complete, no extras
+        last = None
+        for h in range(lo, hi + 1):
+            if h in slots:
+                last = slots[h]
+                assert not got[h].is_gap and got[h].close == last
+                assert got[h].volume == h
+            else:
+                assert got[h].is_gap and got[h].close == last
+                assert got[h].volume is None
