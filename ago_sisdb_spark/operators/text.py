@@ -295,3 +295,42 @@ def bigram_logprob(
         F.round(F.avg("lp"), 6).alias("mean_logprob"),
         F.count(F.lit(1)).alias("n_bigrams"),
     )
+
+
+def top_terms_per_group(
+    docs,
+    group_col: str,
+    text_col: str,
+    k: int = 10,
+    min_count: int = 1,
+):
+    """Top-k most frequent whitespace terms per group (vocabulary report /
+    boilerplate detector — the per-domain term audit step in corpus
+    curation).
+
+    Exact path: one explode → (group, term) count → per-group top-k via
+    row_number.  The count partial-aggregates map-side, so the shuffle
+    carries one row per distinct (group, term) — Heaps-bounded, not corpus
+    bounded; the ranking window then runs at that same vocabulary scale.
+    Ties break lexicographically for determinism.  At extreme group
+    cardinality × vocabulary, swap the exact count for a per-partition
+    Misra-Gries sketch merged per group (same output contract, bounded
+    memory); the exact form IS the oracle twin.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    counts = (
+        toks.groupBy("grp", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("n").desc(), F.col("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("grp", "rank", "term", "n")
+    )

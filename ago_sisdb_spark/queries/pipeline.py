@@ -1091,6 +1091,33 @@ def t12_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t13_top_terms",
+    oracle=r"""
+    WITH toks AS (
+        SELECT lang AS grp,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+    counts AS (
+        SELECT grp, term, count(*) AS n
+        FROM toks WHERE term != '' GROUP BY 1, 2)
+    SELECT grp,
+           CAST(row_number() OVER (PARTITION BY grp
+                ORDER BY n DESC, term) AS BIGINT) AS rank,
+           term, n
+    FROM counts QUALIFY rank <= 10
+    """,
+    extended=True,
+)
+def t13_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-10 term report (operators/text.top_terms_per_group)
+    — the vocabulary/boilerplate audit step of corpus curation.  Counts
+    partial-aggregate map-side so the shuffle is vocabulary-sized; the
+    ranking window runs at the same scale."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.top_terms_per_group(docs, "lang", "text", k=10)
+
+
+@query(
     "e1_pca_planted",
     oracle="""
     WITH v AS (SELECT vec_id, CAST(vec_id % 13 AS DOUBLE) AS a FROM embeddings)

@@ -58,3 +58,28 @@ def test_bm25_rank_deterministic_tie_break(spark):
     ordered = [r.doc for r in sorted(rows, key=lambda r: r.rank)]
     assert ordered == [2, 5, 9]
     assert len({r.score for r in rows}) == 1
+
+
+def test_top_terms_per_group_exact_and_deterministic(spark):
+    """Controlled corpus: known counts, tie-break lexicographic, k cap."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from ago_sisdb_spark.operators.text import top_terms_per_group
+
+    rows = [
+        (1, "en", "apple apple banana cherry"),
+        (2, "en", "apple banana banana date"),
+        (3, "fr", "un un deux"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = top_terms_per_group(docs, "lang", "text", k=3)
+    en = [(r.rank, r.term, r.n) for r in sorted(
+        out.where(out.grp == "en").collect(), key=lambda r: r.rank)]
+    # apple=3, banana=3 (tie → lexicographic: apple first), cherry/date=1 (tie → cherry)
+    assert en == [(1, "apple", 3), (2, "banana", 3), (3, "cherry", 1)]
+    fr = [(r.rank, r.term, r.n) for r in sorted(
+        out.where(out.grp == "fr").collect(), key=lambda r: r.rank)]
+    assert fr == [(1, "un", 2), (2, "deux", 1)]
+    # min_count filter
+    out2 = top_terms_per_group(docs, "lang", "text", k=3, min_count=2)
+    assert {r.term for r in out2.where(out2.grp == "en").collect()} == {"apple", "banana"}
