@@ -334,3 +334,24 @@ def top_terms_per_group(
         .where(F.col("rank") <= k)
         .select("grp", "rank", "term", "n")
     )
+
+
+def flag_blocked_hosts(text: Column, blocked: list[str]) -> Column:
+    """True when any URL host in ``text`` equals a blocked domain or is a
+    subdomain of one (suffix match) — the enforcement step of the
+    RefinedWeb-style URL filter (``url_stats`` is the audit side).
+
+    The blocklist rides the expression as a literal array: policy lists
+    are small (thousands of entries still fine as a literal/broadcast);
+    when a list outgrows that, explode hosts and semi-join a blocklist
+    table instead — same verdict, join-shaped.
+    """
+    hosts = url_stats(text)["hosts"]
+    blocked_arr = F.array(*[F.lit(b.lower()) for b in blocked])
+    return F.exists(
+        hosts,
+        lambda h: F.exists(
+            blocked_arr,
+            lambda b: (h == b) | h.endswith(F.concat(F.lit("."), b)),
+        ),
+    )

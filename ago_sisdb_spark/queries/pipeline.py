@@ -1091,6 +1091,59 @@ def t12_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t14_url_blocklist",
+    oracle=r"""
+    WITH planted AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 3 = 0
+                    THEN ' see http://sub.h' || CAST(doc_id % 7 AS VARCHAR)
+                         || '.example.com/page https://keep.example.org/x'
+                    ELSE '' END AS text
+        FROM documents)
+    SELECT doc_id,
+           (len(list_filter(
+               list_distinct(list_transform(
+                   regexp_extract_all(text,
+                       'https?://([A-Za-z0-9.-]+)[^\s]*', 1),
+                   x -> lower(x))),
+               h -> len(list_filter(['h1.example.com', 'h4.example.com'],
+                        b -> h = b OR ends_with(h, '.' || b))) > 0)) > 0
+           ) AS blocked
+    FROM planted
+    """,
+    extended=True,
+)
+def t14_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL blocklist enforcement (operators/text.flag_blocked_hosts) with
+    suffix (subdomain) matching — the decision step t9's audit feeds.  The
+    synthetic corpus contains no URLs, so deterministic URLs are planted
+    identically in both engines (doc_id mod 3 gets sub.h{doc_id mod 7}
+    .example.com plus an unblocked example.org control): blocked ⇔
+    doc_id%3=0 AND doc_id%7 ∈ {1,4}, hash-checked end-to-end."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" see http://sub.h"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".example.com/page https://keep.example.org/x"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return planted.select(
+        "doc_id",
+        text.flag_blocked_hosts(
+            F.col("text"), ["h1.example.com", "h4.example.com"]
+        ).alias("blocked"),
+    )
+
+
+@query(
     "t13_top_terms",
     oracle=r"""
     WITH toks AS (

@@ -83,3 +83,29 @@ def test_top_terms_per_group_exact_and_deterministic(spark):
     # min_count filter
     out2 = top_terms_per_group(docs, "lang", "text", k=3, min_count=2)
     assert {r.term for r in out2.where(out2.grp == "en").collect()} == {"apple", "banana"}
+
+
+def test_flag_blocked_hosts_suffix_semantics(spark):
+    """Planted docs: exact match, subdomain suffix match, non-match that
+    merely CONTAINS a blocked string (evil-h1.example.com.attacker.net),
+    and URL-free text."""
+    from pyspark.sql import functions as F
+
+    from ago_sisdb_spark.operators.text import flag_blocked_hosts
+
+    rows = [
+        (1, "go to http://h1.example.com/a now"),          # exact
+        (2, "see https://deep.sub.h1.example.com/x"),      # subdomain
+        (3, "https://h1.example.com.attacker.net/phish"),  # NOT a match
+        (4, "http://keep.example.org/fine"),               # other domain
+        (5, "no urls at all here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.blocked
+        for r in docs.select(
+            "doc_id",
+            flag_blocked_hosts(F.col("text"), ["h1.example.com"]).alias("blocked"),
+        ).collect()
+    }
+    assert out == {1: True, 2: True, 3: False, 4: False, 5: False}
