@@ -45,6 +45,33 @@ from ago_sisdb_spark.operators.dedup import (
 )
 
 
+# broadcast the (word, mask) bitmap only while it stays executor-friendly:
+# n_bits/32 rows × ~16 B data ≈ n_bits/2 bytes ≈ 512 MiB at 2^33 bits.
+# Above that the hint is dropped and the probe join runs as a plain
+# shuffle join on `word` — identical verdicts, no per-executor copy.
+BROADCAST_MAX_BITS = 1 << 33
+
+
+def bloom_bits_for(n_docs: int, fp_rate: float = 0.01, n_hashes: int = 5) -> int:
+    """Size the bitmap for an expected corpus: smallest ``n_bits`` giving
+    ``fp_rate`` false positives at ``n_hashes`` probes.
+
+    Inverts the standard occupancy model p = (1 − e^(−k·n/m))^k for m:
+    m = −k·n / ln(1 − p^(1/k)).  At the defaults (k=5, p=1%) this lands on
+    ~9.9 bits/doc — the "~10 bits/doc at 1%" rule of thumb.  Use this
+    instead of the 2¹⁶ test default whenever the history size is known;
+    the test default screens ~6.6 k docs at 1%, nothing more.
+    """
+    import math
+
+    if n_docs <= 0:
+        raise ValueError("n_docs must be positive")
+    if not 0.0 < fp_rate < 1.0:
+        raise ValueError("fp_rate must be in (0, 1)")
+    m = -n_hashes * n_docs / math.log(1.0 - fp_rate ** (1.0 / n_hashes))
+    return int(math.ceil(m))
+
+
 def bloom_positions(digest: Column, n_bits: int, n_hashes: int) -> Column:
     """k portable bit positions per digest (array<long>)."""
     return F.array(
@@ -91,6 +118,7 @@ def screen_batch(
     n_bits: int = 1 << 16,
     n_hashes: int = 5,
     history: DataFrame | None = None,
+    broadcast_max_bits: int = BROADCAST_MAX_BITS,
 ) -> DataFrame:
     """Two-tier incremental dedup verdicts for a new batch.
 
@@ -101,6 +129,11 @@ def screen_batch(
     - status 'possible_dup' — all k bits set; if ``history`` is given,
       ONLY these docs join the historical digests for the exact is_dup
       verdict (the second tier); otherwise is_dup is null.
+
+    The bitmap side is broadcast only while ``n_bits <= broadcast_max_bits``
+    (default 2³³ ≈ 512 MiB of (word, mask) rows); beyond that the probe
+    join falls back to a plain shuffle join on ``word`` — same verdicts,
+    no executor-wide bitmap copy.  Size ``n_bits`` with ``bloom_bits_for``.
     """
     probes = batch.select(
         F.col(id_col).alias("id"),
@@ -117,9 +150,10 @@ def screen_batch(
         ),
         F.lit(1),
     ).otherwise(F.lit(0))
+    bloom_side = F.broadcast(bloom) if n_bits <= broadcast_max_bits else bloom
     verdicts = (
         probes.withColumn("word", F.shiftright("pos", 5))
-        .join(F.broadcast(bloom), "word", "left")
+        .join(bloom_side, "word", "left")
         .select("id", "digest", hit.alias("hit"))
         .groupBy("id", "digest")
         .agg(F.min("hit").alias("__all_set"))

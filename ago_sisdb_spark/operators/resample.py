@@ -49,6 +49,13 @@ def resample_ffill(
     ``rollup.ohlcv``); the grid spans each key's own [min, max].
     """
     carry_cols = carry_cols or []
+    # internal marker + output flag — an input that already carries either
+    # name would silently corrupt the gap detection (left-join NULL probe)
+    clash = {"__present", "is_gap"}.intersection(bars.columns)
+    if clash:
+        raise ValueError(
+            f"resample_ffill: input columns collide with internals: {sorted(clash)}"
+        )
     bounds = bars.groupBy(*keys).agg(
         F.min(time_col).alias("__t0"), F.max(time_col).alias("__t1")
     )

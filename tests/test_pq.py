@@ -82,18 +82,37 @@ def test_pq_topk_rerank_recall_floor(spark, emb, books):
         assert round(r.score, 9) == exact[(r.probe_id, r.neighbor_id)]
 
 
-def test_adc_self_distance_is_smallest(spark, emb, books):
-    """A probe's own code row must ADC-score lower (closer) than 95% of the
-    corpus — the quantization sanity floor: reconstruction error shrinks
-    distances to self far below typical inter-vector distances."""
+def test_adc_true_nn_ranks_early(spark, emb, books):
+    """Quantization sanity floor: the probe's TRUE nearest neighbor (exact
+    cosine) must land in the top 10% of the full ADC ranking — quantization
+    distorts distances but must not bury the genuinely closest vector
+    (measured: rank 38/500 ≈ p8 on this unclustered corpus; chance ~p50)."""
     probes = emb.where(F.col("vec_id") == 0)
+    true_nn = similarity.brute_force_topk(
+        emb, probes, "vec_id", "embedding", "vec_id", 1
+    ).collect()[0].neighbor_id
     codes = pq.encode_pq(emb, "vec_id", "embedding", books, DIM)
     n = codes.count()
-    # keep self-pairs by scoring against ALL rows, then rank the self row
     out = pq.adc_topk(codes, probes, "vec_id", "embedding", books, DIM, n)
     ranked = [r.neighbor_id for r in sorted(out.collect(), key=lambda r: r.adc_dist)]
-    # vec_id 0 is excluded from its own results; its nearest true neighbor
-    # (cosine ~1 sibling if present) or any vector sharing its codes should
-    # rank early — assert the top result's distance is below the median
-    dists = sorted(r.adc_dist for r in out.collect())
-    assert dists[0] <= dists[len(dists) // 2]
+    rank = ranked.index(true_nn)
+    assert rank <= max(n // 10, 5), (rank, n)
+
+
+def test_adc_empty_probes_and_typed_probe_ids(spark, emb, books):
+    """Zero probes short-circuits to an empty result (no np.stack crash) and
+    the probe_id column type follows the probes schema, not a hard-coded
+    long — here a string-keyed probe set round-trips."""
+    codes = pq.encode_pq(emb, "vec_id", "embedding", books, DIM)
+    empty = pq.adc_topk(
+        codes, emb.where(F.lit(False)), "vec_id", "embedding", books, DIM, 5
+    )
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema] == ["probe_id", "neighbor_id", "adc_dist"]
+    sprobes = emb.where(F.col("vec_id") == 0).select(
+        F.concat(F.lit("p"), F.col("vec_id")).alias("pid"), "embedding"
+    )
+    out = pq.adc_topk(codes, sprobes, "pid", "embedding", books, DIM, 5)
+    rows = out.collect()
+    assert len(rows) == 5 and all(r.probe_id == "p0" for r in rows)
+    assert dict(out.dtypes)["probe_id"] == "string"

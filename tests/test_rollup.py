@@ -126,6 +126,26 @@ def test_resample_ffill_fills_gaps(spark):
     assert len(b) == 1 and not b[0].is_gap and b[0].close == 5.0
 
 
+def test_resample_rejects_internal_name_collisions(spark):
+    """Inputs already carrying __present or is_gap would corrupt the
+    left-join gap probe — the operator must refuse them loudly."""
+    from datetime import datetime
+
+    import pytest
+
+    from ago_sisdb_spark.operators.resample import resample_ffill
+
+    bars = spark.createDataFrame(
+        [("A", datetime(2024, 1, 1), 1.0, 1)],
+        "sym string, bar_start timestamp, close double, __present long",
+    )
+    with pytest.raises(ValueError, match="__present"):
+        resample_ffill(bars, ["sym"], "bar_start", "1 hour", ["close"])
+    bars2 = bars.withColumnRenamed("__present", "is_gap")
+    with pytest.raises(ValueError, match="is_gap"):
+        resample_ffill(bars2, ["sym"], "bar_start", "1 hour", ["close"])
+
+
 def test_property_resample_invariants_random_gaps(spark):
     """Property over random gap patterns: the output grid is exactly
     [min,max] at 1h steps per key; original bars pass through unchanged
