@@ -435,8 +435,9 @@ def lsh_topk(
     dim: int,
     bits: int = 8,
     seed: int = 13,
-    multi_probe: bool = True,
+    multi_probe: bool | int = True,
     tables: int = 1,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane bucket equi-join + exact re-rank.
 
@@ -444,46 +445,56 @@ def lsh_topk(
     shrink ~2^bits-fold per table; recall is tuned by ``bits`` (fewer bits
     → more candidates), ``tables`` (independent hash tables,
     OR-amplification — the same recall lever as ``cosine_neardup_lsh``),
-    and ``multi_probe`` (each probe also searches the ``bits`` buckets at
-    Hamming distance 1 per table; cost scales with the tiny probe side
-    only: probe rows × tables × (bits+1)).
+    and ``multi_probe`` (the Hamming probing radius: each probe also
+    searches every bucket within that many bit flips per table — radius 1
+    adds ``bits`` buckets, radius 2 adds ``bits·(bits+1)/2``; ``True`` is
+    radius 1.  Cost scales with the tiny probe side only).
+
+    ``planes`` overrides the seeded gaussian hyperplanes (bits·tables rows
+    of dim values) — as in ``cosine_neardup_lsh``, bucketing uses only the
+    SIGN of each projection, so the n2 oracle twin passes integer-valued
+    planes that a DuckDB oracle restates as exact literals.
 
     Plan shape (r4): candidate generation explodes only
     (neighbor_id, table, bucket) — the corpus VECTOR is joined back after
     candidate dedup, so the bucket fan-out never carries dim doubles and
-    the corpus is scanned once however many tables are configured.
+    the corpus is scanned once however many tables are configured.  Corpus
+    bucketing is the numpy batch UDF (one matmul per Arrow batch, r5 —
+    the expression form re-ran bits·tables interpreted dot products/row).
     """
     import random
 
-    rnd = random.Random(seed)
-    planes = [
-        [rnd.gauss(0, 1) for _ in range(dim)] for _ in range(bits * tables)
-    ]
-
-    def buckets_arr(vec: Column) -> Column:
-        return F.array(
-            *[
-                hyperplane_bits(vec, planes[t * bits : (t + 1) * bits])
-                for t in range(tables)
-            ]
-        )
+    if planes is None:
+        rnd = random.Random(seed)
+        planes = [
+            [rnd.gauss(0, 1) for _ in range(dim)] for _ in range(bits * tables)
+        ]
+    assert len(planes) == bits * tables and all(len(pl) == dim for pl in planes)
+    bucketer = _bucket_udf(planes, bits, tables)
 
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.posexplode(buckets_arr(F.col(vec_col))).alias("__table", "__bucket"),
+        F.posexplode(bucketer(F.col(vec_col))).alias("__table", "__bucket"),
     )
     p = probes.select(
         F.col(probe_id_col).alias("probe_id"),
         F.col(vec_col).alias("__pvec"),
-        F.posexplode(buckets_arr(F.col(vec_col))).alias("__table", "__bucket"),
+        F.posexplode(bucketer(F.col(vec_col))).alias("__table", "__bucket"),
     )
-    if multi_probe:
-        flips = F.array(
-            F.col("__bucket"),
-            *[
-                F.col("__bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+    radius = int(multi_probe)
+    if radius:
+        masks = [0] + [1 << i for i in range(bits)]
+        if radius >= 2:
+            masks += [
+                (1 << i) | (1 << j)
                 for i in range(bits)
-            ],
+                for j in range(i + 1, bits)
+            ]
+        flips = F.array(
+            *[
+                F.col("__bucket").bitwiseXOR(F.lit(m).cast("long"))
+                for m in masks
+            ]
         )
         p = p.select(
             "probe_id", "__pvec", "__table", F.explode(flips).alias("__bucket")

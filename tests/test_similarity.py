@@ -225,8 +225,9 @@ def test_ann_recall_floor_all_sfs(spark, sf_dir):
     the approximate indexes behind n2, at every scale factor — ANN quality
     regressions now fail pytest the way correctness does.  The indexes are
     seeded/deterministic, so measured recall is stable per SF (ivf
-    0.92-1.0, lsh 0.56-0.72 at r4 with 3 OR-amplified tables); floors
-    leave margin for data refresh."""
+    0.92-1.0; lsh 0.92/0.96/1.00 at the r5-tuned 8 bits × 6 tables ×
+    radius-2 config, up from 0.56-0.72 at r4); floors leave margin for
+    data refresh."""
     import os
 
     if not os.path.isdir(sf_dir):
@@ -241,4 +242,4 @@ def test_ann_recall_floor_all_sfs(spark, sf_dir):
     for method, recalls in by_method.items():
         assert len(recalls) == 5  # one row per probe, zero-filled if missed
     assert sum(by_method["ivf"]) / 5 >= 0.8, by_method["ivf"]
-    assert sum(by_method["lsh"]) / 5 >= 0.4, by_method["lsh"]
+    assert sum(by_method["lsh"]) / 5 >= 0.8, by_method["lsh"]
