@@ -2,13 +2,14 @@
 
 Two strategies, both shuffle once on the key:
 
-- ``last_per_key`` — ``max_by(struct(*cols), order)`` aggregation.  Partial
+- ``last_per_key`` — one ``max_by(col, order)`` per column.  Partial
   aggregation (map-side combine) means each upstream partition contributes at
   most one candidate row per key before the shuffle — at 100 TB with ~100k
   keys the shuffle is tiny regardless of input size.  Preferred.
 - ``last_per_key_window`` — ``row_number() over (partition by key order by
   … desc) = 1``.  Shuffles *all* rows to sort within key partitions; kept for
-  when the full row ordering is needed anyway.
+  when the full row ordering is needed anyway, or when ``order`` is not
+  unique within a key (see ``last_per_key``'s contract).
 """
 
 from __future__ import annotations
@@ -17,12 +18,48 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def last_per_key(df: DataFrame, keys: list[str], order_col: str | Column) -> DataFrame:
-    """Latest full record per key via max_by — agg-side, scale-preferred."""
+def last_per_key(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str | Column,
+    broadcast_keys: bool = True,
+) -> DataFrame:
+    """Latest full record per key via argmax-join — agg-side,
+    scale-preferred.
+
+    Two codegen stages, zero sorts (r4 verdict #6): ``max(order)`` per key
+    is a pure-primitive HashAggregate whose partial combine bounds the
+    shuffle to one row per key per partition, then the per-key maxima join
+    back against the input on (keys, order) to fetch the full record.
+    The former ``max_by(struct(*cols), order)`` single-pass form buffered
+    a struct — and any string column — neither of which is hash-mutable,
+    so it silently degraded to SortAggregate (per-partition sorts of the
+    FULL input, the r2 a1 mechanism).  The join side is keys-cardinality;
+    ``broadcast_keys`` (default) broadcasts it so the record fetch is a
+    shuffle-free broadcast hash join — at ~100k keys that is a few MB.
+    Set it False for extreme key cardinalities to fall back to a shuffle
+    join.
+
+    Contract: ``order_col`` must be unique within each key group (event
+    id, WAL sequence, ...) — a duplicated maximum would emit duplicate
+    rows for that key (loud, not torn).  For non-unique orders use
+    ``last_per_key_window``.  Every in-repo caller orders by a unique
+    sequence (p6: event_id; streaming upsert: __seq).
+    """
     order_c = F.col(order_col) if isinstance(order_col, str) else order_col
-    payload = F.struct(*[F.col(c) for c in df.columns])
-    out = df.groupBy(*keys).agg(F.max_by(payload, order_c).alias("__rec"))
-    return out.select(*[F.col(f"__rec.{c}").alias(c) for c in df.columns])
+    # maxima derives from df — rename its columns so the self-join is
+    # unambiguous (and guard the internal prefix against collisions)
+    assert not any(c.startswith("__lpk_") or c == "__max_ord" for c in df.columns)
+    maxima = df.groupBy(*keys).agg(F.max(order_c).alias("__max_ord")).select(
+        *[F.col(k).alias(f"__lpk_{k}") for k in keys], "__max_ord"
+    )
+    if broadcast_keys:
+        maxima = F.broadcast(maxima)
+    cond = [F.col(k).eqNullSafe(F.col(f"__lpk_{k}")) for k in keys] + [
+        order_c == F.col("__max_ord")
+    ]
+    joined = df.join(maxima, cond, "inner")
+    return joined.select(*df.columns)
 
 
 def last_per_key_window(

@@ -12,7 +12,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 NOTES = {
     "q1_pricing_summary": "single scan -> partial agg -> one shuffle of 6 groups -> final agg; filter pushed to parquet",
     "q3_shipping_priority": "both dims broadcast; lineitem never shuffles before the aggregation",
-    "p6_last_per_key": "max_by partial aggregation: one candidate row per key leaves each map task",
+    "p6_last_per_key": "argmax-join: primitive max(order) HashAggregate (no struct buffer, no SortAggregate) + broadcast join fetches the records",
     "a1_ohlcv_rollup": "six bar aggregates partial-combine map-side; shuffle carries one row per (key, bar)",
     "j4_range_join": "interval predicate rides a broadcast hash join on the user key",
     "d1_dedup_exact": "digest computed in the scan projection; shuffle carries (digest, id) only",
