@@ -884,6 +884,123 @@ def pipe5_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pipe_full_oracle() -> str:
+    """Composed DuckDB twin of the end-to-end prep pipeline: each CTE is
+    the oracle-proven building block of the corresponding standalone entry
+    (d1 digest window, d3 portable MinHash pairs, pipe3's capped shingle
+    join, pipe1's quality gate, pipe4's packing window)."""
+    minhash = dedup.minhash_lsh_oracle_sql(
+        "documents", "doc_id", "text", shingle_k=3, num_hashes=32, bands=8
+    )
+    punct_gate = (
+        "length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g'))"
+        " / nullif(length(text), 0) < 0.10"
+    )
+    return f"""
+    WITH nd_pairs AS ({minhash}),
+    dedup_keep AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+            FROM documents) WHERE doc_id = keep_id),
+    nd_drop AS (SELECT DISTINCT id_b AS doc_id FROM nd_pairs),
+    pre AS (
+        SELECT doc_id, text FROM dedup_keep
+        WHERE doc_id % 97 != 0
+          AND doc_id NOT IN (SELECT doc_id FROM nd_drop)),
+    tr0 AS (
+        SELECT DISTINCT doc_id AS doc, unnest(list_distinct({_SH3})) AS shingle
+        FROM pre WHERE len(string_split(trim(text), ' ')) >= 3),
+    keepsh AS (
+        SELECT shingle FROM tr0 GROUP BY shingle HAVING count(*) <= 50),
+    tr AS (SELECT tr0.* FROM tr0 JOIN keepsh USING (shingle)),
+    ev AS (
+        SELECT DISTINCT unnest(list_distinct({_SH3})) AS shingle
+        FROM documents
+        WHERE doc_id % 97 = 0 AND len(string_split(trim(text), ' ')) >= 3),
+    contam AS (
+        SELECT doc AS doc_id FROM tr JOIN ev USING (shingle)
+        GROUP BY doc HAVING count(DISTINCT shingle) >= 3),
+    kept AS (
+        SELECT doc_id, text FROM pre
+        WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+          AND length(text) >= 50
+          AND {punct_gate}),
+    toks AS (
+        SELECT doc_id, doc_id % 16 AS shard,
+               len(string_split(trim(text), ' ')) AS tokens
+        FROM kept),
+    binned AS (
+        SELECT shard, tokens,
+               CAST(floor(coalesce(sum(tokens) OVER (PARTITION BY shard
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+                   1 PRECEDING), 0) / 2048) AS BIGINT) AS bin
+        FROM toks)
+    SELECT shard, count(*) AS n_docs, count(DISTINCT bin) AS n_bins,
+           CAST(sum(tokens) AS BIGINT) AS total_tokens
+    FROM binned GROUP BY shard
+    """
+
+
+@query("pipe_full_prep", oracle=_pipe_full_oracle(), extended=True)
+def pipe_full_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-data prep pipeline as one composite plan (r4
+    verdict #7): ingest → exact dedup (digest window, keep lowest id) →
+    MinHash-LSH near-dup prune (d3's portable candidates, drop the higher
+    id of each pair) → decontaminate vs the held-out doc_id%97 eval slice
+    (3-gram shingle equi-join, stop-shingle cap 50, drop docs sharing ≥3
+    shingles) → quality gate (length + punctuation ratio) → pack into
+    2048-token context windows across 16 shards.  Output: per-shard doc /
+    bin / token totals — one number per stage boundary would hide
+    cross-stage regressions; this catches them end-to-end.  Every stage
+    reuses the oracle-proven building block of its standalone entry (d1 /
+    d3 / pipe3 / pipe1 / pipe4), and the composed DuckDB twin hash-checks
+    the full pipeline."""
+    from pyspark.sql import Window
+
+    from ago_sisdb_spark.operators import prep
+
+    docs = _t(spark, sf_dir, "documents")
+    keep = (
+        docs.withColumn(
+            "__keep", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+        )
+        .where(F.col("doc_id") == F.col("__keep"))
+        .drop("__keep")
+    )
+    elig = docs.where(F.size(F.split(F.col("text"), r"\s+")) >= 3)
+    pairs = dedup.minhash_lsh_candidates(
+        elig, "doc_id", "text", shingle_k=3, num_hashes=32, bands=8,
+        portable=True,
+    )
+    nd_drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    keep = keep.join(nd_drop, "doc_id", "left_anti")
+    keep = keep.where(F.pmod(F.col("doc_id"), F.lit(97)) != 0)
+    w3 = F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
+    contam = (
+        prep.decontaminate(
+            keep.where(w3),
+            docs.where((F.pmod(F.col("doc_id"), F.lit(97)) == 0) & w3),
+            "doc_id", "text", ngram=3, max_doc_freq=50,
+        )
+        .where(F.col("n_shared_shingles") >= 3)
+        .select(F.col("train_id").alias("doc_id"))
+    )
+    keep = keep.join(contam, "doc_id", "left_anti")
+    keep = keep.where(
+        (F.length("text") >= 50) & (text.punct_ratio(F.col("text")) < 0.10)
+    )
+    packed = prep.pack_sequences(
+        keep.select("doc_id", text.token_count(F.col("text")).alias("tokens")),
+        "doc_id", "tokens", window_tokens=2048, n_shards=16,
+    )
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("bin").alias("n_bins"),
+        F.sum("tokens").alias("total_tokens"),
+    )
+
+
 @query(
     "t7_unigram_logprob",
     oracle="""

@@ -54,6 +54,10 @@ SECONDARY = [
     # r4 additions
     "n7_knn_pq",
     "d8_bloom_incremental",
+    # r5: the composite end-to-end prep pipeline (ingest → dedup → MinHash
+    # → decontaminate → quality gate → pack) — catches cross-operator
+    # regressions no per-query row sees
+    "pipe_full_prep",
 ]
 
 RUNS = 3

@@ -7,16 +7,31 @@ in-memory (union with id offsets — same key cardinality profile per
 copy, ×N rows) and times four representative operators at ×1/×4/×8:
 
 - a1 OHLCV rollup   (hash-agg; shuffle ∝ output bars, not input rows)
-- p6 last-per-key   (max_by partial agg; shuffle ∝ #keys)
+- p6 last-per-key   (argmax-join; shuffle ∝ #keys)
 - d1 exact dedup    (digest groupBy; shuffle ∝ #distinct digests)
 - d3 MinHash-LSH    (xxhash production variant; explode + banded self-join)
+
+r5 adds the approximate-index family the 100 TB claims rest on (r4
+verdict #3):
+
+- d6 embedding-LSH near-dup — `bits` grows with log2(×N) exactly as
+  production tuning dictates (for FIXED bits, per-bucket occupancy grows
+  ∝ N so pair generation bends quadratic; more bits restores ~constant
+  occupancy — the probe reports the tuned curve, the bend is the
+  documented fixed-config behavior)
+- d8 Bloom build+screen — bitmap sized by bloom_bits_for(#history docs),
+  history scales, batch fixed (the incremental-ingest shape)
+- n7 PQ serve path — encode + ADC scan of the code table with codebooks
+  trained once at base scale (train/serve split; serving is the recurring
+  cost)
+- t12 bigram LM — 3 corpus passes + vocabulary-cardinality joins
 
 Pass criterion (reported, not asserted): time(×8)/time(×1) ≤ ~8·1.5.
 Superlinear growth flags a shape problem (e.g. a join that degenerated to
 cartesian, a bucket whose fan-out exploded).
 
 Usage: python tools/scale_probe.py [multipliers...]   (default 1 4 8)
-Prints one JSON line; results recorded in BASELINE.md's r4 notes.
+Prints one JSON line; results recorded in BASELINE.md.
 """
 
 from __future__ import annotations
@@ -57,30 +72,63 @@ def main() -> None:
     from ago_sisdb_spark.operators import dedup, lastper, rollup
     from ago_sisdb_spark.session import get_spark
 
+    import math
+
+    from ago_sisdb_spark.operators import incremental, pq, similarity, text
+
     muls = [int(x) for x in sys.argv[1:]] or [1, 4, 8]
     spark = get_spark(app_name="scale_probe")
     events = load_table(spark, SF_DIR, "events")
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n_docs_base = docs.count()
+    # PQ codebooks train ONCE at base scale (the offline job); the probe
+    # times the recurring serve path only
+    books = pq.train_pq_codebooks(emb, "vec_id", "embedding", 64, 8, 64, iters=2)
 
     out: dict = {"sf_dir": SF_DIR, "multipliers": muls, "ops": {}}
     for n in muls:
         ev = scaled(events, n, ["event_id", "user_id"]).localCheckpoint()
         dc = scaled(docs, n, ["doc_id"]).localCheckpoint()
+        em = scaled(emb, n, ["vec_id"]).localCheckpoint()
         out["ops"].setdefault("a1_ohlcv", {})[n] = timed(
             lambda: rollup.ohlcv(
                 ev, ["event_type"], "ts", "value", "1 hour", order_col="event_id"
             )
         )
         out["ops"].setdefault("p6_last_per_key", {})[n] = timed(
-            lambda: lastper.last_per_key(
-                ev, ["user_id"], F.struct(F.col("ts"), F.col("event_id"))
-            )
+            lambda: lastper.last_per_key(ev, ["user_id"], "event_id")
         )
         out["ops"].setdefault("d1_exact_dedup", {})[n] = timed(
             lambda: dedup.exact_dedup_groups(dc, "doc_id", "text")
         )
         out["ops"].setdefault("d3_minhash_xx", {})[n] = timed(
             lambda: dedup.minhash_lsh_candidates(dc, "doc_id", "text")
+        )
+        d6_bits = 6 + round(math.log2(n))  # occupancy-preserving tuning
+        out["ops"].setdefault("d6_embedding_lsh", {})[n] = timed(
+            lambda: similarity.cosine_neardup_lsh(
+                em, "vec_id", "embedding", threshold=0.40, dim=64,
+                bits=d6_bits, tables=8,
+            )
+        )
+        d8_bits = incremental.bloom_bits_for(n_docs_base * n)
+        out["ops"].setdefault("d8_bloom_screen", {})[n] = timed(
+            lambda: incremental.screen_batch(
+                docs,
+                incremental.build_bloom(dc, "text", d8_bits),
+                "doc_id", "text", d8_bits, history=dc,
+            )
+        )
+        out["ops"].setdefault("n7_pq_serve", {})[n] = timed(
+            lambda: pq.adc_topk(
+                pq.encode_pq(em, "vec_id", "embedding", books, 64),
+                emb.where(F.col("vec_id") < 5),
+                "vec_id", "embedding", books, 64, 5,
+            )
+        )
+        out["ops"].setdefault("t12_bigram_lm", {})[n] = timed(
+            lambda: text.bigram_logprob(dc, "doc_id", "text")
         )
     lo, hi = muls[0], muls[-1]
     out["ratio_vs_linear"] = {
