@@ -107,6 +107,78 @@ def test_bloom_bits_for_sizing(spark):
         incremental.bloom_bits_for(100, 1.5)
 
 
+def test_streaming_bloom_matches_batch(spark, corpus, tmp_path):
+    """r4 verdict #8: the word-keyed applyInPandasWithState bitmap carries
+    across micro-batches and batch-2 verdicts equal the batch twin
+    screen_batch(batch2, build_bloom(batch1)) bit-for-bit; batch 1 screens
+    against the empty bitmap (all definitely_new)."""
+    import glob
+    import os
+    import time
+
+    from ago_sisdb_spark.streaming.dedupe import (
+        bloom_verdicts_for_batch,
+        streaming_bloom_screen,
+    )
+
+    src = str(tmp_path / "src")
+    b1 = corpus.where(F.col("doc_id") < 150).select("doc_id", "text")
+    dups = corpus.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    fresh = corpus.where(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 250)
+    ).select("doc_id", "text")
+    b2 = dups.unionByName(fresh)
+
+    b1.coalesce(1).write.parquet(src)
+    files1 = glob.glob(src + "/part-*")
+    b2.coalesce(1).write.mode("append").parquet(src)
+    files2 = [f for f in glob.glob(src + "/part-*") if f not in files1]
+    now = time.time()
+    for f in files1:
+        os.utime(f, (now - 200, now - 200))
+    for f in files2:
+        os.utime(f, (now - 100, now - 100))
+
+    results = {}
+
+    def sink(df, epoch_id):
+        results[epoch_id] = {
+            r.id: r.status for r in bloom_verdicts_for_batch(df).collect()
+        }
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_bloom_screen(stream, "doc_id", "text", N_BITS, K)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    batches = [results[k] for k in sorted(results) if results[k]]
+    assert len(batches) == 2, sorted(results)
+    first, second = batches
+    assert set(first) == {r.doc_id for r in b1.collect()}
+    assert all(v == "definitely_new" for v in first.values())
+    bloom = incremental.build_bloom(b1, "text", N_BITS, K)
+    expected = {
+        r.id: r.status
+        for r in incremental.screen_batch(
+            b2, bloom, "doc_id", "text", N_BITS, K
+        ).collect()
+    }
+    assert second == expected
+    assert all(second[i + 1000] == "possible_dup" for i in range(50))
+
+
 def test_property_no_false_negatives_random_corpora(spark):
     """Property: for ANY history/batch split and any (n_bits, k), a doc
     whose text appears in history is NEVER 'definitely_new'.  Runs a few

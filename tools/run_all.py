@@ -3,6 +3,11 @@
 Usage: python tools/run_all.py  — prints a PASS/FAIL line per stage and
 exits non-zero if any stage fails.  The per-stage commands are exactly what
 .claude/skills/verify documents; this is the convenience wrapper.
+
+After the stages it prints the canonical COVERAGE.md header block computed
+from the registry AND the just-finished gate run — paste it, never
+hand-edit (r4 verdict #2: header counts drifted from HEAD because entries
+landed after the numbers commit).
 """
 
 from __future__ import annotations
@@ -12,6 +17,7 @@ import subprocess
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
 
 STAGES = [
     ("pytest", [sys.executable, "-m", "pytest", "tests/", "-q", "--tb=no"]),
@@ -21,15 +27,43 @@ STAGES = [
 ]
 
 
+def coverage_header(gate_tail: str | None) -> str:
+    """The COVERAGE.md header numbers, computed — never hand-written."""
+    from ago_sisdb_spark.inventory import (
+        all_oracles,
+        all_queries,
+        extended_oracles,
+        extended_queries,
+    )
+
+    n_drv = len(all_queries())
+    n_drv_oracle = len(all_oracles())
+    n_ext = len(extended_queries())
+    n_ext_oracle = len(extended_oracles())
+    lines = [
+        "--- COVERAGE.md header numbers (computed; paste, never hand-edit) ---",
+        f"driver-facing queries(): {n_drv} entries "
+        f"({n_drv_oracle} oracle-backed, {n_drv - n_drv_oracle} rows-only)",
+        f"extended entries: {n_ext} ({n_ext_oracle} oracle-backed)",
+    ]
+    if gate_tail:
+        lines.append(f"local gate at sf0.01: {gate_tail}")
+    return "\n".join(lines)
+
+
 def main() -> int:
     failed = []
+    gate_tail = None
     for name, cmd in STAGES:
         r = subprocess.run(cmd, cwd=ROOT, capture_output=True, text=True)
         tail = (r.stdout.strip().splitlines() or [""])[-1]
         status = "PASS" if r.returncode == 0 else "FAIL"
         print(f"{status}  {name}: {tail}")
+        if name == "correctness":
+            gate_tail = tail
         if r.returncode != 0:
             failed.append(name)
+    print(coverage_header(gate_tail))
     return 1 if failed else 0
 
 
