@@ -535,6 +535,71 @@ def lsh_topk(
     )
 
 
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    threshold: float,
+    max_cluster_size: int = 1000,
+    log_drops: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    assign embeddings to clusters, then compare pairs only WITHIN a
+    cluster — the pairwise cost drops from O(n²) to Σ O(m_c²), bounded by
+    ``max_cluster_size`` (whole over-cap clusters dropped, the
+    ``cap_bucket_fanout`` policy).
+
+    ``centroids`` is a (centroid_id, __cent) table — the materialized
+    ``build_ivf_index`` output in production, or the deterministic seed
+    table for the SQL-twinned gate entry.  Plan shape: assignment is a
+    broadcast of the tiny centroid set + ``min_by(centroid_id, -cos)``
+    (both primitives, so the argmax stays HashAggregate); candidate
+    generation shuffles only (id, list_id); vectors are joined back ONLY
+    for surviving candidate pairs, then re-checked with the exact numpy
+    pair cosine.  Returns (id_a, id_b, list_id, cosine) pairs at or above
+    ``threshold``; keep-policy (e.g. lowest id wins) is the caller's.
+    """
+    from ago_sisdb_spark.operators.dedup import cap_bucket_fanout
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+    assigned = (
+        base.crossJoin(F.broadcast(centroids))
+        .groupBy("id")
+        .agg(
+            F.min_by(
+                F.col("centroid_id"), -cosine(F.col("__v"), F.col("__cent"))
+            ).alias("list_id")
+        )
+    )
+    capped = cap_bucket_fanout(
+        assigned, ["list_id"], max_cluster_size, log_drops, "semdedup"
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.list_id") == F.col("b.list_id"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.list_id").alias("list_id"),
+    )
+    scored = cand.join(
+        base.select(F.col("id").alias("id_a"), F.col("__v").alias("__va")),
+        "id_a",
+    ).join(
+        base.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb")),
+        "id_b",
+    )
+    return scored.select(
+        "id_a",
+        "id_b",
+        "list_id",
+        _cosine_udf()(F.col("__va"), F.col("__vb")).alias("cosine"),
+    ).where(F.col("cosine") >= threshold)
+
+
 def ann_recall(truth: DataFrame, approx: DataFrame, k: int) -> DataFrame:
     """Recall@k of an approximate neighbor set against exact ground truth.
 

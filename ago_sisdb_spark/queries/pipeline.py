@@ -201,6 +201,60 @@ def d6_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d9_semdedup",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    cents AS (SELECT id AS cid, v AS cv FROM base ORDER BY id LIMIT 16),
+    asn AS (
+      SELECT b.id, c.cid AS list_id
+      FROM base b CROSS JOIN cents c
+      QUALIFY row_number() OVER (
+          PARTITION BY b.id
+          ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cid) = 1),
+    capped AS (
+      SELECT * FROM asn
+      QUALIFY count(*) OVER (PARTITION BY list_id) <= 1000),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.list_id
+      FROM capped a JOIN capped b
+        ON a.list_id = b.list_id AND a.id < b.id)
+    SELECT c.id_a, c.id_b, c.list_id,
+           round(list_cosine_similarity(x.v, y.v), 6) AS cosine
+    FROM cand c JOIN base x ON c.id_a = x.id JOIN base y ON c.id_b = y.id
+    WHERE list_cosine_similarity(x.v, y.v) >= 0.40
+    """,
+    extended=True,
+)
+def d9_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (Abbas et al. 2023): cluster-then-dedup —
+    embedding pairs at cosine ≥ 0.40 compared only within their assigned
+    cluster, dropping the O(n²) cross join for Σ O(m_c²) bounded by the
+    cluster cap.  The gate entry uses the deterministic 16 lowest-id seed
+    centroids so assignment, cap, candidate join, and exact re-check are
+    all restated by the DuckDB twin; production swaps in the materialized
+    Lloyd index (`build_ivf_index`), pinned by tests.  Recall vs the d5
+    exact all-pairs twin is measured in tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(16)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("__cent"),
+        )
+    )
+    out = similarity.semantic_dedup_pairs(
+        emb, "vec_id", "embedding", cents, threshold=0.40
+    )
+    return out.select(
+        "id_a", "id_b", "list_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+@query(
     "n1_knn_bruteforce",
     oracle="""
     WITH probe AS (SELECT embedding AS pvec FROM embeddings WHERE vec_id = 0)
