@@ -461,6 +461,107 @@ def neardup_groups(
     )
 
 
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 16,
+    stride: int = 8,
+    min_docs: int = 2,
+    portable: bool = False,
+) -> DataFrame:
+    """Cross-document duplicated-SPAN detection — the approximate form of
+    exact-substring training-data dedup (Lee et al. 2021,
+    arXiv:2107.06499, "Deduplicating Training Data Makes Language Models
+    Better"): rolling ``span_tokens``-token windows every ``stride``
+    tokens, hashed; a window hash occurring in ≥ ``min_docs`` DISTINCT
+    documents flags every occurrence.  Catches cross-document boilerplate
+    and quotation reuse that document-level MinHash misses (two long docs
+    sharing one paragraph are nowhere near Jaccard-similar overall).
+
+    Scale shape: window starts are a per-row ``sequence`` + explode (map
+    stage, no shuffle); the only shuffled rows are (span_hash, doc,
+    start) — never text.  Frequency counting partial-aggregates map-side;
+    flagged hashes equi-join back to occurrences on the hash, so fan-out
+    is occurrence-count (linear), never pairwise.  ``portable=True`` swaps
+    xxhash64 for the md5-derived 60-bit hash the DuckDB twin reproduces.
+
+    Returns (doc, start_tok, span_hash, n_docs_sharing) — one row per
+    flagged window occurrence; span [start_tok, start_tok + span_tokens).
+    """
+    if span_tokens <= 0 or stride <= 0:
+        raise ValueError("span_tokens and stride must be positive")
+    # materialize the split before any per-element expression (the
+    # interpreted-HOF re-evaluation trap)
+    wdf = df.select(
+        F.col(id_col).alias("doc"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__w"),
+    )
+    n = F.size("__w")
+    starts = F.when(
+        n >= span_tokens,
+        F.sequence(F.lit(0), n - span_tokens, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    occ = wdf.select(
+        "doc", "__w", F.explode(starts).alias("start_tok")
+    )
+    span_text = F.array_join(
+        F.slice(F.col("__w"), F.col("start_tok") + 1, span_tokens), " "
+    )
+    span_hash = (
+        portable_hash60(span_text) if portable else F.xxhash64(span_text)
+    )
+    spans = occ.select(
+        "doc",
+        F.col("start_tok").cast("bigint").alias("start_tok"),
+        span_hash.alias("span_hash"),
+    )
+    freq = (
+        spans.groupBy("span_hash")
+        .agg(F.countDistinct("doc").alias("n_docs_sharing"))
+        .where(F.col("n_docs_sharing") >= min_docs)
+    )
+    return spans.join(freq, "span_hash").select(
+        "doc", "start_tok", "span_hash", "n_docs_sharing"
+    )
+
+
+def duplicated_spans_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 16,
+    stride: int = 8,
+    min_docs: int = 2,
+) -> str:
+    """DuckDB twin of ``duplicated_spans(..., portable=True)``: same
+    windows, same md5-derived 60-bit span hash, same frequency gate."""
+    span_expr = PORTABLE_HASH_SQL.format(
+        col=(
+            "array_to_string(list_slice(words, s + 1, "
+            f"s + {span_tokens}), ' ')"
+        )
+    )
+    return f"""
+    WITH w AS (
+        SELECT {id_col} AS doc, string_split(trim({text_col}), ' ') AS words
+        FROM {table}),
+    sp AS (
+        SELECT doc, CAST(s AS BIGINT) AS start_tok, {span_expr} AS span_hash
+        FROM (
+            SELECT doc, words,
+                   unnest(range(0, len(words) - {span_tokens} + 1, {stride}))
+                       AS s
+            FROM w WHERE len(words) >= {span_tokens})),
+    freq AS (
+        SELECT span_hash, count(DISTINCT doc) AS n_docs_sharing
+        FROM sp GROUP BY span_hash
+        HAVING count(DISTINCT doc) >= {min_docs})
+    SELECT sp.doc, sp.start_tok, sp.span_hash, freq.n_docs_sharing
+    FROM sp JOIN freq USING (span_hash)
+    """
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     id_col: str,

@@ -255,6 +255,27 @@ def d9_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d10_dup_spans",
+    oracle=dedup.duplicated_spans_oracle_sql(
+        "documents", "doc_id", "text", span_tokens=16, stride=8, min_docs=2
+    ),
+    extended=True,
+)
+def d10_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span detection (approximate substring
+    dedup, Lee et al. 2021): 16-token rolling windows at stride 8; a span
+    hash in ≥2 distinct docs flags every occurrence — the boilerplate/
+    quotation-reuse catcher document-level MinHash misses.  Portable-hash
+    twin fully restated by DuckDB; the xxhash64 production variant is the
+    operator default."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicated_spans(
+        docs, "doc_id", "text", span_tokens=16, stride=8, min_docs=2,
+        portable=True,
+    )
+
+
+@query(
     "n1_knn_bruteforce",
     oracle="""
     WITH probe AS (SELECT embedding AS pvec FROM embeddings WHERE vec_id = 0)

@@ -372,3 +372,49 @@ def test_bigram_logprob_closed_form_and_ordering(spark):
     assert out[1].n_bigrams == 5
     assert out[1].mean_logprob > out[2].mean_logprob  # rare bigrams punished
     assert 3 not in out  # single-token doc has no bigrams
+
+
+def test_duplicated_spans_planted_and_negative(spark):
+    """Planted 16-token span shared by docs 1 and 2 at different offsets is
+    flagged at the right start positions; fully-unique docs yield nothing;
+    the portable and xxhash64 variants flag the identical (doc, start)
+    set."""
+    from ago_sisdb_spark.operators import dedup as D
+
+    shared = " ".join(f"s{i}" for i in range(16))
+    pre1 = " ".join(f"a{i}" for i in range(8))
+    pre2 = " ".join(f"b{i}" for i in range(16))
+    rows = [
+        (1, f"{pre1} {shared}"),                       # span at tokens 8..23
+        (2, f"{pre2} {shared} tail1 tail2"),           # span at tokens 16..31
+        (3, " ".join(f"c{i}" for i in range(40))),     # unique
+        (4, " ".join(f"d{i}" for i in range(40))),     # unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.duplicated_spans(df, "doc_id", "text", 16, 8, 2, portable=True)
+    got = {(r.doc, r.start_tok) for r in out.collect()}
+    # stride 8 lands exactly on both planted offsets
+    assert (1, 8) in got and (2, 16) in got
+    assert all(doc in (1, 2) for doc, _ in got)
+    assert all(r.n_docs_sharing == 2 for r in out.collect())
+    xx = D.duplicated_spans(df, "doc_id", "text", 16, 8, 2, portable=False)
+    assert {(r.doc, r.start_tok) for r in xx.collect()} == got
+
+
+def test_duplicated_spans_short_docs_and_args(spark):
+    """Docs shorter than one span emit no windows; bad args rejected."""
+    import pytest
+
+    from ago_sisdb_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(1, "only four tokens here"), (2, "only four tokens here")],
+        "doc_id long, text string",
+    )
+    assert D.duplicated_spans(df, "doc_id", "text", 16, 8, 2).count() == 0
+    # at span 4 the two identical docs DO share their single window
+    assert D.duplicated_spans(df, "doc_id", "text", 4, 4, 2).count() == 2
+    with pytest.raises(ValueError):
+        D.duplicated_spans(df, "doc_id", "text", 0, 8)
+    with pytest.raises(ValueError):
+        D.duplicated_spans(df, "doc_id", "text", 16, -1)
