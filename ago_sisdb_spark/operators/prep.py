@@ -213,3 +213,41 @@ def mixture_sample(
         .where(hash_gate(id_col) < F.col("keep_rate") * 1000003)
         .drop("__dom_toks")
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Weighted sampling without replacement, k per group, no RNG state:
+    Efraimidis–Spirtakis A-Res (Inf. Proc. Letters 97(5), 2006) with the
+    deterministic Knuth gate as the uniform source.
+
+    Each row draws u ∈ (0,1] from ``hash_gate(id)`` and scores
+    ``skey = ln(u) / w`` — taking the k LARGEST skey per group is exactly
+    weighted sampling without replacement with inclusion ∝ weight, and the
+    same corpus always yields the same sample (resumable/reproducible, the
+    property plain ``rand()`` sampling lacks at 100 TB restart/retry).
+
+    Cost at scale: one window ranking per group — the shuffle key is the
+    group, rows carry (id, weight) only if you project first.  Rows with
+    non-positive weight are excluded (they have inclusion probability 0).
+    """
+    from pyspark.sql import Window
+
+    u = (hash_gate(id_col) + F.lit(1)) / F.lit(1000004.0)
+    skey = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("__skey"), F.col(id_col)
+    )
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("__skey", skey)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .withColumn("skey", F.round("__skey", 6))
+        .drop("__skey")
+    )

@@ -215,3 +215,43 @@ def polyfit_pandas(
     key_fields = ", ".join(f"{k} {df.schema[k].dataType.simpleString()}" for k in keys)
     coef_fields = ", ".join(f"c{i} double" for i in range(degree, -1, -1))
     return df.groupBy(*keys).applyInPandas(fit, f"{key_fields}, {coef_fields}")
+
+
+def mad_outliers(
+    df: DataFrame, group_col: str, value_col: str, k: float = 3.0
+) -> DataFrame:
+    """Robust per-group anomaly screen: median absolute deviation.
+
+    A point is an outlier when |x − median| > k · 1.4826 · MAD (1.4826
+    scales MAD to σ under normality — Hampel's rule, the robust twin of
+    the 3σ screen that a single spike can't poison, unlike mean/stddev).
+    The reference ships mean/σ building blocks (`sis_ai.h` avg/mid/argv);
+    the MAD composition is the data-quality screen a training pipeline
+    runs over metric streams.
+
+    Shape at scale: two group-sized aggregations (median, then median of
+    |dev|) broadcast back — the corpus shuffles ONCE per median on the
+    group key; counts partial-aggregate.  Returns per-group
+    (n, med, mad, n_outliers, outlier_frac).  mad = 0 (constant series)
+    flags nothing — anything ≠ med would be infinitely many σ out, but we
+    follow the convention of treating a zero-spread series as clean.
+    """
+    med = df.groupBy(group_col).agg(F.median(value_col).alias("__med"))
+    dev = df.join(F.broadcast(med), group_col).withColumn(
+        "__adev", F.abs(F.col(value_col) - F.col("__med"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.median("__adev").alias("__mad"), F.first("__med").alias("__med2")
+    )
+    flagged = dev.join(F.broadcast(mad.drop("__med2")), group_col).withColumn(
+        "__out",
+        (F.col("__mad") > 0)
+        & (F.col("__adev") > F.lit(k * 1.4826) * F.col("__mad")),
+    )
+    return flagged.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.first("__med"), 6).alias("med"),
+        F.round(F.first("__mad"), 6).alias("mad"),
+        F.sum(F.col("__out").cast("long")).alias("n_outliers"),
+        F.round(F.avg(F.col("__out").cast("double")), 6).alias("outlier_frac"),
+    )

@@ -1,0 +1,109 @@
+"""Mergeable frequency sketches: count-min over token streams.
+
+At 100 TB you cannot afford an exact per-term frequency table for every
+ad-hoc "how often does X appear" probe — the distinct-term cardinality is
+corpus-sized.  A count-min sketch (Cormode & Muthukrishnan, J. Algorithms
+2005) bounds the answer state at ``depth x width`` counters regardless of
+corpus size, is mergeable across partitions/days by plain cell-wise
+addition, and guarantees one-sided error: the estimate NEVER undercounts,
+and overcounts by more than eps*N with probability <= delta where
+eps = e/width, delta = e^-depth.
+
+Reference parity: the reference has no sketches (its `src/core/ai/` math
+is exact per-key series ops); this is part of the beyond-reference
+LLM-pipeline surface (SURVEY §2.11) — e.g. heavy-hitter screening before
+the exact top-k terms pass (operators/text.top_terms_per_group).
+
+Spark shape — the sketch is a DATAFRAME of (row, bucket, cnt) cells:
+
+- build is ONE groupBy over (row, bucket): the explode emits ``depth``
+  cells per token but partial aggregation collapses them map-side, so the
+  shuffle carries at most depth*width rows PER MAP PARTITION and the
+  result is at most depth*width rows total — independent of corpus size;
+- merging sketches from two corpora/days is ``union.groupBy.sum`` — no
+  re-scan of either corpus (the whole point of the sketch at scale);
+- probing broadcasts the (tiny) probe set, joins the cells it hashes
+  into, and takes min(cnt) over the ``depth`` rows; a bucket no token
+  hashed into never materializes, so the left join coalesces to 0;
+- bucket positions use ``portable_hash60(term || '#r')`` — the md5-based
+  portable hash family behind the MinHash/Bloom oracle twins — so the
+  ENTIRE sketch (every cell, every estimate) is reproducible in DuckDB
+  SQL and hash-checked by the gate.  Production deployments can swap
+  xxhash64 in one line; the logic is hash-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ago_sisdb_spark.operators.dedup import portable_hash60
+
+
+def cms_positions(term: Column, depth: int, width: int) -> Column:
+    """array<long> of ``depth`` bucket positions for one term."""
+    return F.array(
+        *[
+            portable_hash60(F.concat(term, F.lit(f"#{r}"))) % F.lit(width)
+            for r in range(depth)
+        ]
+    )
+
+
+def cms_build(
+    terms: DataFrame,
+    term_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch over a term stream → (row, bucket, cnt) cells.
+
+    ``terms`` is one row per occurrence (pre-exploded); pass ``weight_col``
+    to sketch a weighted stream (e.g. per-doc occurrence counts, saving
+    the explode).  Cells with zero hits are implicit (sparse sketch).
+    """
+    cell = terms.select(
+        F.posexplode(
+            cms_positions(F.col(term_col), depth, width)
+        ).alias("row", "bucket"),
+        (F.col(weight_col) if weight_col else F.lit(1)).alias("w"),
+    )
+    return (
+        cell.groupBy("row", "bucket")
+        .agg(F.sum("w").cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with identical (depth, width): cell-wise sum."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    term_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Estimated frequency for each probe term: min over the depth rows.
+
+    The sketch is at most depth*width rows and is broadcast (a left join
+    can only build its right side); the probe stream never shuffles.
+    Never undercounts: est >= true count, always.
+    """
+    pos = probes.select(
+        F.col(term_col),
+        F.posexplode(
+            cms_positions(F.col(term_col), depth, width)
+        ).alias("row", "bucket"),
+    )
+    joined = pos.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return (
+        joined.groupBy(term_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

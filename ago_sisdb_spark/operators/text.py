@@ -355,3 +355,136 @@ def flag_blocked_hosts(text: Column, blocked: list[str]) -> Column:
             lambda b: (h == b) | h.endswith(F.concat(F.lit("."), b)),
         ),
     )
+
+
+def perplexity_buckets(
+    docs,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    n_buckets: int = 3,
+):
+    """CCNet-style fluency bucketing (Wenzek et al., LREC 2020): score each
+    document by its corpus LM log-probability, then split every group
+    (language) into equal head/middle/tail tiers — head = most fluent.
+    CCNet keeps head+middle and drops tail as the standard web-corpus
+    quality gate.
+
+    Returns (id, group, lp, bucket, tier) with bucket in 1..n_buckets and
+    tier in head/middle/tail (n_buckets=3).  The LM score is the unigram
+    ``mean_logprob`` rounded to 6 dp BEFORE ranking so the tier boundary is
+    engine-reproducible (summation-order double noise cannot flip a tile).
+    Cost at scale: the two logprob passes plus ONE group-keyed ntile window
+    — rows enter the ranking shuffle as (id, group, lp) triples only.
+    """
+    from pyspark.sql import Window
+
+    lp = unigram_logprob(docs, id_col, text_col).select(
+        F.col("doc").alias("__id"), F.round("mean_logprob", 6).alias("lp")
+    )
+    slim = docs.select(F.col(id_col).alias("__id"), F.col(group_col))
+    w = Window.partitionBy(group_col).orderBy(F.desc("lp"), F.col("__id"))
+    tier = F.col("bucket").cast("string")
+    if n_buckets == 3:
+        tier = (
+            F.when(F.col("bucket") == 1, "head")
+            .when(F.col("bucket") == 2, "middle")
+            .otherwise("tail")
+        )
+    return (
+        lp.join(slim, "__id")
+        .withColumn("bucket", F.ntile(n_buckets).over(w).cast("long"))
+        .withColumn("tier", tier)
+        .withColumnRenamed("__id", id_col)
+    )
+
+
+def bpe_pair_counts(docs, text_col: str, k: int = 40):
+    """Tokenizer-training support: global adjacent-symbol-pair frequencies
+    — the statistic behind every BPE merge step (Sennrich et al., ACL
+    2016: repeatedly merge the most frequent pair).  Pairs are counted
+    WITHIN whitespace words (as in word-level BPE pre-tokenization), so no
+    pair crosses a word boundary.
+
+    Returns the top-``k`` (rank, pair, n).  Cost at scale: explode to
+    character pairs, ONE partial-aggregated groupBy — the shuffle is
+    pair-vocabulary-sized (≤ alphabet², thousands of rows even at 100 TB),
+    and the final top-k ranks that tiny table.  Repeating the merge loop
+    re-runs this with a symbols column instead of raw words; the counting
+    shape is identical each round.
+    """
+    words = docs.select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("w")
+    ).where(F.col("w") != "")
+    pairs = words.select(
+        F.explode(
+            F.when(F.length("w") < 2, F.array().cast("array<string>")).otherwise(
+                F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+            )
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n"), "pair")
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("rank", "pair", "n")
+    )
+
+
+def hashed_linear_score(
+    docs,
+    id_col: str,
+    text_col: str,
+    weights=None,
+    n_features: int = 2001,
+    seed: str = "w",
+):
+    """Hashing-trick linear text classifier scoring (the fastText-style
+    quality-filter shape used by GPT-3/LLaMA data pipelines: a linear
+    model over hashed bag-of-words decides keep/drop).
+
+    score(doc) = mean over tokens of weight[h(token) mod n_features].
+    Pass ``weights`` as a (feature, weight) DataFrame to score with a
+    trained model — it is broadcast (n_features rows), so scoring is one
+    explode + broadcast join + per-doc average: NO shuffle of document
+    bodies, corpus-scan cost only.  With ``weights=None`` a deterministic
+    pseudo-weight table derived from the portable hash itself is used
+    (weight = ((h' mod n_features) - (n_features-1)/2) / ((n_features-1)/2)
+    ∈ [-1, 1]) — exercising the full scoring path reproducibly, which is
+    what the oracle twin checks; swap in real learned weights unchanged.
+
+    Returns (id, n_toks, score, keep) with keep = score > 0.
+    """
+    from ago_sisdb_spark.operators.dedup import portable_hash60
+
+    half = (n_features - 1) / 2.0
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    feat = toks.select(
+        "__id",
+        (portable_hash60(F.concat(F.lit(f"{seed}#"), F.col("tok")))
+         % F.lit(n_features)).alias("feature"),
+    )
+    if weights is None:
+        scored = feat.select(
+            "__id", ((F.col("feature") - F.lit(half)) / F.lit(half)).alias("w")
+        )
+    else:
+        scored = feat.join(F.broadcast(weights), "feature", "left").select(
+            "__id", F.coalesce(F.col("weight"), F.lit(0.0)).alias("w")
+        )
+    out = scored.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.round(F.avg("w"), 6).alias("score"),
+    )
+    return out.select(
+        F.col("__id").alias(id_col), "n_toks", "score",
+        (F.col("score") > 0).alias("keep"),
+    )

@@ -1467,3 +1467,203 @@ def n6_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ivf").alias("method"), "probe_id", "n_hits", "recall"
     )
     return out_l.unionByName(out_i)
+
+
+def _cms_oracle(depth: int = 4, width: int = 2048, topn: int = 50) -> str:
+    ph = dedup.PORTABLE_HASH_SQL.format(col="term || '#' || CAST(r AS VARCHAR)")
+    return rf"""
+    WITH tok AS (
+        SELECT t.term FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+            FROM documents) t
+        WHERE t.term != ''),
+    exact AS (
+        SELECT term, count(*) AS exact_n FROM tok GROUP BY term
+        ORDER BY exact_n DESC, term LIMIT {topn}),
+    rows_r AS (SELECT unnest(range({depth})) AS r),
+    cells AS (
+        SELECT r, {ph} % {width} AS bucket, count(*) AS cnt
+        FROM tok CROSS JOIN rows_r GROUP BY 1, 2),
+    probe_pos AS (
+        SELECT term, exact_n, r, {ph} % {width} AS bucket
+        FROM exact CROSS JOIN rows_r)
+    SELECT p.term, CAST(p.exact_n AS BIGINT) AS exact_n,
+           CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_n,
+           CAST(min(coalesce(c.cnt, 0)) - p.exact_n AS BIGINT) AS overcount
+    FROM probe_pos p LEFT JOIN cells c ON p.r = c.r AND p.bucket = c.bucket
+    GROUP BY p.term, p.exact_n
+    """
+
+
+@query("t15_cms_counts", oracle=_cms_oracle(), extended=True)
+def t15_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch term-frequency estimation (operators/sketch): build
+    a depth=4 x width=2048 sketch over the whole token stream in ONE
+    partial-aggregated groupBy, then estimate the top-50 heavy hitters and
+    report the (provably one-sided) overcount against exact counts.  The
+    sketch state is <= depth*width cells regardless of corpus size and
+    merges across days/corpora by cell-wise addition — the scale path for
+    ad-hoc frequency probes where an exact distinct-term table would be
+    corpus-sized.  Oracle: bit-for-bit DuckDB twin over the portable md5
+    hash family (swap xxhash64 in production; logic is hash-independent)."""
+    from ago_sisdb_spark.operators import sketch
+
+    depth, width, topn = 4, 2048, 50
+    docs = _t(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term")
+        )
+        .where(F.col("term") != "")
+    )
+    cms = sketch.cms_build(tok, "term", depth=depth, width=width)
+    exact = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "term")
+        .limit(topn)
+    )
+    est = sketch.cms_estimate(cms, exact.select("term"), "term", depth, width)
+    return (
+        exact.join(est, "term")
+        .select(
+            "term",
+            F.col("exact_n").cast("long").alias("exact_n"),
+            F.col("est").cast("long").alias("est_n"),
+            (F.col("est") - F.col("exact_n")).cast("long").alias("overcount"),
+        )
+    )
+
+
+@query(
+    "s3_weighted_sample",
+    oracle="""
+    WITH s AS (
+        SELECT lang, doc_id, n_chars,
+               ln(((doc_id % 1000003) * 2654435761 % 1000003 + 1) / 1000004.0)
+                   / CAST(n_chars AS DOUBLE) AS k
+        FROM documents WHERE n_chars > 0)
+    SELECT lang,
+           CAST(row_number() OVER (PARTITION BY lang
+                ORDER BY k DESC, doc_id) AS BIGINT) AS rank,
+           doc_id, n_chars, round(k, 6) AS skey
+    FROM s QUALIFY rank <= 10
+    """,
+    extended=True,
+)
+def s3_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted sampling without replacement, 10 docs per language
+    (operators/prep.weighted_sample_per_group): Efraimidis–Spirtakis A-Res
+    keys from the deterministic Knuth gate — same corpus, same sample, no
+    RNG state to checkpoint.  One group-keyed window ranking; at 100 TB the
+    rows entering the shuffle carry only (id, group, weight).  Oracle:
+    DuckDB restates the key formula verbatim (hash arithmetic is exact
+    int64; ln/division match across engines as in the t7/t12 logprob
+    oracles)."""
+    from ago_sisdb_spark.operators import prep
+
+    docs = _t(spark, sf_dir, "documents")
+    out = prep.weighted_sample_per_group(
+        docs.select("lang", "doc_id", "n_chars"), "doc_id", "lang", "n_chars", 10
+    )
+    return out.select("lang", "rank", "doc_id", "n_chars", "skey")
+
+
+@query(
+    "t16_ppl_buckets",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id AS doc,
+               unnest(string_split(lower(trim(text)), ' ')) AS tok
+        FROM documents),
+    vocab AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+    total AS (SELECT count(*) AS n FROM toks),
+    lp AS (
+        SELECT t.doc, round(avg(log10(coalesce(v.tf, 1) / total.n)), 6) AS lp
+        FROM toks t LEFT JOIN vocab v ON t.tok = v.tok, total
+        GROUP BY t.doc),
+    nt AS (
+        SELECT d.lang, lp.doc, lp.lp,
+               ntile(3) OVER (PARTITION BY d.lang
+                              ORDER BY lp.lp DESC, lp.doc) AS bucket
+        FROM lp JOIN documents d ON lp.doc = d.doc_id)
+    SELECT lang,
+           CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS tier,
+           count(*) AS n_docs, round(avg(lp), 6) AS avg_logprob,
+           round(min(lp), 6) AS cutoff_logprob
+    FROM nt GROUP BY lang, bucket
+    """,
+    extended=True,
+)
+def t16_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language perplexity tiers (operators/text.
+    perplexity_buckets): corpus-LM score → ntile(3) head/middle/tail per
+    language, reporting tier sizes and the tail cutoff — the standard
+    keep-head+middle web-corpus quality gate.  Ranking runs on the 6-dp
+    ROUNDED score so tier boundaries are engine-reproducible."""
+    docs = _t(spark, sf_dir, "documents")
+    b = text.perplexity_buckets(docs, "doc_id", "text", "lang", 3)
+    return b.groupBy("lang", "tier").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        F.round(F.min("lp"), 6).alias("cutoff_logprob"),
+    )
+
+
+@query(
+    "t17_bpe_pairs",
+    oracle=r"""
+    WITH words AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, greatest(length(w) - 1, 0) + 1),
+                      i -> substring(w, i, 2))) AS pair
+        FROM words WHERE w != ''),
+    c AS (SELECT pair, count(*) AS n FROM pairs GROUP BY pair)
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank,
+           pair, n
+    FROM c QUALIFY rank <= 40
+    """,
+    extended=True,
+)
+def t17_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-step pair statistics (operators/text.bpe_pair_counts):
+    the top-40 most frequent adjacent character pairs within words — the
+    exact argmax table a BPE tokenizer trainer consumes each merge round.
+    The groupBy shuffle is pair-vocabulary-sized (≤ alphabet² keys)
+    regardless of corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bpe_pair_counts(docs, "text", k=40)
+
+
+def _t18_oracle(n_features: int = 2001) -> str:
+    half = (n_features - 1) / 2.0
+    ph = dedup.PORTABLE_HASH_SQL.format(col="'w#' || tok")
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, t.tok FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+            FROM documents) t
+        WHERE t.tok != ''),
+    feat AS (
+        SELECT doc_id, (({ph}) % {n_features} - {half}) / {half} AS w
+        FROM toks)
+    SELECT doc_id, count(*) AS n_toks,
+           round(avg(w), 6) AS score,
+           round(avg(w), 6) > 0 AS keep
+    FROM feat GROUP BY doc_id
+    """
+
+
+@query("t18_hash_classifier", oracle=_t18_oracle(), extended=True)
+def t18_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality-filter plumbing (operators/text.
+    hashed_linear_score): hashing-trick linear scoring of every document —
+    explode, feature-hash, broadcast-join weights, per-doc mean — with the
+    deterministic pseudo-weight table so the gate hash-checks the full
+    scoring path; a trained (feature, weight) parquet drops in unchanged."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.hashed_linear_score(docs, "doc_id", "text")

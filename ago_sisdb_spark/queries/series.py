@@ -528,3 +528,36 @@ def a6_directional_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("dx").isNotNull() & F.col("dy").isNotNull(), 1)
         ).alias("n_days"),
     )
+
+
+@query(
+    "a18_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, median(value) AS med FROM events GROUP BY event_type),
+    dev AS (
+        SELECT e.event_type, e.value, med.med, abs(e.value - med.med) AS adev
+        FROM events e JOIN med USING (event_type)),
+    mad AS (
+        SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type)
+    SELECT d.event_type, count(*) AS n,
+           round(any_value(d.med), 6) AS med,
+           round(any_value(m.mad), 6) AS mad,
+           CAST(sum(CASE WHEN m.mad > 0 AND d.adev > 3.0 * 1.4826 * m.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(avg(CASE WHEN m.mad > 0 AND d.adev > 3.0 * 1.4826 * m.mad
+                    THEN 1.0 ELSE 0.0 END), 6) AS outlier_frac
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+    extended=True,
+)
+def a18_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly screen per event type (operators/series.mad_outliers):
+    Hampel rule |x − med| > 3·1.4826·MAD — the metric-stream data-quality
+    gate a training pipeline runs before trusting a day's telemetry.  Two
+    group-sized aggregates broadcast back; no corpus-wide re-shuffle."""
+    from ago_sisdb_spark.operators.series import mad_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    return mad_outliers(ev, "event_type", "value", k=3.0)

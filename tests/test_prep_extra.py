@@ -1,0 +1,102 @@
+"""Model checks for the r5 pipeline additions: weighted sampling,
+perplexity buckets, BPE pairs, hashed classifier, MAD outliers."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ago_sisdb_spark.operators import prep, series, text
+
+
+def test_weighted_sample_deterministic_and_k(spark):
+    rows = [(i, "g" if i % 2 else "h", float(1 + i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, grp string, w double")
+    a = prep.weighted_sample_per_group(df, "id", "grp", "w", 5)
+    b = prep.weighted_sample_per_group(df, "id", "grp", "w", 5)
+    ra, rb = a.collect(), b.collect()
+    assert sorted(r.id for r in ra) == sorted(r.id for r in rb)  # reproducible
+    per = {}
+    for r in ra:
+        per.setdefault(r.grp, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per.values())
+
+
+def test_weighted_sample_skey_formula(spark):
+    """skey must equal ln(u)/w with u from the Knuth gate — spot-check one
+    row against the closed form."""
+    df = spark.createDataFrame([(7, "g", 3.0)], "id long, grp string, w double")
+    r = prep.weighted_sample_per_group(df, "id", "grp", "w", 1).collect()[0]
+    u = ((7 % 1000003) * 2654435761 % 1000003 + 1) / 1000004.0
+    assert r.skey == round(math.log(u) / 3.0, 6)
+
+
+def test_weighted_sample_zero_weight_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, "g", 0.0), (2, "g", -1.0), (3, "g", 2.0)],
+        "id long, grp string, w double",
+    )
+    out = prep.weighted_sample_per_group(df, "id", "grp", "w", 10).collect()
+    assert [r.id for r in out] == [3]
+
+
+def test_perplexity_buckets_tiers(spark):
+    """30 docs, one language: ntile(3) must yield three tiers of 10, and
+    every head doc must score >= every tail doc."""
+    rows = [(i, "common common common" if i < 15 else f"rare{i} word{i} x{i}", "en")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = text.perplexity_buckets(df, "doc_id", "text", "lang", 3).collect()
+    tiers = {}
+    for r in out:
+        tiers.setdefault(r.tier, []).append(r.lp)
+    assert {len(v) for v in tiers.values()} == {10}
+    assert min(tiers["head"]) >= max(tiers["tail"])
+
+
+def test_bpe_pairs_counts(spark):
+    """'abab ab' → pairs ab,ba,ab within 'abab' + ab in 'ab': ab=3, ba=1."""
+    df = spark.createDataFrame([(1, "abab ab")], "id long, text string")
+    out = {r.pair: r.n for r in text.bpe_pair_counts(df, "text", 10).collect()}
+    assert out == {"ab": 3, "ba": 1}
+
+
+def test_bpe_pairs_single_char_words_ignored(spark):
+    df = spark.createDataFrame([(1, "a b c")], "id long, text string")
+    assert text.bpe_pair_counts(df, "text", 10).count() == 0
+
+
+def test_hashed_classifier_trained_weights_path(spark):
+    """With an explicit weight table the score must be the exact mean of
+    the looked-up weights (missing features → 0)."""
+    from ago_sisdb_spark.operators.dedup import portable_hash60
+
+    df = spark.createDataFrame([(1, "good good bad")], "doc_id long, text string")
+    feats = (
+        df.select(F.explode(F.split("text", " ")).alias("tok"))
+        .select(
+            F.col("tok"),
+            (portable_hash60(F.concat(F.lit("w#"), F.col("tok"))) % 2001).alias("f"),
+        )
+        .collect()
+    )
+    fmap = {r.tok: r.f for r in feats}
+    weights = spark.createDataFrame(
+        [(fmap["good"], 1.0), (fmap["bad"], -0.5)], "feature long, weight double"
+    )
+    r = text.hashed_linear_score(df, "doc_id", "text", weights=weights).collect()[0]
+    assert r.score == round((1.0 + 1.0 - 0.5) / 3, 6)
+    assert bool(r.keep) is True
+
+
+def test_mad_outliers_flags_planted_spike(spark):
+    """99 values in [0,1] plus one spike at 1000 → exactly one outlier;
+    a constant series flags nothing."""
+    rows = [("a", float(i % 10) / 10.0) for i in range(99)] + [("a", 1000.0)]
+    rows += [("c", 5.0)] * 50
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = {r.grp: r for r in series.mad_outliers(df, "grp", "value").collect()}
+    assert out["a"].n_outliers == 1
+    assert out["c"].n_outliers == 0 and out["c"].mad == 0.0

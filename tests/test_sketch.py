@@ -1,0 +1,84 @@
+"""Count-min sketch contracts: one-sided error, mergeability, exactness
+when the sketch is wide enough, and bounded sketch size."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ago_sisdb_spark.operators import sketch
+
+DEPTH, WIDTH = 4, 512
+
+
+@pytest.fixture(scope="module")
+def stream(spark):
+    # term t{i} appears (i+1) times, i in 0..39 → exact counts known
+    rows = [(f"t{i}",) for i in range(40) for _ in range(i + 1)]
+    return spark.createDataFrame(rows, "term string")
+
+
+def _estimates(spark, cms, terms):
+    probes = spark.createDataFrame([(t,) for t in terms], "term string")
+    return {
+        r.term: r.est
+        for r in sketch.cms_estimate(cms, probes, "term", DEPTH, WIDTH).collect()
+    }
+
+
+def test_one_sided_and_exact_when_sparse(spark, stream):
+    """est >= true always; with 40 distinct terms in 4x512 cells the
+    collision probability is tiny, so est == true here."""
+    cms = sketch.cms_build(stream, "term", DEPTH, WIDTH)
+    est = _estimates(spark, cms, [f"t{i}" for i in range(40)])
+    for i in range(40):
+        assert est[f"t{i}"] == i + 1
+
+
+def test_absent_term_estimates_zero_or_overcount(spark, stream):
+    cms = sketch.cms_build(stream, "term", DEPTH, WIDTH)
+    est = _estimates(spark, cms, ["never-seen"])
+    assert est["never-seen"] >= 0  # one-sided: never negative
+
+
+def test_merge_equals_single_pass(spark, stream):
+    """Sketch(A) + Sketch(B) must equal Sketch(A ∪ B) cell-for-cell —
+    the property that lets daily sketches roll up without re-scanning."""
+    a = stream.limit(300)
+    b = stream.exceptAll(a)
+    cms_ab = sketch.cms_merge(
+        sketch.cms_build(a, "term", DEPTH, WIDTH),
+        sketch.cms_build(b, "term", DEPTH, WIDTH),
+    )
+    cms_full = sketch.cms_build(stream, "term", DEPTH, WIDTH)
+    merged = {(r.row, r.bucket): r.cnt for r in cms_ab.collect()}
+    full = {(r.row, r.bucket): r.cnt for r in cms_full.collect()}
+    assert merged == full
+
+
+def test_sketch_size_bounded(spark):
+    """1000 distinct heavy terms into a 2x16 sketch: cells <= depth*width
+    no matter the stream size (the whole point at 100 TB)."""
+    rows = [(f"term{i}",) for i in range(1000)]
+    df = spark.createDataFrame(rows, "term string")
+    cms = sketch.cms_build(df, "term", depth=2, width=16)
+    assert cms.count() <= 2 * 16
+
+
+def test_weighted_build_matches_exploded(spark):
+    """weight_col path == pre-exploded path (saves the explode upstream)."""
+    occ = spark.createDataFrame(
+        [("x", 3), ("y", 5), ("z", 1)], "term string, n int"
+    )
+    exploded = spark.createDataFrame(
+        [("x",)] * 3 + [("y",)] * 5 + [("z",)], "term string"
+    )
+    w = {
+        (r.row, r.bucket): r.cnt
+        for r in sketch.cms_build(occ, "term", DEPTH, WIDTH, weight_col="n").collect()
+    }
+    e = {
+        (r.row, r.bucket): r.cnt
+        for r in sketch.cms_build(exploded, "term", DEPTH, WIDTH).collect()
+    }
+    assert w == e
