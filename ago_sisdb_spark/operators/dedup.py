@@ -739,3 +739,101 @@ def simhash_pairs_oracle_sql(
     SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
     FROM cand WHERE bit_count(xor(fa, fb)) <= {max_hamming}
     """
+
+
+def cdc_chunk_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    divisor: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (the FastCDC/LBFS gear-hash family, e.g.
+    Muthitacharoen et al. SOSP 2001): split each document at positions
+    where a rolling hash of the last ``window`` chars ≡ 0 (mod
+    ``divisor``), giving chunks of expected length ``divisor`` whose
+    boundaries survive insertions/deletions — the property fixed-size
+    blocks lack, and the reason CDC is the standard for chunk-level dedup.
+
+    Returns one row per chunk: (id, chunk_idx, chunk, chunk_len).
+
+    Implementation is a vectorized ``mapInPandas``: per-byte rolling
+    hashes are the textbook case where relational HOFs lose — an
+    interpreted ``filter(sequence(...), i -> 8-term-hash)`` lambda
+    re-evaluates its source expression per element (the r4 t12 trap,
+    measured ~250× slower here) — while a numpy sliding-window dot
+    computes every boundary of a document in one matmul.  Chunking is
+    embarrassingly row-parallel: NO shuffle, no state, Arrow-batched,
+    so the operator scales with scan bandwidth.  The hash is the explicit
+    ascii·31^j polynomial, restated verbatim by the DuckDB oracle twin
+    (d11_cdc_chunks); a production gear table swaps in without changing
+    the plan.
+    """
+    import numpy as np
+    import pandas as pd
+
+    globals()["pd"] = pd  # pandas_udf + future-annotations gotcha
+    w, d = window, divisor
+    # codes[i-w..i-1] · [31^(w-1) .. 31^0] = Σ_j code(i-j)·31^j
+    weights = np.array([31**j for j in range(w)][::-1], dtype=np.int64)
+    out_schema = f"`{id_col}` long, chunk_idx long, chunk string"
+
+    def gen(batches):
+        for pdf in batches:
+            ids, idxs, chunks = [], [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None:
+                    continue
+                t = txt.strip(" ").lower()  # parity with SQL trim/lower
+                n = len(t)
+                if n == 0:
+                    continue
+                ends = [n]
+                if n >= w:
+                    codes = np.fromiter(map(ord, t), dtype=np.int64, count=n)
+                    h = np.lib.stride_tricks.sliding_window_view(codes, w) @ weights
+                    hits = (np.nonzero(h % d == 0)[0] + w).tolist()
+                    ends = sorted(set(hits + [n]))
+                prev = 0
+                for k, e in enumerate(ends):
+                    ids.append(did)
+                    idxs.append(k)
+                    chunks.append(t[prev:e])
+                    prev = e
+            yield pd.DataFrame({id_col: ids, "chunk_idx": idxs, "chunk": chunks})
+
+    slim = df.select(F.col(id_col), F.col(text_col))
+    return slim.mapInPandas(gen, out_schema).withColumn(
+        "chunk_len", F.length("chunk").cast("long")
+    )
+
+
+def duplicate_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    divisor: int = 64,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Cross-document duplicate-chunk report over CDC chunks: chunks are
+    keyed by digest, so the shuffle carries (digest, id, len) — never the
+    chunk text — and partial aggregation collapses repeats map-side.
+    Returns (digest, n_occ, n_docs, chunk_len) for chunks seen at least
+    ``min_occurrences`` times; filtering the originals to remove dup
+    chunks is one semi-join on digest away."""
+    ch = cdc_chunk_docs(df, id_col, text_col, window, divisor)
+    return (
+        ch.select(
+            F.md5("chunk").alias("digest"),
+            F.col(id_col),
+            F.col("chunk_len"),
+        )
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct(id_col).alias("n_docs"),
+            F.max("chunk_len").alias("chunk_len"),
+        )
+        .where(F.col("n_occ") >= min_occurrences)
+    )

@@ -1667,3 +1667,46 @@ def t18_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring path; a trained (feature, weight) parquet drops in unchanged."""
     docs = _t(spark, sf_dir, "documents")
     return text.hashed_linear_score(docs, "doc_id", "text")
+
+
+def _d11_oracle(window: int = 8, divisor: int = 64) -> str:
+    hash_sum = " + ".join(
+        f"ascii(substring(t, i - {j}, 1)) * CAST({31**j} AS BIGINT)"
+        for j in range(window)
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id, lower(trim(text)) AS t, length(lower(trim(text))) AS len
+        FROM documents WHERE length(lower(trim(text))) > 0),
+    ends AS (
+        SELECT doc_id, t, len,
+               list_sort(list_distinct(list_append(
+                   list_filter(range({window}, len + 1),
+                               i -> ({hash_sum}) % {divisor} = 0),
+                   len))) AS e
+        FROM base),
+    chunks AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(e) + 1), k ->
+                 substring(t,
+                   (CASE WHEN k = 1 THEN 0 ELSE e[k - 1] END) + 1,
+                   e[k] - (CASE WHEN k = 1 THEN 0 ELSE e[k - 1] END)))) AS chunk
+        FROM ends)
+    SELECT md5(chunk) AS digest, count(*) AS n_occ,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(max(length(chunk)) AS BIGINT) AS chunk_len
+    FROM chunks GROUP BY md5(chunk) HAVING count(*) >= 2
+    """
+
+
+@query("d11_cdc_chunks", oracle=_d11_oracle(), extended=True)
+def d11_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup via content-defined chunking (operators/dedup.
+    cdc_chunk_docs / duplicate_chunks): gear-hash boundaries (window 8,
+    expected chunk 64 chars) that survive insertions — the storage-dedup
+    and repeated-boilerplate screen between d1's whole-doc digests and
+    d10's span scan.  Chunking is per-row HOF work (no explode before the
+    chunk rows); the dup report shuffles (digest, id, len) only.  Oracle:
+    DuckDB restates the polynomial boundary arithmetic verbatim."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicate_chunks(docs, "doc_id", "text")

@@ -100,3 +100,46 @@ def test_mad_outliers_flags_planted_spike(spark):
     out = {r.grp: r for r in series.mad_outliers(df, "grp", "value").collect()}
     assert out["a"].n_outliers == 1
     assert out["c"].n_outliers == 0 and out["c"].mad == 0.0
+
+
+def test_cdc_chunks_reassemble(spark):
+    """Chunks must concatenate back to the (trimmed, lowered) document, in
+    chunk_idx order, for every doc."""
+    from ago_sisdb_spark.operators import dedup
+
+    rows = [(i, f"Document {i} body " * (3 + i % 5)) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ch = dedup.cdc_chunk_docs(df, "doc_id", "text").collect()
+    by_doc = {}
+    for r in sorted(ch, key=lambda r: (r.doc_id, r.chunk_idx)):
+        by_doc[r.doc_id] = by_doc.get(r.doc_id, "") + r.chunk
+    for i, (_, text) in enumerate(rows):
+        assert by_doc[i] == text.strip(" ").lower()
+
+
+def test_cdc_boundaries_survive_prefix_insert(spark):
+    """The CDC property fixed-size blocks lack: prepending text leaves the
+    tail chunks identical, so shared content still dedups."""
+    from ago_sisdb_spark.operators import dedup
+
+    body = "the quick brown fox jumps over the lazy dog " * 20
+    df = spark.createDataFrame(
+        [(1, body), (2, "XYZZY PREFIX 12345 " + body)],
+        "doc_id long, text string",
+    )
+    ch = dedup.cdc_chunk_docs(df, "doc_id", "text").collect()
+    c1 = {r.chunk for r in ch if r.doc_id == 1}
+    c2 = {r.chunk for r in ch if r.doc_id == 2}
+    shared = c1 & c2
+    # all but the first boundary-straddling chunk of each doc must match
+    assert len(shared) >= len(c1) - 2
+
+
+def test_duplicate_chunks_flags_shared_boilerplate(spark):
+    from ago_sisdb_spark.operators import dedup
+
+    boiler = "subscribe to our newsletter for updates " * 5
+    rows = [(i, f"unique body {i} {i*7} " + boiler) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dup = dedup.duplicate_chunks(df, "doc_id", "text").collect()
+    assert any(r.n_docs == 10 for r in dup)  # boilerplate chunk seen in all
