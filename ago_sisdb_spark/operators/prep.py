@@ -251,3 +251,90 @@ def weighted_sample_per_group(
         .withColumn("skey", F.round("__skey", 6))
         .drop("__skey")
     )
+
+
+def dsir_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al., NeurIPS 2023: Data Selection
+    for Language Models via Importance Resampling): score every raw
+    document by how target-like its hashed n-gram features are.
+
+    features(doc) = unigrams + word bigrams hashed into ``n_buckets``;
+    log-importance(doc) = Σ_f  log p̂_target(f) − log p̂_raw(f)
+    with add-``alpha`` smoothed bucket probabilities.  Selecting the
+    top-scoring slice (or gating with these as weights) shifts the raw
+    corpus toward the target distribution — the published, cheap
+    alternative to classifier-based selection.
+
+    Scale shape: two bucket-count aggregates (≤ n_buckets rows each, from
+    partial-aggregated groupBys) broadcast back into ONE scoring pass over
+    the raw corpus — no corpus×corpus join, no vocabulary table; the
+    feature space is fixed-size by construction, which is the point of the
+    hashing trick at 100 TB.  Hashing uses the portable md5 family so the
+    gate twin restates every count and logprob (production: xxhash64).
+
+    Returns (id, n_feats, logratio) — higher = more target-like.
+    """
+    from ago_sisdb_spark.operators.dedup import portable_hash60
+
+    def feats(df: DataFrame, keep_id: bool) -> DataFrame:
+        wdf = df.select(
+            (F.col(id_col) if keep_id else F.lit(0)).alias("__id"),
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__w"),
+        )
+        w, nw = F.col("__w"), F.size("__w")
+        bigrams = F.when(nw >= 2, F.zip_with(
+            F.slice(w, 1, nw - 1), F.slice(w, 2, nw - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )).otherwise(F.array().cast("array<string>"))
+        grams = wdf.select(
+            "__id", F.explode(F.concat(w, bigrams)).alias("g")
+        ).where(F.col("g") != "")
+        return grams.select(
+            "__id",
+            (portable_hash60(F.concat(F.lit("f#"), F.col("g")))
+             % F.lit(n_buckets)).alias("feature"),
+        )
+
+    raw_feats = feats(raw, keep_id=True)
+    tgt_counts = (
+        feats(target, keep_id=False)
+        .groupBy("feature").agg(F.count(F.lit(1)).alias("tn"))
+    )
+    raw_counts = raw_feats.groupBy("feature").agg(
+        F.count(F.lit(1)).alias("rn")
+    )
+    # totals as 1-row aggregates, cross-joined (broadcast) into the log ratio
+    t_tot = (
+        feats(target, keep_id=False).agg(F.count(F.lit(1)).alias("t_total"))
+    )
+    r_tot = raw_feats.agg(F.count(F.lit(1)).alias("r_total"))
+    lp = (
+        raw_counts.join(F.broadcast(tgt_counts), "feature", "left")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            "feature",
+            (
+                F.log((F.coalesce(F.col("tn"), F.lit(0)) + F.lit(alpha))
+                      / (F.col("t_total") + F.lit(alpha * n_buckets)))
+                - F.log((F.col("rn") + F.lit(alpha))
+                        / (F.col("r_total") + F.lit(alpha * n_buckets)))
+            ).alias("lr"),
+        )
+    )
+    scored = raw_feats.join(F.broadcast(lp), "feature")
+    return (
+        scored.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum("lr"), 6).alias("logratio"),
+        )
+        .select(F.col("__id").alias(id_col), "n_feats", "logratio")
+    )

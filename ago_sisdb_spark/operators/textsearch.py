@@ -24,7 +24,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["tokenize", "bm25_topk"]
+__all__ = [
+    "tokenize",
+    "bm25_topk",
+    "build_text_index",
+    "load_text_index",
+    "bm25_topk_indexed",
+]
 
 
 def tokenize(text: Column) -> Column:
@@ -52,19 +58,28 @@ def bm25_topk(
     ``ln(1 + (N - df + 0.5) / (df + 0.5))``.
     """
     spark = docs.sparkSession
-    toks = docs.select(
-        F.col(id_col).alias("doc"), F.explode(tokenize(F.col(text_col))).alias("term")
-    )
-    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    )
+    tf, dl, stats = _index_tables(docs, id_col, text_col)
 
     qterms = spark.createDataFrame(
         [(qid, t) for qid, terms in queries for t in set(terms)],
         "query_id long, term string",
     )
+    return _bm25_rank(tf, dl, stats, qterms, k, k1, b)
+
+
+def _index_tables(docs: DataFrame, id_col: str, text_col: str):
+    """The three inverted-index tables: postings tf(doc, term), doc
+    lengths, and the 1-row (N, avgdl) stats."""
+    toks = docs.select(
+        F.col(id_col).alias("doc"), F.explode(tokenize(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    return tf, dl, stats
+
+
+def _bm25_rank(tf, dl, stats, qterms, k: int, k1: float, b: float) -> DataFrame:
     # broadcast the tiny query-term table; only matching posting lists
     # survive this join
     post = tf.join(F.broadcast(qterms), "term")
@@ -105,3 +120,74 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "doc", "rank", "score")
     )
+
+
+def text_index_path(warehouse_dir: str, sf_dir: str) -> str:
+    """Stable on-disk location for a scale-factor's inverted index."""
+    import os
+
+    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    return os.path.join(warehouse_dir, "text_index", tag)
+
+
+def build_text_index(
+    docs: DataFrame, id_col: str, text_col: str, path: str
+) -> None:
+    """The OFFLINE index job (same train/serve split as the IVF/PQ
+    indexes): materialize postings / doc-length / corpus-stats parquet
+    once; every query afterwards reads only its terms' posting lists.
+    Postings are REPARTITIONED BY term before the write so each term's
+    list lands contiguously — the parquet row-group pruning unit a
+    term-lookup join wants at 100 TB (bucketed-table DDL is the
+    warehouse-managed variant of the same layout).
+    """
+    import os
+
+    tf, dl, stats = _index_tables(docs, id_col, text_col)
+    tf.repartition(F.col("term")).write.mode("overwrite").parquet(
+        os.path.join(path, "postings")
+    )
+    dl.write.mode("overwrite").parquet(os.path.join(path, "doclen"))
+    stats.write.mode("overwrite").parquet(os.path.join(path, "stats"))
+
+
+def load_text_index(spark: SparkSession, path: str):
+    """(tf, dl, stats) read back from a materialized index; None if the
+    index was never built."""
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    try:
+        tf = spark.read.schema("doc bigint, term string, tf bigint").parquet(
+            os.path.join(path, "postings")
+        )
+        dl = spark.read.schema("doc bigint, dl bigint").parquet(
+            os.path.join(path, "doclen")
+        )
+        stats = spark.read.schema("n bigint, avgdl double").parquet(
+            os.path.join(path, "stats")
+        )
+        return tf, dl, stats
+    except AnalysisException:
+        return None
+
+
+def bm25_topk_indexed(
+    spark: SparkSession,
+    index,
+    queries: list[tuple[int, list[str]]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 serving from a materialized index (``load_text_index``): the
+    query plan contains NO corpus scan — just the broadcast query-term
+    join against the postings parquet.  Identical scores to ``bm25_topk``
+    (pinned by test_textsearch)."""
+    tf, dl, stats = index
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in queries for t in set(terms)],
+        "query_id long, term string",
+    )
+    return _bm25_rank(tf, dl, stats, qterms, k, k1, b)

@@ -1710,3 +1710,53 @@ def d11_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB restates the polynomial boundary arithmetic verbatim."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.duplicate_chunks(docs, "doc_id", "text")
+
+
+def _dsir_oracle(n_buckets: int = 4096) -> str:
+    ph = dedup.PORTABLE_HASH_SQL.format(col="'f#' || g")
+    return rf"""
+    WITH base AS (
+        SELECT doc_id, lang, source,
+               string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents),
+    grams AS (
+        SELECT doc_id, lang, source, g FROM (
+            SELECT doc_id, lang, source, unnest(list_concat(
+                w,
+                list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                               i -> w[i] || ' ' || w[i + 1]))) AS g
+            FROM base) t
+        WHERE g != ''),
+    feats AS (
+        SELECT doc_id, lang, source, ({ph}) % {n_buckets} AS feature
+        FROM grams),
+    tgt AS (SELECT feature, count(*) AS tn FROM feats
+            WHERE lang = 'en' AND source = 'src0' GROUP BY 1),
+    rawc AS (SELECT feature, count(*) AS rn FROM feats GROUP BY 1),
+    t_tot AS (SELECT count(*) AS t_total FROM feats
+              WHERE lang = 'en' AND source = 'src0'),
+    r_tot AS (SELECT count(*) AS r_total FROM feats),
+    lp AS (
+        SELECT r.feature,
+               ln((coalesce(t.tn, 0) + 1.0) / (t_tot.t_total + {n_buckets}.0))
+             - ln((r.rn + 1.0) / (r_tot.r_total + {n_buckets}.0)) AS lr
+        FROM rawc r LEFT JOIN tgt t USING (feature), t_tot, r_tot)
+    SELECT f.doc_id, count(*) AS n_feats, round(sum(lp.lr), 6) AS logratio
+    FROM feats f JOIN lp USING (feature)
+    GROUP BY f.doc_id
+    """
+
+
+@query("pipe6_dsir", oracle=_dsir_oracle(), extended=True)
+def pipe6_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scoring (operators/prep.dsir_importance): every raw
+    document scored by hashed unigram+bigram log-ratio against the
+    lang='en'/source='src0' target slice — the published importance-
+    resampling data-selection method.  Two fixed-size (4096-bucket) count
+    tables broadcast into one scoring pass; no vocabulary table, no
+    corpus×corpus join."""
+    from ago_sisdb_spark.operators import prep
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where((F.col("lang") == "en") & (F.col("source") == "src0"))
+    return prep.dsir_importance(docs, target, "doc_id", "text")

@@ -143,3 +143,22 @@ def test_duplicate_chunks_flags_shared_boilerplate(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     dup = dedup.duplicate_chunks(df, "doc_id", "text").collect()
     assert any(r.n_docs == 10 for r in dup)  # boilerplate chunk seen in all
+
+
+def test_dsir_scores_targetlike_higher(spark):
+    """Raw docs sharing the target's vocabulary must out-score docs from a
+    disjoint vocabulary."""
+    tgt = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta epsilon") for i in range(20)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(i, "alpha beta gamma delta" if i < 10 else "zeta eta theta iota")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.logratio
+           for r in prep.dsir_importance(raw, tgt, "doc_id", "text").collect()}
+    like = min(out[i] for i in range(10))
+    unlike = max(out[i] for i in range(10, 20))
+    assert like > unlike

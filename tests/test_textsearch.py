@@ -109,3 +109,28 @@ def test_flag_blocked_hosts_suffix_semantics(spark):
         ).collect()
     }
     assert out == {1: True, 2: True, 3: False, 4: False, 5: False}
+
+
+def test_indexed_bm25_matches_inline(spark, tmp_path):
+    """Serving from the materialized index must reproduce the inline
+    scores exactly — and its plan must not rescan the corpus."""
+    from ago_sisdb_spark.operators import textsearch
+
+    rows = [(i, f"spark shuffle join {'index ' * (i % 4)}scan") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = [(1, ["index", "scan"]), (2, ["shuffle"])]
+    inline = textsearch.bm25_topk(docs, "doc_id", "text", queries, k=5).collect()
+    path = str(tmp_path / "tidx")
+    textsearch.build_text_index(docs, "doc_id", "text", path)
+    idx = textsearch.load_text_index(spark, path)
+    assert idx is not None
+    served = textsearch.bm25_topk_indexed(spark, idx, queries, k=5)
+    assert sorted(map(tuple, served.collect())) == sorted(map(tuple, inline))
+    files = served.inputFiles()
+    assert files and all("tidx" in f for f in files)  # only the index parquet
+
+
+def test_load_text_index_missing_returns_none(spark, tmp_path):
+    from ago_sisdb_spark.operators import textsearch
+
+    assert textsearch.load_text_index(spark, str(tmp_path / "nope")) is None
