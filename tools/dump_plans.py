@@ -18,6 +18,8 @@ NOTES = {
     "d1_dedup_exact": "digest computed in the scan projection; shuffle carries (digest, id) only",
     "d3_minhash_lsh": "explode -> hash once -> 32 affine mins in ONE hash-aggregate -> banded equi-join; the cap's count window reuses the (band,bucket) partitioning the join needs",
     "d8_bloom_incremental": "bloom bitmap and verified-dup set both broadcast; the batch shuffles once (per-doc min over probe hits, map-side combined)",
+    "t15_cms_counts": "sketch cells partial-aggregate map-side (<= depth*width rows per task shuffle); the depth*width-bounded sketch is broadcast into the probe join",
+    "pipe6_dsir": "two fixed-size (4096-bucket) count aggregates broadcast back into ONE scoring pass; no vocabulary table, no corpus x corpus join",
 }
 
 HEADER = """# PLANS — executed physical plans of headline queries (sf0.1, AQE final)
