@@ -1,0 +1,104 @@
+"""Embedding pooling: per-class centroids and nearest-class-mean scoring.
+
+Class centroids (mean embedding per label) are the workhorse prototype
+structure of a training-data pipeline: SemDeDup-style cluster screening
+seeds from them, nearest-class-mean (NCM) classification audits label
+quality (Mensink et al., ECCV 2012 — a strong no-training baseline), and
+per-class mean vectors feed drift monitoring between corpus snapshots.
+
+Scale shapes:
+
+- ``class_centroids``: posexplode(dim) feeds DIRECTLY into a partial
+  HashAggregate in the same stage — the generated (label, dim) rows are
+  pipelined, never materialized, and the shuffle carries ≤ labels×dim
+  rows per map partition.  No collect, no vector assembly on the driver.
+- ``ncm_confusion``: the relational dot product — vector dims equi-join
+  centroid dims on dim_idx (centroid side broadcast: labels×dim rows),
+  partial-sum per (vector, candidate label).  Vectors never shuffle
+  whole; the argmax is a per-vector window over #labels candidate rows.
+
+Reference parity: none (the reference's ANN header is dead code,
+`src/core/ai/sis_ai_ann.h`); §2.11 beyond-reference surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def class_centroids(
+    emb: DataFrame, label_col: str, vec_col: str
+) -> DataFrame:
+    """(label, dim_idx, n_vecs, mean_val): the per-class mean embedding in
+    exploded (long) form — the join-ready layout for relational dot
+    products; ``F.transform(F.array_sort(...))`` re-assembles arrays when
+    an array form is needed."""
+    d = emb.select(
+        F.col(label_col),
+        F.posexplode(F.col(vec_col)).alias("dim_idx", "v"),
+    )
+    return d.groupBy(label_col, "dim_idx").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.avg(F.col("v").cast("double")).alias("mean_val"),
+    )
+
+
+def ncm_confusion(
+    emb: DataFrame,
+    id_col: str,
+    label_col: str,
+    vec_col: str,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Nearest-class-mean audit: assign every vector to its cosine-nearest
+    class centroid and report the (label, pred_label, n_vecs) confusion
+    counts — diagonal mass = label/embedding agreement, off-diagonal
+    hotspots = suspect labels or entangled classes.
+
+    ``centroids`` defaults to ``class_centroids`` of the same corpus
+    (leave-in evaluation, the standard corpus-audit form).  All math is
+    relational: dims equi-join broadcast centroid dims, one partial-summed
+    dot product per (vector, candidate), row_number argmax.  Ties break
+    toward the smaller label (deterministic).
+    """
+    cent = centroids if centroids is not None else class_centroids(
+        emb, label_col, vec_col
+    )
+    cent = cent.select(
+        F.col(label_col).alias("cand"), "dim_idx", "mean_val"
+    )
+    # centroid L2 norms (labels-sized)
+    cnorm = cent.groupBy("cand").agg(
+        F.sqrt(F.sum(F.col("mean_val") * F.col("mean_val"))).alias("cn")
+    )
+    dims = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim_idx", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    vnorm = dims.groupBy("vid").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("vn")
+    )
+    dot = (
+        dims.join(F.broadcast(cent), "dim_idx")
+        .groupBy("vid", "label", "cand")
+        .agg(F.sum(F.col("v") * F.col("mean_val")).alias("dp"))
+    )
+    scored = (
+        dot.join(vnorm, "vid")
+        .join(F.broadcast(cnorm), "cand")
+        .withColumn(
+            "cos",
+            F.when(
+                (F.col("vn") > 0) & (F.col("cn") > 0),
+                F.col("dp") / (F.col("vn") * F.col("cn")),
+            ).otherwise(F.lit(-2.0)),
+        )
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("cos"), F.asc("cand"))
+    best = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        best.groupBy(F.col("label"), F.col("cand").alias("pred_label"))
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )

@@ -1760,3 +1760,70 @@ def pipe6_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     target = docs.where((F.col("lang") == "en") & (F.col("source") == "src0"))
     return prep.dsir_importance(docs, target, "doc_id", "text")
+
+
+@query(
+    "e2_class_centroids",
+    oracle="""
+    SELECT label, i - 1 AS dim_idx, count(*) AS n_vecs,
+           round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_val
+    FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r
+    GROUP BY label, i
+    """,
+    extended=True,
+)
+def e2_class_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class mean embeddings in exploded form (operators/embed.
+    class_centroids): posexplode pipelines straight into a partial
+    HashAggregate, so the shuffle carries <= labels*dim rows per map
+    partition regardless of corpus size — the prototype table SemDeDup
+    seeding, NCM auditing, and snapshot drift monitoring all read."""
+    from ago_sisdb_spark.operators import embed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embed.class_centroids(emb, "label", "embedding")
+    return out.select(
+        "label",
+        F.col("dim_idx").cast("long").alias("dim_idx"),
+        "n_vecs",
+        F.round("mean_val", 6).alias("mean_val"),
+    )
+
+
+@query(
+    "e3_ncm_confusion",
+    oracle="""
+    WITH dims AS (
+        SELECT vec_id, label, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r),
+    cent AS (SELECT label AS cand, d, avg(v) AS mv FROM dims GROUP BY 1, 2),
+    cn AS (SELECT cand, sqrt(sum(mv * mv)) AS cn FROM cent GROUP BY 1),
+    vn AS (SELECT vec_id, sqrt(sum(v * v)) AS vn FROM dims GROUP BY 1),
+    dot AS (
+        SELECT dims.vec_id, dims.label, cent.cand, sum(dims.v * cent.mv) AS dp
+        FROM dims JOIN cent ON dims.d = cent.d
+        GROUP BY 1, 2, 3),
+    scored AS (
+        SELECT dot.vec_id, dot.label, dot.cand,
+               CASE WHEN vn.vn > 0 AND cn.cn > 0
+                    THEN dot.dp / (vn.vn * cn.cn) ELSE -2.0 END AS cos
+        FROM dot JOIN vn USING (vec_id) JOIN cn USING (cand)),
+    best AS (
+        SELECT label, cand FROM scored
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos DESC, cand) = 1)
+    SELECT label, cand AS pred_label, count(*) AS n_vecs
+    FROM best GROUP BY 1, 2
+    """,
+    extended=True,
+)
+def e3_ncm_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-class-mean label audit (operators/embed.ncm_confusion):
+    cosine-assign every vector to its nearest class centroid, report the
+    confusion counts.  Relational dot product — dims equi-join broadcast
+    centroid dims, partial-summed — so vectors never shuffle whole and
+    the candidate fan-out is exactly #labels."""
+    from ago_sisdb_spark.operators import embed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embed.ncm_confusion(emb, "vec_id", "label", "embedding")

@@ -162,3 +162,90 @@ def test_dsir_scores_targetlike_higher(spark):
     like = min(out[i] for i in range(10))
     unlike = max(out[i] for i in range(10, 20))
     assert like > unlike
+
+
+def test_property_cms_one_sided_random_streams(spark):
+    """Property: for ANY stream and any (depth, width), est(term) >= exact
+    count for every probed term — the one-sided CMS guarantee.  Seeded
+    pseudo-random trials (one Spark session per hypothesis example would
+    be prohibitive)."""
+    import random
+
+    from ago_sisdb_spark.operators import sketch
+
+    rnd = random.Random(97)
+    for trial in range(3):
+        depth = rnd.choice([2, 3, 4])
+        width = rnd.choice([8, 32, 128])  # narrow → forces collisions
+        vocab = [f"t{j}" for j in range(rnd.randrange(20, 120))]
+        stream = [rnd.choice(vocab) for _ in range(600)]
+        exact = {}
+        for t in stream:
+            exact[t] = exact.get(t, 0) + 1
+        df = spark.createDataFrame([(t,) for t in stream], "term string")
+        cms = sketch.cms_build(df, "term", depth, width)
+        probes = spark.createDataFrame([(t,) for t in vocab], "term string")
+        est = {
+            r.term: r.est
+            for r in sketch.cms_estimate(cms, probes, "term", depth, width).collect()
+        }
+        for t in vocab:
+            assert est[t] >= exact.get(t, 0), (trial, t, est[t], exact.get(t, 0))
+
+
+def test_property_cdc_reassembly_random_texts(spark):
+    """Property: for ANY text, CDC chunks concatenate back to the
+    normalized document and every chunk is non-empty."""
+    import random
+    import string
+
+    from ago_sisdb_spark.operators import dedup
+
+    rnd = random.Random(431)
+    alphabet = string.ascii_letters + string.digits + "    .,;!?"
+    rows = []
+    for i in range(40):
+        n = rnd.randrange(0, 300)
+        rows.append((i, "".join(rnd.choice(alphabet) for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ch = dedup.cdc_chunk_docs(df, "doc_id", "text").collect()
+    assert all(len(r.chunk) > 0 for r in ch)
+    by_doc = {}
+    for r in sorted(ch, key=lambda r: (r.doc_id, r.chunk_idx)):
+        by_doc[r.doc_id] = by_doc.get(r.doc_id, "") + r.chunk
+    for i, t in rows:
+        norm = t.strip(" ").lower()
+        if norm:
+            assert by_doc[i] == norm, i
+        else:
+            assert i not in by_doc
+
+
+def test_ncm_planted_clusters_perfect_diagonal(spark):
+    """Vectors planted tightly around orthogonal class directions must
+    classify to their own class mean — all confusion mass on the
+    diagonal; centroids must be the exact per-class dim means."""
+    from ago_sisdb_spark.operators import embed
+
+    rows = []
+    for i in range(60):
+        label = i % 3
+        base = [0.0] * 6
+        base[label * 2] = 10.0
+        base[label * 2 + 1] = 10.0
+        base[(label * 2 + 3) % 6] += (i % 5) * 0.1  # small noise
+        rows.append((i, label, base))
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    conf = embed.ncm_confusion(df, "vec_id", "label", "embedding").collect()
+    assert all(r.label == r.pred_label for r in conf)
+    assert sum(r.n_vecs for r in conf) == 60
+    cent = {
+        (r.label, r.dim_idx): r.mean_val
+        for r in embed.class_centroids(df, "label", "embedding").collect()
+    }
+    import statistics
+
+    expect = statistics.mean(
+        rows[i][2][0] for i in range(0, 60, 3)
+    )
+    assert abs(cent[(0, 0)] - expect) < 1e-9

@@ -82,3 +82,55 @@ def test_weighted_build_matches_exploded(spark):
         for r in sketch.cms_build(exploded, "term", DEPTH, WIDTH).collect()
     }
     assert w == e
+
+
+def test_streaming_cms_matches_batch(spark, tmp_path):
+    """The applyInPandasWithState cells carried across micro-batches must
+    equal cms_build over everything ingested — the streaming face of the
+    merge property."""
+    import glob
+    import os
+    import time
+
+    from ago_sisdb_spark.streaming.sketches import streaming_cms
+
+    rows1 = [(f"t{i % 15}",) for i in range(200)]
+    rows2 = [(f"t{i % 25}",) for i in range(150)]
+    b1 = spark.createDataFrame(rows1, "term string")
+    b2 = spark.createDataFrame(rows2, "term string")
+
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.parquet(src)
+    files1 = glob.glob(src + "/part-*")
+    b2.coalesce(1).write.mode("append").parquet(src)
+    files2 = [f for f in glob.glob(src + "/part-*") if f not in files1]
+    now = time.time()
+    for f in files1:
+        os.utime(f, (now - 200, now - 200))
+    for f in files2:
+        os.utime(f, (now - 100, now - 100))
+
+    latest = {}
+
+    def sink(df, epoch_id):
+        for r in df.collect():
+            latest[(r.row, r.bucket)] = r.cnt
+
+    stream = (
+        spark.readStream.schema("term string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_cms(stream, "term", DEPTH, WIDTH)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    full = sketch.cms_build(b1.unionByName(b2), "term", DEPTH, WIDTH)
+    expected = {(r.row, r.bucket): r.cnt for r in full.collect()}
+    assert latest == expected

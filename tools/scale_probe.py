@@ -74,7 +74,14 @@ def main() -> None:
 
     import math
 
-    from ago_sisdb_spark.operators import incremental, pq, similarity, text
+    from ago_sisdb_spark.operators import (
+        incremental,
+        pq,
+        prep,
+        similarity,
+        sketch,
+        text,
+    )
 
     muls = [int(x) for x in sys.argv[1:]] or [1, 4, 8]
     spark = get_spark(app_name="scale_probe")
@@ -129,6 +136,34 @@ def main() -> None:
         )
         out["ops"].setdefault("t12_bigram_lm", {})[n] = timed(
             lambda: text.bigram_logprob(dc, "doc_id", "text")
+        )
+        # r5 family: CDC chunk dedup (map-only chunker + digest groupBy),
+        # CMS build (shuffle bounded at depth*width), DSIR scoring (two
+        # fixed-size bucket aggs + one scoring pass), A-Res weighted
+        # sampling (group-keyed window)
+        out["ops"].setdefault("d11_cdc_chunks", {})[n] = timed(
+            lambda: dedup.duplicate_chunks(dc, "doc_id", "text")
+        )
+        toks = (
+            dc.select(
+                F.explode(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+                ).alias("term")
+            ).where(F.col("term") != "")
+        )
+        out["ops"].setdefault("t15_cms_build", {})[n] = timed(
+            lambda: sketch.cms_build(toks, "term", 4, 2048)
+        )
+        out["ops"].setdefault("pipe6_dsir", {})[n] = timed(
+            lambda: prep.dsir_importance(
+                dc, dc.where(F.col("doc_id") % 7 == 0), "doc_id", "text"
+            )
+        )
+        sdf = dc.withColumn("grp", F.col("doc_id") % 16).withColumn(
+            "w", F.length("text").cast("double")
+        )
+        out["ops"].setdefault("s3_weighted_sample", {})[n] = timed(
+            lambda: prep.weighted_sample_per_group(sdf, "doc_id", "grp", "w", 10)
         )
     lo, hi = muls[0], muls[-1]
     out["ratio_vs_linear"] = {
