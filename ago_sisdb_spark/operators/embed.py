@@ -102,3 +102,51 @@ def ncm_confusion(
         best.groupBy(F.col("label"), F.col("cand").alias("pred_label"))
         .agg(F.count(F.lit(1)).alias("n_vecs"))
     )
+
+
+def centroid_drift(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    label_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-class distribution drift between two corpus snapshots: cosine
+    and L2 distance between each label's centroid in snapshot A vs B —
+    the embedding-space counterpart of the data-card diff a pipeline runs
+    before accepting a refreshed corpus (a label whose centroid swings is
+    a changed class: new topic mix, collection bug, poisoning).
+
+    Returns (label, n_a, n_b, cos_ab, l2_shift).  Cost: two centroid
+    aggregates (≤ labels×dim rows each) joined on (label, dim) — nothing
+    corpus-sized after the pooling passes.
+    """
+    a = class_centroids(emb_a, label_col, vec_col).select(
+        F.col(label_col), "dim_idx",
+        F.col("n_vecs").alias("na"), F.col("mean_val").alias("ma"),
+    )
+    b = class_centroids(emb_b, label_col, vec_col).select(
+        F.col(label_col), "dim_idx",
+        F.col("n_vecs").alias("nb"), F.col("mean_val").alias("mb"),
+    )
+    j = a.join(b, [label_col, "dim_idx"])
+    agg = j.groupBy(label_col).agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.sum(F.col("ma") * F.col("mb")).alias("dp"),
+        F.sqrt(F.sum(F.col("ma") * F.col("ma"))).alias("nma"),
+        F.sqrt(F.sum(F.col("mb") * F.col("mb"))).alias("nmb"),
+        F.sqrt(F.sum((F.col("ma") - F.col("mb")) ** 2)).alias("l2"),
+    )
+    return agg.select(
+        label_col,
+        "n_a",
+        "n_b",
+        F.round(
+            F.when(
+                (F.col("nma") > 0) & (F.col("nmb") > 0),
+                F.col("dp") / (F.col("nma") * F.col("nmb")),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("cos_ab"),
+        F.round("l2", 6).alias("l2_shift"),
+    )

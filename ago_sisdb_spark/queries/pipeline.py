@@ -1827,3 +1827,66 @@ def e3_ncm_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return embed.ncm_confusion(emb, "vec_id", "label", "embedding")
+
+
+@query(
+    "m3_frame_plan",
+    oracle="""
+    SELECT doc_id AS media_id,
+           unnest(range(0, greatest((n_chars % 120) - 1, 0) + 1, 5)) AS frame_ts
+    FROM documents
+    """,
+    extended=True,
+)
+def m3_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling schedule (sources/multimodal.frame_sample_plan):
+    one planned frame every 5 s of media duration, fan-out executor-side
+    and bounded by duration/step — the decode stub fills frame_content in
+    production.  Duration metadata synthesized deterministically
+    (n_chars mod 120 s) so the whole schedule is oracle-checked."""
+    from ago_sisdb_spark.sources.multimodal import frame_sample_plan
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("modality"),
+        F.create_map(
+            F.lit("duration_s"), (F.col("n_chars") % 120).cast("string")
+        ).alias("meta"),
+    )
+    return frame_sample_plan(media, every_n_seconds=5).select(
+        "media_id", F.col("frame_ts").cast("long").alias("frame_ts")
+    )
+
+
+@query(
+    "e5_centroid_drift",
+    oracle="""
+    WITH dims AS (
+        SELECT vec_id, label, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r),
+    ca AS (SELECT label, d, count(*) AS na, avg(v) AS ma
+           FROM dims WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+    cb AS (SELECT label, d, count(*) AS nb, avg(v) AS mb
+           FROM dims WHERE vec_id % 2 = 1 GROUP BY 1, 2),
+    j AS (SELECT ca.label, ca.na, cb.nb, ca.ma, cb.mb
+          FROM ca JOIN cb ON ca.label = cb.label AND ca.d = cb.d)
+    SELECT label, max(na) AS n_a, max(nb) AS n_b,
+           round(CASE WHEN sqrt(sum(ma*ma)) > 0 AND sqrt(sum(mb*mb)) > 0
+                 THEN sum(ma*mb) / (sqrt(sum(ma*ma)) * sqrt(sum(mb*mb)))
+                 ELSE 0.0 END, 6) AS cos_ab,
+           round(sqrt(sum((ma - mb) * (ma - mb))), 6) AS l2_shift
+    FROM j GROUP BY label
+    """,
+    extended=True,
+)
+def e5_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift audit (operators/embed.centroid_drift): per-label
+    centroid cosine + L2 shift between the even-id and odd-id halves of
+    the corpus standing in for two snapshots.  Two labels×dim pooling
+    aggregates joined — nothing corpus-sized after pooling."""
+    from ago_sisdb_spark.operators import embed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.where(F.col("vec_id") % 2 == 0)
+    b = emb.where(F.col("vec_id") % 2 == 1)
+    return embed.centroid_drift(a, b, "label", "embedding")
