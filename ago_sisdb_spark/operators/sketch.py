@@ -107,3 +107,73 @@ def cms_estimate(
         joined.groupBy(term_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+def hist_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    n_bins: int = 32,
+) -> DataFrame:
+    """Quantile estimates from a fixed-bin histogram sketch, per group.
+
+    The bounded-state percentile path for 100 TB metric streams: an exact
+    ``median()`` keeps every value in the aggregation buffer, while a
+    histogram keeps ``n_bins`` counters per group, merges across
+    partitions/days by bin-wise addition (same property as the CMS), and
+    answers any quantile by cumulative interpolation with error ≤ one bin
+    width of the group's range.  (Spark's ``approx_percentile`` is the
+    JVM-side equivalent; this form is engine-portable and oracle-checked,
+    and its histogram table is a persistable artifact.)
+
+    Two group-sized aggregates: (lo, hi, n) range scan, then the binned
+    count — the corpus shuffles on the group key only; bin selection and
+    interpolation run on the ≤ groups×n_bins histogram.  Returns
+    (group, q, n, est) long-form.  A constant group (hi == lo) reports
+    the constant for every quantile.
+    """
+    spark = df.sparkSession
+    g, v = F.col(group_col), F.col(value_col).cast("double")
+    rng = df.groupBy(group_col).agg(
+        F.min(v).alias("lo"), F.max(v).alias("hi"), F.count(F.lit(1)).alias("n")
+    )
+    binned = df.join(F.broadcast(rng), group_col).select(
+        g,
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.least(
+                F.floor((v - F.col("lo")) / (F.col("hi") - F.col("lo")) * n_bins),
+                F.lit(n_bins - 1),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("bin"),
+    )
+    hist = binned.groupBy(group_col, "bin").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy("bin")
+    hc = hist.withColumn("cum", F.sum("c").over(w))
+    qs = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
+    sel = (
+        hc.join(F.broadcast(rng), group_col)
+        .crossJoin(F.broadcast(qs))
+        .where(F.col("cum") >= F.col("q") * F.col("n"))
+    )
+    wq = Window.partitionBy(group_col, "q").orderBy("bin")
+    first_bin = sel.withColumn("rn", F.row_number().over(wq)).where(F.col("rn") == 1)
+    est = F.when(
+        F.col("hi") > F.col("lo"),
+        F.col("lo")
+        + (
+            (F.col("bin") + (F.col("q") * F.col("n") - (F.col("cum") - F.col("c"))) / F.col("c"))
+            / F.lit(float(n_bins))
+        )
+        * (F.col("hi") - F.col("lo")),
+    ).otherwise(F.col("lo"))
+    return first_bin.select(
+        group_col, "q", F.col("n").cast("long").alias("n"),
+        F.round(est, 6).alias("est"),
+    )

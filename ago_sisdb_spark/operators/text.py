@@ -488,3 +488,71 @@ def hashed_linear_score(
         F.col("__id").alias(id_col), "n_toks", "score",
         (F.col("score") > 0).alias("keep"),
     )
+
+
+def char_trigrams(col_name: str) -> "Column":
+    """Character trigram array of an ALREADY-NORMALIZED text column
+    (lower/trim applied when the column is materialized — the lambda must
+    reference the plain column, never a recomputed expression, or the
+    interpreted HOF re-evaluates it per element); texts shorter than 3
+    chars contribute themselves as one truncated gram."""
+    t = F.col(col_name)
+    n = F.length(t)
+    return F.when(n < 3, F.array(t)).otherwise(
+        F.expr(
+            f"transform(sequence(1, length({col_name}) - 2),"
+            f" i -> substring({col_name}, i, 3))"
+        )
+    )
+
+
+def trigram_lid_confusion(
+    docs,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    top_k: int = 200,
+):
+    """Character-n-gram-profile language ID (Cavnar & Trenkle, SDAIR 1994
+    — the model family behind production LID) trained on the corpus's own
+    labels, scored back as a confusion audit.
+
+    Profile(lang) = its ``top_k`` most frequent character trigrams;
+    score(doc, lang) = how many of the doc's distinct trigrams appear in
+    that profile; prediction = argmax (ties → smaller lang).  Diagonal
+    mass audits label/content agreement exactly like e3 does for
+    embeddings.
+
+    Scale shape: trigram counting partial-aggregates to (lang, tri); the
+    profiles are langs×top_k rows and BROADCAST into the scoring join, so
+    documents never shuffle — one explode + one count per (doc, cand).
+    Returns (label, pred_lang, n_docs).
+    """
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).alias("label"),
+        F.lower(F.trim(F.col(text_col))).alias("__lid_t"),
+    )
+    tris = base.select(
+        "__id", "label", F.explode(char_trigrams("__lid_t")).alias("tri")
+    )
+    counts = tris.groupBy("label", "tri").agg(F.count(F.lit(1)).alias("cnt"))
+    wp = Window.partitionBy("label").orderBy(F.desc("cnt"), "tri")
+    profile = (
+        counts.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= top_k)
+        .select(F.col("label").alias("cand"), "tri")
+    )
+    doc_tris = tris.select("__id", "label", "tri").distinct()
+    scored = (
+        doc_tris.join(F.broadcast(profile), "tri")
+        .groupBy("__id", "label", "cand")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    wd = Window.partitionBy("__id").orderBy(F.desc("score"), F.asc("cand"))
+    best = scored.withColumn("rn", F.row_number().over(wd)).where(F.col("rn") == 1)
+    return best.groupBy("label", F.col("cand").alias("pred_lang")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

@@ -1890,3 +1890,90 @@ def e5_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = emb.where(F.col("vec_id") % 2 == 0)
     b = emb.where(F.col("vec_id") % 2 == 1)
     return embed.centroid_drift(a, b, "label", "embedding")
+
+
+@query(
+    "a19_hist_quantiles",
+    oracle="""
+    WITH rng AS (
+        SELECT event_type AS g, min(value) AS lo, max(value) AS hi,
+               count(*) AS n
+        FROM events GROUP BY 1),
+    b AS (
+        SELECT e.event_type AS g,
+               CASE WHEN r.hi > r.lo
+                    THEN least(CAST(floor((e.value - r.lo) / (r.hi - r.lo) * 32)
+                               AS INT), 31)
+                    ELSE 0 END AS bin
+        FROM events e JOIN rng r ON e.event_type = r.g),
+    h AS (SELECT g, bin, count(*) AS c FROM b GROUP BY 1, 2),
+    hc AS (SELECT g, bin, c,
+                  sum(c) OVER (PARTITION BY g ORDER BY bin) AS cum
+           FROM h),
+    qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+    sel AS (
+        SELECT hc.g, qs.q, hc.bin, hc.c, hc.cum, r.lo, r.hi, r.n
+        FROM hc JOIN rng r ON hc.g = r.g CROSS JOIN qs
+        WHERE hc.cum >= qs.q * r.n
+        QUALIFY row_number() OVER (PARTITION BY hc.g, qs.q
+                                   ORDER BY hc.bin) = 1)
+    SELECT g AS event_type, q, CAST(n AS BIGINT) AS n,
+           round(CASE WHEN hi > lo
+                 THEN lo + ((bin + (q * n - (cum - c)) / c) / 32.0) * (hi - lo)
+                 ELSE lo END, 6) AS est
+    FROM sel
+    """,
+    extended=True,
+)
+def a19_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles per event type (operators/sketch.
+    hist_quantiles): p50/p90/p99 from a 32-bin mergeable histogram — the
+    bounded-state percentile path for metric streams (exact median keeps
+    every value in the buffer; the histogram keeps 32 counters and merges
+    bin-wise like the CMS).  Oracle restates the binning + interpolation
+    arithmetic verbatim."""
+    from ago_sisdb_spark.operators import sketch
+
+    ev = _t(spark, sf_dir, "events")
+    return sketch.hist_quantiles(ev, "event_type", "value")
+
+
+@query(
+    "t19_lid_confusion",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, lang, lower(trim(text)) AS t FROM documents),
+    tris AS (
+        SELECT doc_id, lang,
+               unnest(CASE WHEN length(t) < 3 THEN [t]
+                      ELSE list_transform(range(1, greatest(length(t) - 2, 0) + 1),
+                                          i -> substring(t, i, 3)) END) AS tri
+        FROM base),
+    counts AS (SELECT lang, tri, count(*) AS cnt FROM tris GROUP BY 1, 2),
+    profile AS (
+        SELECT lang AS cand, tri FROM counts
+        QUALIFY row_number() OVER (PARTITION BY lang
+                                   ORDER BY cnt DESC, tri) <= 200),
+    doc_tris AS (SELECT DISTINCT doc_id, lang, tri FROM tris),
+    scored AS (
+        SELECT d.doc_id, d.lang, p.cand, count(*) AS score
+        FROM doc_tris d JOIN profile p ON d.tri = p.tri
+        GROUP BY 1, 2, 3),
+    best AS (
+        SELECT lang, cand FROM scored
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, cand) = 1)
+    SELECT lang AS label, cand AS pred_lang, count(*) AS n_docs
+    FROM best GROUP BY 1, 2
+    """,
+    extended=True,
+)
+def t19_lid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram-profile language ID audit (operators/text.
+    trigram_lid_confusion): per-language top-200 trigram profiles trained
+    from the corpus's own labels, every doc re-classified by profile
+    overlap, confusion counts reported — the Cavnar-Trenkle model family
+    behind production LID, upgrading t3's stopword heuristic.  Profiles
+    broadcast (langs×200 rows); documents never shuffle whole."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.trigram_lid_confusion(docs, "doc_id", "text", "lang")

@@ -249,3 +249,18 @@ def test_ncm_planted_clusters_perfect_diagonal(spark):
         rows[i][2][0] for i in range(0, 60, 3)
     )
     assert abs(cent[(0, 0)] - expect) < 1e-9
+
+
+def test_trigram_lid_distinct_alphabets_perfect_diagonal(spark):
+    """Languages with disjoint character inventories must classify
+    perfectly — all confusion mass diagonal."""
+    rows = []
+    for i in range(30):
+        if i % 2 == 0:
+            rows.append((i, "aaa bbb ccc abc cab bca aab", "aa"))
+        else:
+            rows.append((i, "xxx yyy zzz xyz zyx yzx xxy", "zz"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = text.trigram_lid_confusion(df, "doc_id", "text", "lang").collect()
+    assert all(r.label == r.pred_lang for r in out)
+    assert sum(r.n_docs for r in out) == 30

@@ -134,3 +134,27 @@ def test_streaming_cms_matches_batch(spark, tmp_path):
     full = sketch.cms_build(b1.unionByName(b2), "term", DEPTH, WIDTH)
     expected = {(r.row, r.bucket): r.cnt for r in full.collect()}
     assert latest == expected
+
+
+def test_hist_quantiles_accuracy_and_bounds(spark):
+    """Uniform 0..999: every estimate within one bin width (1000/32) of the
+    true quantile; constant group reports the constant."""
+    rows = [("u", float(i)) for i in range(1000)] + [("c", 7.0)] * 40
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {(r.g, r.q): r for r in sketch.hist_quantiles(df, "g", "v").collect()}
+    binw = 999.0 / 32
+    for q in (0.5, 0.9, 0.99):
+        est = out[("u", q)].est
+        assert abs(est - q * 999.0) <= binw + 1e-6, (q, est)
+        assert out[("c", q)].est == 7.0
+    assert out[("u", 0.5)].n == 1000
+
+
+def test_hist_quantiles_monotone_in_q(spark):
+    import random
+
+    rnd = random.Random(5)
+    rows = [("g", rnd.gauss(50.0, 10.0)) for _ in range(500)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.q: r.est for r in sketch.hist_quantiles(df, "g", "v").collect()}
+    assert out[0.5] <= out[0.9] <= out[0.99]
