@@ -224,6 +224,45 @@ def cap_bucket_fanout(
     return sized.where(F.col("__bsz") <= max_bucket_size).drop("__bsz")
 
 
+def minhash_band_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    portable: bool = False,
+) -> DataFrame:
+    """(doc, band, bucket) LSH band rows — the shared signature layer of
+    the self-join candidates (``minhash_lsh_candidates``) and the
+    incremental history index (``build_minhash_index``)."""
+    rows = num_hashes // bands
+    mins = _minhash_mins(df, id_col, text_col, shingle_k, num_hashes, portable=portable)
+
+    if portable:
+        # band bucket = polynomial fold of the band's mins mod p — each
+        # step keeps acc < 2^31 so acc*31 + s stays well inside int64.
+        def _bucket(b: int) -> Column:
+            acc: Column = F.lit(b).cast("long")
+            for j in range(rows):
+                acc = (acc * 31 + F.col(f"s{b * rows + j}")) % F.lit(_MERSENNE)
+            return acc
+    else:
+        # band hash = multi-arg xxhash64 over that band's min columns
+        # directly — no signature array, no concat_ws string per band
+        def _bucket(b: int) -> Column:
+            return F.xxhash64(
+                F.lit(b), *[F.col(f"s{b * rows + j}") for j in range(rows)]
+            )
+
+    return mins.select(
+        "doc",
+        F.posexplode(F.array(*[_bucket(b) for b in range(bands)])).alias(
+            "band", "bucket"
+        ),
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -253,30 +292,8 @@ def minhash_lsh_candidates(
     pre-filter docs with >= shingle_k words: ``shingle_rows`` gives shorter
     docs their first word, which the SQL twin's range() expansion omits.
     """
-    rows = num_hashes // bands
-    mins = _minhash_mins(df, id_col, text_col, shingle_k, num_hashes, portable=portable)
-
-    if portable:
-        # band bucket = polynomial fold of the band's mins mod p — each
-        # step keeps acc < 2^31 so acc*31 + s stays well inside int64.
-        def _bucket(b: int) -> Column:
-            acc: Column = F.lit(b).cast("long")
-            for j in range(rows):
-                acc = (acc * 31 + F.col(f"s{b * rows + j}")) % F.lit(_MERSENNE)
-            return acc
-    else:
-        # band hash = multi-arg xxhash64 over that band's min columns
-        # directly — no signature array, no concat_ws string per band
-        def _bucket(b: int) -> Column:
-            return F.xxhash64(
-                F.lit(b), *[F.col(f"s{b * rows + j}") for j in range(rows)]
-            )
-
-    banded = mins.select(
-        "doc",
-        F.posexplode(F.array(*[_bucket(b) for b in range(bands)])).alias(
-            "band", "bucket"
-        ),
+    banded = minhash_band_rows(
+        df, id_col, text_col, shingle_k, num_hashes, bands, portable=portable
     )
     banded = cap_bucket_fanout(
         banded, ["band", "bucket"], max_bucket_size, log_drops, "minhash_lsh"
@@ -837,3 +854,139 @@ def duplicate_chunks(
         )
         .where(F.col("n_occ") >= min_occurrences)
     )
+
+
+def minhash_index_path(warehouse_dir: str, sf_dir: str) -> str:
+    """Stable on-disk location for a corpus's MinHash band index."""
+    import os
+
+    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    return os.path.join(warehouse_dir, "minhash_index", tag)
+
+
+def build_minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket_size: int = 1000,
+    portable: bool = False,
+) -> None:
+    """Materialize the historical corpus's (doc, band, bucket) LSH rows —
+    the near-dup counterpart of d8's Bloom bitmap for incremental ingest:
+    screening a new batch against 100 TB of history must not re-shingle
+    the history, so the band rows are computed once and persisted,
+    repartitioned by band so each band's buckets land contiguously for
+    the screen join.  The bucket cap is applied AT BUILD (over-cap history
+    buckets are degenerate boilerplate; dropping them once bounds every
+    future screen's fan-out).  Appending a day's accepted docs = appending
+    their band rows; no rebuild."""
+    rows = minhash_band_rows(
+        df, id_col, text_col, shingle_k, num_hashes, bands, portable=portable
+    )
+    rows = cap_bucket_fanout(rows, ["band", "bucket"], max_bucket_size)
+    rows.repartition(F.col("band")).write.mode("overwrite").parquet(path)
+
+
+def load_minhash_index(spark, path: str) -> DataFrame | None:
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.schema("doc bigint, band int, bucket bigint").parquet(
+            path
+        )
+    except AnalysisException:
+        return None
+
+
+def minhash_screen_batch(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    portable: bool = False,
+) -> DataFrame:
+    """Near-duplicate screen of a new batch against a materialized history
+    index: the batch's band rows equi-join the persisted buckets — shuffle
+    keys are (band, bucket), never batch×history — and docs sharing any
+    band come back as (batch_id, hist_id, n_shared_bands).  Two-tier like
+    the Bloom screen: verify candidates with exact ``ngram_jaccard_pairs``
+    on the pair set only.  Re-screened history members match themselves;
+    the self-pair is excluded so re-ingest runs are idempotent."""
+    brows = minhash_band_rows(
+        batch, id_col, text_col, shingle_k, num_hashes, bands, portable=portable
+    )
+    j = brows.alias("n").join(
+        index.alias("h"),
+        (F.col("n.band") == F.col("h.band"))
+        & (F.col("n.bucket") == F.col("h.bucket"))
+        & (F.col("n.doc") != F.col("h.doc")),
+    )
+    return j.groupBy(
+        F.col("n.doc").alias("batch_id"), F.col("h.doc").alias("hist_id")
+    ).agg(F.count(F.lit(1)).alias("n_shared_bands"))
+
+
+def minhash_screen_oracle_sql(
+    hist_where: str,
+    batch_where: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 7,
+    max_bucket_size: int = 1000,
+) -> str:
+    """DuckDB twin of ``build_minhash_index(portable=True)`` +
+    ``minhash_screen_batch(portable=True)``: same shingles, hashes, band
+    folds, history-side cap, and self-pair exclusion."""
+    rows = num_hashes // bands
+    words = f"string_split({text_col}, ' ')"
+    shingle = " || ' ' || ".join(
+        f"{words}[i + {j}]" if j else f"{words}[i]" for j in range(shingle_k)
+    )
+    mins = ",\n         ".join(
+        f"min(({a} * h + {b}) % 2147483647) AS s{i}"
+        for i, (a, b) in enumerate(_perm_params(num_hashes, seed))
+    )
+    band_selects = []
+    for b in range(bands):
+        acc = str(b)
+        for j in range(rows):
+            acc = f"(({acc}) * 31 + s{b * rows + j}) % 2147483647"
+        band_selects.append(f"SELECT doc, {b} AS band, {acc} AS bucket FROM mins")
+    bands_sql = "\n      UNION ALL\n      ".join(band_selects)
+    hash_sql = PORTABLE_HASH_SQL.format(col="shingle")
+    return f"""
+    WITH sh AS (
+        SELECT {id_col} AS doc,
+               unnest(list_transform(range(1, len({words}) - {shingle_k - 1} + 1),
+                      i -> {shingle})) AS shingle
+        FROM {table} WHERE len({words}) >= {shingle_k}),
+    h AS (SELECT doc, {hash_sql} % 2147483647 AS h FROM sh),
+    mins AS (
+        SELECT doc,
+         {mins}
+        FROM h GROUP BY doc),
+    bands AS (
+      {bands_sql}),
+    hist AS (
+        SELECT b.* FROM bands b JOIN {table} t ON b.doc = t.{id_col}
+        WHERE {hist_where}
+        QUALIFY count(*) OVER (PARTITION BY band, bucket) <= {max_bucket_size}),
+    batch AS (
+        SELECT b.* FROM bands b JOIN {table} t ON b.doc = t.{id_col}
+        WHERE {batch_where})
+    SELECT n.doc AS batch_id, h.doc AS hist_id, count(*) AS n_shared_bands
+    FROM batch n
+    JOIN hist h ON n.band = h.band AND n.bucket = h.bucket AND n.doc != h.doc
+    GROUP BY n.doc, h.doc
+    """

@@ -1977,3 +1977,38 @@ def t19_lid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast (langs×200 rows); documents never shuffle whole."""
     docs = _t(spark, sf_dir, "documents")
     return text.trigram_lid_confusion(docs, "doc_id", "text", "lang")
+
+
+def _d12_oracle() -> str:
+    return (
+        dedup.minhash_screen_oracle_sql(
+            hist_where="t.doc_id % 3 != 0",
+            batch_where="t.doc_id % 3 = 0",
+        )
+    )
+
+
+@query("d12_minhash_incremental", oracle=_d12_oracle(), extended=True)
+def d12_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup screen against a materialized history index
+    (operators/dedup.build_minhash_index / minhash_screen_batch): the
+    approximate counterpart of d8's exact Bloom screen — band rows of 2/3
+    of the corpus persisted once, the held-out 1/3 screened by a
+    (band, bucket) equi-join with no re-shingling of history.  Portable
+    hash family here so the DuckDB oracle restates the whole screen
+    (signatures, band folds, history cap, self-exclusion); production
+    swaps xxhash64 via the same flag as d3."""
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    docs = _t(spark, sf_dir, "documents").where(
+        F.size(F.split(F.col("text"), r"\s+")) >= 3
+    )
+    hist = docs.where(F.col("doc_id") % 3 != 0)
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    idx_path = dedup.minhash_index_path(warehouse, sf_dir) + "_portable"
+    dedup.build_minhash_index(
+        hist, "doc_id", "text", idx_path, portable=True
+    )
+    index = dedup.load_minhash_index(spark, idx_path)
+    return dedup.minhash_screen_batch(
+        batch, index, "doc_id", "text", portable=True
+    )

@@ -418,3 +418,48 @@ def test_duplicated_spans_short_docs_and_args(spark):
         D.duplicated_spans(df, "doc_id", "text", 0, 8)
     with pytest.raises(ValueError):
         D.duplicated_spans(df, "doc_id", "text", 16, -1)
+
+
+def test_minhash_incremental_screen_finds_planted_neardup(spark, tmp_path):
+    """A batch doc that shares most of its shingles with a history doc
+    must surface as a candidate pair from the materialized index; an
+    unrelated doc must not.  Re-screening a history doc matches itself
+    only through OTHER docs (self-pair excluded)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    hist_rows = [(i, f"{base} filler{i} " + "pad pad pad") for i in range(20)]
+    hist_rows += [(100, "completely different text about unrelated topics entirely")]
+    hist = spark.createDataFrame(hist_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [
+            (1000, f"{base} filler3 pad pad pad"),   # near-dup of hist 3
+            (1001, "nothing in common with anything stored before today"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "mhidx")
+    dedup.build_minhash_index(hist, "doc_id", "text", path)
+    idx = dedup.load_minhash_index(spark, path)
+    out = dedup.minhash_screen_batch(batch, idx, "doc_id", "text").collect()
+    hits = {(r.batch_id, r.hist_id) for r in out}
+    assert any(b == 1000 for b, _ in hits)
+    assert not any(b == 1001 for b, _ in hits)
+
+
+def test_minhash_screen_batch_matches_inline_candidates(spark, tmp_path):
+    """Index-based screen of corpus-vs-corpus must produce exactly the
+    symmetric closure of the inline self-join candidates (same bands,
+    same buckets — only the dedup of (a<b) differs)."""
+    rows = [
+        (i, "one two three four five six seven " + ("x " * (i % 3)))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    inline = dedup.minhash_lsh_candidates(df, "doc_id", "text").collect()
+    path = str(tmp_path / "mhidx2")
+    dedup.build_minhash_index(df, "doc_id", "text", path)
+    idx = dedup.load_minhash_index(spark, path)
+    screened = dedup.minhash_screen_batch(df, idx, "doc_id", "text").collect()
+    inline_pairs = {(r.id_a, r.id_b, r.n_shared_bands) for r in inline}
+    sym = {(min(r.batch_id, r.hist_id), max(r.batch_id, r.hist_id), r.n_shared_bands)
+           for r in screened}
+    assert sym == inline_pairs
