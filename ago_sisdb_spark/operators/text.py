@@ -458,7 +458,10 @@ def hashed_linear_score(
     ∈ [-1, 1]) — exercising the full scoring path reproducibly, which is
     what the oracle twin checks; swap in real learned weights unchanged.
 
-    Returns (id, n_toks, score, keep) with keep = score > 0.
+    Returns (id, n_toks, score, keep) with keep = score > 0 when scoring
+    with a trained ``weights`` table; the deterministic pseudo-weight path
+    returns the score as EXACT fixed-point millionths (``score_e6``,
+    bigint) so the value never touches a float-rounding boundary.
     """
     from ago_sisdb_spark.operators.dedup import portable_hash60
 
@@ -473,17 +476,36 @@ def hashed_linear_score(
          % F.lit(n_features)).alias("feature"),
     )
     if weights is None:
-        scored = feat.select(
-            "__id", ((F.col("feature") - F.lit(half)) / F.lit(half)).alias("w")
+        # Pseudo-weights are exact rationals (feature − half)/half, so the
+        # mean is EXACT fixed-point: score_e6 (millionths) from int64 sums
+        # with integer half-up rounding.  Any float rounding here is a trap:
+        # round(avg(double)) flipped on summation-order ulps at sf0.1, and
+        # rational scores land exactly ON 6-dp half-boundaries, where Spark
+        # (BigDecimal HALF_UP) and DuckDB (scale-multiply) disagree — the
+        # integer form has no boundary to disagree about.
+        ihalf = int(half)
+        num = (F.col("__sf") - F.col("n_toks") * F.lit(ihalf)) * F.lit(1_000_000)
+        den = F.lit(ihalf) * F.col("n_toks")
+        out = feat.groupBy("__id").agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("feature").alias("__sf"),
+        ).select(
+            "__id",
+            "n_toks",
+            F.floor((num + den / 2) / den).cast("long").alias("score_e6"),
+        )
+        return out.select(
+            F.col("__id").alias(id_col), "n_toks", "score_e6",
+            (F.col("score_e6") > 0).alias("keep"),
         )
     else:
         scored = feat.join(F.broadcast(weights), "feature", "left").select(
             "__id", F.coalesce(F.col("weight"), F.lit(0.0)).alias("w")
         )
-    out = scored.groupBy("__id").agg(
-        F.count(F.lit(1)).alias("n_toks"),
-        F.round(F.avg("w"), 6).alias("score"),
-    )
+        out = scored.groupBy("__id").agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.round(F.avg("w"), 6).alias("score"),
+        )
     return out.select(
         F.col("__id").alias(id_col), "n_toks", "score",
         (F.col("score") > 0).alias("keep"),

@@ -408,7 +408,7 @@ def n2_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.doc_id, b.n_ws_tokens, b.n_bpe_tokens, a.n_chars_actual,
            a.n_chars, c.lang, c.pred_lang, d.fingerprint, e.n_grams,
            e.rep_ratio, p.n_email, p.n_phone, p.n_ipv4, p.redacted_len,
-           u.n_urls, u.n_hosts
+           u.n_urls, u.n_hosts, h.score_e6 AS cls_score_e6, h.keep AS cls_keep
     FROM ({_O['t1_token_count']}) a
     JOIN ({_O['t5_bpe_token_count']}) b ON a.doc_id = b.doc_id
     JOIN ({_O['t3_lang_id']}) c ON a.doc_id = c.doc_id
@@ -416,6 +416,7 @@ def n2_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN ({_O['t6_repetition_ratio']}) e ON a.doc_id = e.doc_id
     JOIN ({_O['t8_pii_redact']}) p ON a.doc_id = p.doc_id
     JOIN ({_O['t9_url_stats']}) u ON a.doc_id = u.doc_id
+    JOIN ({_O['t18_hash_classifier']}) h ON a.doc_id = h.doc_id
     """,
 )
 def t_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,6 +468,15 @@ def t_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(text.redact_pii(F.col("text"))).cast("bigint").alias("redacted_len"),
         text.url_stats(F.col("text"))["n_urls"].cast("bigint").alias("n_urls"),
         F.size(text.url_stats(F.col("text"))["hosts"]).cast("bigint").alias("n_hosts"),
+    ).join(
+        # r5: model-based quality gate columns (hashing-trick classifier,
+        # operators/text.hashed_linear_score — extended twin t18)
+        text.hashed_linear_score(docs, "doc_id", "text").select(
+            "doc_id",
+            F.col("score_e6").alias("cls_score_e6"),
+            F.col("keep").alias("cls_keep"),
+        ),
+        "doc_id",
     )
 
 
@@ -845,14 +855,23 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a3_stat_suite",
-    oracle="""
-    SELECT event_type, round(avg(value), 6) AS mean_value,
-           round(median(value), 6) AS median_value,
-           round(var_samp(value), 6) AS var_value,
-           round(stddev_samp(value), 6) AS std_value,
-           round(exp(-pow(50.0 - avg(value), 2) / (2 * var_samp(value)))
-                 / sqrt(2 * pi() * var_samp(value)), 6) AS chance_at_50
-    FROM events GROUP BY event_type
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type, round(avg(value), 6) AS mean_value,
+               round(median(value), 6) AS median_value,
+               round(var_samp(value), 6) AS var_value,
+               round(stddev_samp(value), 6) AS std_value,
+               round(exp(-pow(50.0 - avg(value), 2) / (2 * var_samp(value)))
+                     / sqrt(2 * pi() * var_samp(value)), 6) AS chance_at_50
+        FROM events GROUP BY event_type)
+    SELECT base.*, m.mad, m.n_outliers,
+           p50.est AS p50_hist, p99.est AS p99_hist
+    FROM base
+    JOIN ({_O['a18_mad_outliers']}) m ON base.event_type = m.event_type
+    JOIN (SELECT event_type, est FROM ({_O['a19_hist_quantiles']})
+          WHERE q = 0.5) p50 ON base.event_type = p50.event_type
+    JOIN (SELECT event_type, est FROM ({_O['a19_hist_quantiles']})
+          WHERE q = 0.99) p99 ON base.event_type = p99.event_type
     """,
 )
 def a3_stat_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -872,7 +891,7 @@ def a3_stat_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.stddev_samp("value").alias("sd"),
         )
     )
-    return g.select(
+    base = g.select(
         "event_type",
         F.round("mu", 6).alias("mean_value"),
         F.round("med", 6).alias("median_value"),
@@ -882,6 +901,19 @@ def a3_stat_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             series.normal_density(F.lit(50.0), F.col("mu"), F.col("s2")), 6
         ).alias("chance_at_50"),
     )
+    # r5: robust MAD screen + histogram-sketch quantiles (extended twins
+    # a18/a19) joined in as suite columns
+    from ago_sisdb_spark.operators import sketch
+    from ago_sisdb_spark.operators.series import mad_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    mad = mad_outliers(ev, "event_type", "value").select(
+        "event_type", "mad", "n_outliers"
+    )
+    hq = sketch.hist_quantiles(ev, "event_type", "value")
+    p50 = hq.where(F.col("q") == 0.5).select("event_type", F.col("est").alias("p50_hist"))
+    p99 = hq.where(F.col("q") == 0.99).select("event_type", F.col("est").alias("p99_hist"))
+    return base.join(mad, "event_type").join(p50, "event_type").join(p99, "event_type")
 
 
 @query(

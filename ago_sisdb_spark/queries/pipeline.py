@@ -1640,6 +1640,7 @@ def t17_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _t18_oracle(n_features: int = 2001) -> str:
     half = (n_features - 1) / 2.0
+    ihalf = int(half)
     ph = dedup.PORTABLE_HASH_SQL.format(col="'w#' || tok")
     return rf"""
     WITH toks AS (
@@ -1649,12 +1650,17 @@ def _t18_oracle(n_features: int = 2001) -> str:
             FROM documents) t
         WHERE t.tok != ''),
     feat AS (
-        SELECT doc_id, (({ph}) % {n_features} - {half}) / {half} AS w
-        FROM toks)
-    SELECT doc_id, count(*) AS n_toks,
-           round(avg(w), 6) AS score,
-           round(avg(w), 6) > 0 AS keep
-    FROM feat GROUP BY doc_id
+        SELECT doc_id, ({ph}) % {n_features} AS f
+        FROM toks),
+    agg AS (
+        SELECT doc_id, count(*) AS n_toks,
+               (sum(f) - count(*) * {ihalf}) * 1000000 AS num,
+               {ihalf} * count(*) AS den
+        FROM feat GROUP BY doc_id)
+    SELECT doc_id, n_toks,
+           CAST(floor((num + den / 2) / den) AS BIGINT) AS score_e6,
+           CAST(floor((num + den / 2) / den) AS BIGINT) > 0 AS keep
+    FROM agg
     """
 
 
@@ -1910,7 +1916,7 @@ def e5_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     hc AS (SELECT g, bin, c,
                   sum(c) OVER (PARTITION BY g ORDER BY bin) AS cum
            FROM h),
-    qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+    qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
     sel AS (
         SELECT hc.g, qs.q, hc.bin, hc.c, hc.cum, r.lo, r.hi, r.n
         FROM hc JOIN rng r ON hc.g = r.g CROSS JOIN qs
