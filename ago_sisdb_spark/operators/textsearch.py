@@ -191,3 +191,64 @@ def bm25_topk_indexed(
         "query_id long, term string",
     )
     return _bm25_rank(tf, dl, stats, qterms, k, k1, b)
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, list[str]]],
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` documents per query under TF-IDF cosine similarity — the
+    classic vector-space twin of ``bm25_topk`` (Salton's VSM; BM25 usually
+    wins on ranking quality, TF-IDF vectors double as features for
+    clustering/dedup, so both belong in the toolbox).
+
+    w(d,t) = tf(d,t) · idf(t), idf = ln(1 + N/df(t));
+    score(q,d) = Σ_t∈q w(d,t) · idf(t)  /  ‖d‖
+    (query terms unweighted, document L2-normalized — the standard
+    lnc.ltc-flavored asymmetric form).
+
+    Same asymmetric shape as BM25: the query-term table broadcasts, ONLY
+    matching posting lists join, but the document norm needs idf over ALL
+    the doc's terms, so ‖d‖ comes from one additional vocabulary-scale
+    pass (df per term broadcast back onto postings).  Scores rounded to
+    6 dp; ties break by ascending doc id.
+    """
+    spark = docs.sparkSession
+    tf, dl, stats = _index_tables(docs, id_col, text_col)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = stats.select("n")
+    widf = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc", "term",
+            (F.col("tf") * F.log(F.lit(1.0) + F.col("n") / F.col("df"))).alias("w"),
+            F.log(F.lit(1.0) + F.col("n") / F.col("df")).alias("idf"),
+        )
+    )
+    norms = widf.groupBy("doc").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("dnorm")
+    )
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in queries for t in set(terms)],
+        "query_id long, term string",
+    )
+    post = widf.join(F.broadcast(qterms), "term")
+    scored = (
+        post.groupBy("query_id", "doc")
+        .agg(F.sum(F.col("w") * F.col("idf")).alias("dp"))
+        .join(norms, "doc")
+        .select(
+            "query_id", "doc",
+            F.round(F.col("dp") / F.col("dnorm"), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc", "rank", "score")
+    )

@@ -2018,3 +2018,47 @@ def d12_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_screen_batch(
         batch, index, "doc_id", "text", portable=True
     )
+
+
+@query(
+    "n8_tfidf_search",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id AS doc,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+    tf AS (SELECT doc, term, count(*) AS tf FROM toks GROUP BY doc, term),
+    n_docs AS (SELECT count(DISTINCT doc) AS n FROM tf),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    widf AS (
+        SELECT tf.doc, tf.term,
+               tf.tf * ln(1.0 + n.n / d.df) AS w,
+               ln(1.0 + n.n / d.df) AS idf
+        FROM tf JOIN dfreq d USING (term), n_docs n),
+    norms AS (SELECT doc, sqrt(sum(w * w)) AS dnorm FROM widf GROUP BY doc),
+    q(query_id, term) AS (VALUES (0,'spark'),(0,'join'),(1,'hash'),
+                                 (1,'table'),(1,'scan'),(2,'window'),
+                                 (2,'agg')),
+    scored AS (
+        SELECT q.query_id, widf.doc,
+               round(sum(widf.w * widf.idf) / any_value(norms.dnorm), 6) AS score
+        FROM q JOIN widf USING (term) JOIN norms ON widf.doc = norms.doc
+        GROUP BY q.query_id, widf.doc)
+    SELECT query_id, doc,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, doc) AS BIGINT) AS rank,
+           score
+    FROM scored QUALIFY rank <= 10
+    """,
+    extended=True,
+)
+def n8_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine retrieval (operators/textsearch.tfidf_topk): the
+    vector-space twin of n5's BM25 over the same fixed query set — query
+    terms broadcast, only matching posting lists join, one extra
+    vocabulary-scale pass for the document norms.  The weight vectors
+    double as features for clustering/near-dup beyond ranking."""
+    from ago_sisdb_spark.operators import textsearch
+
+    docs = _t(spark, sf_dir, "documents")
+    return textsearch.tfidf_topk(docs, "doc_id", "text", _BM25_QUERIES, k=10)

@@ -134,3 +134,21 @@ def test_load_text_index_missing_returns_none(spark, tmp_path):
     from ago_sisdb_spark.operators import textsearch
 
     assert textsearch.load_text_index(spark, str(tmp_path / "nope")) is None
+
+
+def test_tfidf_ranks_rarer_match_higher(spark):
+    """A query term appearing in fewer docs carries higher idf: the doc
+    matching the rare term must outrank the doc matching the common one;
+    a doc repeating the term outranks a single mention (tf factor), and
+    pure-noise docs never appear."""
+    from ago_sisdb_spark.operators import textsearch
+
+    rows = [
+        (1, "rare common filler filler"),
+        (2, "common filler filler filler"),
+        (3, "rare rare filler filler"),
+    ] + [(10 + i, "common noise words only here") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textsearch.tfidf_topk(docs, "doc_id", "text", [(0, ["rare"])], k=5)
+    got = [(r.doc, r.rank) for r in out.orderBy("rank").collect()]
+    assert [d for d, _ in got] == [3, 1]  # tf(rare)=2 beats tf=1; others absent
