@@ -561,3 +561,97 @@ def a18_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return mad_outliers(ev, "event_type", "value", k=3.0)
+
+
+@query(
+    "w3_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.ts) AS tc
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) AS tp
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY 1)
+    SELECT 1 AS step_no, 'view' AS step, (SELECT count(*) FROM v) AS n_users
+    UNION ALL
+    SELECT 2, 'click', (SELECT count(*) FROM c)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(*) FROM p)
+    """,
+    extended=True,
+)
+def w3_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis view→click→purchase: each step counts users
+    whose step event strictly FOLLOWS their previous step's first
+    occurrence — sequential-pattern analytics the reference's key-
+    addressed scans can't compose.  Three per-user min aggregations, each
+    joined forward on user_id (group-key shuffles only; at 1000 executors
+    each stage is a co-partitioned user-keyed agg)."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("tv")
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    spark_df = spark.createDataFrame(
+        [(1, "view"), (2, "click"), (3, "purchase")], "step_no int, step string"
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n")).withColumn("step_no", F.lit(1))
+        .unionByName(
+            c.agg(F.count(F.lit(1)).alias("n")).withColumn("step_no", F.lit(2))
+        )
+        .unionByName(
+            p.agg(F.count(F.lit(1)).alias("n")).withColumn("step_no", F.lit(3))
+        )
+    )
+    return spark_df.join(counts, "step_no").select(
+        "step_no", "step", F.col("n").alias("n_users")
+    )
+
+
+@query(
+    "w4_retention",
+    oracle="""
+    WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0
+               FROM events GROUP BY 1),
+    a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+    SELECT f.d0 AS cohort_day,
+           CAST(datediff('day', f.d0, a.d) AS BIGINT) AS day_offset,
+           count(*) AS n_users
+    FROM a JOIN f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    extended=True,
+)
+def w4_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted on
+    each later active day — the (cohort, day-offset) engagement triangle.
+    One distinct-activity pass + one first-seen aggregate, joined on the
+    user key; output is #cohorts × #days rows regardless of event
+    volume."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").cast("date").alias("d")
+    )
+    f = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    a = ev.distinct()
+    return (
+        a.join(f, "user_id")
+        .groupBy(F.col("d0").alias("cohort_day"),
+                 F.datediff("d", "d0").cast("long").alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
