@@ -2040,7 +2040,7 @@ def d12_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  (1,'table'),(1,'scan'),(2,'window'),
                                  (2,'agg')),
     scored AS (
-        SELECT q.query_id, widf.doc,
+        SELECT CAST(q.query_id AS BIGINT) AS query_id, widf.doc,
                round(sum(widf.w * widf.idf) / any_value(norms.dnorm), 6) AS score
         FROM q JOIN widf USING (term) JOIN norms ON widf.doc = norms.doc
         GROUP BY q.query_id, widf.doc)
