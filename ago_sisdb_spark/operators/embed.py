@@ -150,3 +150,50 @@ def centroid_drift(
         ).alias("cos_ab"),
         F.round("l2", 6).alias("l2_shift"),
     )
+
+
+def quantize_int8_report(
+    emb: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Per-vector int8 affine quantization audit: codes = floor((x − lo) /
+    scale + 0.5) with scale = (hi − lo)/255 — the storage form that cuts
+    float32 embedding columns 4× (the poor man's n7 PQ: no codebooks, no
+    training, error bounded by scale/2 per element).
+
+    Returns (id, lo, hi, scale, code_sum, max_abs_err): the code checksum
+    and reconstruction-error bound make the quantizer auditable without
+    shipping the code arrays through the gate.  All math is per-row HOF
+    work over the materialized array (no shuffle at all); `floor(r + 0.5)`
+    instead of `round()` because identical doubles floor identically in
+    every engine while round() algorithms differ on exact .5 boundaries
+    (the r5 t18 lesson).  A constant vector (hi == lo) quantizes to all
+    zeros with zero error.
+    """
+    base = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    ).withColumn("__lo", F.array_min("__v")).withColumn(
+        "__hi", F.array_max("__v")
+    ).withColumn(
+        "__scale",
+        F.when(
+            F.col("__hi") > F.col("__lo"),
+            (F.col("__hi") - F.col("__lo")) / F.lit(255.0),
+        ).otherwise(F.lit(0.0)),
+    )
+    q = F.when(
+        F.col("__scale") > 0,
+        F.expr("transform(__v, x -> CAST(floor((x - __lo) / __scale + 0.5d) AS BIGINT))"),
+    ).otherwise(F.expr("transform(__v, x -> CAST(0 AS BIGINT))"))
+    with_q = base.withColumn("__q", q)
+    err = F.expr(
+        "array_max(zip_with(__v, __q, (x, c) -> abs(x - (__lo + c * __scale))))"
+    )
+    return with_q.select(
+        id_col,
+        F.round("__lo", 6).alias("lo"),
+        F.round("__hi", 6).alias("hi"),
+        F.round("__scale", 6).alias("scale"),
+        F.expr("aggregate(__q, CAST(0 AS BIGINT), (a, x) -> a + x)").alias("code_sum"),
+        F.round(err, 6).alias("max_abs_err"),
+    )

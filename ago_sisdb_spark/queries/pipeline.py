@@ -2062,3 +2062,42 @@ def n8_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return textsearch.tfidf_topk(docs, "doc_id", "text", _BM25_QUERIES, k=10)
+
+
+@query(
+    "e4_int8_quant",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+    rng AS (
+        SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi,
+               CASE WHEN list_max(v) > list_min(v)
+                    THEN (list_max(v) - list_min(v)) / 255.0 ELSE 0.0 END AS s
+        FROM base),
+    qd AS (
+        SELECT vec_id, v, lo, hi, s,
+               CASE WHEN s > 0
+                    THEN list_transform(v, x -> CAST(floor((x - lo) / s + 0.5) AS BIGINT))
+                    ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+        FROM rng)
+    SELECT vec_id, round(lo, 6) AS lo, round(hi, 6) AS hi,
+           round(s, 6) AS scale,
+           CAST(list_sum(q) AS BIGINT) AS code_sum,
+           round(list_max(list_transform(range(1, len(v) + 1),
+                 i -> abs(v[i] - (lo + q[i] * s)))), 6) AS max_abs_err
+    FROM qd
+    """,
+    extended=True,
+)
+def e4_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 affine quantization audit over every embedding (operators/
+    embed.quantize_int8_report): the 4x storage form for embedding columns,
+    checked via per-vector code checksums and the scale/2 reconstruction
+    bound.  Pure per-row HOF work, zero shuffle; floor(r + 0.5) keeps the
+    code assignment engine-identical (round() differs on .5 boundaries)."""
+    from ago_sisdb_spark.operators import embed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embed.quantize_int8_report(emb, "vec_id", "embedding")

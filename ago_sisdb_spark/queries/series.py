@@ -655,3 +655,45 @@ def w4_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.datediff("d", "d0").cast("long").alias("day_offset"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "w5_event_motifs",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    m AS (
+        SELECT event_type || '>' || e2 || '>' || e3 AS motif
+        FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL),
+    c AS (SELECT motif, count(*) AS n FROM m GROUP BY motif)
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, motif) AS BIGINT) AS rank,
+           motif, n
+    FROM c QUALIFY rank <= 20
+    """,
+    extended=True,
+)
+def w5_event_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral motif mining: the 20 most frequent consecutive 3-event
+    sequences per user stream (lead windows over the user key, counts at
+    motif-vocabulary cardinality |event_types|^3 — bounded regardless of
+    event volume).  The sequence-analytics sibling of w3's funnel."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    c = s.select(
+        F.concat_ws(">", "event_type", "e2", "e3").alias("motif")
+    ).groupBy("motif").agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.orderBy(F.desc("n"), "motif")
+    return (
+        c.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= 20)
+        .select("rank", "motif", "n")
+    )

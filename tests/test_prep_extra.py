@@ -264,3 +264,22 @@ def test_trigram_lid_distinct_alphabets_perfect_diagonal(spark):
     out = text.trigram_lid_confusion(df, "doc_id", "text", "lang").collect()
     assert all(r.label == r.pred_lang for r in out)
     assert sum(r.n_docs for r in out) == 30
+
+
+def test_int8_quant_error_bound_and_checksum(spark):
+    """Reconstruction error <= scale/2 for every vector; a constant vector
+    quantizes to all-zero codes with zero error; extremes map to 0/255."""
+    from ago_sisdb_spark.operators import embed
+
+    rows = [
+        (1, [0.0, 1.0, 0.5, 0.25]),
+        (2, [3.0, 3.0, 3.0, 3.0]),
+        (3, [-2.0, 2.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in embed.quantize_int8_report(df, "vec_id", "embedding").collect()}
+    assert out[1].max_abs_err <= out[1].scale / 2 + 1e-9
+    # vec 1: codes for [0, 1, .5, .25] = [0, 255, 128, 64] (floor(x/scale+.5))
+    assert out[1].code_sum == 0 + 255 + 128 + 64
+    assert out[2].code_sum == 0 and out[2].max_abs_err == 0.0 and out[2].scale == 0.0
+    assert out[3].max_abs_err <= out[3].scale / 2 + 1e-9
