@@ -578,3 +578,97 @@ def trigram_lid_confusion(
     return best.groupBy("label", F.col("cand").alias("pred_lang")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+def bpe_train(docs, text_col: str, n_merges: int = 6):
+    """Distributed BPE tokenizer TRAINING (Sennrich et al., ACL 2016): the
+    full merge loop, not just one round's pair counts (t17).
+
+    Key reductions that make this scale:
+
+    - training runs on the WORD VOCABULARY with frequencies, never the
+      corpus: one corpus pass builds (word, weight), Heaps-bounded, and
+      every merge round is vocabulary-sized work;
+    - a word's symbol sequence is a SPACE-JOINED STRING, so applying the
+      round's winning merge is one ``replace(sym, 'a b', 'ab')`` — SQL
+      ``replace`` is leftmost non-overlapping, which IS greedy BPE merge
+      order, identical in every engine (symbols never contain spaces by
+      construction);
+    - each round's argmax pair comes to the driver as ONE row (the
+      k-means-centroid pattern); everything else stays distributed.
+
+    Returns the trained merge table (merge_rank, pair, merged, pair_count)
+    — the tokenizer artifact a BPE encoder consumes, in order.
+    """
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    spark = docs.sparkSession
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wt"))
+    )
+    vocab = words.select(
+        F.expr(
+            "concat_ws(' ', transform(sequence(1, length(w)), i -> substring(w, i, 1)))"
+        ).alias("sym"),
+        "wt",
+    ).localCheckpoint()
+    merges = []
+    for r in range(n_merges):
+        sp = vocab.select(F.split("sym", " ").alias("__s"), "wt")
+        n = F.size("__s")
+        pair_arr = F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice("__s", 1, n - 1),
+                F.expr("slice(__s, 2, size(__s) - 1)"),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        counts = (
+            sp.select(F.explode(pair_arr).alias("pair"), "wt")
+            .groupBy("pair")
+            .agg(F.sum("wt").alias("n"))
+        )
+        top = counts.orderBy(F.desc("n"), "pair").limit(1).collect()
+        if not top:
+            break
+        pair, cnt = top[0].pair, top[0].n
+        merged = pair.replace(" ", "")
+        merges.append((r + 1, pair, merged, int(cnt)))
+        vocab = vocab.select(
+            F.replace(F.col("sym"), F.lit(pair), F.lit(merged)).alias("sym"),
+            "wt",
+        )
+        if (r + 1) % 4 == 0:
+            vocab = vocab.localCheckpoint()
+    return spark.createDataFrame(
+        merges, "merge_rank long, pair string, merged string, pair_count long"
+    )
+
+
+def bpe_encode_counts(docs, id_col: str, text_col: str, merges):
+    """Serving half of ``bpe_train``: apply the trained merge list IN
+    ORDER to every word and report per-document BPE token counts —
+    ``merges`` is the (pair, merged) sequence from the trained table.
+    Pure expression chain (one ``replace`` per merge over the symbol
+    strings), no shuffle beyond the final per-doc sum."""
+    words = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
+    ).where(F.col("w") != "")
+    sym = F.expr(
+        "concat_ws(' ', transform(sequence(1, length(w)), i -> substring(w, i, 1)))"
+    )
+    for pair, merged in merges:
+        sym = F.replace(sym, F.lit(pair), F.lit(merged))
+    return (
+        words.select("__id", F.size(F.split(sym, " ")).alias("n_sym"))
+        .groupBy("__id")
+        .agg(F.sum("n_sym").cast("long").alias("n_bpe_tokens"))
+        .select(F.col("__id").alias(id_col), "n_bpe_tokens")
+    )

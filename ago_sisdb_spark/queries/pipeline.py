@@ -2101,3 +2101,52 @@ def e4_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return embed.quantize_int8_report(emb, "vec_id", "embedding")
+
+
+def _bpe_oracle(n_merges: int = 6) -> str:
+    """Unrolled DuckDB twin of the FULL bpe_train loop: each round counts
+    weighted adjacent pairs over the evolving symbol strings, takes the
+    (n DESC, pair) argmax, and applies it with the same leftmost
+    non-overlapping ``replace`` — greedy BPE merge order in both engines."""
+    parts = [r"""
+    WITH w AS (
+        SELECT t.w, count(*) AS wt FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+            FROM documents) t
+        WHERE t.w != '' GROUP BY t.w),
+    v0 AS (
+        SELECT array_to_string(list_transform(range(1, length(w) + 1),
+                   i -> substring(w, i, 1)), ' ') AS sym, wt
+        FROM w)"""]
+    for r in range(n_merges):
+        parts.append(f""",
+    p{r} AS (
+        SELECT u.pair, sum(s.wt) AS n FROM (
+            SELECT string_split(sym, ' ') AS sp, wt, sym FROM v{r}) s,
+            unnest(list_transform(range(1, len(s.sp)),
+                   i -> s.sp[i] || ' ' || s.sp[i + 1])) AS u(pair)
+        GROUP BY u.pair),
+    t{r} AS (SELECT pair, n FROM p{r} ORDER BY n DESC, pair LIMIT 1),
+    v{r + 1} AS (
+        SELECT replace(v{r}.sym, t{r}.pair, replace(t{r}.pair, ' ', '')) AS sym,
+               v{r}.wt
+        FROM v{r}, t{r})""")
+    selects = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({r + 1} AS BIGINT) AS merge_rank, pair,"
+        f" replace(pair, ' ', '') AS merged, CAST(n AS BIGINT) AS pair_count"
+        f" FROM t{r}"
+        for r in range(n_merges)
+    )
+    return "".join(parts) + "\n    " + selects
+
+
+@query("t20_bpe_train", oracle=_bpe_oracle(), extended=True)
+def t20_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer training, 6 merge rounds (operators/text.
+    bpe_train): vocabulary-weighted pair counting → argmax → greedy merge
+    application per round, all vocabulary-sized work with a 1-row driver
+    collect per round (the k-means-centroid pattern).  The oracle unrolls
+    the ENTIRE loop in SQL — every round's winning pair and count is
+    hash-checked, not just round one (t17)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bpe_train(docs, "text", n_merges=6)

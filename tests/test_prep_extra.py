@@ -283,3 +283,21 @@ def test_int8_quant_error_bound_and_checksum(spark):
     assert out[1].code_sum == 0 + 255 + 128 + 64
     assert out[2].code_sum == 0 and out[2].max_abs_err == 0.0 and out[2].scale == 0.0
     assert out[3].max_abs_err <= out[3].scale / 2 + 1e-9
+
+
+def test_bpe_train_closed_form_and_encode(spark):
+    """Hand-computed corpus: 'aaab' x2 + 'ab' x1 trains exactly
+    [a a -> aa (4), a b -> ab (3), aa ab -> aaab (2)] then stops (no
+    pairs left).  Encoding with those merges collapses each word to one
+    token."""
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "ab")], "doc_id long, text string"
+    )
+    m = text.bpe_train(docs, "text", n_merges=6).orderBy("merge_rank").collect()
+    got = [(r.merge_rank, r.pair, r.merged, r.pair_count) for r in m]
+    assert got == [(1, "a a", "aa", 4), (2, "a b", "ab", 3), (3, "aa ab", "aaab", 2)]
+    enc = text.bpe_encode_counts(
+        docs, "doc_id", "text", [(r.pair, r.merged) for r in m]
+    ).collect()
+    counts = {r.doc_id: r.n_bpe_tokens for r in enc}
+    assert counts == {1: 2, 2: 1}  # two 'aaab' tokens; one 'ab' token
