@@ -255,3 +255,56 @@ def mad_outliers(
         F.sum(F.col("__out").cast("long")).alias("n_outliers"),
         F.round(F.avg(F.col("__out").cast("double")), 6).alias("outlier_frac"),
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    threshold: float = 5.0,
+) -> DataFrame:
+    """CUSUM change-point screen per series (Page 1954): the running sum
+    of standardized deviations drifts when the level shifts; its absolute
+    peak marks the most likely change point, and a peak above
+    ``threshold``·√n flags the series as changed.  The sequential
+    counterpart of the pointwise Hampel screen (``mad_outliers``): MAD
+    catches spikes, CUSUM catches sustained level shifts that no single
+    point makes an outlier.
+
+    Shape: one group-sized (mean, std, n) aggregate broadcast back, one
+    ordered running-sum window per group, one argmax — shuffle keys are
+    the group only.  Returns (group, n, peak_cusum, peak_at, changed)
+    with deterministic argmax ties (earliest order wins).
+    """
+    stats = df.groupBy(group_col).agg(
+        F.avg(value_col).alias("__mu"),
+        F.stddev_samp(value_col).alias("__sd"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dev = (
+        df.join(F.broadcast(stats), group_col)
+        .where(F.col("__sd") > 0)
+        .withColumn(
+            "__cusum",
+            F.sum((F.col(value_col) - F.col("__mu")) / F.col("__sd")).over(w),
+        )
+    )
+    wpk = Window.partitionBy(group_col).orderBy(
+        F.abs(F.col("__cusum")).desc(), F.col(order_col)
+    )
+    peak = dev.withColumn("__rn", F.row_number().over(wpk)).where(F.col("__rn") == 1)
+    return peak.select(
+        group_col,
+        F.col("__n").alias("n"),
+        F.round(F.abs(F.col("__cusum")), 6).alias("peak_cusum"),
+        F.col(order_col).alias("peak_at"),
+        (F.abs(F.col("__cusum")) > F.lit(threshold) * F.sqrt(F.col("__n"))).alias(
+            "changed"
+        ),
+    )

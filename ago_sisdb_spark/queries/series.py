@@ -697,3 +697,36 @@ def w5_event_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 20)
         .select("rank", "motif", "n")
     )
+
+
+@query(
+    "a20_cusum",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd,
+               count(*) AS n
+        FROM events GROUP BY 1),
+    dev AS (
+        SELECT e.event_type, e.event_id, s.n,
+               sum((e.value - s.mu) / s.sd) OVER (
+                   PARTITION BY e.event_type ORDER BY e.event_id) AS cusum
+        FROM events e JOIN stats s USING (event_type)
+        WHERE s.sd > 0)
+    SELECT event_type, n, round(abs(cusum), 6) AS peak_cusum,
+           event_id AS peak_at,
+           abs(cusum) > 5.0 * sqrt(n) AS changed
+    FROM dev
+    QUALIFY row_number() OVER (PARTITION BY event_type
+                               ORDER BY abs(cusum) DESC, event_id) = 1
+    """,
+    extended=True,
+)
+def a20_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point screen per event type (operators/series.
+    cusum_changepoint): peak running standardized deviation + location —
+    catches sustained level shifts the pointwise MAD screen (a18) cannot.
+    One stats aggregate broadcast back, one ordered window, one argmax."""
+    from ago_sisdb_spark.operators.series import cusum_changepoint
+
+    ev = _t(spark, sf_dir, "events")
+    return cusum_changepoint(ev, "event_type", "event_id", "value")

@@ -301,3 +301,19 @@ def test_bpe_train_closed_form_and_encode(spark):
     ).collect()
     counts = {r.doc_id: r.n_bpe_tokens for r in enc}
     assert counts == {1: 2, 2: 1}  # two 'aaab' tokens; one 'ab' token
+
+
+def test_cusum_detects_planted_level_shift(spark):
+    """A series that jumps +10σ at midpoint: peak near the shift, flagged
+    changed; a stationary series is not flagged."""
+    import random
+
+    rnd = random.Random(11)
+    rows = [("shift", i, rnd.gauss(0, 1) + (10.0 if i >= 100 else 0.0))
+            for i in range(200)]
+    rows += [("flat", i, rnd.gauss(0, 1)) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, i long, v double")
+    out = {r.g: r for r in series.cusum_changepoint(df, "g", "i", "v").collect()}
+    assert bool(out["shift"].changed) is True
+    assert 80 <= out["shift"].peak_at <= 120  # peak at the change point
+    assert bool(out["flat"].changed) is False
