@@ -2150,3 +2150,104 @@ def t20_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked, not just round one (t17)."""
     docs = _t(spark, sf_dir, "documents")
     return text.bpe_train(docs, "text", n_merges=6)
+
+
+@query(
+    "m4_audio_windows",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(u.w AS BIGINT) AS win_idx,
+           CAST(u.w * 48000 AS BIGINT) AS start_sample,
+           CAST(least(80000, (n_chars % 30) * 16000 - u.w * 48000)
+                AS BIGINT) AS n_samples
+    FROM documents,
+         unnest(range(0, greatest(((n_chars % 30) * 16000 - 1) // 48000 + 1, 1)))
+             AS u(w)
+    WHERE (n_chars % 30) > 0
+    """,
+    extended=True,
+)
+def m4_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowing schedule: 5 s windows (80k samples at 16 kHz) with
+    2 s hop (48k samples) over each clip — the frame plan a feature
+    extractor (stubbed, no audio libs here) consumes.  Same executor-side
+    bounded fan-out shape as m3's video plan; duration synthesized
+    deterministically (n_chars mod 30 seconds) so the whole schedule is
+    oracle-checked.  Last window truncates at the clip end."""
+    dur_samples = (F.col("n_chars") % 30) * 16000
+    media = (
+        _t(spark, sf_dir, "documents")
+        .where((F.col("n_chars") % 30) > 0)
+        .select(F.col("doc_id").alias("media_id"), dur_samples.alias("__ns"))
+    )
+    win = media.select(
+        "media_id",
+        "__ns",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.floor((F.col("__ns") - 1) / 48000).cast("int"), F.lit(0)
+                ),
+            )
+        ).alias("win_idx"),
+    )
+    return win.select(
+        "media_id",
+        F.col("win_idx").cast("long").alias("win_idx"),
+        (F.col("win_idx") * 48000).cast("long").alias("start_sample"),
+        F.least(
+            F.lit(80000).cast("long"),
+            (F.col("__ns") - F.col("win_idx") * 48000).cast("long"),
+        ).alias("n_samples"),
+    )
+
+
+@query(
+    "t21_zipf",
+    oracle=r"""
+    WITH tok AS (
+        SELECT t.term FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+            FROM documents) t
+        WHERE t.term != ''),
+    freq AS (
+        SELECT term, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, term) AS rank
+        FROM tok GROUP BY term)
+    SELECT count(*) AS n_terms,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           round(regr_slope(ln(n), ln(rank)), 6) AS zipf_slope,
+           round(regr_r2(ln(n), ln(rank)), 6) AS zipf_r2
+    FROM freq
+    """,
+    extended=True,
+)
+def t21_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-law audit: the Zipf slope (log-frequency on log-rank
+    regression over the whole vocabulary) — natural corpora run near −1;
+    a slope far off (as on this synthetic ~31-word corpus) is itself the
+    signal that the vocabulary distribution is unnatural.  One
+    vocabulary-sized aggregate + a rank window + one regression
+    aggregate."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term")
+        ).where(F.col("term") != "")
+    )
+    freq = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rank", F.row_number().over(W.orderBy(F.desc("n"), "term"))
+        )
+    )
+    return freq.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.round(F.regr_slope(F.log("n"), F.log("rank")), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("n"), F.log("rank")), 6).alias("zipf_r2"),
+    )

@@ -730,3 +730,66 @@ def a20_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return cusum_changepoint(ev, "event_type", "event_id", "value")
+
+
+@query(
+    "a21_ab_ttest",
+    oracle="""
+    WITH g AS (
+        SELECT event_type, user_id % 2 AS arm,
+               avg(value) AS m, var_samp(value) AS s2, count(*) AS n
+        FROM events GROUP BY 1, 2),
+    w AS (
+        SELECT a.event_type, a.m AS m_a, b.m AS m_b, a.n AS n_a, b.n AS n_b,
+               a.s2 / a.n + b.s2 / b.n AS se2,
+               a.s2 / a.n AS va, b.s2 / b.n AS vb
+        FROM g a JOIN g b ON a.event_type = b.event_type
+        WHERE a.arm = 0 AND b.arm = 1)
+    SELECT event_type, n_a, n_b,
+           round(m_a - m_b, 6) AS mean_diff,
+           round((m_a - m_b) / sqrt(se2), 6) AS t_stat,
+           round(pow(se2, 2) / (pow(va, 2) / (n_a - 1) + pow(vb, 2) / (n_b - 1)),
+                 6) AS welch_df,
+           abs((m_a - m_b) / sqrt(se2)) > 1.96 AS significant
+    FROM w
+    """,
+    extended=True,
+)
+def a21_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample comparison per event type (A/B arms = user parity):
+    mean difference, t statistic, Welch–Satterthwaite df, and the z≈1.96
+    significance flag — the experiment-analysis primitive over the metric
+    stream.  One grouped aggregate per arm self-joined on the series key;
+    nothing row-scale after the aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "event_type", (F.col("user_id") % 2).alias("arm")
+    ).agg(
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = g.where(F.col("arm") == 0).select(
+        "event_type", F.col("m").alias("m_a"),
+        F.col("s2").alias("s2_a"), F.col("n").alias("n_a"),
+    )
+    b = g.where(F.col("arm") == 1).select(
+        "event_type", F.col("m").alias("m_b"),
+        F.col("s2").alias("s2_b"), F.col("n").alias("n_b"),
+    )
+    j = a.join(b, "event_type")
+    va = F.col("s2_a") / F.col("n_a")
+    vb = F.col("s2_b") / F.col("n_b")
+    se2 = va + vb
+    t = (F.col("m_a") - F.col("m_b")) / F.sqrt(se2)
+    return j.select(
+        "event_type", "n_a", "n_b",
+        F.round(F.col("m_a") - F.col("m_b"), 6).alias("mean_diff"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (F.pow(va, 2) / (F.col("n_a") - 1) + F.pow(vb, 2) / (F.col("n_b") - 1)),
+            6,
+        ).alias("welch_df"),
+        (F.abs(t) > 1.96).alias("significant"),
+    )
