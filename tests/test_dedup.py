@@ -463,3 +463,27 @@ def test_minhash_screen_batch_matches_inline_candidates(spark, tmp_path):
     sym = {(min(r.batch_id, r.hist_id), max(r.batch_id, r.hist_id), r.n_shared_bands)
            for r in screened}
     assert sym == inline_pairs
+
+
+def test_property_minhash_screen_random_parity(spark, tmp_path):
+    """Random corpora: index-screen of corpus-vs-itself always equals the
+    inline candidates' symmetric closure (seeded trials)."""
+    import random
+
+    rnd = random.Random(77)
+    for trial in range(2):
+        vocab = [f"w{j}" for j in range(12)]
+        rows = [
+            (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randrange(3, 9))))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        inline = dedup.minhash_lsh_candidates(df, "doc_id", "text").collect()
+        path = str(tmp_path / f"mh{trial}")
+        dedup.build_minhash_index(df, "doc_id", "text", path)
+        idx = dedup.load_minhash_index(spark, path)
+        screened = dedup.minhash_screen_batch(df, idx, "doc_id", "text").collect()
+        ip = {(r.id_a, r.id_b, r.n_shared_bands) for r in inline}
+        sp = {(min(r.batch_id, r.hist_id), max(r.batch_id, r.hist_id),
+               r.n_shared_bands) for r in screened}
+        assert sp == ip, trial

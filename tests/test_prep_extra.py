@@ -317,3 +317,20 @@ def test_cusum_detects_planted_level_shift(spark):
     assert bool(out["shift"].changed) is True
     assert 80 <= out["shift"].peak_at <= 120  # peak at the change point
     assert bool(out["flat"].changed) is False
+
+
+def test_property_int8_quant_bound_random_vectors(spark):
+    """Random vectors: reconstruction error never exceeds scale/2 and
+    codes checksum stays within [0, 255*dim]."""
+    import random
+
+    rnd = random.Random(3)
+    from ago_sisdb_spark.operators import embed
+
+    rows = [
+        (i, [rnd.uniform(-10, 10) for _ in range(16)]) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for r in embed.quantize_int8_report(df, "vec_id", "embedding").collect():
+        assert r.max_abs_err <= r.scale / 2 + 1e-9
+        assert 0 <= r.code_sum <= 255 * 16

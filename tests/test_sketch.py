@@ -158,3 +158,30 @@ def test_hist_quantiles_monotone_in_q(spark):
     df = spark.createDataFrame(rows, "g string, v double")
     out = {r.q: r.est for r in sketch.hist_quantiles(df, "g", "v").collect()}
     assert out[0.5] <= out[0.9] <= out[0.99]
+
+
+def test_property_hist_quantiles_within_bin_width(spark):
+    """Random groups/distributions: every histogram-quantile estimate lies
+    within one bin width of the exact interpolated quantile."""
+    import random
+
+    rnd = random.Random(23)
+    rows = []
+    for g, gen in (("gauss", lambda: rnd.gauss(10, 3)),
+                   ("exp", lambda: rnd.expovariate(0.2)),
+                   ("uni", lambda: rnd.uniform(-5, 5))):
+        rows += [(g, gen()) for _ in range(400)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    out = sketch.hist_quantiles(df, "g", "v").collect()
+    for r in out:
+        vals = sorted(by_g[r.g])
+        lo, hi = vals[0], vals[-1]
+        binw = (hi - lo) / 32
+        # exact interpolated quantile
+        pos = r.q * (len(vals) - 1)
+        f = int(pos)
+        exact = vals[f] + (pos - f) * (vals[min(f + 1, len(vals) - 1)] - vals[f])
+        assert abs(r.est - exact) <= binw + 1e-9, (r.g, r.q, r.est, exact)
