@@ -177,3 +177,74 @@ def hist_quantiles(
         group_col, "q", F.col("n").cast("long").alias("n"),
         F.round(est, 6).alias("est"),
     )
+
+
+# ---- HyperLogLog (Flajolet et al., AofA 2007) as portable register cells.
+# Completes the mergeable-sketch family: Bloom = membership (incremental),
+# CMS = frequency, histogram = quantiles, HLL = cardinality.
+
+HLL_P = 10          # 2^10 = 1024 registers
+_HLL_M = 1 << HLL_P
+_HLL_WBITS = 60 - HLL_P  # low bits that feed rho
+
+
+def hll_cells(
+    df: DataFrame, value_col: str, group_col: str | None = None
+) -> DataFrame:
+    """HLL registers as (group?, bucket, max_rho) rows from the portable
+    60-bit hash: bucket = top-10 hash bits, rho = leading-zero count of
+    the low 50 bits + 1 — computed EXACTLY as ``51 - length(bin(w))``
+    (binary-string length is floor(log2)+1 with no float edge cases; both
+    Spark and DuckDB ship ``bin``).  groupBy max partial-aggregates
+    map-side, so the shuffle is ≤ m rows per partition and the result ≤ m
+    rows per group regardless of input size; merging two corpora's cells
+    is ``union → groupBy → max`` (``hll_merge``)."""
+    h = portable_hash60(F.col(value_col).cast("string"))
+    w = h % F.lit(1 << _HLL_WBITS)
+    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
+    )
+    keys = ([F.col(group_col)] if group_col else []) + [
+        F.shiftright(h, _HLL_WBITS).alias("bucket")
+    ]
+    cells = df.select(*keys, rho.cast("int").alias("rho"))
+    gcols = ([group_col] if group_col else []) + ["bucket"]
+    return cells.groupBy(*gcols).agg(F.max("rho").alias("max_rho"))
+
+
+def hll_merge(*cell_sets: DataFrame) -> DataFrame:
+    """Merge register sets built with the same p: cell-wise max."""
+    out = cell_sets[0]
+    for s in cell_sets[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c not in ("max_rho",)]
+    return out.groupBy(*keys).agg(F.max("max_rho").alias("max_rho"))
+
+
+def hll_estimate(cells: DataFrame, group_col: str | None = None) -> DataFrame:
+    """Cardinality estimate from register cells, with the standard
+    small-range (linear counting) correction.  Also returns the exact
+    integer ``register_sum`` / ``n_set`` so the register state itself is
+    auditable without floating-point in the loop."""
+    m = float(_HLL_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    gcols = [group_col] if group_col else []
+    agg = cells.groupBy(*gcols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("__z"),
+        F.count(F.lit(1)).alias("n_set"),
+        F.sum("max_rho").cast("long").alias("register_sum"),
+    )
+    # unseen buckets contribute 2^0 = 1 each to the harmonic sum
+    z = F.col("__z") + (F.lit(m) - F.col("n_set"))
+    raw = F.lit(alpha * m * m) / z
+    v = F.lit(m) - F.col("n_set")  # zero registers
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(m) * F.log(F.lit(m) / v),
+    ).otherwise(raw)
+    return agg.select(
+        *gcols,
+        F.round(est, 2).alias("est_distinct"),
+        "n_set",
+        "register_sum",
+    )

@@ -2251,3 +2251,68 @@ def t21_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(F.log("n"), F.log("rank")), 6).alias("zipf_slope"),
         F.round(F.regr_r2(F.log("n"), F.log("rank")), 6).alias("zipf_r2"),
     )
+
+
+def _hll_oracle() -> str:
+    ph = dedup.PORTABLE_HASH_SQL.format(col="term")
+    w50 = 1 << 50
+    m = 1024
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return rf"""
+    WITH tok AS (
+        SELECT t.lang, t.term FROM (
+            SELECT lang,
+                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+            FROM documents) t
+        WHERE t.term != ''),
+    h AS (SELECT lang, term, {ph} AS hv FROM tok),
+    cells AS (
+        SELECT lang, hv >> 50 AS bucket,
+               max(CASE WHEN hv % {w50} = 0 THEN 51
+                   ELSE 51 - length(bin(hv % {w50})) END) AS max_rho
+        FROM h GROUP BY 1, 2),
+    agg AS (
+        SELECT lang, sum(pow(2.0, -max_rho)) AS z, count(*) AS n_set,
+               CAST(sum(max_rho) AS BIGINT) AS register_sum
+        FROM cells GROUP BY lang),
+    est AS (
+        SELECT lang, n_set, register_sum,
+               {alpha}e0 * {m}.0e0 * {m}.0e0 / (z + ({m} - n_set)) AS raw
+        FROM agg),
+    ex AS (SELECT lang, count(DISTINCT term) AS exact_distinct
+           FROM tok GROUP BY lang)
+    SELECT e.lang, ex.exact_distinct,
+           round(CASE WHEN e.raw <= 2.5e0 * {m} AND ({m} - e.n_set) > 0
+                 THEN {m}.0e0 * ln({m}.0e0 / ({m} - e.n_set))
+                 ELSE e.raw END, 2) AS est_distinct,
+           e.n_set, e.register_sum
+    FROM est e JOIN ex ON e.lang = ex.lang
+    """
+
+
+@query("agg_hll_terms", oracle=_hll_oracle(), extended=True)
+def agg_hll_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog distinct-term estimation per language
+    (operators/sketch.hll_cells/hll_estimate): 1024 integer registers per
+    group, mergeable by cell-wise max across corpora/days — completing
+    the mergeable-sketch family (Bloom membership, CMS frequency,
+    histogram quantiles, HLL cardinality).  rho comes from
+    ``51 − length(bin(w))`` — an exact integer string op with no float
+    edge cases — so the register state is bit-for-bit reproduced by the
+    DuckDB twin; Spark's own JVM-side approx_count_distinct remains the
+    one-liner alternative (agg_distinct)."""
+    from ago_sisdb_spark.operators import sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    cells = sketch.hll_cells(tok, "term", group_col="lang")
+    est = sketch.hll_estimate(cells, group_col="lang")
+    exact = tok.groupBy("lang").agg(
+        F.countDistinct("term").alias("exact_distinct")
+    )
+    return exact.join(est, "lang").select(
+        "lang", "exact_distinct", "est_distinct", "n_set", "register_sum"
+    )

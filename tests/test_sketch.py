@@ -185,3 +185,34 @@ def test_property_hist_quantiles_within_bin_width(spark):
         f = int(pos)
         exact = vals[f] + (pos - f) * (vals[min(f + 1, len(vals) - 1)] - vals[f])
         assert abs(r.est - exact) <= binw + 1e-9, (r.g, r.q, r.est, exact)
+
+
+def test_hll_accuracy_and_merge(spark):
+    """10k distinct values: estimate within ~5% (1.04/sqrt(1024) ≈ 3.3%
+    std error); merged halves == single-pass cells; duplicates don't move
+    the estimate."""
+    from ago_sisdb_spark.operators.sketch import hll_cells, hll_estimate, hll_merge
+
+    df = spark.createDataFrame([(f"v{i}",) for i in range(10_000)], "x string")
+    cells = hll_cells(df, "x")
+    est = hll_estimate(cells).collect()[0].est_distinct
+    assert abs(est - 10_000) / 10_000 < 0.05, est
+    a = spark.createDataFrame([(f"v{i}",) for i in range(5_000)], "x string")
+    b = spark.createDataFrame([(f"v{i}",) for i in range(3_000, 10_000)], "x string")
+    merged = hll_merge(hll_cells(a, "x"), hll_cells(b, "x"))
+    mcells = {(r.bucket): r.max_rho for r in merged.collect()}
+    scells = {(r.bucket): r.max_rho for r in cells.collect()}
+    assert mcells == scells
+    dup = df.unionByName(df)
+    est_dup = hll_estimate(hll_cells(dup, "x")).collect()[0].est_distinct
+    assert est_dup == est
+
+
+def test_hll_small_range_linear_counting(spark):
+    """A handful of distinct values lands in the linear-counting branch and
+    comes back near-exact."""
+    from ago_sisdb_spark.operators.sketch import hll_cells, hll_estimate
+
+    df = spark.createDataFrame([(f"k{i % 20}",) for i in range(400)], "x string")
+    est = hll_estimate(hll_cells(df, "x")).collect()[0].est_distinct
+    assert abs(est - 20) <= 1.0, est
