@@ -100,9 +100,12 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame
     # exploded word rows, and hash-partitioning on the doc id lets a
     # downstream groupBy(doc) reuse the distribution with no second
     # shuffle.
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target, F.col(id_col))
+    # (skip for streaming inputs: micro-batch partitioning is the
+    # trigger's concern, and .rdd is illegal on a streaming DataFrame)
+    if not df.isStreaming:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target, F.col(id_col))
     # split materialized as a column BEFORE the transform: a lambda that
     # references the raw split() expression re-evaluates the split per
     # element under the interpreted HOF path (~16× slower end-to-end)
@@ -990,3 +993,66 @@ def minhash_screen_oracle_sql(
     JOIN hist h ON n.band = h.band AND n.bucket = h.bucket AND n.doc != h.doc
     GROUP BY n.doc, h.doc
     """
+
+
+def minhash_band_rows_stateless(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    portable: bool = False,
+) -> DataFrame:
+    """(doc, band, bucket) band rows as a PURE PER-ROW expression — no
+    groupBy — for pipelines where a streaming aggregation is illegal
+    (``streaming_minhash_screen``'s stateful apply).  Identical values to
+    ``minhash_band_rows``: a doc's shingles all live in its row, so the
+    per-permutation minima are array_min over a hashed-shingle array
+    that is materialized ONCE per row (each affine transform touches only
+    the lambda variable — no re-hash per permutation, no HOF re-eval)."""
+    rows = num_hashes // bands
+    wdf = df.select(
+        F.col(id_col).alias("doc"),
+        F.split(F.col(text_col), r"\s+").alias("__w"),
+    )
+    w, n = F.col("__w"), F.size("__w")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - shingle_k + 1, F.lit(1))),
+        lambda i: F.array_join(F.slice(w, i, shingle_k), " "),
+    )
+    with_sh = wdf.select("doc", sh.alias("__sh"))
+    shingle_hash = (
+        (lambda s: portable_hash60(s)) if portable
+        else (lambda s: F.abs(F.xxhash64(s)))
+    )
+    harr = F.transform(F.col("__sh"), lambda s: shingle_hash(s) % F.lit(_MERSENNE))
+    with_h = with_sh.select("doc", harr.alias("__h"))
+    mins = [
+        F.array_min(
+            F.transform(
+                F.col("__h"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE)
+            )
+        ).alias(f"s{i}")
+        for i, (a, b) in enumerate(_perm_params(num_hashes, 7))
+    ]
+    wide = with_h.select("doc", *mins)
+
+    if portable:
+        def _bucket(b: int) -> Column:
+            acc: Column = F.lit(b).cast("long")
+            for j in range(rows):
+                acc = (acc * 31 + F.col(f"s{b * rows + j}")) % F.lit(_MERSENNE)
+            return acc
+    else:
+        def _bucket(b: int) -> Column:
+            return F.xxhash64(
+                F.lit(b), *[F.col(f"s{b * rows + j}") for j in range(rows)]
+            )
+
+    return wide.select(
+        "doc",
+        F.posexplode(F.array(*[_bucket(b) for b in range(bands)])).alias(
+            "band", "bucket"
+        ),
+    )

@@ -132,3 +132,73 @@ def bloom_verdicts_for_batch(hits: DataFrame) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+def streaming_minhash_screen(
+    stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket_size: int = 1000,
+    portable: bool = False,
+) -> DataFrame:
+    """Streaming twin of the d12 incremental NEAR-dup screen: the MinHash
+    band index lives in ``applyInPandasWithState`` keyed by
+    (band, bucket), carried across micro-batches — beside
+    ``streaming_bloom_screen`` this closes the two-tier ingest screen in
+    BOTH modes (exact Bloom + near-dup MinHash, batch and streaming).
+
+    Each arriving doc's band rows are judged against the bucket membership
+    AS OF the previous micro-batch (exactly ``minhash_screen_batch``
+    against an index built from everything before this batch), then the
+    batch's docs join the bucket, capped at ``max_bucket_size`` members —
+    the streaming form of the build-time ``cap_bucket_fanout``.
+
+    Emits one (id, hist_id) row per shared band; fold per-pair counts in
+    ``foreachBatch`` via ``minhash_pairs_for_batch``.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ago_sisdb_spark.operators.dedup import minhash_band_rows_stateless
+
+    rows = minhash_band_rows_stateless(
+        stream, id_col, text_col, shingle_k, num_hashes, bands, portable=portable
+    )
+
+    def screen(key, pdfs, state):
+        import pandas as pd
+
+        members = list(state.get[0]) if state.exists else []
+        pre = list(members)  # pairs judged vs PRE-batch membership only
+        new_ids, hist_ids = [], []
+        for pdf in pdfs:
+            for doc in pdf["doc"]:
+                d = int(doc)
+                for h in pre:
+                    if h != d:
+                        new_ids.append(d)
+                        hist_ids.append(h)
+                if len(members) < max_bucket_size:
+                    members.append(d)
+        state.update((members,))
+        yield pd.DataFrame({"id": new_ids, "hist_id": hist_ids})
+
+    return rows.groupBy("band", "bucket").applyInPandasWithState(
+        screen,
+        outputStructType="id long, hist_id long",
+        stateStructType="docs array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def minhash_pairs_for_batch(hits: DataFrame) -> DataFrame:
+    """Fold a micro-batch of (id, hist_id) shared-band rows into candidate
+    pairs with shared-band counts — the ``minhash_screen_batch`` output
+    shape."""
+    return (
+        hits.groupBy(F.col("id").alias("batch_id"), "hist_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )

@@ -487,3 +487,17 @@ def test_property_minhash_screen_random_parity(spark, tmp_path):
         sp = {(min(r.batch_id, r.hist_id), max(r.batch_id, r.hist_id),
                r.n_shared_bands) for r in screened}
         assert sp == ip, trial
+
+
+def test_stateless_band_rows_match_grouped_form(spark):
+    """The per-row expression form must produce byte-identical
+    (doc, band, bucket) rows to the explode+groupBy form, in both hash
+    families."""
+    rows = [(i, f"w{i % 4} common words appear here now {i % 3}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for portable in (False, True):
+        a = {tuple(r) for r in dedup.minhash_band_rows(
+            df, "doc_id", "text", portable=portable).collect()}
+        b = {tuple(r) for r in dedup.minhash_band_rows_stateless(
+            df, "doc_id", "text", portable=portable).collect()}
+        assert a == b, portable

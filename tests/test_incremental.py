@@ -211,3 +211,76 @@ def test_property_no_false_negatives_random_corpora(spark):
                 assert by_id[i].is_dup, (trial, i)
             elif by_id[i].status == "definitely_new":
                 assert not by_id[i].is_dup  # exactness of the Bloom 'no'
+
+
+def test_streaming_minhash_matches_batch(spark, tmp_path):
+    """Batch-2 candidate pairs from the streaming band-bucket state must
+    equal minhash_screen_batch(batch2, index built from batch1); batch 1
+    screens against empty state (no pairs)."""
+    import glob
+    import os
+    import time
+
+    from ago_sisdb_spark.operators import dedup
+    from ago_sisdb_spark.streaming.dedupe import (
+        minhash_pairs_for_batch,
+        streaming_minhash_screen,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    b1 = spark.createDataFrame(
+        [(i, f"{base} filler{i} pad pad") for i in range(30)],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(100, f"{base} filler7 pad pad"),
+         (101, "totally unrelated words appear exclusively here today")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.parquet(src)
+    files1 = glob.glob(src + "/part-*")
+    b2.coalesce(1).write.mode("append").parquet(src)
+    files2 = [f for f in glob.glob(src + "/part-*") if f not in files1]
+    now = time.time()
+    for f in files1:
+        os.utime(f, (now - 200, now - 200))
+    for f in files2:
+        os.utime(f, (now - 100, now - 100))
+
+    results = {}
+
+    def sink(df, epoch_id):
+        results[epoch_id] = {
+            (r.batch_id, r.hist_id): r.n_shared_bands
+            for r in minhash_pairs_for_batch(df).collect()
+        }
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_minhash_screen(stream, "doc_id", "text")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    nonempty = [results[k] for k in sorted(results) if results[k]]
+    assert len(nonempty) == 1  # only batch 2 pairs (batch 1 state empty)
+    got = nonempty[0]
+
+    idx_path = str(tmp_path / "idx")
+    dedup.build_minhash_index(b1, "doc_id", "text", idx_path)
+    idx = dedup.load_minhash_index(spark, idx_path)
+    want = {
+        (r.batch_id, r.hist_id): r.n_shared_bands
+        for r in dedup.minhash_screen_batch(b2, idx, "doc_id", "text").collect()
+    }
+    assert got == want and any(b == 100 for b, _ in got)
+    assert not any(b == 101 for b, _ in got)
