@@ -67,6 +67,7 @@ def pack_sequences(
     token_count_col,
     window_tokens: int = 2048,
     n_shards: int = 64,
+    order_cols: list | None = None,
 ) -> DataFrame:
     """Assign each doc a (shard, bin) context-window slot; returns the input
     plus ``shard``, ``bin``, ``tokens`` columns.
@@ -83,9 +84,11 @@ def pack_sequences(
         token_count_col
     )
     shard = F.pmod(F.col(id_col), F.lit(n_shards))
+    # ``order_cols`` overrides the in-shard packing order (default id order);
+    # curriculum packing passes (tier, id) so early bins hold easy docs
     w = (
         Window.partitionBy("shard")
-        .orderBy(id_col)
+        .orderBy(*(order_cols if order_cols else [id_col]))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     out = df.withColumn("shard", shard.cast("bigint")).withColumn(

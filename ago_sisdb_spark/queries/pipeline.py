@@ -2316,3 +2316,65 @@ def agg_hll_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(est, "lang").select(
         "lang", "exact_distinct", "est_distinct", "n_set", "register_sum"
     )
+
+
+@query(
+    "pipe7_curriculum",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id AS doc,
+               unnest(string_split(lower(trim(text)), ' ')) AS tok
+        FROM documents),
+    vocab AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+    total AS (SELECT count(*) AS n FROM toks),
+    lp AS (
+        SELECT t.doc, round(avg(log10(coalesce(v.tf, 1) / total.n)), 6) AS lp
+        FROM toks t LEFT JOIN vocab v ON t.tok = v.tok, total
+        GROUP BY t.doc),
+    nt AS (
+        SELECT d.lang, lp.doc, lp.lp,
+               ntile(3) OVER (PARTITION BY d.lang
+                              ORDER BY lp.lp DESC, lp.doc) AS tier_no,
+               len(string_split(trim(d.text), ' ')) AS tokens
+        FROM lp JOIN documents d ON lp.doc = d.doc_id),
+    c AS (
+        SELECT doc, tier_no, tokens, doc % 8 AS shard,
+               coalesce(sum(tokens) OVER (PARTITION BY doc % 8
+                   ORDER BY tier_no, doc
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        FROM nt)
+    SELECT shard, CAST(floor(cum / 512) AS BIGINT) AS bin,
+           count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS total_tokens,
+           CAST(min(tier_no) AS BIGINT) AS min_tier,
+           CAST(max(tier_no) AS BIGINT) AS max_tier
+    FROM c GROUP BY 1, 2
+    """,
+    extended=True,
+)
+def pipe7_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordered context packing: score every doc with the
+    corpus-LM fluency tier (t16's per-language ntile on the 6-dp-rounded
+    score) and pack 512-token bins per shard in (tier, id) order — early
+    bins hold the most fluent documents, the curriculum-learning data
+    layout.  Composes the proven t16 tiering and pipe4 packing shapes; the
+    min/max tier columns make the ordering visible per bin."""
+    from ago_sisdb_spark.operators import prep
+
+    docs = _t(spark, sf_dir, "documents")
+    tiers = text.perplexity_buckets(docs, "doc_id", "text", "lang", 3).select(
+        "doc_id", F.col("bucket").alias("tier_no")
+    )
+    base = docs.join(tiers, "doc_id").select(
+        "doc_id", "tier_no",
+        text.token_count(F.col("text")).alias("tokens"),
+    )
+    packed = prep.pack_sequences(
+        base, "doc_id", "tokens", window_tokens=512, n_shards=8,
+        order_cols=[F.col("tier_no"), F.col("doc_id")],
+    )
+    return packed.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens").alias("total_tokens"),
+        F.min("tier_no").alias("min_tier"),
+        F.max("tier_no").alias("max_tier"),
+    )

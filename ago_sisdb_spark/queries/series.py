@@ -793,3 +793,87 @@ def a21_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("welch_df"),
         (F.abs(t) > 1.96).alias("significant"),
     )
+
+
+@query(
+    "s4_time_split",
+    oracle="""
+    WITH cut AS (
+        SELECT quantile_cont(epoch_us(ts), 0.8) AS c FROM events),
+    tagged AS (
+        SELECT CASE WHEN epoch_us(e.ts) < cut.c THEN 'train' ELSE 'valid' END
+                   AS split,
+               epoch_us(e.ts) AS tus, e.event_id
+        FROM events e, cut)
+    SELECT split, count(*) AS n,
+           CAST(min(tus) AS BIGINT) AS min_ts_us,
+           CAST(max(tus) AS BIGINT) AS max_ts_us
+    FROM tagged GROUP BY split
+    """,
+    extended=True,
+)
+def s4_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/valid split at the 80th time percentile — the
+    leakage-safe alternative to s1's random stratified split for
+    time-series models: everything the model trains on strictly precedes
+    everything it is validated on (train.max_ts < valid.min_ts by
+    construction, visible in the output columns).  One percentile
+    aggregate broadcast into a codegen'd tag filter."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("tus")
+    )
+    cut = ev.agg(F.percentile("tus", F.lit(0.8)).alias("c"))
+    tagged = ev.crossJoin(F.broadcast(cut)).select(
+        F.when(F.col("tus") < F.col("c"), "train").otherwise("valid").alias("split"),
+        "tus",
+    )
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("tus").cast("long").alias("min_ts_us"),
+        F.max("tus").cast("long").alias("max_ts_us"),
+    )
+
+
+@query(
+    "a22_seasonal_residuals",
+    oracle="""
+    WITH prof AS (
+        SELECT event_type, extract(hour FROM ts) AS hr,
+               avg(value) AS hr_mean
+        FROM events GROUP BY 1, 2),
+    res AS (
+        SELECT e.event_type, e.event_id,
+               e.value - p.hr_mean AS resid
+        FROM events e
+        JOIN prof p ON e.event_type = p.event_type
+                   AND extract(hour FROM e.ts) = p.hr)
+    SELECT event_type,
+           CAST(row_number() OVER (PARTITION BY event_type
+                ORDER BY abs(resid) DESC, event_id) AS BIGINT) AS rank,
+           event_id, round(resid, 6) AS resid
+    FROM res QUALIFY rank <= 5
+    """,
+    extended=True,
+)
+def a22_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomalies: hour-of-day mean profile per series
+    (the simplest seasonal decomposition), then the top-5 absolute
+    residuals — catches 'large for 3 a.m.' values that a global screen
+    (a18) never flags.  Profile is series×24 rows, broadcast back; the
+    ranking window is the only row-scale shuffle."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value",
+        F.hour(F.col("ts").cast("timestamp")).alias("hr"),
+    )
+    prof = ev.groupBy("event_type", "hr").agg(F.avg("value").alias("hr_mean"))
+    res = ev.join(F.broadcast(prof), ["event_type", "hr"]).select(
+        "event_type", "event_id", (F.col("value") - F.col("hr_mean")).alias("resid")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("resid")).desc(), "event_id"
+    )
+    return (
+        res.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("event_type", "rank", "event_id", F.round("resid", 6).alias("resid"))
+    )

@@ -334,3 +334,24 @@ def test_property_int8_quant_bound_random_vectors(spark):
     for r in embed.quantize_int8_report(df, "vec_id", "embedding").collect():
         assert r.max_abs_err <= r.scale / 2 + 1e-9
         assert 0 <= r.code_sum <= 255 * 16
+
+
+def test_curriculum_packing_orders_tiers_first(spark):
+    """pack_sequences with (tier, id) order: within every shard, bin 0's
+    max tier never exceeds the last bin's min tier when multiple bins
+    exist (easy docs pack first)."""
+    rows = [(i, (3 - (i % 3)), 100) for i in range(48)]  # tiers 1..3, 100 toks
+    df = spark.createDataFrame(rows, "doc_id long, tier_no int, tokens long")
+    packed = prep.pack_sequences(
+        df, "doc_id", "tokens", window_tokens=400, n_shards=2,
+        order_cols=[F.col("tier_no"), F.col("doc_id")],
+    )
+    agg = packed.groupBy("shard", "bin").agg(
+        F.min("tier_no").alias("mn"), F.max("tier_no").alias("mx")
+    ).collect()
+    by_shard = {}
+    for r in agg:
+        by_shard.setdefault(r.shard, []).append((r.bin, r.mn, r.mx))
+    for shard, bins in by_shard.items():
+        bins.sort()
+        assert bins[0][2] <= bins[-1][1] or len(bins) == 1
