@@ -82,6 +82,7 @@ def main() -> None:
         sketch,
         text,
     )
+    from ago_sisdb_spark.operators import embed as embed_ops
 
     muls = [int(x) for x in sys.argv[1:]] or [1, 4, 8]
     spark = get_spark(app_name="scale_probe")
@@ -164,6 +165,24 @@ def main() -> None:
         )
         out["ops"].setdefault("s3_weighted_sample", {})[n] = timed(
             lambda: prep.weighted_sample_per_group(sdf, "doc_id", "grp", "w", 10)
+        )
+        # late-r5 family: HLL register build (<= m rows out), NCM audit
+        # (labels-bounded candidate fan-out), BPE training (vocab-sized
+        # rounds — corpus growth only adds to the one word-count pass)
+        toks2 = dc.select(
+            (F.col("doc_id") % 5).alias("g"),
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+                "term"
+            ),
+        ).where(F.col("term") != "")
+        out["ops"].setdefault("hll_cells", {})[n] = timed(
+            lambda: sketch.hll_cells(toks2, "term", group_col="g")
+        )
+        out["ops"].setdefault("e3_ncm_audit", {})[n] = timed(
+            lambda: embed_ops.ncm_confusion(em, "vec_id", "label", "embedding")
+        )
+        out["ops"].setdefault("t20_bpe_train", {})[n] = timed(
+            lambda: text.bpe_train(dc, "text", n_merges=4)
         )
     lo, hi = muls[0], muls[-1]
     out["ratio_vs_linear"] = {
