@@ -564,7 +564,8 @@ def duplicated_spans_oracle_sql(
     )
     return f"""
     WITH w AS (
-        SELECT {id_col} AS doc, string_split(trim({text_col}), ' ') AS words
+        SELECT {id_col} AS doc,
+               string_split_regex(trim({text_col}), '\s+') AS words
         FROM {table}),
     sp AS (
         SELECT doc, CAST(s AS BIGINT) AS start_tok, {span_expr} AS span_hash
@@ -668,7 +669,7 @@ def minhash_lsh_oracle_sql(
     permutations (shared ``_perm_params``), same polynomial band buckets,
     same bucket cap."""
     rows = num_hashes // bands
-    words = f"string_split({text_col}, ' ')"
+    words = rf"string_split_regex({text_col}, '\s+')"
     shingle = " || ' ' || ".join(
         f"{words}[i + {j}]" if j else f"{words}[i]" for j in range(shingle_k)
     )
@@ -736,7 +737,7 @@ def simhash_pairs_oracle_sql(
     )
     return f"""
     WITH toks AS (
-        SELECT {id_col} AS doc, unnest(string_split({text_col}, ' ')) AS tok
+        SELECT {id_col} AS doc, unnest(string_split_regex({text_col}, '\s+')) AS tok
         FROM {table}),
     h AS (SELECT doc, {hash_sql} AS h FROM toks),
     votes AS (
@@ -952,7 +953,7 @@ def minhash_screen_oracle_sql(
     ``minhash_screen_batch(portable=True)``: same shingles, hashes, band
     folds, history-side cap, and self-pair exclusion."""
     rows = num_hashes // bands
-    words = f"string_split({text_col}, ' ')"
+    words = rf"string_split_regex({text_col}, '\s+')"
     shingle = " || ' ' || ".join(
         f"{words}[i + {j}]" if j else f"{words}[i]" for j in range(shingle_k)
     )

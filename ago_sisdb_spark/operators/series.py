@@ -275,7 +275,11 @@ def cusum_changepoint(
     Shape: one group-sized (mean, std, n) aggregate broadcast back, one
     ordered running-sum window per group, one argmax — shuffle keys are
     the group only.  Returns (group, n, peak_cusum, peak_at, changed)
-    with deterministic argmax ties (earliest order wins).
+    with deterministic argmax ties (earliest order wins).  Degenerate
+    series — constant values or a single row (sample stddev NULL/0) —
+    cannot shift level by definition and come back as
+    (n, peak_cusum=0, peak_at=NULL, changed=false) rather than vanishing:
+    a caller screening "which series changed" must still see them.
     """
     stats = df.groupBy(group_col).agg(
         F.avg(value_col).alias("__mu"),
@@ -298,13 +302,23 @@ def cusum_changepoint(
     wpk = Window.partitionBy(group_col).orderBy(
         F.abs(F.col("__cusum")).desc(), F.col(order_col)
     )
-    peak = dev.withColumn("__rn", F.row_number().over(wpk)).where(F.col("__rn") == 1)
-    return peak.select(
+    peak = (
+        dev.withColumn("__rn", F.row_number().over(wpk))
+        .where(F.col("__rn") == 1)
+        .select(
+            group_col,
+            F.round(F.abs(F.col("__cusum")), 6).alias("peak_cusum"),
+            F.col(order_col).alias("peak_at"),
+            (
+                F.abs(F.col("__cusum")) > F.lit(threshold) * F.sqrt(F.col("__n"))
+            ).alias("changed"),
+        )
+    )
+    # group-sized left join restores sd<=0/NULL groups with a null-safe row
+    return stats.join(peak, group_col, "left").select(
         group_col,
         F.col("__n").alias("n"),
-        F.round(F.abs(F.col("__cusum")), 6).alias("peak_cusum"),
-        F.col(order_col).alias("peak_at"),
-        (F.abs(F.col("__cusum")) > F.lit(threshold) * F.sqrt(F.col("__n"))).alias(
-            "changed"
-        ),
+        F.coalesce(F.col("peak_cusum"), F.lit(0.0)).alias("peak_cusum"),
+        "peak_at",
+        F.coalesce(F.col("changed"), F.lit(False)).alias("changed"),
     )

@@ -580,6 +580,33 @@ def trigram_lid_confusion(
     )
 
 
+def _greedy_merge_fold(arr, a: str, b: str, merged: str):
+    """Exact greedy BPE merge application: left-to-right non-overlapping
+    replacement of every adjacent symbol pair (a, b) with ``merged`` in
+    the symbol array ``arr``.
+
+    A fold (``F.aggregate``) with an empty-string sentinel head: for each
+    symbol x, if the accumulator's last symbol equals ``a`` and x equals
+    ``b``, the pair fuses; otherwise x appends.  No just-merged guard is
+    needed — ``merged`` is strictly longer than ``a`` so a freshly fused
+    symbol can never re-match as the pair's first element in the same
+    round.  The lambda touches only acc/x (no captured raw expressions),
+    so the interpreted-HOF re-evaluation trap does not apply.  Mirrored
+    by the DuckDB ``list_reduce`` twin in queries/pipeline._bpe_oracle.
+    """
+    folded = F.aggregate(
+        arr,
+        F.array(F.lit("")),
+        lambda acc, x: F.when(
+            (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    return F.slice(folded, F.lit(2), F.size(folded) - 1)
+
+
 def bpe_train(docs, text_col: str, n_merges: int = 6):
     """Distributed BPE tokenizer TRAINING (Sennrich et al., ACL 2016): the
     full merge loop, not just one round's pair counts (t17).
@@ -589,11 +616,13 @@ def bpe_train(docs, text_col: str, n_merges: int = 6):
     - training runs on the WORD VOCABULARY with frequencies, never the
       corpus: one corpus pass builds (word, weight), Heaps-bounded, and
       every merge round is vocabulary-sized work;
-    - a word's symbol sequence is a SPACE-JOINED STRING, so applying the
-      round's winning merge is one ``replace(sym, 'a b', 'ab')`` — SQL
-      ``replace`` is leftmost non-overlapping, which IS greedy BPE merge
-      order, identical in every engine (symbols never contain spaces by
-      construction);
+    - a word's symbol sequence is a SPACE-JOINED STRING; the round's
+      winning merge is applied with ``_greedy_merge_fold`` — an exact
+      left-to-right non-overlapping fold over the SYMBOL ARRAY (substring
+      ``replace`` on the joined string is WRONG twice over: it can match
+      across a symbol boundary when one symbol's rendering ends with the
+      pair's first element, and even space-padded it mis-pairs runs of
+      4+ identical symbols — ``b b b b`` must become ``bb bb``);
     - each round's argmax pair comes to the driver as ONE row (the
       k-means-centroid pattern); everything else stays distributed.
 
@@ -638,10 +667,13 @@ def bpe_train(docs, text_col: str, n_merges: int = 6):
         if not top:
             break
         pair, cnt = top[0].pair, top[0].n
+        a, b = pair.split(" ")
         merged = pair.replace(" ", "")
         merges.append((r + 1, pair, merged, int(cnt)))
         vocab = vocab.select(
-            F.replace(F.col("sym"), F.lit(pair), F.lit(merged)).alias("sym"),
+            F.array_join(
+                _greedy_merge_fold(F.split("sym", " "), a, b, merged), " "
+            ).alias("sym"),
             "wt",
         )
         if (r + 1) % 4 == 0:
@@ -655,19 +687,19 @@ def bpe_encode_counts(docs, id_col: str, text_col: str, merges):
     """Serving half of ``bpe_train``: apply the trained merge list IN
     ORDER to every word and report per-document BPE token counts —
     ``merges`` is the (pair, merged) sequence from the trained table.
-    Pure expression chain (one ``replace`` per merge over the symbol
-    strings), no shuffle beyond the final per-doc sum."""
+    Pure expression chain (one exact-greedy ``_greedy_merge_fold`` per
+    merge over the symbol arrays), no shuffle beyond the final per-doc
+    sum."""
     words = docs.select(
         F.col(id_col).alias("__id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
     ).where(F.col("w") != "")
-    sym = F.expr(
-        "concat_ws(' ', transform(sequence(1, length(w)), i -> substring(w, i, 1)))"
-    )
+    sym = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
     for pair, merged in merges:
-        sym = F.replace(sym, F.lit(pair), F.lit(merged))
+        a, b = pair.split(" ")
+        sym = _greedy_merge_fold(sym, a, b, pair.replace(" ", ""))
     return (
-        words.select("__id", F.size(F.split(sym, " ")).alias("n_sym"))
+        words.select("__id", F.size(sym).alias("n_sym"))
         .groupBy("__id")
         .agg(F.sum("n_sym").cast("long").alias("n_bpe_tokens"))
         .select(F.col("__id").alias(id_col), "n_bpe_tokens")

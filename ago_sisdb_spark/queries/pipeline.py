@@ -2106,8 +2106,11 @@ def e4_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_oracle(n_merges: int = 6) -> str:
     """Unrolled DuckDB twin of the FULL bpe_train loop: each round counts
     weighted adjacent pairs over the evolving symbol strings, takes the
-    (n DESC, pair) argmax, and applies it with the same leftmost
-    non-overlapping ``replace`` — greedy BPE merge order in both engines."""
+    (n DESC, pair) argmax, and applies it with an exact greedy
+    left-to-right non-overlapping ``list_reduce`` fold over the SYMBOL
+    ARRAY (mirror of operators/text._greedy_merge_fold) — substring
+    ``replace`` is wrong here: it matches across symbol boundaries and,
+    even space-padded, mis-pairs runs of 4+ identical symbols."""
     parts = [r"""
     WITH w AS (
         SELECT t.w, count(*) AS wt FROM (
@@ -2128,9 +2131,17 @@ def _bpe_oracle(n_merges: int = 6) -> str:
         GROUP BY u.pair),
     t{r} AS (SELECT pair, n FROM p{r} ORDER BY n DESC, pair LIMIT 1),
     v{r + 1} AS (
-        SELECT replace(v{r}.sym, t{r}.pair, replace(t{r}.pair, ' ', '')) AS sym,
-               v{r}.wt
-        FROM v{r}, t{r})""")
+        SELECT list_reduce(s.sp, (acc, x) ->
+                   CASE WHEN regexp_extract(acc, '[^ ]*$') = s.a AND x = s.b
+                        THEN left(acc, length(acc)
+                                  - length(regexp_extract(acc, '[^ ]*$'))) || s.m
+                        ELSE acc || ' ' || x END) AS sym,
+               s.wt
+        FROM (SELECT string_split(v{r}.sym, ' ') AS sp, v{r}.wt,
+                     string_split(t{r}.pair, ' ')[1] AS a,
+                     string_split(t{r}.pair, ' ')[2] AS b,
+                     replace(t{r}.pair, ' ', '') AS m
+              FROM v{r}, t{r}) s)""")
     selects = "\n    UNION ALL\n    ".join(
         f"SELECT CAST({r + 1} AS BIGINT) AS merge_rank, pair,"
         f" replace(pair, ' ', '') AS merged, CAST(n AS BIGINT) AS pair_count"

@@ -718,6 +718,10 @@ def w5_event_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dev
     QUALIFY row_number() OVER (PARTITION BY event_type
                                ORDER BY abs(cusum) DESC, event_id) = 1
+    UNION ALL
+    SELECT event_type, n, 0.0 AS peak_cusum, CAST(NULL AS BIGINT) AS peak_at,
+           false AS changed
+    FROM stats WHERE sd IS NULL OR sd <= 0
     """,
     extended=True,
 )

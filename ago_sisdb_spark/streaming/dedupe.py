@@ -152,9 +152,15 @@ def streaming_minhash_screen(
 
     Each arriving doc's band rows are judged against the bucket membership
     AS OF the previous micro-batch (exactly ``minhash_screen_batch``
-    against an index built from everything before this batch), then the
-    batch's docs join the bucket, capped at ``max_bucket_size`` members —
-    the streaming form of the build-time ``cap_bucket_fanout``.
+    against an index built from everything before this batch).  A bucket
+    whose membership reaches ``max_bucket_size`` goes DEAD: its members
+    are discarded and it never emits pairs again — the streaming form of
+    ``cap_bucket_fanout``'s drop-the-whole-bucket semantics (members of a
+    degenerate bucket are boilerplate, not near-dup signal; truncating to
+    the first N would instead keep emitting pairs the batch screen
+    suppresses).  Divergence from the batch twin is the append-mode
+    minimum: pairs emitted while the bucket was still under cap cannot be
+    retracted.
 
     Emits one (id, hist_id) row per shared band; fold per-pair counts in
     ``foreachBatch`` via ``minhash_pairs_for_batch``.
@@ -170,25 +176,32 @@ def streaming_minhash_screen(
     def screen(key, pdfs, state):
         import pandas as pd
 
-        members = list(state.get[0]) if state.exists else []
+        members, dead = (
+            (list(state.get[0]), bool(state.get[1]))
+            if state.exists
+            else ([], False)
+        )
         pre = list(members)  # pairs judged vs PRE-batch membership only
         new_ids, hist_ids = [], []
         for pdf in pdfs:
             for doc in pdf["doc"]:
                 d = int(doc)
-                for h in pre:
-                    if h != d:
-                        new_ids.append(d)
-                        hist_ids.append(h)
-                if len(members) < max_bucket_size:
+                if not dead:
+                    for h in pre:
+                        if h != d:
+                            new_ids.append(d)
+                            hist_ids.append(h)
                     members.append(d)
-        state.update((members,))
+                    # batch cap keeps size == cap and drops only > cap
+                    if len(members) > max_bucket_size:
+                        dead, members, pre = True, [], []
+        state.update((members, dead))
         yield pd.DataFrame({"id": new_ids, "hist_id": hist_ids})
 
     return rows.groupBy("band", "bucket").applyInPandasWithState(
         screen,
         outputStructType="id long, hist_id long",
-        stateStructType="docs array<long>",
+        stateStructType="docs array<long>, dead boolean",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

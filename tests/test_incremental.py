@@ -284,3 +284,84 @@ def test_streaming_minhash_matches_batch(spark, tmp_path):
     }
     assert got == want and any(b == 100 for b, _ in got)
     assert not any(b == 101 for b, _ in got)
+
+
+def test_streaming_minhash_dead_bucket_matches_batch_drop(spark, tmp_path):
+    """A bucket that exceeds max_bucket_size goes DEAD and never emits
+    again — the streaming form of cap_bucket_fanout's drop-the-bucket
+    semantics (r5 advice: truncate-to-first-N kept emitting pairs the
+    batch screen suppresses).  Batch 1: 8 identical boilerplate docs
+    (over cap 5) + 2 normal near-dups (under cap).  Batch 2: one more of
+    each family — only the normal family may pair, exactly like
+    minhash_screen_batch against a capped index built from batch 1."""
+    import glob
+    import os
+    import time
+
+    from ago_sisdb_spark.operators import dedup
+    from ago_sisdb_spark.streaming.dedupe import (
+        minhash_pairs_for_batch,
+        streaming_minhash_screen,
+    )
+
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    normal = "alpha beta gamma delta epsilon zeta eta theta"
+    b1 = spark.createDataFrame(
+        [(i, boiler) for i in range(8)]
+        + [(20, f"{normal} pad pad"), (21, f"{normal} pad qux")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(100, boiler), (101, f"{normal} pad pad")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.parquet(src)
+    files1 = glob.glob(src + "/part-*")
+    b2.coalesce(1).write.mode("append").parquet(src)
+    files2 = [f for f in glob.glob(src + "/part-*") if f not in files1]
+    now = time.time()
+    for f in files1:
+        os.utime(f, (now - 200, now - 200))
+    for f in files2:
+        os.utime(f, (now - 100, now - 100))
+
+    results = {}
+
+    def sink(df, epoch_id):
+        results[epoch_id] = {
+            (r.batch_id, r.hist_id): r.n_shared_bands
+            for r in minhash_pairs_for_batch(df).collect()
+        }
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_minhash_screen(stream, "doc_id", "text", max_bucket_size=5)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    nonempty = [results[k] for k in sorted(results) if results[k]]
+    assert len(nonempty) == 1
+    got = nonempty[0]
+
+    idx_path = str(tmp_path / "idx")
+    dedup.build_minhash_index(
+        b1, "doc_id", "text", idx_path, max_bucket_size=5
+    )
+    idx = dedup.load_minhash_index(spark, idx_path)
+    want = {
+        (r.batch_id, r.hist_id): r.n_shared_bands
+        for r in dedup.minhash_screen_batch(b2, idx, "doc_id", "text").collect()
+    }
+    assert got == want
+    assert any(b == 101 for b, _ in got)  # normal family still pairs
+    assert not any(b == 100 for b, _ in got)  # boilerplate bucket is dead

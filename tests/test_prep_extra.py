@@ -303,6 +303,128 @@ def test_bpe_train_closed_form_and_encode(spark):
     assert counts == {1: 2, 2: 1}  # two 'aaab' tokens; one 'ab' token
 
 
+def test_bpe_merge_boundary_and_runs(spark):
+    """The two failure modes of substring-replace merge application
+    (r5 verdict bug): (a) a merged symbol's rendering colliding with a
+    later winning pair — after ``a b -> ab``, word 'abc' renders 'ab c';
+    a later winner ``b c`` must NOT fuse it (symbols are [ab, c], the
+    (b, c) pair does not exist at symbol level); (b) runs of 4+ identical
+    symbols — greedy left-to-right on 'bbbbbb' must give [bb, bb, bb],
+    not the space-padded-replace answer [bb, b, bb, b]."""
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab abc"), (2, "bc bc bc")], "doc_id long, text string"
+    )
+    m = text.bpe_train(docs, "text", n_merges=6).orderBy("merge_rank").collect()
+    got = [(r.merge_rank, r.pair, r.merged, r.pair_count) for r in m]
+    # round 1: (a,b) = 3x'ab' + 1x'abc' = 4; round 2: (b,c) = 3x'bc'
+    # (the b inside 'abc' is consumed — symbols [ab, c]); round 3: (ab,c).
+    assert got == [(1, "a b", "ab", 4), (2, "b c", "bc", 3), (3, "ab c", "abc", 1)]
+
+    runs = spark.createDataFrame([(1, "bbbbbb")], "doc_id long, text string")
+    m2 = text.bpe_train(runs, "text", n_merges=6).orderBy("merge_rank").collect()
+    got2 = [(r.merge_rank, r.pair, r.merged, r.pair_count) for r in m2]
+    # greedy: [b]*6 -> [bb,bb,bb] -> [bbbb,bb] -> [bbbbbb]
+    assert got2 == [
+        (1, "b b", "bb", 5),
+        (2, "bb bb", "bbbb", 2),
+        (3, "bbbb bb", "bbbbbb", 1),
+    ]
+    enc = text.bpe_encode_counts(
+        runs, "doc_id", "text", [("b b", "bb")]
+    ).collect()
+    assert enc[0].n_bpe_tokens == 3  # [bb, bb, bb], not [bb, b, bb, b]
+
+
+def _ref_bpe_train(word_weights, n_merges):
+    """Independent plain-Python Sennrich BPE (not a SQL restatement of
+    the operator): vocabulary of symbol tuples, per-round weighted pair
+    counts, (count DESC, pair-string ASC) argmax, exact greedy
+    left-to-right non-overlapping merge application."""
+    vocab = {}
+    for w, wt in word_weights.items():
+        t = tuple(w)
+        vocab[t] = vocab.get(t, 0) + wt
+    merges = []
+    for r in range(n_merges):
+        counts = {}
+        for syms, wt in vocab.items():
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                counts[k] = counts.get(k, 0) + wt
+        if not counts:
+            break
+        (a, b), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1])
+        )
+        merges.append((r + 1, a + " " + b, a + b, n))
+        new = {}
+        for syms, wt in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            new[t] = new.get(t, 0) + wt
+        vocab = new
+    return merges, vocab
+
+
+def test_bpe_vs_independent_reference_impl(spark):
+    """Cross-check the distributed BPE trainer AND encoder against the
+    naive Python implementation on a collision-rich random corpus (small
+    alphabet forces merged-symbol/pair collisions and long runs).  This
+    is the independent-implementation check the verbatim-oracle family
+    needs — a shared-flaw oracle cannot pass it."""
+    import random
+
+    rnd = random.Random(42)
+    words = [
+        "".join(rnd.choices("ab c", k=rnd.randint(1, 8))).replace(" ", "") or "a"
+        for _ in range(300)
+    ]
+    texts = []
+    for i in range(0, len(words), 10):
+        texts.append(" ".join(words[i : i + 10]))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ww = {}
+    for w in words:
+        if w:
+            ww[w] = ww.get(w, 0) + 1
+    ref_merges, _ = _ref_bpe_train(ww, 8)
+    m = text.bpe_train(docs, "text", n_merges=8).orderBy("merge_rank").collect()
+    got = [(r.merge_rank, r.pair, r.merged, r.pair_count) for r in m]
+    assert got == ref_merges
+
+    # encoder parity: apply the trained merges to every word in Python
+    pairs = [(p, mg) for _, p, mg, _ in ref_merges]
+    ref_counts = {}
+    for i, t in enumerate(texts):
+        tot = 0
+        for w in t.split():
+            syms = list(w)
+            for p, mg in pairs:
+                a, b = p.split(" ")
+                out, j = [], 0
+                while j < len(syms):
+                    if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                        out.append(mg)
+                        j += 2
+                    else:
+                        out.append(syms[j])
+                        j += 1
+                syms = out
+            tot += len(syms)
+        ref_counts[i] = tot
+    enc = text.bpe_encode_counts(docs, "doc_id", "text", pairs).collect()
+    assert {r.doc_id: r.n_bpe_tokens for r in enc} == ref_counts
+
+
 def test_cusum_detects_planted_level_shift(spark):
     """A series that jumps +10σ at midpoint: peak near the shift, flagged
     changed; a stationary series is not flagged."""
@@ -312,11 +434,17 @@ def test_cusum_detects_planted_level_shift(spark):
     rows = [("shift", i, rnd.gauss(0, 1) + (10.0 if i >= 100 else 0.0))
             for i in range(200)]
     rows += [("flat", i, rnd.gauss(0, 1)) for i in range(200)]
+    rows += [("const", i, 7.0) for i in range(50)]  # stddev == 0
+    rows += [("single", 0, 3.0)]  # stddev_samp NULL
     df = spark.createDataFrame(rows, "g string, i long, v double")
     out = {r.g: r for r in series.cusum_changepoint(df, "g", "i", "v").collect()}
     assert bool(out["shift"].changed) is True
     assert 80 <= out["shift"].peak_at <= 120  # peak at the change point
     assert bool(out["flat"].changed) is False
+    # degenerate series must SURFACE as unchanged, not vanish (r5 advice)
+    for g, n in (("const", 50), ("single", 1)):
+        assert out[g].n == n and out[g].peak_cusum == 0.0
+        assert out[g].peak_at is None and bool(out[g].changed) is False
 
 
 def test_property_int8_quant_bound_random_vectors(spark):
