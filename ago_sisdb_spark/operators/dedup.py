@@ -562,7 +562,7 @@ def duplicated_spans_oracle_sql(
             f"s + {span_tokens}), ' ')"
         )
     )
-    return f"""
+    return rf"""
     WITH w AS (
         SELECT {id_col} AS doc,
                string_split_regex(trim({text_col}), '\s+') AS words
@@ -735,7 +735,7 @@ def simhash_pairs_oracle_sql(
         f" (simhash >> {b * width}) & {(1 << width) - 1} AS bucket FROM fp"
         for b in range(bands)
     )
-    return f"""
+    return rf"""
     WITH toks AS (
         SELECT {id_col} AS doc, unnest(string_split_regex({text_col}, '\s+')) AS tok
         FROM {table}),

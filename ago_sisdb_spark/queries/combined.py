@@ -282,88 +282,10 @@ def d4_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _n2_oracle() -> str:
-    """DuckDB twin of the WHOLE n2 ANN matrix — the d6 planted-planes trick
-    ported to top-k search (r4 verdict #1): seeded integer hyperplanes make
-    every bucket, the radius-2 multi-probe expansion, the candidate
-    equi-join, and the exact cosine re-rank SQL-restatable; the IVF branch
-    uses the deterministic seed centroids (16 lowest-id vectors), so list
-    assignment, nprobe selection, and the final top-5 are plain window SQL.
-    """
-    planes = _pipe._n2_planes()
-    bits, tables = _pipe._N2_BITS, _pipe._N2_TABLES
-
-    def bucket_expr(t: int) -> str:
-        return " + ".join(
-            "(CASE WHEN list_dot_product(v, {lits}) > 0 THEN {w} ELSE 0 END)".format(
-                lits="["
-                + ", ".join(str(int(x)) for x in planes[t * bits + i])
-                + "]",
-                w=1 << i,
-            )
-            for i in range(bits)
-        )
-
-    cb_union = "\n      UNION ALL ".join(
-        f"SELECT id, {t} AS tbl, {bucket_expr(t)} AS bucket FROM base"
-        for t in range(tables)
-    )
-    pb_union = "\n      UNION ALL ".join(
-        f"SELECT id, {t} AS tbl, {bucket_expr(t)} AS bucket FROM prb"
-        for t in range(tables)
-    )
-    masks = [0] + [1 << i for i in range(bits)] + [
-        (1 << i) | (1 << j) for i in range(bits) for j in range(i + 1, bits)
-    ]
-    mask_values = ", ".join(f"({m})" for m in masks)
-    return f"""
-    WITH base AS (
-      SELECT vec_id AS id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings),
-    prb AS (SELECT id, v FROM base WHERE id IN (0, 1, 2, 3, 4)),
-    cb AS ({cb_union}),
-    pb0 AS ({pb_union}),
-    pb AS (
-      SELECT id, tbl, xor(bucket, m.mask) AS bucket
-      FROM pb0 CROSS JOIN (VALUES {mask_values}) m(mask)),
-    cand AS (
-      SELECT DISTINCT p.id AS pid, c.id AS nid
-      FROM pb p JOIN cb c ON p.tbl = c.tbl AND p.bucket = c.bucket
-                         AND c.id != p.id),
-    lsh AS (
-      SELECT cn.pid AS probe_id, cn.nid AS neighbor_id,
-             list_cosine_similarity(y.v, x.v) AS s
-      FROM cand cn JOIN prb x ON cn.pid = x.id JOIN base y ON cn.nid = y.id
-      QUALIFY row_number() OVER (
-          PARTITION BY cn.pid
-          ORDER BY list_cosine_similarity(y.v, x.v) DESC, cn.nid) <= 5),
-    cents AS (SELECT id AS cid, v AS cv FROM base ORDER BY id LIMIT 16),
-    asn AS (
-      SELECT b.id AS nid, c.cid AS list_id, b.v AS nv
-      FROM base b CROSS JOIN cents c
-      QUALIFY row_number() OVER (
-          PARTITION BY b.id
-          ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cid) = 1),
-    pl AS (
-      SELECT p.id AS pid, p.v AS pv, c.cid AS list_id
-      FROM prb p CROSS JOIN cents c
-      QUALIFY row_number() OVER (
-          PARTITION BY p.id
-          ORDER BY list_cosine_similarity(p.v, c.cv) DESC, c.cid) <= 4),
-    ivf AS (
-      SELECT pl.pid AS probe_id, a.nid AS neighbor_id,
-             list_cosine_similarity(a.nv, pl.pv) AS s
-      FROM pl JOIN asn a ON a.list_id = pl.list_id AND a.nid != pl.pid
-      QUALIFY row_number() OVER (
-          PARTITION BY pl.pid
-          ORDER BY list_cosine_similarity(a.nv, pl.pv) DESC, a.nid) <= 5)
-    SELECT 'lsh' AS method, probe_id, neighbor_id, round(s, 6) AS score
-    FROM lsh
-    UNION ALL
-    SELECT 'ivf' AS method, probe_id, neighbor_id, round(s, 6) AS score
-    FROM ivf
-    """
+# The n2 twin builder moved to pipeline.py in r6 (beside its plane
+# constants) so the n6 recall twin can compose it; aliased for the
+# registration below.
+_n2_oracle = _pipe._n2_oracle
 
 
 @query("n2_knn_ann", oracle=_n2_oracle())

@@ -1,0 +1,199 @@
+"""Independent-implementation cross-checks for the verbatim-oracle family
+(r5 verdict #2): the DuckDB twins for CDC chunking, count-min cells, HLL
+registers, and A-Res sampling are the operator transcribed into SQL, so a
+shared semantic flaw passes the gate (exactly how the r5 BPE boundary bug
+hid).  Each test here re-implements the operator in plain Python — second
+implementation, same published algorithm — and requires the distributed
+result to match it exactly on a corpus rich enough to exercise the edge
+cases (skewed frequencies, merges, chunk boundaries, tied keys)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+
+from ago_sisdb_spark.operators import dedup, prep, sketch
+
+
+def py_hash60(s: str) -> int:
+    """Plain-Python portable_hash60: first 15 md5 hex chars, base 16."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_portable_hash60_matches_python(spark):
+    vals = ["", "a", "hello world", "héllo", "x" * 100, "tab\there"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    from pyspark.sql import functions as F
+
+    got = {
+        r.s: r.h
+        for r in df.select("s", dedup.portable_hash60(F.col("s")).alias("h")).collect()
+    }
+    assert got == {v: py_hash60(v) for v in vals}
+
+
+def test_cms_vs_reference_impl(spark):
+    """Build + merge + estimate vs a naive dict sketch on a skewed term
+    stream.  Cells must match EXACTLY (same hash family, same cell
+    layout); estimates must match the dict sketch and never undercount."""
+    depth, width = 4, 64  # narrow width to force collisions
+    rnd = random.Random(5)
+    terms_a = [f"t{int(rnd.expovariate(0.05))}" for _ in range(2000)]
+    terms_b = [f"t{int(rnd.expovariate(0.08))}" for _ in range(1500)]
+
+    def py_cells(stream):
+        cells = {}
+        for t in stream:
+            for r in range(depth):
+                pos = py_hash60(f"{t}#{r}") % width
+                cells[(r, pos)] = cells.get((r, pos), 0) + 1
+        return cells
+
+    df_a = spark.createDataFrame([(t,) for t in terms_a], "term string")
+    df_b = spark.createDataFrame([(t,) for t in terms_b], "term string")
+    sk_a = sketch.cms_build(df_a, "term", depth, width)
+    sk_b = sketch.cms_build(df_b, "term", depth, width)
+    got_a = {(r.row, r.bucket): r.cnt for r in sk_a.collect()}
+    assert got_a == py_cells(terms_a)
+
+    merged = sketch.cms_merge(sk_a, sk_b)
+    got_m = {(r.row, r.bucket): r.cnt for r in merged.collect()}
+    want_m = py_cells(terms_a)
+    for k, v in py_cells(terms_b).items():
+        want_m[k] = want_m.get(k, 0) + v
+    assert got_m == want_m
+
+    probes = sorted(set(terms_a[:50])) + ["never-seen-term"]
+    pdf = spark.createDataFrame([(t,) for t in probes], "term string")
+    est = {
+        r.term: r.est
+        for r in sketch.cms_estimate(merged, pdf, "term", depth, width).collect()
+    }
+    true = {t: (terms_a + terms_b).count(t) for t in probes}
+    for t in probes:
+        want = min(
+            want_m.get((r, py_hash60(f"{t}#{r}") % width), 0) for r in range(depth)
+        )
+        assert est[t] == want
+        assert est[t] >= true[t]  # one-sided error
+
+
+def test_hll_vs_reference_impl(spark):
+    """Register cells, merge, and the bias-corrected estimate vs a naive
+    Python HLL with the same p and hash."""
+    p, wbits = sketch.HLL_P, 60 - sketch.HLL_P
+    m = 1 << p
+    rnd = random.Random(9)
+    vals_a = [str(rnd.randrange(10_000)) for _ in range(5000)]
+    vals_b = [str(rnd.randrange(10_000, 12_000)) for _ in range(3000)]
+
+    def py_regs(stream):
+        regs = {}
+        for v in stream:
+            h = py_hash60(v)
+            bucket = h >> wbits
+            w = h % (1 << wbits)
+            rho = (wbits + 1) if w == 0 else (wbits + 1 - w.bit_length())
+            regs[bucket] = max(regs.get(bucket, 0), rho)
+        return regs
+
+    df_a = spark.createDataFrame([(v,) for v in vals_a], "v string")
+    df_b = spark.createDataFrame([(v,) for v in vals_b], "v string")
+    cells_a = sketch.hll_cells(df_a, "v")
+    got_a = {r.bucket: r.max_rho for r in cells_a.collect()}
+    assert got_a == py_regs(vals_a)
+
+    merged = sketch.hll_merge(cells_a, sketch.hll_cells(df_b, "v"))
+    regs = py_regs(vals_a + vals_b)
+    got_m = {r.bucket: r.max_rho for r in merged.collect()}
+    assert got_m == regs
+
+    est_row = sketch.hll_estimate(merged).collect()[0]
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    z = sum(2.0 ** -r for r in regs.values()) + (m - len(regs))
+    raw = alpha * m * m / z
+    v0 = m - len(regs)
+    want = m * math.log(m / v0) if (raw <= 2.5 * m and v0 > 0) else raw
+    assert est_row.n_set == len(regs)
+    assert est_row.register_sum == sum(regs.values())
+    assert abs(est_row.est_distinct - round(want, 2)) < 1e-9
+    true_card = len(set(vals_a + vals_b))
+    assert abs(est_row.est_distinct - true_card) / true_card < 0.1
+
+
+def test_cdc_vs_reference_impl(spark):
+    """Chunk boundaries and chunk text vs a naive per-position Python
+    rolling-hash chunker, on texts with repeats, short docs, and an
+    insertion that must shift boundaries only locally."""
+    w, d = 8, 64
+
+    def py_chunks(text):
+        t = text.strip(" ").lower()
+        n = len(t)
+        if n == 0:
+            return []
+        ends = set()
+        for i in range(w, n + 1):
+            h = sum(ord(t[i - 1 - j]) * 31**j for j in range(w))
+            if h % d == 0:
+                ends.add(i)
+        ends.add(n)
+        out, prev = [], 0
+        for e in sorted(ends):
+            out.append(t[prev:e])
+            prev = e
+        return out
+
+    rnd = random.Random(17)
+    base = "".join(rnd.choice("abcdefgh ") for _ in range(400))
+    texts = [
+        base,
+        base[:200] + "INSERTED" + base[200:],  # boundaries shift locally only
+        "short",
+        "",
+        "x" * (w - 1),  # below window: single chunk
+        "  padded text with leading spaces  ",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = dedup.cdc_chunk_docs(df, "doc_id", "text", w, d).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk, r.chunk_len))
+    for i, t in enumerate(texts):
+        want = py_chunks(t)
+        have = [c for _, c, _ in sorted(got.get(i, []))]
+        assert have == want, f"doc {i}"
+        if want:
+            assert "".join(have) == t.strip(" ").lower()
+            assert [ln for _, _, ln in sorted(got[i])] == [len(c) for c in want]
+
+
+def test_ares_vs_reference_impl(spark):
+    """Top-k weighted sample per group vs naive Python A-Res with the
+    identical deterministic uniform source."""
+    k = 4
+    rnd = random.Random(23)
+    rows = [
+        (i, f"g{i % 5}", float(rnd.choice([0.5, 1.0, 2.0, 5.0])))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, w double")
+    got = {}
+    for r in prep.weighted_sample_per_group(df, "id", "grp", "w", k).collect():
+        got.setdefault(r.grp, []).append((r.rank, r.id, r.skey))
+
+    want = {}
+    for i, g, w in rows:
+        if w <= 0:
+            continue
+        u = ((i % 1000003) * 2654435761 % 1000003 + 1) / 1000004.0
+        want.setdefault(g, []).append((math.log(u) / w, i))
+    for g, scored in want.items():
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        top = [
+            (rank + 1, i, round(s, 6)) for rank, (s, i) in enumerate(scored[:k])
+        ]
+        assert sorted(got[g]) == top, g
