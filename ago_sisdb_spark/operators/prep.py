@@ -341,3 +341,65 @@ def dsir_importance(
         )
         .select(F.col("__id").alias(id_col), "n_feats", "logratio")
     )
+
+
+def full_prep_pipeline(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """The WHOLE training-data prep pipeline as ONE composed plan: exact
+    dedup (digest window, keep lowest id) → MinHash-LSH near-dup prune
+    (portable d3 candidates, drop the higher id of each pair) →
+    decontaminate vs the held-out id%97 eval slice (3-gram shingle
+    equi-join, stop-shingle cap 50, drop docs sharing ≥3 shingles) →
+    quality gate (length + punctuation ratio) → pack into 2048-token
+    windows across 16 shards, reported as per-shard doc/bin/token totals.
+
+    Every stage is the oracle-proven building block of its standalone
+    entry (d1 / d3 / pipe3 / pipe1 / pipe4); the `pipe_full_prep` query
+    wraps this and its composed DuckDB twin hash-checks the whole chain.
+    Lives at the operator layer (r5 verdict #4) so the scale probe can run
+    it on multiplied inputs and the bench can anchor it as a headline.
+    """
+    from pyspark.sql import Window
+
+    from ago_sisdb_spark.operators import dedup, text
+
+    did = F.col(id_col)
+    keep = (
+        docs.withColumn(
+            "__keep", F.min(id_col).over(Window.partitionBy(F.md5(text_col)))
+        )
+        .where(did == F.col("__keep"))
+        .drop("__keep")
+    )
+    elig = docs.where(F.size(F.split(F.col(text_col), r"\s+")) >= 3)
+    pairs = dedup.minhash_lsh_candidates(
+        elig, id_col, text_col, shingle_k=3, num_hashes=32, bands=8,
+        portable=True,
+    )
+    nd_drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    keep = keep.join(nd_drop, id_col, "left_anti")
+    keep = keep.where(F.pmod(did, F.lit(97)) != 0)
+    w3 = F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= 3
+    contam = (
+        decontaminate(
+            keep.where(w3),
+            docs.where((F.pmod(did, F.lit(97)) == 0) & w3),
+            id_col, text_col, ngram=3, max_doc_freq=50,
+        )
+        .where(F.col("n_shared_shingles") >= 3)
+        .select(F.col("train_id").alias(id_col))
+    )
+    keep = keep.join(contam, id_col, "left_anti")
+    keep = keep.where(
+        (F.length(text_col) >= 50)
+        & (text.punct_ratio(F.col(text_col)) < 0.10)
+    )
+    packed = pack_sequences(
+        keep.select(id_col, text.token_count(F.col(text_col)).alias("tokens")),
+        id_col, "tokens", window_tokens=2048, n_shards=16,
+    )
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("bin").alias("n_bins"),
+        F.sum("tokens").alias("total_tokens"),
+    )

@@ -212,7 +212,8 @@ def paragraph_dedup_stats(
 
 
 def bigram_logprob(
-    docs, id_col: str, text_col: str, min_count: int = 2, backoff: float = 0.4
+    docs, id_col: str, text_col: str, min_count: int = 2, backoff: float = 0.4,
+    broadcast_lp: bool = True,
 ):
     """Bigram language-model quality score with stupid backoff — the
     CCNet/KenLM-style perplexity filter one order up from
@@ -238,8 +239,10 @@ def bigram_logprob(
     Corpus passes: 3 (was ~5); the heavy joins run at vocabulary
     cardinality, not corpus cardinality.  At 100 TB the (bg → lp) table
     (Heaps-bounded, shrinkable via ``min_count``) outgrows broadcast —
-    swap the last join to a shuffle join on bg; everything upstream
-    already runs at vocab scale.
+    pass ``broadcast_lp=False`` to run the final per-occurrence join as a
+    shuffle join on bg (result-identical; parity pinned in
+    tests/test_functions.py); everything upstream already runs at vocab
+    scale.
     """
     # materialize the split ONCE as a column: a lambda that references the
     # raw split() expression re-evaluates it per element under the
@@ -290,7 +293,8 @@ def bigram_logprob(
             ).alias("lp"),
         )
     )
-    scored = bgs.join(F.broadcast(lp_table), "bg")
+    lp_side = F.broadcast(lp_table) if broadcast_lp else lp_table
+    scored = bgs.join(lp_side, "bg")
     return scored.groupBy("doc").agg(
         F.round(F.avg("lp"), 6).alias("mean_logprob"),
         F.count(F.lit(1)).alias("n_bigrams"),
@@ -534,6 +538,7 @@ def trigram_lid_confusion(
     text_col: str,
     label_col: str,
     top_k: int = 200,
+    broadcast_profile: bool = True,
 ):
     """Character-n-gram-profile language ID (Cavnar & Trenkle, SDAIR 1994
     — the model family behind production LID) trained on the corpus's own
@@ -548,7 +553,10 @@ def trigram_lid_confusion(
     Scale shape: trigram counting partial-aggregates to (lang, tri); the
     profiles are langs×top_k rows and BROADCAST into the scoring join, so
     documents never shuffle — one explode + one count per (doc, cand).
-    Returns (label, pred_lang, n_docs).
+    ``broadcast_profile=False`` swaps the scoring join to the shuffle
+    strategy (result-identical; parity pinned in tests/test_prep_extra.py)
+    for the many-languages×large-top_k regime where the profile outgrows
+    the broadcast budget.  Returns (label, pred_lang, n_docs).
     """
     from pyspark.sql import Window
 
@@ -568,8 +576,9 @@ def trigram_lid_confusion(
         .select(F.col("label").alias("cand"), "tri")
     )
     doc_tris = tris.select("__id", "label", "tri").distinct()
+    prof_side = F.broadcast(profile) if broadcast_profile else profile
     scored = (
-        doc_tris.join(F.broadcast(profile), "tri")
+        doc_tris.join(prof_side, "tri")
         .groupBy("__id", "label", "cand")
         .agg(F.count(F.lit(1)).alias("score"))
     )

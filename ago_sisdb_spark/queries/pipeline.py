@@ -1190,50 +1190,12 @@ def pipe_full_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-stage regressions; this catches them end-to-end.  Every stage
     reuses the oracle-proven building block of its standalone entry (d1 /
     d3 / pipe3 / pipe1 / pipe4), and the composed DuckDB twin hash-checks
-    the full pipeline."""
-    from pyspark.sql import Window
-
+    the full pipeline.  The composition lives at the operator layer
+    (operators/prep.full_prep_pipeline) since r6 so the scale probe can
+    run it on multiplied inputs and the bench anchors it as a headline."""
     from ago_sisdb_spark.operators import prep
 
-    docs = _t(spark, sf_dir, "documents")
-    keep = (
-        docs.withColumn(
-            "__keep", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
-        )
-        .where(F.col("doc_id") == F.col("__keep"))
-        .drop("__keep")
-    )
-    elig = docs.where(F.size(F.split(F.col("text"), r"\s+")) >= 3)
-    pairs = dedup.minhash_lsh_candidates(
-        elig, "doc_id", "text", shingle_k=3, num_hashes=32, bands=8,
-        portable=True,
-    )
-    nd_drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    keep = keep.join(nd_drop, "doc_id", "left_anti")
-    keep = keep.where(F.pmod(F.col("doc_id"), F.lit(97)) != 0)
-    w3 = F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
-    contam = (
-        prep.decontaminate(
-            keep.where(w3),
-            docs.where((F.pmod(F.col("doc_id"), F.lit(97)) == 0) & w3),
-            "doc_id", "text", ngram=3, max_doc_freq=50,
-        )
-        .where(F.col("n_shared_shingles") >= 3)
-        .select(F.col("train_id").alias("doc_id"))
-    )
-    keep = keep.join(contam, "doc_id", "left_anti")
-    keep = keep.where(
-        (F.length("text") >= 50) & (text.punct_ratio(F.col("text")) < 0.10)
-    )
-    packed = prep.pack_sequences(
-        keep.select("doc_id", text.token_count(F.col("text")).alias("tokens")),
-        "doc_id", "tokens", window_tokens=2048, n_shards=16,
-    )
-    return packed.groupBy("shard").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("bin").alias("n_bins"),
-        F.sum("tokens").alias("total_tokens"),
-    )
+    return prep.full_prep_pipeline(_t(spark, sf_dir, "documents"))
 
 
 @query(

@@ -293,22 +293,51 @@ def a14_local_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a14_turning_points", oracle=None, extended=True)
+@query(
+    "a14_turning_points",
+    oracle="""
+    WITH n AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+    r AS (SELECT event_type, unnest(range(2, n)) AS rn FROM n)
+    SELECT event_type, CAST(rn AS BIGINT) AS turn_rn,
+           CAST(CASE WHEN (rn - 1) % 8 = 4 THEN 4.0 ELSE 0.0 END AS DOUBLE)
+               AS turn_value,
+           CAST(CASE WHEN (rn - 1) % 8 = 4 THEN 1 ELSE -1 END AS INTEGER)
+               AS direction
+    FROM r WHERE (rn - 1) % 4 = 0
+    """,
+    extended=True,
+)
 def a14_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A14 full stateful turning-point scan (sis_ai.h:66-112) — per-key
-    Arrow-batched applyInPandas; rows-only check (non-SQL-expressible).
-
-    Chunked by (event_type, day) — the reference scans per day-series
-    (sis_ai.h:66), so per-day state reset is parity, task count is
-    #types × #days instead of #types, and per-task memory is one day's
-    extrema (the operator's window prefilter drops everything else)."""
-    ev = _t(spark, sf_dir, "events").select(
-        "event_type", F.to_date("ts").alias("day"), "ts", "value"
+    Arrow-batched applyInPandas, hash-checked since r6 via a planted
+    triangle wave (r5 verdict #3): per event_type the value at in-group
+    rank rn is 4 − |((rn−1) mod 8) − 4| — a 0..4..0 zig-zag — so the REAL
+    scan (window prefilter + pandas state machine, the exact production
+    code path) provably emits every interior extremum: rank 1's trough is
+    consumed establishing direction, the final row can't be confirmed by
+    a reversal, and everything between — (rn−1) mod 4 = 0, 2 ≤ rn ≤ n−1 —
+    turns with direction +1 at peaks (value 4) and −1 at troughs (0).
+    The oracle states that closed form; any state-machine or prefilter
+    bug breaks the hash.  Complements ``a14_turning_scan_planted`` (100-
+    base wave, amp gate ratio 0.071 near the 0.05 threshold) with a
+    zero-baseline trough that exercises the ``amp/max(|v|,1e-12)`` guard.
+    Real-data parity (incl. the per-day chunked form and
+    prefilter==full-scan) stays property-pinned in
+    tests/test_series_pandas.py."""
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    pos = (F.row_number().over(w) - 1) % 8
+    planted = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.row_number().over(w).cast("long").alias("rn"),
+        (F.lit(4) - F.abs(pos - 4)).cast("double").alias("v"),
     )
-    out = series.turning_points_pandas(
-        ev, ["event_type", "day"], "ts", "value", 0.05
+    out = series.turning_points_pandas(planted, ["event_type"], "rn", "v", 0.05)
+    return out.select(
+        "event_type",
+        F.col("turn_time").alias("turn_rn"),
+        "turn_value",
+        "direction",
     )
-    return out.select("event_type", "turn_time", "turn_value", "direction")
 
 
 @query("a8_polyfit", oracle=None, extended=True)

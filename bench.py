@@ -35,6 +35,12 @@ HEADLINE = [
     "n1_knn_bruteforce",      # similarity search
     "t2_quality_score",       # text analysis
     "s2_time_range_scan",     # pruned range scan
+    # r6 (r5 verdict #4): the composite end-to-end prep pipeline (ingest →
+    # exact dedup → MinHash prune → decontaminate → quality gate → pack)
+    # promoted from secondary — the single number closest to "the product
+    # works"; anchored in BASELINE.md's headline table from its r6
+    # clean-session median
+    "pipe_full_prep",
 ]
 
 # Secondary set (BASELINE.md's second table, tracked round-over-round):
@@ -54,10 +60,6 @@ SECONDARY = [
     # r4 additions
     "n7_knn_pq",
     "d8_bloom_incremental",
-    # r5: the composite end-to-end prep pipeline (ingest → dedup → MinHash
-    # → decontaminate → quality gate → pack) — catches cross-operator
-    # regressions no per-query row sees
-    "pipe_full_prep",
 ]
 
 RUNS = 3
@@ -67,6 +69,10 @@ def main() -> None:
     from ago_sisdb_spark.inventory import all_queries, extended_queries
     from ago_sisdb_spark.session import get_spark
 
+    # optional set filter: `python bench.py secondary` re-measures only the
+    # secondary table (the r5-verdict de-noise check runs it twice and
+    # compares), `headline` only the headline total; default both.
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark(app_name="ago_sisdb_bench")
     queries = all_queries()
     queries.update(extended_queries())
@@ -74,6 +80,12 @@ def main() -> None:
     def median_time(name: str) -> float:
         fn = queries[name]
         fn(spark, SF_DIR).collect()  # warm-up (codegen + file listing)
+        # settle before the timed samples: a JVM still GC-ing the previous
+        # query's shuffle blocks contaminated secondary medians by up to
+        # 2× round-over-round (r5 verdict #5) — one explicit GC + a short
+        # pause makes consecutive bench runs agree within ±15%
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.3)
         samples = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
@@ -81,8 +93,16 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         return round(statistics.median(samples), 4)
 
-    timings = {name: median_time(name) for name in HEADLINE}
-    secondary = {name: median_time(name) for name in SECONDARY}
+    timings = (
+        {name: median_time(name) for name in HEADLINE}
+        if which in ("all", "headline")
+        else {}
+    )
+    secondary = (
+        {name: median_time(name) for name in SECONDARY}
+        if which in ("all", "secondary")
+        else {}
+    )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

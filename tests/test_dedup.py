@@ -374,6 +374,93 @@ def test_bigram_logprob_closed_form_and_ordering(spark):
     assert 3 not in out  # single-token doc has no bigrams
 
 
+def test_lsh_cap_survives_planted_skew_bucket(spark, caplog):
+    """Adversarial skew (r5 verdict #7): one degenerate boilerplate bucket
+    far over the cap must (a) complete without generating its m² pairs,
+    (b) be reported by log_drops, and (c) leave recall on the
+    non-degenerate pairs untouched."""
+    import logging
+
+    from ago_sisdb_spark.operators import dedup as D
+
+    boiler = "lorem ipsum dolor sit amet the quick brown fox jumps over"
+    normal_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(10_000 + i, boiler) for i in range(60)]  # one bucket, size 60
+    rows += [(1, f"{normal_a} pad1"), (2, f"{normal_a} pad2")]
+    rows += [(i + 100, f"unique{i} filler{i} words{i} here{i} now{i}")
+             for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    with caplog.at_level(logging.WARNING, logger="ago_sisdb_spark.operators.dedup"):
+        capped = {
+            (r.id_a, r.id_b)
+            for r in D.minhash_lsh_candidates(
+                df, "doc_id", "text", max_bucket_size=20, log_drops=True
+            ).collect()
+        }
+    # (a)+(c): no boilerplate pair survives; the normal near-dup pair does
+    assert not any(a >= 10_000 or b >= 10_000 for a, b in capped)
+    assert (1, 2) in capped
+    # (b): the sacrifice is reported, not silent
+    assert any("dropped" in rec.getMessage() for rec in caplog.records)
+
+    full = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_candidates(
+            df, "doc_id", "text", max_bucket_size=10**9
+        ).collect()
+    }
+    nd = {p for p in full if p[0] < 10_000 and p[1] < 10_000}
+    assert {p for p in capped if p[0] < 10_000 and p[1] < 10_000} == nd
+
+
+def test_bigram_logprob_broadcast_shuffle_parity(spark):
+    """The documented broadcast→shuffle fallback for the (bg → lp) table
+    (r5 verdict #6: documented but never exercised): with the broadcast
+    thresholds forced off and ``broadcast_lp=False``, the final
+    per-occurrence join runs as a shuffle join and must produce
+    byte-identical scores."""
+    import random
+
+    from ago_sisdb_spark.operators import text as T
+
+    rnd = random.Random(31)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rnd.choices(vocab, k=rnd.randint(2, 30))))
+         for i in range(120)],
+        "doc_id long, text string",
+    )
+    want = sorted(
+        (r.doc, r.mean_logprob, r.n_bigrams)
+        for r in T.bigram_logprob(docs, "doc_id", "text").collect()
+    )
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    old = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k in old:
+            spark.conf.set(k, "-1")
+        shuffled = T.bigram_logprob(
+            docs, "doc_id", "text", broadcast_lp=False
+        )
+        got = sorted(
+            (r.doc, r.mean_logprob, r.n_bigrams) for r in shuffled.collect()
+        )
+        plan = shuffled._jdf.queryExecution().executedPlan().toString()
+        # the lp join really left the broadcast strategy
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert got == want
+
+
 def test_duplicated_spans_planted_and_negative(spark):
     """Planted 16-token span shared by docs 1 and 2 at different offsets is
     flagged at the right start positions; fully-unique docs yield nothing;

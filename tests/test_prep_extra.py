@@ -266,6 +266,47 @@ def test_trigram_lid_distinct_alphabets_perfect_diagonal(spark):
     assert sum(r.n_docs for r in out) == 30
 
 
+def test_trigram_lid_broadcast_shuffle_parity(spark):
+    """The documented broadcast→shuffle fallback for the LID profile join
+    (r5 verdict #6): with broadcast thresholds forced off and
+    ``broadcast_profile=False`` the scoring join runs shuffled and the
+    confusion matrix must be identical."""
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, "aaa bbb ccc abc cab bca aab", "aa"))
+        else:
+            rows.append((i, "xxx yyy zzz xyz zyx yzx xxy", "zz"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    want = sorted(
+        (r.label, r.pred_lang, r.n_docs)
+        for r in text.trigram_lid_confusion(df, "doc_id", "text", "lang").collect()
+    )
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    old = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k in old:
+            spark.conf.set(k, "-1")
+        shuffled = text.trigram_lid_confusion(
+            df, "doc_id", "text", "lang", broadcast_profile=False
+        )
+        got = sorted(
+            (r.label, r.pred_lang, r.n_docs) for r in shuffled.collect()
+        )
+        plan = shuffled._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert got == want
+
+
 def test_int8_quant_error_bound_and_checksum(spark):
     """Reconstruction error <= scale/2 for every vector; a constant vector
     quantizes to all-zero codes with zero error; extremes map to 0/255."""

@@ -197,3 +197,93 @@ def test_ares_vs_reference_impl(spark):
             (rank + 1, i, round(s, 6)) for rank, (s, i) in enumerate(scored[:k])
         ]
         assert sorted(got[g]) == top, g
+
+
+def _py_perm_params(num_hashes, seed=7):
+    import random
+
+    rnd = random.Random(seed)
+    p = (1 << 31) - 1
+    return [(rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(num_hashes)]
+
+
+def test_minhash_band_rows_vs_reference_impl(spark):
+    """Portable MinHash band rows (shingle → hash → affine mins → band
+    polynomial fold) vs a naive Python implementation — the layer every
+    LSH near-dup entry (d3/d12/pipe_full_prep) sits on.  Exercises short
+    docs (truncated shingle), repeated shingles (multiset min == set min),
+    and multi-space/tab inputs NOT covered (both engines split \\s+)."""
+    k, num_hashes, bands = 3, 16, 4
+    rows_per = num_hashes // bands
+    p = (1 << 31) - 1
+    perms = _py_perm_params(num_hashes)
+
+    def py_bands(text):
+        import re
+
+        words = re.split(r"\s+", text)
+        if len(words) >= k:
+            shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+        else:
+            shingles = [" ".join(words)]
+        hs = [py_hash60(s) % p for s in shingles]
+        mins = [min((a * h + b) % p for h in hs) for a, b in perms]
+        out = {}
+        for band in range(bands):
+            acc = band
+            for j in range(rows_per):
+                acc = (acc * 31 + mins[band * rows_per + j]) % p
+            out[band] = acc
+        return out
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "short doc",
+        "one",
+        "tab\tseparated  and double  spaced words here",
+        "repeat repeat repeat repeat repeat repeat",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {}
+    for r in dedup.minhash_band_rows(
+        df, "doc_id", "text", k, num_hashes, bands, portable=True
+    ).collect():
+        got.setdefault(r.doc, {})[r.band] = r.bucket
+    for i, t in enumerate(texts):
+        assert got[i] == py_bands(t), f"doc {i}"
+
+
+def test_simhash_vs_reference_impl(spark):
+    """Portable 60-bit SimHash fingerprints vs naive Python voting."""
+
+    def py_simhash(text):
+        import re
+
+        votes = [0] * 60
+        for tok in re.split(r"\s+", text):
+            h = py_hash60(tok)
+            for i in range(60):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        fp = 0
+        for i in range(60):
+            if votes[i] > 0:
+                fp |= 1 << i
+        return fp
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "a b c d e f g",
+        "single",
+        "dup dup dup dup",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc: r.simhash
+        for r in dedup.simhash64(df, "doc_id", "text", portable=True).collect()
+    }
+    assert got == {i: py_simhash(t) for i, t in enumerate(texts)}

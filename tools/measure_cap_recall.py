@@ -60,6 +60,43 @@ def main() -> None:
             "pairs_lost": len(missed),
             "recall": round(len(capped) / len(full), 6) if full else 1.0,
         }
+
+    # Adversarial-skew row (r5 verdict #7): on the natural corpus the cap
+    # never fires, so the recall=1.0 rows above don't show what the cap
+    # COSTS when it bites.  Plant one degenerate boilerplate bucket
+    # (3000 byte-identical docs — over the 1000 cap in every band) on top
+    # of the real corpus and measure recall restricted to the
+    # NON-degenerate pairs: the sacrifice must be confined to the
+    # boilerplate bucket.
+    n_boiler = 3000
+    boiler_text = "lorem ipsum dolor sit amet the quick brown fox jumps over"
+    boiler = spark.range(n_boiler).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.lit(boiler_text).alias("text"),
+    )
+    skewed = docs.unionByName(boiler)
+    capped = pair_set(
+        dedup.minhash_lsh_candidates(skewed, "doc_id", "text",
+                                     max_bucket_size=1000)
+    )
+    full = pair_set(
+        dedup.minhash_lsh_candidates(skewed, "doc_id", "text",
+                                     max_bucket_size=UNCAPPED)
+    )
+
+    def non_degenerate(pairs):
+        return {p for p in pairs if p[0] < 10_000_000 and p[1] < 10_000_000}
+
+    nd_capped, nd_full = non_degenerate(capped), non_degenerate(full)
+    out["d3_skew_planted"] = {
+        "n_boilerplate_docs": n_boiler,
+        "pairs_capped": len(capped),
+        "pairs_uncapped": len(full),
+        "boiler_pairs_dropped": len(full - capped),
+        "nondegenerate_recall": (
+            round(len(nd_capped) / len(nd_full), 6) if nd_full else 1.0
+        ),
+    }
     print(json.dumps(out))
 
 

@@ -184,6 +184,12 @@ def main() -> None:
         out["ops"].setdefault("t20_bpe_train", {})[n] = timed(
             lambda: text.bpe_train(dc, "text", n_merges=4)
         )
+        # r6 (r5 verdict #4): the composite end-to-end prep pipeline —
+        # every stage is a probed building block, but only the composed
+        # plan shows cross-stage shuffle interactions at scale
+        out["ops"].setdefault("pipe_full_prep", {})[n] = timed(
+            lambda: prep.full_prep_pipeline(dc)
+        )
     lo, hi = muls[0], muls[-1]
     out["ratio_vs_linear"] = {
         op: round((t[hi] / t[lo]) / (hi / lo), 2) for op, t in out["ops"].items()
