@@ -267,19 +267,15 @@ def train_centroids(
 
     base = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     for _ in range(iters):
-        assigned = (
-            base.crossJoin(F.broadcast(cent_df()))
-            .groupBy("__id")
-            .agg(
-                F.min_by(
-                    F.struct(
-                        F.col("centroid_id").alias("list_id"),
-                        F.col("__v").alias("vec"),
-                    ),
-                    -cosine(F.col("__v"), F.col("__cent")),
-                ).alias("__a")
-            )
-            .select(F.col("__a.list_id").alias("list_id"), F.col("__a.vec").alias("vec"))
+        # literal-inlined assignment (r6, see _ranked_lists_expr): each
+        # Lloyd round is a projection + the bounded means aggregate — the
+        # old crossJoin + min_by form paid a corpus-wide exchange per round
+        cent_rows = sorted(cents.items())
+        assigned = base.select(
+            F.element_at(
+                _ranked_lists_expr(F.col("__v"), cent_rows, 1), 1
+            ).alias("list_id"),
+            F.col("__v").alias("vec"),
         )
         means = (
             assigned.select("list_id", F.posexplode("vec").alias("pos", "val"))
@@ -335,6 +331,52 @@ def load_ivf_centroids(spark, path: str) -> DataFrame | None:
         return None
 
 
+def _ranked_lists_expr(vec: Column, cent_rows: list, nprobe: int) -> Column:
+    """array<bigint> of the ``nprobe`` nearest centroid ids for one vector,
+    ranked (cosine DESC, centroid_id ASC) — the centroid table inlined as
+    LITERAL arrays so list selection is a pure per-row projection.
+
+    This is the point of IVF at 100 TB: centroids are k×dim by definition
+    (driver-small), so neither assignment nor probe ranking should touch a
+    shuffle — the old crossJoin + ``min_by`` form re-aggregated the whole
+    corpus (one exchange carrying every doc's vector in a struct buffer,
+    and ``min_by`` on a struct falls back to SortAggregate, the p6 r4
+    lesson).  Literal inlining deletes that exchange: the only shuffle
+    left in ``ivf_topk`` is the candidate-sized per-probe top-k.  Ties
+    break deterministically on the lower centroid id (the old ``min_by``
+    left ties unspecified); the n2 oracle's (cos DESC, cid) ranking states
+    exactly this order.
+    """
+    scored = F.zip_with(
+        F.array(*[
+            F.array(*[F.lit(float(x)) for x in v]) for _cid, v in cent_rows
+        ]),
+        F.array(*[F.lit(int(cid)).cast("bigint") for cid, _v in cent_rows]),
+        lambda c, i: F.struct(
+            cosine(vec, c).alias("s"), i.alias("cid")
+        ),
+    )
+    ranked = F.array_sort(
+        scored,
+        lambda l, r: F.when(l["s"] > r["s"], F.lit(-1))
+        .when(l["s"] < r["s"], F.lit(1))
+        .when(l["cid"] < r["cid"], F.lit(-1))
+        .when(l["cid"] > r["cid"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    return F.transform(
+        F.slice(ranked, 1, nprobe), lambda s: s["cid"]
+    )
+
+
+def _collect_centroids(cent: DataFrame) -> list:
+    rows = cent.collect()
+    return sorted(
+        ((int(r["centroid_id"]), [float(x) for x in r["__cent"]]) for r in rows),
+        key=lambda t: t[0],
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -352,13 +394,16 @@ def ivf_topk(
 
     Centroid source, in priority order: ``centroids`` (a materialized
     index from ``build_ivf_index`` — the 100 TB serving path: train runs
-    offline, the query is a pure broadcast-join read); else
+    offline, the query only reads the k×dim table back); else
     ``train_iters>0`` Lloyd rounds inline (``train_centroids``, test/dev
     convenience); else the deterministic training-free seed (the
     ``n_centroids`` lowest-id vectors).  The query-side plan is identical
-    in all three cases: broadcast the tiny centroid set, ``min_by``
-    assignment — one corpus pass, no shuffle of vectors beyond the final
-    per-probe top-k.
+    in all three cases and (since r6) shuffle-free until the final
+    per-probe top-k: the centroid table rides into every task as literal
+    arrays (``_ranked_lists_expr``), so list assignment is a projection
+    over the corpus scan — no crossJoin, no corpus-wide aggregation
+    exchange — and candidates come from one broadcast join of the (tiny)
+    probe-list table against the assigned scan.
     """
     if centroids is not None:
         cent = centroids
@@ -372,39 +417,20 @@ def ivf_topk(
                 F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cent")
             )
         )
-    assigned = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
-        .crossJoin(F.broadcast(cent))
-        .groupBy("neighbor_id")
-        .agg(
-            F.min_by(
-                F.struct(
-                    F.col("centroid_id").alias("list_id"), F.col("__cvec").alias("vec")
-                ),
-                -cosine(F.col("__cvec"), F.col("__cent")),
-            ).alias("__a")
-        )
-        .select("neighbor_id", "__a.list_id", F.col("__a.vec").alias("__cvec"))
+    cent_rows = _collect_centroids(cent)
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+    ).withColumn(
+        "list_id",
+        F.element_at(_ranked_lists_expr(F.col("__cvec"), cent_rows, 1), 1),
     )
-    probe_lists = (
-        probes.select(
-            F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("__pvec")
-        )
-        .crossJoin(F.broadcast(cent))
-        .select(
-            "probe_id",
-            "__pvec",
-            F.col("centroid_id").alias("list_id"),
-            cosine(F.col("__pvec"), F.col("__cent")).alias("__cscore"),
-        )
-    )
-    w = Window.partitionBy("probe_id").orderBy(
-        F.col("__cscore").desc(), F.col("list_id")
-    )
-    probe_lists = (
-        probe_lists.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= nprobe)
-        .select("probe_id", "__pvec", "list_id")
+    probe_lists = probes.select(
+        F.col(probe_id_col).alias("probe_id"),
+        F.col(vec_col).alias("__pvec"),
+        F.explode(
+            _ranked_lists_expr(F.col(vec_col), cent_rows, nprobe)
+        ).alias("list_id"),
     )
     scored = (
         assigned.join(F.broadcast(probe_lists), "list_id")

@@ -692,6 +692,41 @@ def bpe_train(docs, text_col: str, n_merges: int = 6):
     )
 
 
+def bpe_merges_path(warehouse_dir: str, sf_dir: str) -> str:
+    """Stable on-disk location for a corpus's trained BPE merge table —
+    the tokenizer artifact, materialized like the IVF/PQ/MinHash indexes:
+    train once offline, serve by reading it back."""
+    import os
+
+    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    return os.path.join(warehouse_dir, "bpe_merges", tag)
+
+
+def save_bpe_merges(merges_df, path: str) -> None:
+    """Persist a ``bpe_train`` result (merge_rank, pair, merged,
+    pair_count) as the servable tokenizer artifact."""
+    merges_df.write.mode("overwrite").parquet(path)
+
+
+def load_bpe_merges(spark, path: str) -> list[tuple[str, str]] | None:
+    """Read a materialized merge table back to the ordered (pair, merged)
+    list ``bpe_encode_counts`` consumes; None if never trained."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = (
+            spark.read.schema(
+                "merge_rank long, pair string, merged string, pair_count long"
+            )
+            .parquet(path)
+            .orderBy("merge_rank")
+            .collect()
+        )
+    except AnalysisException:
+        return None
+    return [(r["pair"], r["merged"]) for r in rows] or None
+
+
 def bpe_encode_counts(docs, id_col: str, text_col: str, merges):
     """Serving half of ``bpe_train``: apply the trained merge list IN
     ORDER to every word and report per-document BPE token counts —

@@ -344,6 +344,31 @@ def test_bpe_train_closed_form_and_encode(spark):
     assert counts == {1: 2, 2: 1}  # two 'aaab' tokens; one 'ab' token
 
 
+def test_bpe_artifact_train_save_load_encode(spark, tmp_path):
+    """Tokenizer train/serve split (same pattern as the IVF/PQ indexes):
+    train → persist merge table → load → encode must equal encoding with
+    the in-memory merge list, in merge order."""
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "ab"), (3, "bbbb")], "doc_id long, text string"
+    )
+    trained = text.bpe_train(docs, "text", n_merges=4)
+    path = str(tmp_path / "merges")
+    text.save_bpe_merges(trained, path)
+    loaded = text.load_bpe_merges(spark, path)
+    in_mem = [(r.pair, r.merged) for r in trained.orderBy("merge_rank").collect()]
+    assert loaded == in_mem and len(loaded) >= 3
+    got = {
+        r.doc_id: r.n_bpe_tokens
+        for r in text.bpe_encode_counts(docs, "doc_id", "text", loaded).collect()
+    }
+    want = {
+        r.doc_id: r.n_bpe_tokens
+        for r in text.bpe_encode_counts(docs, "doc_id", "text", in_mem).collect()
+    }
+    assert got == want
+    assert text.load_bpe_merges(spark, str(tmp_path / "never")) is None
+
+
 def test_bpe_merge_boundary_and_runs(spark):
     """The two failure modes of substring-replace merge application
     (r5 verdict bug): (a) a merged symbol's rendering colliding with a

@@ -158,11 +158,19 @@ def test_ivf_index_materialize_roundtrip(spark, emb, tmp_path):
     assert sorted(map(tuple, served.collect())) == sorted(
         map(tuple, inline.collect())
     )
-    # serving plan reads the index from parquet — no LocalTableScan of
-    # driver-collected centroids, i.e. no Lloyd ran at query time
+    # r6 serve shape: the k x dim index is inlined as literals, so the
+    # query plan must contain NO assignment machinery at all — no
+    # crossJoin against a centroid relation, no min_by SortAggregate, no
+    # corpus-wide exchange before the candidate join (the only exchange
+    # left is the per-probe top-k)
     plan = served._jdf.queryExecution().optimizedPlan().toString()
-    assert "centroid_id" in plan and "parquet" in plan
-    assert "LocalRelation" not in plan
+    assert "min_by" not in plan and "Join Cross" not in plan
+    executed = (
+        served._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]  # AQE prints the plan twice
+    )
+    assert "SortAggregate" not in executed
+    assert executed.count("Exchange hashpartitioning") == 1  # final top-k only
 
 
 def test_load_ivf_centroids_missing_returns_none(spark, tmp_path):
@@ -172,8 +180,12 @@ def test_load_ivf_centroids_missing_returns_none(spark, tmp_path):
 def test_train_centroids_shape_and_convergence(spark):
     """Two tight clusters: training must move the (deliberately bad) seeds
     onto the cluster means."""
+    # b tails start at 0.1 (not 0): a zero-tail b vector scores cosine 0
+    # against BOTH bad seeds — a knife-edge tie whose (deterministic,
+    # lowest-cid) resolution parks one centroid on the symmetric midpoint,
+    # a genuine k-means local optimum rather than a training bug
     a = [[10.0, 0.0, 0.0, 0.1 * i] for i in range(8)]
-    b = [[0.0, 10.0, 0.0, 0.1 * i] for i in range(8)]
+    b = [[0.0, 10.0, 0.0, 0.1 * (i + 1)] for i in range(8)]
     rows = [(i, v) for i, v in enumerate(a + b)]
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
     cents = similarity.train_centroids(

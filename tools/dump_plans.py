@@ -20,6 +20,8 @@ NOTES = {
     "d8_bloom_incremental": "bloom bitmap and verified-dup set both broadcast; the batch shuffles once (per-doc min over probe hits, map-side combined)",
     "t15_cms_counts": "sketch cells partial-aggregate map-side (<= depth*width rows per task shuffle); the depth*width-bounded sketch is broadcast into the probe join",
     "pipe6_dsir": "two fixed-size (4096-bucket) count aggregates broadcast back into ONE scoring pass; no vocabulary table, no corpus x corpus join",
+    "pipe_full_prep": "headline since r6: digest window -> banded MinHash join -> shingle equi-join decontam -> expression gates -> per-shard packing windows, ONE composed plan; no collect, no cross join, every anti-join side bounded (AQE broadcasts the drop lists)",
+    "n4_knn_ivf": "materialized-index serve path: the trained k x dim centroid table is read back and BROADCAST into min_by assignment + nprobe ranking; no Lloyd iteration appears in the query plan",
 }
 
 HEADER = """# PLANS — executed physical plans of headline queries (sf0.1, AQE final)
