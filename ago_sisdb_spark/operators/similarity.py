@@ -274,7 +274,7 @@ def train_centroids(
         assigned = base.select(
             F.element_at(
                 _ranked_lists_expr(F.col("__v"), cent_rows, 1), 1
-            ).alias("list_id"),
+            )["cid"].alias("list_id"),
             F.col("__v").alias("vec"),
         )
         means = (
@@ -332,9 +332,10 @@ def load_ivf_centroids(spark, path: str) -> DataFrame | None:
 
 
 def _ranked_lists_expr(vec: Column, cent_rows: list, nprobe: int) -> Column:
-    """array<bigint> of the ``nprobe`` nearest centroid ids for one vector,
-    ranked (cosine DESC, centroid_id ASC) — the centroid table inlined as
-    LITERAL arrays so list selection is a pure per-row projection.
+    """array<struct<negs,cid>> of the ``nprobe`` nearest centroids for one
+    vector, ranked (cosine DESC, centroid_id ASC) — the centroid table
+    inlined as LITERAL arrays so list selection is a pure per-row
+    projection; extract ``["cid"]`` from the elements.
 
     This is the point of IVF at 100 TB: centroids are k×dim by definition
     (driver-small), so neither assignment nor probe ranking should touch a
@@ -346,27 +347,25 @@ def _ranked_lists_expr(vec: Column, cent_rows: list, nprobe: int) -> Column:
     break deterministically on the lower centroid id (the old ``min_by``
     left ties unspecified); the n2 oracle's (cos DESC, cid) ranking states
     exactly this order.
+
+    Deliberately free of outer higher-order functions: the ranking stores
+    NEGATED cosine so the default struct ``array_sort`` (ascending by
+    field order) realizes (cos DESC, cid ASC) without a comparator lambda
+    — an outer zip_with/comparator/transform lambda here trips Spark 4's
+    attribute dedup when the result feeds a self-join
+    (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND; the cosine-internal lambdas are
+    fine).
     """
-    scored = F.zip_with(
-        F.array(*[
-            F.array(*[F.lit(float(x)) for x in v]) for _cid, v in cent_rows
-        ]),
-        F.array(*[F.lit(int(cid)).cast("bigint") for cid, _v in cent_rows]),
-        lambda c, i: F.struct(
-            cosine(vec, c).alias("s"), i.alias("cid")
-        ),
-    )
-    ranked = F.array_sort(
-        scored,
-        lambda l, r: F.when(l["s"] > r["s"], F.lit(-1))
-        .when(l["s"] < r["s"], F.lit(1))
-        .when(l["cid"] < r["cid"], F.lit(-1))
-        .when(l["cid"] > r["cid"], F.lit(1))
-        .otherwise(F.lit(0)),
-    )
-    return F.transform(
-        F.slice(ranked, 1, nprobe), lambda s: s["cid"]
-    )
+    scored = F.array(*[
+        F.struct(
+            (-cosine(vec, F.array(*[F.lit(float(x)) for x in v]))).alias(
+                "negs"
+            ),
+            F.lit(int(cid)).cast("bigint").alias("cid"),
+        )
+        for cid, v in cent_rows
+    ])
+    return F.slice(F.array_sort(scored), 1, nprobe)
 
 
 def _collect_centroids(cent: DataFrame) -> list:
@@ -423,15 +422,17 @@ def ivf_topk(
         F.col(vec_col).alias("__cvec"),
     ).withColumn(
         "list_id",
-        F.element_at(_ranked_lists_expr(F.col("__cvec"), cent_rows, 1), 1),
+        F.element_at(
+            _ranked_lists_expr(F.col("__cvec"), cent_rows, 1), 1
+        )["cid"],
     )
     probe_lists = probes.select(
         F.col(probe_id_col).alias("probe_id"),
         F.col(vec_col).alias("__pvec"),
         F.explode(
             _ranked_lists_expr(F.col(vec_col), cent_rows, nprobe)
-        ).alias("list_id"),
-    )
+        ).alias("__rl"),
+    ).select("probe_id", "__pvec", F.col("__rl")["cid"].alias("list_id"))
     scored = (
         assigned.join(F.broadcast(probe_lists), "list_id")
         .where(F.col("neighbor_id") != F.col("probe_id"))
@@ -578,25 +579,24 @@ def semantic_dedup_pairs(
 
     ``centroids`` is a (centroid_id, __cent) table — the materialized
     ``build_ivf_index`` output in production, or the deterministic seed
-    table for the SQL-twinned gate entry.  Plan shape: assignment is a
-    broadcast of the tiny centroid set + ``min_by(centroid_id, -cos)``
-    (both primitives, so the argmax stays HashAggregate); candidate
-    generation shuffles only (id, list_id); vectors are joined back ONLY
-    for surviving candidate pairs, then re-checked with the exact numpy
+    table for the SQL-twinned gate entry.  Plan shape (r6, same rewrite
+    as ``ivf_topk``): the k×dim centroid table is inlined as literal
+    arrays, so assignment is a pure projection over the scan — no
+    crossJoin, no corpus-wide argmax exchange; candidate generation
+    shuffles only (id, list_id); vectors are joined back ONLY for
+    surviving candidate pairs, then re-checked with the exact numpy
     pair cosine.  Returns (id_a, id_b, list_id, cosine) pairs at or above
     ``threshold``; keep-policy (e.g. lowest id wins) is the caller's.
     """
     from ago_sisdb_spark.operators.dedup import cap_bucket_fanout
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
-    assigned = (
-        base.crossJoin(F.broadcast(centroids))
-        .groupBy("id")
-        .agg(
-            F.min_by(
-                F.col("centroid_id"), -cosine(F.col("__v"), F.col("__cent"))
-            ).alias("list_id")
-        )
+    cent_rows = _collect_centroids(centroids)
+    assigned = base.select(
+        "id",
+        F.element_at(
+            _ranked_lists_expr(F.col("__v"), cent_rows, 1), 1
+        )["cid"].alias("list_id"),
     )
     capped = cap_bucket_fanout(
         assigned, ["list_id"], max_cluster_size, log_drops, "semdedup"
