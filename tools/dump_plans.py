@@ -21,7 +21,7 @@ NOTES = {
     "t15_cms_counts": "sketch cells partial-aggregate map-side (<= depth*width rows per task shuffle); the depth*width-bounded sketch is broadcast into the probe join",
     "pipe6_dsir": "two fixed-size (4096-bucket) count aggregates broadcast back into ONE scoring pass; no vocabulary table, no corpus x corpus join",
     "pipe_full_prep": "headline since r6: digest window -> banded MinHash join -> shingle equi-join decontam -> expression gates -> per-shard packing windows, ONE composed plan; no collect, no cross join, every anti-join side bounded (AQE broadcasts the drop lists)",
-    "n4_knn_ivf": "materialized-index serve path: the trained k x dim centroid table is read back and BROADCAST into min_by assignment + nprobe ranking; no Lloyd iteration appears in the query plan",
+    "n4_knn_ivf": "materialized-index serve path (r6 shape): the trained k x dim centroid table is read back and inlined as LITERAL arrays, so list assignment is a projection over the scan — no crossJoin, no min_by aggregation exchange; the only shuffle is the per-probe top-k",
 }
 
 HEADER = """# PLANS — executed physical plans of headline queries (sf0.1, AQE final)
