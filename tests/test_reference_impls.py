@@ -287,3 +287,159 @@ def test_simhash_vs_reference_impl(spark):
         for r in dedup.simhash64(df, "doc_id", "text", portable=True).collect()
     }
     assert got == {i: py_simhash(t) for i, t in enumerate(texts)}
+
+
+def test_dsir_vs_reference_impl(spark):
+    """DSIR importance scores vs a naive Python implementation: hashed
+    unigram+bigram features, add-alpha smoothed bucket log-ratios, per-doc
+    sums — on corpora with overlapping and disjoint vocabularies."""
+    import re
+
+    n_buckets, alpha = 64, 1.0  # narrow buckets force collisions
+    rnd = random.Random(41)
+    vocab = [f"w{i}" for i in range(30)]
+    raw_rows = [
+        (i, " ".join(rnd.choices(vocab, k=rnd.randint(1, 12))))
+        for i in range(60)
+    ]
+    tgt_rows = [
+        (100 + i, " ".join(rnd.choices(vocab[:10], k=rnd.randint(2, 8))))
+        for i in range(25)
+    ]
+
+    def feats(text):
+        words = [w for w in re.split(r"\s+", text.strip().lower()) if w]
+        grams = words + [f"{a} {b}" for a, b in zip(words, words[1:])]
+        return [py_hash60(f"f#{g}") % n_buckets for g in grams]
+
+    tn, rn = {}, {}
+    t_total = r_total = 0
+    for _, t in tgt_rows:
+        for f in feats(t):
+            tn[f] = tn.get(f, 0) + 1
+            t_total += 1
+    for _, t in raw_rows:
+        for f in feats(t):
+            rn[f] = rn.get(f, 0) + 1
+            r_total += 1
+    want = {}
+    for i, t in raw_rows:
+        fs = feats(t)
+        s = sum(
+            math.log((tn.get(f, 0) + alpha) / (t_total + alpha * n_buckets))
+            - math.log((rn[f] + alpha) / (r_total + alpha * n_buckets))
+            for f in fs
+        )
+        want[i] = (len(fs), round(s, 6))
+
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_feats, r.logratio)
+        for r in prep.dsir_importance(
+            raw, tgt, "doc_id", "text", n_buckets=n_buckets, alpha=alpha
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i][0] == want[i][0], i
+        assert abs(got[i][1] - want[i][1]) <= 1e-6, i
+
+
+def test_hist_quantiles_vs_reference_impl(spark):
+    """Fixed-bin histogram quantiles vs a naive Python binning +
+    cumulative interpolation — includes a constant group and a two-value
+    group exercising the last-bin clamp."""
+    from ago_sisdb_spark.operators import sketch as sk
+
+    n_bins, qs = 8, (0.5, 0.9, 0.99)
+    rnd = random.Random(77)
+    groups = {
+        "uniform": [rnd.uniform(0, 100) for _ in range(500)],
+        "skewed": [rnd.expovariate(0.1) for _ in range(300)],
+        "const": [7.5] * 40,
+        "twoval": [1.0] * 30 + [2.0] * 10,
+    }
+
+    def py_quantiles(vals):
+        lo, hi, n = min(vals), max(vals), len(vals)
+        counts = [0] * n_bins
+        for v in vals:
+            b = 0 if hi <= lo else min(
+                int((v - lo) / (hi - lo) * n_bins), n_bins - 1
+            )
+            counts[b] += 1
+        out = {}
+        for q in qs:
+            cum = 0
+            for b, c in enumerate(counts):
+                cum += c
+                if cum >= q * n:
+                    if hi > lo:
+                        est = lo + ((b + (q * n - (cum - c)) / c) / n_bins) * (
+                            hi - lo
+                        )
+                    else:
+                        est = lo
+                    out[q] = (n, round(est, 6))
+                    break
+        return out
+
+    rows = [(g, v) for g, vals in groups.items() for v in vals]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = {
+        (r.grp, r.q): (r.n, r.est)
+        for r in sk.hist_quantiles(df, "grp", "v", qs, n_bins).collect()
+    }
+    want = {
+        (g, q): res
+        for g, vals in groups.items()
+        for q, res in py_quantiles(vals).items()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) <= 1e-6, k
+
+
+def test_duplicated_spans_vs_reference_impl(spark):
+    """Span windows, hashes, and distinct-doc frequencies vs a naive
+    Python chunker — planted shared spans at different offsets plus
+    stride-boundary and short-doc edges."""
+    import re
+
+    span, stride, min_docs = 6, 3, 2
+    # the shared run must sit at stride-aligned offsets in each doc or no
+    # window coincides (span windows are offset-relative — that blind spot
+    # is inherent to strided spans, not a bug)
+    shared = " ".join(f"s{i}" for i in range(7))
+    texts = {
+        1: f"a1 a2 a3 {shared} a4 a5",   # shared at offset 3 (≡ stride)
+        2: f"{shared} b1 b2 b3 b4 b5 b6",  # shared at offset 0
+        3: "c1 c2 c3 c4 c5 c6 c7 c8 c9",
+        4: "short doc",
+        5: f"{shared} d1",                # offset 0 again
+    }
+
+    spans = {}
+    for doc, t in texts.items():
+        words = re.split(r"\s+", t.strip())
+        for s in range(0, len(words) - span + 1, stride):
+            h = py_hash60(" ".join(words[s : s + span]))
+            spans.setdefault(h, []).append((doc, s))
+    want = set()
+    for h, occ in spans.items():
+        if len({d for d, _ in occ}) >= min_docs:
+            for d, s in occ:
+                want.add((d, s, h, len({x for x, _ in occ})))
+
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        (r.doc, r.start_tok, r.span_hash, r.n_docs_sharing)
+        for r in dedup.duplicated_spans(
+            df, "doc_id", "text", span, stride, min_docs, portable=True
+        ).collect()
+    }
+    assert got == want and len(got) > 0
