@@ -403,3 +403,95 @@ def full_prep_pipeline(docs: DataFrame, id_col: str = "doc_id",
         F.countDistinct("bin").alias("n_bins"),
         F.sum("tokens").alias("total_tokens"),
     )
+
+
+def incremental_prep_batch(
+    hist: DataFrame,
+    batch: DataFrame,
+    index: DataFrame,
+    pack_state: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared_bands: int = 2,
+    n_shards: int = 16,
+    window_tokens: int = 2048,
+) -> DataFrame:
+    """Incremental counterpart of ``full_prep_pipeline``: prep ONE new
+    batch against persisted history state, never re-processing history —
+    the shape a daily 100 TB ingest actually runs.
+
+    The three persisted artifacts it consumes:
+
+    - the history's exact-digest set (here derived from ``hist`` as a
+      digest projection; production keeps the d8 Bloom + verified-digest
+      table),
+    - the materialized MinHash band ``index``
+      (``dedup.build_minhash_index`` — no re-shingling of history), and
+    - ``pack_state``: per-shard (shard, base_tokens) totals from the
+      previous packing run, so new docs CONTINUE filling bins instead of
+      restarting at bin 0.
+
+    Stages: in-batch exact dedup (digest window, keep lowest id) →
+    anti-join digests already in history → MinHash screen of ≥3-word docs
+    against the index, dropping batch docs sharing ≥ ``min_shared_bands``
+    bands with ANY history doc → quality gate (length + punctuation, the
+    pipe1 gate) → packing windows per shard offset by ``base_tokens``.
+    Returns (shard, n_docs, n_bins, first_bin, total_tokens) — the bins a
+    training job must (re)write for this batch.
+    """
+    from pyspark.sql import Window
+
+    from ago_sisdb_spark.operators import dedup, text
+
+    did = F.col(id_col)
+    keep = (
+        batch.withColumn(
+            "__keep", F.min(id_col).over(Window.partitionBy(F.md5(text_col)))
+        )
+        .where(did == F.col("__keep"))
+        .drop("__keep")
+    )
+    hist_digests = hist.select(F.md5(text_col).alias("__digest")).distinct()
+    keep = keep.withColumn("__digest", F.md5(text_col)).join(
+        hist_digests, "__digest", "left_anti"
+    ).drop("__digest")
+    # screen the RAW batch (not the exact-survivors): hits for docs the
+    # exact stage already dropped are no-ops in the anti-join, and the
+    # unconditioned form is what the oracle twin restates
+    w3 = F.size(F.split(F.col(text_col), r"\s+")) >= 3
+    hits = dedup.minhash_screen_batch(
+        batch.where(w3), index, id_col, text_col, portable=True
+    )
+    nd = (
+        hits.where(F.col("n_shared_bands") >= min_shared_bands)
+        .select(F.col("batch_id").alias(id_col))
+        .distinct()
+    )
+    keep = keep.join(nd, id_col, "left_anti")
+    keep = keep.where(
+        (F.length(text_col) >= 50)
+        & (text.punct_ratio(F.col(text_col)) < 0.10)
+    )
+    toks = keep.select(
+        did.alias("__id"),
+        F.pmod(did, F.lit(n_shards)).cast("bigint").alias("shard"),
+        text.token_count(F.col(text_col)).cast("bigint").alias("tokens"),
+    )
+    toks = toks.join(F.broadcast(pack_state), "shard", "left").withColumn(
+        "__base", F.coalesce(F.col("base_tokens"), F.lit(0)).cast("bigint")
+    )
+    wp = (
+        Window.partitionBy("shard")
+        .orderBy("__id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.col("__base") + F.coalesce(F.sum("tokens").over(wp), F.lit(0))
+    binned = toks.withColumn(
+        "bin", F.floor(cum_before / window_tokens).cast("bigint")
+    )
+    return binned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("bin").alias("n_bins"),
+        F.min("bin").alias("first_bin"),
+        F.sum("tokens").alias("total_tokens"),
+    )

@@ -1198,6 +1198,117 @@ def pipe_full_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prep.full_prep_pipeline(_t(spark, sf_dir, "documents"))
 
 
+def _pipe8_oracle() -> str:
+    """Composed DuckDB twin of the INCREMENTAL prep batch: the d12 screen
+    oracle as a CTE + in-batch digest dedup + history-digest anti-join +
+    the pipe1 quality gate + base-offset packing windows."""
+    screen = dedup.minhash_screen_oracle_sql(
+        hist_where="t.doc_id % 3 != 0",
+        batch_where="t.doc_id % 3 = 0",
+    )
+    punct_gate = (
+        "length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g'))"
+        " / nullif(length(text), 0) < 0.10"
+    )
+    return f"""
+    WITH screen AS ({screen}),
+    h8 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 != 0),
+    b8 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+    bkeep0 AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   min(doc_id) OVER (PARTITION BY md5(text)) AS k
+            FROM b8) WHERE doc_id = k),
+    hdig AS (SELECT DISTINCT md5(text) AS d FROM h8),
+    bkeep AS (
+        SELECT * FROM bkeep0 WHERE md5(text) NOT IN (SELECT d FROM hdig)),
+    nd AS (
+        SELECT DISTINCT batch_id AS doc_id FROM screen
+        WHERE n_shared_bands >= 2),
+    kept AS (
+        SELECT doc_id, text FROM bkeep
+        WHERE doc_id NOT IN (SELECT doc_id FROM nd)
+          AND length(text) >= 50 AND {punct_gate}),
+    hkeep AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   min(doc_id) OVER (PARTITION BY md5(text)) AS k
+            FROM h8) WHERE doc_id = k
+          AND length(text) >= 50 AND {punct_gate}),
+    state AS (
+        SELECT doc_id % 16 AS shard,
+               sum(len(string_split(trim(text), ' '))) AS base
+        FROM hkeep GROUP BY 1),
+    toks AS (
+        SELECT doc_id, doc_id % 16 AS shard,
+               len(string_split(trim(text), ' ')) AS tokens
+        FROM kept),
+    binned AS (
+        SELECT t.shard, t.tokens,
+               CAST(floor((coalesce(s.base, 0) + coalesce(sum(t.tokens) OVER (
+                   PARTITION BY t.shard ORDER BY t.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+                   / 2048) AS BIGINT) AS bin
+        FROM toks t LEFT JOIN state s ON s.shard = t.shard)
+    SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+           count(DISTINCT bin) AS n_bins, min(bin) AS first_bin,
+           CAST(sum(tokens) AS BIGINT) AS total_tokens
+    FROM binned GROUP BY shard
+    """
+
+
+@query("pipe8_incremental_prep", oracle=_pipe8_oracle(), extended=True)
+def pipe8_incremental_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL end-to-end prep (operators/prep.incremental_prep_batch)
+    — the daily-ingest counterpart of `pipe_full_prep`: the doc_id%3==0
+    slice arrives as the new batch and is prepped against persisted
+    history state with NO re-processing of history: exact screening via
+    the history digest set, near-dup screening via the SAME materialized
+    MinHash band index the d12 entry builds (shared artifact, no
+    re-shingling), and packing that CONTINUES each shard's bins from the
+    history's per-shard token totals (`pack_state` — the previous run's
+    persisted output; this entry reconstructs it with the documented
+    deterministic formula: history exact-dedup + quality gates).  Output
+    (shard, n_docs, n_bins, first_bin, total_tokens) names exactly the
+    bins this batch (re)writes — first_bin > 0 proves continuation."""
+    from pyspark.sql import Window
+
+    from ago_sisdb_spark.operators import prep
+
+    docs = _t(spark, sf_dir, "documents")
+    w3 = F.size(F.split(F.col("text"), r"\s+")) >= 3
+    hist = docs.where(F.col("doc_id") % 3 != 0)
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    idx_path = dedup.minhash_index_path(warehouse, sf_dir) + "_portable"
+    index = dedup.load_minhash_index(spark, idx_path)
+    if index is None:
+        dedup.build_minhash_index(
+            hist.where(w3), "doc_id", "text", idx_path, portable=True
+        )
+        index = dedup.load_minhash_index(spark, idx_path)
+    hkeep = (
+        hist.withColumn(
+            "__k", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+        )
+        .where(F.col("doc_id") == F.col("__k"))
+        .where(
+            (F.length("text") >= 50) & (text.punct_ratio(F.col("text")) < 0.10)
+        )
+    )
+    pack_state = hkeep.groupBy(
+        F.pmod(F.col("doc_id"), F.lit(16)).cast("bigint").alias("shard")
+    ).agg(
+        F.sum(text.token_count(F.col("text"))).cast("bigint").alias(
+            "base_tokens"
+        )
+    )
+    return prep.incremental_prep_batch(
+        hist, batch, index, pack_state, "doc_id", "text",
+        min_shared_bands=2, n_shards=16, window_tokens=2048,
+    )
+
+
 @query(
     "t7_unigram_logprob",
     oracle="""

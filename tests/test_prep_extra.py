@@ -491,6 +491,47 @@ def test_bpe_vs_independent_reference_impl(spark):
     assert {r.doc_id: r.n_bpe_tokens for r in enc} == ref_counts
 
 
+def test_incremental_prep_batch_model(spark, tmp_path):
+    """Planted incremental batch: an exact re-ingest of a history doc is
+    dropped by the digest screen, a near-dup of a history doc by the
+    MinHash screen, a short/punct-heavy doc by the quality gate, and the
+    survivor packs into a bin CONTINUING from the history's token total
+    (first_bin > 0)."""
+    from ago_sisdb_spark.operators import dedup
+
+    base = " ".join(f"tok{i}" for i in range(60))  # 60 tokens, len >= 50
+    neardup = base.replace("tok59", "changed59")
+    other = " ".join(f"alt{i}" for i in range(60))
+    hist = spark.createDataFrame(
+        [(16, base), (32, other)], "doc_id long, text string"
+    )  # both shard 0
+    batch = spark.createDataFrame(
+        [
+            (48, base),              # exact dup of history → digest screen
+            (64, neardup),           # near-dup → MinHash screen
+            (80, "short!!"),         # quality gate
+            (96, " ".join(f"new{i}" for i in range(70))),  # survivor
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    dedup.build_minhash_index(hist, "doc_id", "text", idx, portable=True)
+    index = dedup.load_minhash_index(spark, idx)
+    state = spark.createDataFrame([(0, 120)], "shard long, base_tokens long")
+    out = {
+        r.shard: r
+        for r in prep.incremental_prep_batch(
+            hist, batch, index, state, min_shared_bands=2,
+            n_shards=16, window_tokens=100,
+        ).collect()
+    }
+    assert list(out) == [0]  # every batch doc is shard 0
+    r = out[0]
+    assert r.n_docs == 1 and r.total_tokens == 70
+    # 120 base tokens / 100-token windows → survivor starts in bin 1
+    assert r.first_bin == 1 and r.n_bins == 1
+
+
 def test_cusum_detects_planted_level_shift(spark):
     """A series that jumps +10σ at midpoint: peak near the shift, flagged
     changed; a stationary series is not flagged."""
