@@ -286,6 +286,63 @@ def test_streaming_minhash_matches_batch(spark, tmp_path):
     assert not any(b == 101 for b, _ in got)
 
 
+def test_streaming_ingest_prep_matches_batch(spark, tmp_path):
+    """The production streaming-ingest wiring: a file stream of new docs
+    driven through ``foreachBatch`` → ``incremental_prep_batch`` against
+    the persisted artifacts (digest history, MinHash band index, pack
+    state) must produce exactly the batch entry's result.  No extra glue
+    code needed — the batch operator IS the micro-batch body; multi-batch
+    runs update pack_state between triggers (caller-owned, like the index
+    append)."""
+    from ago_sisdb_spark.operators import dedup, prep
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    hist = spark.createDataFrame(
+        [(1, base), (2, " ".join(f"alt{i}" for i in range(55)))],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(3, base), (48, " ".join(f"new{i}" for i in range(70))),
+         (49, " ".join(f"other{i}" for i in range(52)))],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    dedup.build_minhash_index(hist, "doc_id", "text", idx, portable=True)
+    index = dedup.load_minhash_index(spark, idx)
+    state = spark.createDataFrame(
+        [(0, 115), (1, 10)], "shard long, base_tokens long"
+    )
+
+    want = sorted(
+        map(tuple, prep.incremental_prep_batch(
+            hist, batch, index, state, window_tokens=100
+        ).collect())
+    )
+
+    src = str(tmp_path / "src")
+    batch.coalesce(1).write.parquet(src)
+    results = {}
+
+    def sink(bdf, epoch_id):
+        results[epoch_id] = sorted(
+            map(tuple, prep.incremental_prep_batch(
+                hist, bdf, index, state, window_tokens=100
+            ).collect())
+        )
+
+    q = (
+        spark.readStream.schema("doc_id long, text string").parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = [v for v in results.values() if v]
+    assert got == [want] and len(want) >= 2
+
+
 def test_streaming_minhash_dead_bucket_matches_batch_drop(spark, tmp_path):
     """A bucket that exceeds max_bucket_size goes DEAD and never emits
     again — the streaming form of cap_bucket_fanout's drop-the-bucket
