@@ -671,9 +671,9 @@ def n3_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t1_token_count",
-    oracle="""
+    oracle=r"""
     SELECT doc_id,
-           len(string_split(trim(text), ' ')) AS n_tokens,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens,
            length(text) AS n_chars_actual,
            n_chars
     FROM documents
@@ -693,10 +693,10 @@ def t1_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t2_quality_score",
-    oracle="""
+    oracle=r"""
     WITH t AS (
       SELECT doc_id, text,
-             list_transform(string_split(trim(text), ' '), w -> length(w)) AS wlens,
+             list_transform(string_split_regex(trim(text), '\s+'), w -> length(w)) AS wlens,
              length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) AS n_punct,
              length(text) AS n_chars2
       FROM documents)
@@ -747,11 +747,11 @@ def t3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t4_fingerprint",
-    oracle="""
+    oracle=r"""
     SELECT doc_id,
            list_reduce(
              list_prepend(CAST(0 AS BIGINT),
-               list_transform(string_split(trim(text), ' '),
+               list_transform(string_split_regex(trim(text), '\s+'),
                  w -> CAST(length(w) * 131 + ascii(substring(w, 1, 1)) AS BIGINT))),
              (acc, x) -> (acc * 31 + x) % 2147483647) AS fingerprint
     FROM documents
@@ -767,7 +767,7 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipe1_training_data_filter",
-    oracle="""
+    oracle=r"""
     WITH kept AS (
         SELECT doc_id, text, lang,
                min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
@@ -778,7 +778,7 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            count(*) AS n_docs,
-           CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
+           CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
            round(avg(length(text)), 4) AS avg_chars
     FROM kept WHERE doc_id = keep_id
     GROUP BY lang
@@ -813,7 +813,7 @@ def pipe1_training_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
                AS n_bpe_tokens,
-           len(string_split(trim(text), ' ')) AS n_ws_tokens
+           len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens
     FROM documents
     """,
     extended=True,
@@ -1001,18 +1001,18 @@ _SH3 = """list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 0) +
 
 @query(
     "pipe3_decontam",
-    oracle=f"""
+    oracle=rf"""
     WITH tr0 AS (
         SELECT DISTINCT doc_id AS doc, unnest(list_distinct({_SH3})) AS shingle
         FROM documents
-        WHERE doc_id % 97 != 0 AND len(string_split(trim(text), ' ')) >= 3),
+        WHERE doc_id % 97 != 0 AND len(string_split_regex(trim(text), '\s+')) >= 3),
     keep AS (
         SELECT shingle FROM tr0 GROUP BY shingle HAVING count(*) <= 50),
     tr AS (SELECT tr0.* FROM tr0 JOIN keep USING (shingle)),
     ev AS (
         SELECT DISTINCT unnest(list_distinct({_SH3})) AS shingle
         FROM documents
-        WHERE doc_id % 97 = 0 AND len(string_split(trim(text), ' ')) >= 3)
+        WHERE doc_id % 97 = 0 AND len(string_split_regex(trim(text), '\s+')) >= 3)
     SELECT tr.doc AS train_id, count(DISTINCT tr.shingle) AS n_shared_shingles
     FROM tr JOIN ev ON tr.shingle = ev.shingle
     GROUP BY tr.doc
@@ -1039,9 +1039,9 @@ def pipe3_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipe4_packing",
-    oracle="""
+    oracle=r"""
     WITH t AS (
-        SELECT doc_id, len(string_split(trim(text), ' ')) AS tokens,
+        SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS tokens,
                doc_id % 8 AS shard
         FROM documents),
     c AS (
@@ -1131,7 +1131,7 @@ def _pipe_full_oracle() -> str:
         "length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g'))"
         " / nullif(length(text), 0) < 0.10"
     )
-    return f"""
+    return rf"""
     WITH nd_pairs AS ({minhash}),
     dedup_keep AS (
         SELECT doc_id, text FROM (
@@ -1145,14 +1145,14 @@ def _pipe_full_oracle() -> str:
           AND doc_id NOT IN (SELECT doc_id FROM nd_drop)),
     tr0 AS (
         SELECT DISTINCT doc_id AS doc, unnest(list_distinct({_SH3})) AS shingle
-        FROM pre WHERE len(string_split(trim(text), ' ')) >= 3),
+        FROM pre WHERE len(string_split_regex(trim(text), '\s+')) >= 3),
     keepsh AS (
         SELECT shingle FROM tr0 GROUP BY shingle HAVING count(*) <= 50),
     tr AS (SELECT tr0.* FROM tr0 JOIN keepsh USING (shingle)),
     ev AS (
         SELECT DISTINCT unnest(list_distinct({_SH3})) AS shingle
         FROM documents
-        WHERE doc_id % 97 = 0 AND len(string_split(trim(text), ' ')) >= 3),
+        WHERE doc_id % 97 = 0 AND len(string_split_regex(trim(text), '\s+')) >= 3),
     contam AS (
         SELECT doc AS doc_id FROM tr JOIN ev USING (shingle)
         GROUP BY doc HAVING count(DISTINCT shingle) >= 3),
@@ -1163,7 +1163,7 @@ def _pipe_full_oracle() -> str:
           AND {punct_gate}),
     toks AS (
         SELECT doc_id, doc_id % 16 AS shard,
-               len(string_split(trim(text), ' ')) AS tokens
+               len(string_split_regex(trim(text), '\s+')) AS tokens
         FROM kept),
     binned AS (
         SELECT shard, tokens,
@@ -1210,7 +1210,7 @@ def _pipe8_oracle() -> str:
         "length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g'))"
         " / nullif(length(text), 0) < 0.10"
     )
-    return f"""
+    return rf"""
     WITH screen AS ({screen}),
     h8 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 != 0),
     b8 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
@@ -1237,11 +1237,11 @@ def _pipe8_oracle() -> str:
           AND length(text) >= 50 AND {punct_gate}),
     state AS (
         SELECT doc_id % 16 AS shard,
-               sum(len(string_split(trim(text), ' '))) AS base
+               sum(len(string_split_regex(trim(text), '\s+'))) AS base
         FROM hkeep GROUP BY 1),
     toks AS (
         SELECT doc_id, doc_id % 16 AS shard,
-               len(string_split(trim(text), ' ')) AS tokens
+               len(string_split_regex(trim(text), '\s+')) AS tokens
         FROM kept),
     binned AS (
         SELECT t.shard, t.tokens,
