@@ -31,11 +31,11 @@ def d1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "d2_ngram_jaccard",
-    oracle="""
+    oracle=r"""
     WITH sh AS (
         SELECT DISTINCT doc_id AS doc, unnest(list_distinct(
-            list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1) + 1),
-                i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))) AS shingle
+            list_transform(range(1, greatest(len(string_split_regex(text, '\s+')) - 1, 1) + 1),
+                i -> string_split_regex(text, '\s+')[i] || ' ' || string_split_regex(text, '\s+')[i+1]))) AS shingle
         FROM documents WHERE doc_id < 60),
     sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
     inter AS (
@@ -720,12 +720,12 @@ def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t3_lang_id",
-    oracle=f"""
+    oracle=rf"""
     WITH t AS (
       SELECT doc_id, lang,
-             len(list_intersect(list_distinct(string_split(lower(trim(text)), ' ')),
+             len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')),
                  {str(text._STOP_LIST)})) AS sw_hits,
-             len(list_distinct(string_split(lower(trim(text)), ' '))) AS n_distinct
+             len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS n_distinct
       FROM documents)
     SELECT doc_id, lang,
            CASE WHEN sw_hits / nullif(n_distinct, 0) >= 0.10
@@ -831,13 +831,13 @@ def t5_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t6_repetition_ratio",
-    oracle="""
+    oracle=r"""
     WITH g AS (
         SELECT doc_id,
-               list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
-                   i -> string_split(text,' ')[i] || ' ' ||
-                        string_split(text,' ')[i+1] || ' ' ||
-                        string_split(text,' ')[i+2]) AS grams
+               list_transform(range(1, greatest(len(string_split_regex(text, '\s+')) - 2, 0) + 1),
+                   i -> string_split_regex(text, '\s+')[i] || ' ' ||
+                        string_split_regex(text, '\s+')[i+1] || ' ' ||
+                        string_split_regex(text, '\s+')[i+2]) AS grams
         FROM documents)
     SELECT doc_id,
            len(grams) AS n_grams,
@@ -907,11 +907,11 @@ def s1_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipe2_neardup_groups",
-    oracle="""
+    oracle=r"""
     WITH RECURSIVE sh AS (
         SELECT DISTINCT doc_id AS doc, unnest(list_distinct(
-            list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1) + 1),
-                i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))) AS shingle
+            list_transform(range(1, greatest(len(string_split_regex(text, '\s+')) - 1, 1) + 1),
+                i -> string_split_regex(text, '\s+')[i] || ' ' || string_split_regex(text, '\s+')[i+1]))) AS shingle
         FROM documents WHERE doc_id < 60),
     sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
     inter AS (
@@ -994,9 +994,9 @@ def d8_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("doc_id"), "status", "is_dup")
 
 
-_SH3 = """list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
-            i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
-                 || ' ' || string_split(text,' ')[i+2])"""
+_SH3 = r"""list_transform(range(1, greatest(len(string_split_regex(text, '\s+')) - 2, 0) + 1),
+            i -> string_split_regex(text, '\s+')[i] || ' ' || string_split_regex(text, '\s+')[i+1]
+                 || ' ' || string_split_regex(text, '\s+')[i+2])"""
 
 
 @query(
@@ -1311,10 +1311,10 @@ def pipe8_incremental_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t7_unigram_logprob",
-    oracle="""
+    oracle=r"""
     WITH toks AS (
         SELECT doc_id AS doc,
-               unnest(string_split(lower(trim(text)), ' ')) AS tok
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
         FROM documents),
     vocab AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
     total AS (SELECT count(*) AS n FROM toks)
@@ -1845,10 +1845,10 @@ def s3_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t16_ppl_buckets",
-    oracle="""
+    oracle=r"""
     WITH toks AS (
         SELECT doc_id AS doc,
-               unnest(string_split(lower(trim(text)), ' ')) AS tok
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
         FROM documents),
     vocab AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
     total AS (SELECT count(*) AS n FROM toks),
@@ -2605,10 +2605,10 @@ def agg_hll_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipe7_curriculum",
-    oracle="""
+    oracle=r"""
     WITH toks AS (
         SELECT doc_id AS doc,
-               unnest(string_split(lower(trim(text)), ' ')) AS tok
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
         FROM documents),
     vocab AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
     total AS (SELECT count(*) AS n FROM toks),

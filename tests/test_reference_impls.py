@@ -443,3 +443,64 @@ def test_duplicated_spans_vs_reference_impl(spark):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_whitespace_convention_cross_engine(spark):
+    """Tabs, doubled spaces, and newlines must tokenize/shingle the same
+    in Spark and DuckDB now that every oracle uses string_split_regex
+    (the d12-class latent break: the synthetic corpus is single-spaced,
+    so only a messy corpus exercises the convention)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    texts = [
+        "plain single spaced words here",
+        "double  spaced\tand tabbed words",
+        "line\nbreaks inside the text body",
+        " leading space",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got_tokens = {
+        (r.doc_id, r.pos): r.tok
+        for r in df.select(
+            "doc_id",
+            F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok"),
+        ).collect()
+    }
+    sh = dedup.shingle_rows(df, "doc_id", "text", 3).collect()
+    got_sh = {}
+    for r in sh:
+        got_sh.setdefault(r.doc, []).append(r.shingle)
+
+    con = duckdb.connect()
+    con.register("documents", __import__("pandas").DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}
+    ))
+    want_tokens = {
+        (d, p): t
+        for d, p, t in con.sql(r"""
+            SELECT doc_id, u.i - 1 AS pos,
+                   string_split_regex(trim(text), '\s+')[u.i] AS tok
+            FROM documents,
+                 unnest(range(1, len(string_split_regex(trim(text), '\s+')) + 1))
+                     AS u(i)
+        """).fetchall()
+    }
+    assert got_tokens == want_tokens
+    want_sh = {}
+    for d, s in con.sql(r"""
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(string_split_regex(text, '\s+')) - 2, 1) + 1),
+                   i -> string_split_regex(text, '\s+')[i] || ' ' ||
+                        coalesce(string_split_regex(text, '\s+')[i+1], '') || ' ' ||
+                        coalesce(string_split_regex(text, '\s+')[i+2], ''))) AS s
+        FROM documents
+    """).fetchall():
+        want_sh.setdefault(d, []).append(s)
+    for d in got_sh:
+        if len(texts[d].split()) >= 3 and not texts[d].startswith(" "):
+            assert sorted(got_sh[d]) == sorted(want_sh[d]), d
