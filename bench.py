@@ -60,6 +60,10 @@ SECONDARY = [
     # r4 additions
     "n7_knn_pq",
     "d8_bloom_incremental",
+    # r6: the incremental batch-vs-persisted-state prep (pipe_full_prep's
+    # daily-ingest twin; measures the screen+pack serve path — the band
+    # index is built once and reused like n7's codebooks)
+    "pipe8_incremental_prep",
 ]
 
 RUNS = 3
