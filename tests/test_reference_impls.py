@@ -504,3 +504,83 @@ def test_whitespace_convention_cross_engine(spark):
     for d in got_sh:
         if len(texts[d].split()) >= 3 and not texts[d].startswith(" "):
             assert sorted(got_sh[d]) == sorted(want_sh[d]), d
+
+
+def test_minhash_oracle_on_messy_corpus(spark):
+    """Run the WHOLE d3 oracle (DuckDB) against the real operator on an
+    adversarial corpus — tabs, doubled spaces, newlines, near-dups with
+    messy separators — something the single-spaced gate corpus never
+    exercises.  Any residual tokenization-convention drift between the
+    engines shows up as a pair-set mismatch here."""
+    import duckdb
+    import pandas as pd
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick  brown fox jumps\tover the lazy dog"),  # messy dup
+        (3, "the quick brown fox jumps over the lazy cat"),
+        (4, "completely unrelated text about spark engines here"),
+        (5, "another\nmultiline near dup of nothing in\nparticular"),
+        (6, "the quick brown fox jumps over the lazy dog extra"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = sorted(
+        (r.id_a, r.id_b, r.n_shared_bands)
+        for r in dedup.minhash_lsh_candidates(
+            df, "doc_id", "text", shingle_k=3, num_hashes=32, bands=8,
+            portable=True,
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame({"doc_id": [t[0] for t in texts],
+                                   "text": [t[1] for t in texts]})
+    )
+    sql = dedup.minhash_lsh_oracle_sql(
+        "documents", "doc_id", "text", shingle_k=3, num_hashes=32, bands=8
+    )
+    want = sorted(tuple(r) for r in con.sql(sql).fetchall())
+    assert got == want
+    # the messy-separator doc MUST pair with its clean twin (the \s+
+    # convention makes their shingle sets identical)
+    assert any(a == 1 and b == 2 and n == 8 for a, b, n in got)
+
+
+def test_minhash_screen_oracle_on_messy_corpus(spark):
+    """Same adversarial check for the d12 incremental screen: index built
+    from messy history, batch screened, vs the composed DuckDB twin."""
+    import duckdb
+    import pandas as pd
+
+    texts = [
+        (1, "alpha beta gamma delta epsilon zeta eta"),
+        (2, "alpha  beta\tgamma delta epsilon zeta eta"),   # messy dup, hist
+        (4, "one two three four five six seven eight"),
+        (3, "alpha beta gamma delta epsilon zeta\ntheta"),  # batch near-dup
+        (6, "totally new words appearing only here today"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    hist = df.where("doc_id % 3 != 0")
+    batch = df.where("doc_id % 3 = 0")
+    import tempfile
+
+    idx = tempfile.mkdtemp() + "/idx"
+    dedup.build_minhash_index(hist, "doc_id", "text", idx, portable=True)
+    got = sorted(
+        (r.batch_id, r.hist_id, r.n_shared_bands)
+        for r in dedup.minhash_screen_batch(
+            batch, dedup.load_minhash_index(spark, idx), "doc_id", "text",
+            portable=True,
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame({"doc_id": [t[0] for t in texts],
+                                   "text": [t[1] for t in texts]})
+    )
+    sql = dedup.minhash_screen_oracle_sql(
+        hist_where="t.doc_id % 3 != 0", batch_where="t.doc_id % 3 = 0"
+    )
+    want = sorted(tuple(r) for r in con.sql(sql).fetchall())
+    assert got == want
+    assert any(b == 3 for b, _h, _n in got)  # the near-dup is caught
