@@ -584,3 +584,70 @@ def test_minhash_screen_oracle_on_messy_corpus(spark):
     want = sorted(tuple(r) for r in con.sql(sql).fetchall())
     assert got == want
     assert any(b == 3 for b, _h, _n in got)  # the near-dup is caught
+
+
+def test_simhash_oracle_on_messy_corpus(spark):
+    """Whole d4 oracle vs the real SimHash operator on messy separators:
+    a tab/double-space variant of a doc must fingerprint IDENTICALLY
+    (same token multiset), so the pair appears at hamming 0."""
+    import duckdb
+    import pandas as pd
+
+    texts = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha  beta\tgamma delta\nepsilon zeta eta theta"),
+        (3, "alpha beta gamma delta epsilon zeta eta iota"),
+        (4, "utterly different content occupying this slot now"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_neardup_pairs(
+            df, "doc_id", "text", max_hamming=16, bands=12, portable=True
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame({"doc_id": [t[0] for t in texts],
+                                   "text": [t[1] for t in texts]})
+    )
+    sql = dedup.simhash_pairs_oracle_sql(
+        "documents", "doc_id", "text", max_hamming=16, bands=12
+    )
+    want = sorted(tuple(r) for r in con.sql(sql).fetchall())
+    assert got == want
+    assert (1, 2, 0) in got  # messy twin at hamming 0
+
+
+def test_dup_spans_oracle_on_messy_corpus(spark):
+    """Whole d10 oracle vs the real span detector with messy separators:
+    the shared span flags at the same start offsets in both engines."""
+    import duckdb
+    import pandas as pd
+
+    shared = " ".join(f"s{i}" for i in range(8))
+    messy_shared = shared.replace(" ", "\t", 2).replace("s4 ", "s4  ")
+    texts = [
+        (1, f"{shared} a1 a2 a3 a4"),
+        (2, f"{messy_shared} b1 b2 b3 b4"),  # same tokens, messy separators
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = sorted(
+        (r.doc, r.start_tok, r.span_hash, r.n_docs_sharing)
+        for r in dedup.duplicated_spans(
+            df, "doc_id", "text", span_tokens=8, stride=4, min_docs=2,
+            portable=True,
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame({"doc_id": [t[0] for t in texts],
+                                   "text": [t[1] for t in texts]})
+    )
+    sql = dedup.duplicated_spans_oracle_sql(
+        "documents", "doc_id", "text", span_tokens=8, stride=4, min_docs=2
+    )
+    want = sorted(tuple(r) for r in con.sql(sql).fetchall())
+    assert got == want
+    assert any(d == 2 and s == 0 for d, s, _h, _n in got)  # messy span hits
