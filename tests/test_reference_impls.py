@@ -651,3 +651,33 @@ def test_dup_spans_oracle_on_messy_corpus(spark):
     want = sorted(tuple(r) for r in con.sql(sql).fetchall())
     assert got == want
     assert any(d == 2 and s == 0 for d, s, _h, _n in got)  # messy span hits
+
+
+def test_bpe_oracle_on_messy_corpus(spark):
+    """The corrected BPE trainer's full unrolled oracle vs the real merge
+    loop on a corpus with messy separators AND the r6 boundary/run
+    hazards (a merged symbol colliding with a later pair; a 6-run) —
+    every round's winning pair and count must hash-match."""
+    import duckdb
+    import pandas as pd
+
+    from ago_sisdb_spark.operators import text as T
+    from ago_sisdb_spark.queries.pipeline import _bpe_oracle
+
+    texts = [
+        (1, "ab  ab\tab abc"),
+        (2, "bc bc\nbc"),
+        (3, "bbbbbb  bbbb"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = sorted(
+        (r.merge_rank, r.pair, r.merged, r.pair_count)
+        for r in T.bpe_train(df, "text", n_merges=6).collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame({"doc_id": [t[0] for t in texts],
+                                   "text": [t[1] for t in texts]})
+    )
+    want = sorted(tuple(r) for r in con.sql(_bpe_oracle(6)).fetchall())
+    assert got == want and len(got) >= 4
