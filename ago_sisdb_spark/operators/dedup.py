@@ -895,6 +895,30 @@ def build_minhash_index(
     rows.repartition(F.col("band")).write.mode("overwrite").parquet(path)
 
 
+def append_minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    portable: bool = False,
+) -> None:
+    """Append a batch's (doc, band, bucket) rows to an existing index —
+    the per-batch half of ``build_minhash_index``'s append contract: a
+    day's ACCEPTED docs extend the history index with no rebuild and no
+    re-shingling of what's already there.  The build-time bucket cap is
+    not re-applied across old+new rows (that would require reading the
+    index); a batch that would push a bucket over the cap is the periodic
+    compaction's job, and screens remain correct either way — the cap
+    only bounds fan-out."""
+    rows = minhash_band_rows(
+        df, id_col, text_col, shingle_k, num_hashes, bands, portable=portable
+    )
+    rows.repartition(F.col("band")).write.mode("append").parquet(path)
+
+
 def load_minhash_index(spark, path: str) -> DataFrame | None:
     from pyspark.errors import AnalysisException
 

@@ -405,9 +405,132 @@ def full_prep_pipeline(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def incremental_prep_batch(
+def prep_state_paths(warehouse_dir: str, sf_dir: str) -> tuple[str, str]:
+    """Stable on-disk locations for a corpus's incremental-prep state:
+    (digest_path, pack_state_path) — siblings of the MinHash band index
+    (``dedup.minhash_index_path``), keyed by the same corpus tag."""
+    import os
+
+    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    base = os.path.join(warehouse_dir, "prep_state", tag)
+    return os.path.join(base, "digests"), os.path.join(base, "pack_state")
+
+
+def build_prep_state(
     hist: DataFrame,
+    digest_path: str,
+    pack_state_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 16,
+) -> None:
+    """One-time bootstrap of the incremental-prep state artifacts from a
+    history corpus — run ONCE, then every batch consumes the parquet and
+    ``advance_prep_state`` appends the batch's contribution.  At 100 TB
+    this is the whole point: the per-batch cost must be batch-sized, so
+    the history-sized shuffles (digest distinct, packing totals) happen
+    here exactly once, never per batch.
+
+    - ``digest_path``: distinct md5(text) of ALL history docs (the exact
+      screen drops a batch doc whose text appeared anywhere in history,
+      accepted or not — same rule as ``full_prep_pipeline`` over the
+      union).
+    - ``pack_state_path``: (shard, base_tokens) — per-shard token totals
+      of the history's accepted docs (exact-dedup keep-lowest-id + the
+      pipe1 quality gate), i.e. where each shard's packing cursor stopped.
+    """
+    from pyspark.sql import Window
+
+    from ago_sisdb_spark.operators import text
+
+    hist.select(F.md5(text_col).alias("digest")).distinct().write.mode(
+        "overwrite"
+    ).parquet(digest_path)
+    hkeep = (
+        hist.withColumn(
+            "__k", F.min(id_col).over(Window.partitionBy(F.md5(text_col)))
+        )
+        .where(F.col(id_col) == F.col("__k"))
+        .where(
+            (F.length(text_col) >= 50)
+            & (text.punct_ratio(F.col(text_col)) < 0.10)
+        )
+    )
+    (
+        hkeep.groupBy(
+            F.pmod(F.col(id_col), F.lit(n_shards)).cast("bigint").alias("shard")
+        )
+        .agg(
+            F.sum(text.token_count(F.col(text_col)))
+            .cast("bigint")
+            .alias("base_tokens")
+        )
+        .write.mode("overwrite")
+        .parquet(pack_state_path)
+    )
+
+
+def load_prep_state(
+    spark, digest_path: str, pack_state_path: str
+) -> tuple[DataFrame, DataFrame] | None:
+    """(digests, pack_state) DataFrames, or None if not yet bootstrapped."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        digests = spark.read.schema("digest string").parquet(digest_path)
+        state = spark.read.schema("shard bigint, base_tokens bigint").parquet(
+            pack_state_path
+        )
+    except AnalysisException:
+        return None
+    return digests, state
+
+
+def advance_prep_state(
+    spark,
     batch: DataFrame,
+    batch_result: DataFrame,
+    digest_path: str,
+    pack_state_path: str,
+    text_col: str = "text",
+) -> None:
+    """Append ONE processed batch's contribution to the persisted state,
+    so the next batch screens against history ∪ this batch:
+
+    - digests: the batch's distinct md5(text) values are APPENDED (parquet
+      append — no rewrite of the history-sized digest set, ever),
+    - pack_state: each shard's ``base_tokens`` advances by the batch's
+      accepted ``total_tokens`` (taken from ``batch_result``, the frame
+      ``incremental_prep_batch`` returned — ≤ n_shards rows, a bounded
+      driver reduction, then an overwrite of the shards-sized file).
+
+    The MinHash band index advances separately via
+    ``dedup.append_minhash_index`` on the batch's ACCEPTED docs (the
+    index's documented append contract).  Caller sequencing: collect any
+    results you need from ``batch_result`` before calling this — the
+    pack_state overwrite invalidates previously loaded state frames.
+    """
+    totals = {
+        int(r["shard"]): int(r["total_tokens"])
+        for r in batch_result.select("shard", "total_tokens").collect()
+    }
+    old = {
+        int(r["shard"]): int(r["base_tokens"])
+        for r in spark.read.parquet(pack_state_path).collect()
+    }
+    for s, t in totals.items():
+        old[s] = old.get(s, 0) + t
+    batch.select(F.md5(text_col).alias("digest")).distinct().write.mode(
+        "append"
+    ).parquet(digest_path)
+    spark.createDataFrame(
+        sorted(old.items()), "shard bigint, base_tokens bigint"
+    ).write.mode("overwrite").parquet(pack_state_path)
+
+
+def incremental_prep_batch(
+    batch: DataFrame,
+    digests: DataFrame,
     index: DataFrame,
     pack_state: DataFrame,
     id_col: str = "doc_id",
@@ -417,27 +540,34 @@ def incremental_prep_batch(
     window_tokens: int = 2048,
 ) -> DataFrame:
     """Incremental counterpart of ``full_prep_pipeline``: prep ONE new
-    batch against persisted history state, never re-processing history —
-    the shape a daily 100 TB ingest actually runs.
+    batch against persisted history state, never re-processing (or even
+    touching) history — the shape a daily 100 TB ingest actually runs.
 
-    The three persisted artifacts it consumes:
+    The three persisted artifacts it consumes (all parquet, bootstrapped
+    by ``build_prep_state`` / ``dedup.build_minhash_index`` and advanced
+    per batch by ``advance_prep_state`` / ``dedup.append_minhash_index``):
 
-    - the history's exact-digest set (here derived from ``hist`` as a
-      digest projection; production keeps the d8 Bloom + verified-digest
-      table),
-    - the materialized MinHash band ``index``
-      (``dedup.build_minhash_index`` — no re-shingling of history), and
+    - ``digests``: the history's exact-digest set (column ``digest``) —
+      an anti-join key set, digest-sized shuffle only,
+    - the materialized MinHash band ``index`` (no re-shingling of
+      history), and
     - ``pack_state``: per-shard (shard, base_tokens) totals from the
       previous packing run, so new docs CONTINUE filling bins instead of
       restarting at bin 0.
 
+    No parameter is the history corpus itself, so the executed plan
+    CANNOT contain a history scan — per-batch cost is O(batch) plus the
+    band-index probe (tests delete the history source before running the
+    batch to prove it).
+
     Stages: in-batch exact dedup (digest window, keep lowest id) →
-    anti-join digests already in history → MinHash screen of ≥3-word docs
-    against the index, dropping batch docs sharing ≥ ``min_shared_bands``
-    bands with ANY history doc → quality gate (length + punctuation, the
-    pipe1 gate) → packing windows per shard offset by ``base_tokens``.
-    Returns (shard, n_docs, n_bins, first_bin, total_tokens) — the bins a
-    training job must (re)write for this batch.
+    anti-join against the history digest set → MinHash screen of ≥3-word
+    docs against the index, dropping batch docs sharing ≥
+    ``min_shared_bands`` bands with ANY history doc → quality gate
+    (length + punctuation, the pipe1 gate) → packing windows per shard
+    offset by ``base_tokens``.  Returns (shard, n_docs, n_bins,
+    first_bin, total_tokens) — the bins a training job must (re)write for
+    this batch.
     """
     from pyspark.sql import Window
 
@@ -451,9 +581,13 @@ def incremental_prep_batch(
         .where(did == F.col("__keep"))
         .drop("__keep")
     )
-    hist_digests = hist.select(F.md5(text_col).alias("__digest")).distinct()
+    # no distinct on the digest side: left_anti is existence-only, so the
+    # duplicates an append-only artifact accumulates are harmless and a
+    # dedup shuffle here would be pure cost
     keep = keep.withColumn("__digest", F.md5(text_col)).join(
-        hist_digests, "__digest", "left_anti"
+        digests.select(F.col("digest").alias("__digest")),
+        "__digest",
+        "left_anti",
     ).drop("__digest")
     # screen the RAW batch (not the exact-survivors): hits for docs the
     # exact stage already dropped are no-ops in the anti-join, and the

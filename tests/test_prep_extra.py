@@ -517,11 +517,12 @@ def test_incremental_prep_batch_model(spark, tmp_path):
     idx = str(tmp_path / "idx")
     dedup.build_minhash_index(hist, "doc_id", "text", idx, portable=True)
     index = dedup.load_minhash_index(spark, idx)
+    digests = hist.select(F.md5("text").alias("digest")).distinct()
     state = spark.createDataFrame([(0, 120)], "shard long, base_tokens long")
     out = {
         r.shard: r
         for r in prep.incremental_prep_batch(
-            hist, batch, index, state, min_shared_bands=2,
+            batch, digests, index, state, min_shared_bands=2,
             n_shards=16, window_tokens=100,
         ).collect()
     }
