@@ -85,3 +85,78 @@ def topk_per_key(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def topk_global(
+    df: DataFrame,
+    score_col: str,
+    tie_col: str,
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Global top-``k`` by descending ``score_col`` (ascending ``tie_col``
+    tiebreak) WITH a 1-based ``rank_col`` — entirely window-free (r6
+    verdict #2): ``orderBy().limit(k)`` compiles to TakeOrderedAndProject
+    (per-partition partial top-k, no global sort, no all-rows
+    single-partition exchange), and the rank over the ≤k survivors comes
+    from ``array_sort`` + ``posexplode`` of ONE collected array — an
+    aggregate, not a WindowExec, so no unpartitioned-window warning and
+    no funnel however large the input.  (A constant ``partitionBy`` lit
+    would NOT work: Catalyst strips foldable partition keys and the spec
+    comes out empty anyway.)  The sort key is the lambda-free negated-
+    struct form (see ``similarity._ranked_lists_expr`` — outer HOF
+    comparators break Spark 4 self-join dedup)."""
+    lim = df.orderBy(F.desc(score_col), tie_col).limit(k)
+    row = F.struct(*[F.col(c) for c in df.columns])
+    packed = lim.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col(score_col)).alias("__neg"),
+                    F.col(tie_col).alias("__tie"),
+                    row.alias("__row"),
+                )
+            )
+        ).alias("__a")
+    )
+    return packed.select(
+        F.posexplode("__a").alias("__pos", "__s")
+    ).select(
+        (F.col("__pos") + 1).cast("long").alias(rank_col), "__s.__row.*"
+    )
+
+
+def global_rank(
+    df: DataFrame,
+    order: list[Column],
+    rank_col: str = "rank",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Total 1..N row numbering in ``order`` over the WHOLE frame without
+    the single-partition global window (r6 verdict #2's scale shape when
+    every row needs its rank, not just a top-k): range-partition by the
+    sort key so each partition owns a contiguous rank span, rank locally
+    (the window partitions by the range-partition id — defined, balanced
+    by the range sampler), and add each partition's starting offset,
+    computed as a partition-count-sized triangular self-join (``P²`` rows
+    at most — plan-side, no driver action, so the sampled range bounds
+    are computed once and reused via ReusedExchange).  At a 100 M-row
+    vocabulary this is P sorted spans instead of one executor sorting
+    everything."""
+    dfr = df.repartitionByRange(num_partitions, *order).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = dfr.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+    a, b = counts.alias("a"), counts.alias("b")
+    offsets = (
+        a.join(b, F.col("b.__pid") < F.col("a.__pid"), "left")
+        .groupBy(F.col("a.__pid").alias("__pid"))
+        .agg(F.coalesce(F.sum("b.__c"), F.lit(0)).alias("__off"))
+    )
+    w = Window.partitionBy("__pid").orderBy(*order)
+    return (
+        dfr.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, (F.col("__off") + F.col("__rn")).cast("long"))
+        .drop("__pid", "__rn", "__off")
+    )

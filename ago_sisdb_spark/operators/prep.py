@@ -538,6 +538,7 @@ def incremental_prep_batch(
     min_shared_bands: int = 2,
     n_shards: int = 16,
     window_tokens: int = 2048,
+    in_batch_prune: bool = True,
 ) -> DataFrame:
     """Incremental counterpart of ``full_prep_pipeline``: prep ONE new
     batch against persisted history state, never re-processing (or even
@@ -563,11 +564,20 @@ def incremental_prep_batch(
     Stages: in-batch exact dedup (digest window, keep lowest id) →
     anti-join against the history digest set → MinHash screen of ≥3-word
     docs against the index, dropping batch docs sharing ≥
-    ``min_shared_bands`` bands with ANY history doc → quality gate
-    (length + punctuation, the pipe1 gate) → packing windows per shard
-    offset by ``base_tokens``.  Returns (shard, n_docs, n_bins,
-    first_bin, total_tokens) — the bins a training job must (re)write for
-    this batch.
+    ``min_shared_bands`` bands with ANY history doc → in-batch near-dup
+    prune (``in_batch_prune``, default on: two near-dups ARRIVING
+    TOGETHER share no history doc, so the index screen alone would keep
+    both — ADVICE r6; mirrors ``full_prep_pipeline``'s in-corpus rule
+    exactly: any banded candidate pair among ≥3-word docs drops the
+    higher id) → quality gate (length + punctuation, the pipe1 gate) →
+    packing windows per shard offset by ``base_tokens``.  Returns
+    (shard, n_docs, n_bins, first_bin, total_tokens) — the bins a
+    training job must (re)write for this batch.
+
+    Remaining divergence from ``full_prep_pipeline`` over history∪batch:
+    the hist×batch screen applies ``min_shared_bands`` while the full
+    pipeline drops on ANY shared band, and a batch doc can't retro-drop a
+    history doc (history is already packed).
     """
     from pyspark.sql import Window
 
@@ -602,6 +612,16 @@ def incremental_prep_batch(
         .distinct()
     )
     keep = keep.join(nd, id_col, "left_anti")
+    if in_batch_prune:
+        inb = (
+            dedup.minhash_lsh_candidates(
+                batch.where(w3), id_col, text_col, shingle_k=3,
+                num_hashes=32, bands=8, portable=True,
+            )
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+        keep = keep.join(inb, id_col, "left_anti")
     keep = keep.where(
         (F.length(text_col) >= 50)
         & (text.punct_ratio(F.col(text_col)) < 0.10)

@@ -81,14 +81,17 @@ def offset_shift(
     the record at/just before ``anchor`` in series order, then step ``offset``
     records (negative = back).
 
-    row_number over the slice + an anchor aggregate joined back (broadcast)
-    — no driver round-trip.  For a single-key slice (the reference's
-    per-key read) the window is unpartitioned — fine, the slice is one
-    series.  For a multi-key slice (``gets`` on a ``*`` pattern) pass
-    ``key_cols``: the window partitions per key and each key gets its own
-    anchor, so no single partition ever funnels the whole input
-    (WindowExec's single-partition warning is the 100 TB stall this
-    avoids).
+    For a multi-key slice (``gets`` on a ``*`` pattern) pass ``key_cols``:
+    a per-key row_number window + per-key anchors joined back (broadcast)
+    — no single partition ever funnels the whole input.  The unkeyed form
+    (the reference's one-series per-key read) is window-free (r6 verdict
+    #3): the anchor splits the series into a ``<= anchor`` and a
+    ``> anchor`` side, and the addressed record is a TakeOrderedAndProject
+    ``limit`` on one side (per-partition partial top-k — no global sort,
+    no all-rows single-partition exchange, regardless of how many keys a
+    caller wrongly feeds it) finished by a 1-row ``min_by``/``max_by``
+    reduction.  Contract either way: ``order``'s leading column is
+    ``time_col`` (ascending), so the anchor split is a prefix of the sort.
     """
     from pyspark.sql import Window
 
@@ -109,15 +112,36 @@ def offset_shift(
             .select("r.*")
             .drop("__rn")
         )
-    w = Window.orderBy(*order)
-    ranked = df.withColumn("__rn", F.row_number().over(w))
-    anchor_rn = ranked.where(F.col(time_col) <= F.lit(anchor)).agg(
-        F.max("__rn").alias("__arn")
-    )
-    return (
-        ranked.join(F.broadcast(anchor_rn), ranked["__rn"] == anchor_rn["__arn"] + offset)
-        .drop("__rn", "__arn")
-    )
+    row = F.struct(*[F.col(c) for c in df.columns])
+    okey = F.struct(*order)
+    if offset > 0:
+        # offset-th record after the anchor position: ordered limit keeps
+        # ≤ offset rows, max_by picks the last of them — but only if the
+        # series really has offset rows past the anchor AND the anchor
+        # record exists (matching the row_number-join semantics)
+        lim = df.where(F.col(time_col) > F.lit(anchor)).orderBy(*order).limit(
+            offset
+        )
+        picked = lim.agg(
+            F.count(F.lit(1)).alias("__n"), F.max_by(row, okey).alias("__r")
+        ).where(F.col("__n") == offset)
+        has_anchor = df.where(F.col(time_col) <= F.lit(anchor)).agg(
+            F.count(F.lit(1)).alias("__na")
+        )
+        picked = picked.crossJoin(F.broadcast(has_anchor)).where(
+            F.col("__na") > 0
+        )
+    else:
+        # anchor record = position 1 in descending order; |offset| steps
+        # back = position |offset|+1 — the min_by of the descending limit
+        n = 1 - offset
+        lim = df.where(F.col(time_col) <= F.lit(anchor)).orderBy(
+            *[c.desc() for c in order]
+        ).limit(n)
+        picked = lim.agg(
+            F.count(F.lit(1)).alias("__n"), F.min_by(row, okey).alias("__r")
+        ).where(F.col("__n") == n)
+    return picked.select("__r.*")
 
 
 def ifprev_day_scan(df: DataFrame, time_col: str, start) -> DataFrame:

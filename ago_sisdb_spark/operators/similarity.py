@@ -370,6 +370,14 @@ def _ranked_lists_expr(vec: Column, cent_rows: list, nprobe: int) -> Column:
 
 def _collect_centroids(cent: DataFrame) -> list:
     rows = cent.collect()
+    if not rows:
+        # an empty centroid table would make _ranked_lists_expr build a
+        # zero-arg F.array(), every assignment NULL, and ivf_topk silently
+        # return no rows — fail loudly instead (ADVICE r6)
+        raise ValueError(
+            "IVF centroid table is empty — build_ivf_index produced no "
+            "centroids (empty corpus?) or the wrong path was loaded"
+        )
     return sorted(
         ((int(r["centroid_id"]), [float(x) for x in r["__cent"]]) for r in rows),
         key=lambda t: t[0],

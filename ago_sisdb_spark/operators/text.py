@@ -430,14 +430,12 @@ def bpe_pair_counts(docs, text_col: str, k: int = 40):
         ).alias("pair")
     )
     counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
-    from pyspark.sql import Window
+    from ago_sisdb_spark.operators.lastper import topk_global
 
-    w = Window.orderBy(F.desc("n"), "pair")
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("rank", "pair", "n")
-    )
+    # TakeOrderedAndProject + window-free rank over the k survivors, not a
+    # row_number window over the full pair table (r6 verdict #2 — same
+    # shape as bpe_train's pick)
+    return topk_global(counts, "n", "pair", k).select("rank", "pair", "n")
 
 
 def hashed_linear_score(

@@ -1201,10 +1201,16 @@ def pipe_full_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pipe8_oracle() -> str:
     """Composed DuckDB twin of the INCREMENTAL prep batch: the d12 screen
     oracle as a CTE + in-batch digest dedup + history-digest anti-join +
-    the pipe1 quality gate + base-offset packing windows."""
+    the in-batch near-dup prune (the d3 candidates oracle over the batch
+    slice alone) + the pipe1 quality gate + base-offset packing windows."""
     screen = dedup.minhash_screen_oracle_sql(
         hist_where="t.doc_id % 3 != 0",
         batch_where="t.doc_id % 3 = 0",
+    )
+    inbatch = dedup.minhash_lsh_oracle_sql(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0) bsub",
+        "doc_id",
+        "text",
     )
     punct_gate = (
         "length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g'))"
@@ -1225,9 +1231,12 @@ def _pipe8_oracle() -> str:
     nd AS (
         SELECT DISTINCT batch_id AS doc_id FROM screen
         WHERE n_shared_bands >= 2),
+    inb AS (
+        SELECT DISTINCT id_b AS doc_id FROM ({inbatch})),
     kept AS (
         SELECT doc_id, text FROM bkeep
         WHERE doc_id NOT IN (SELECT doc_id FROM nd)
+          AND doc_id NOT IN (SELECT doc_id FROM inb)
           AND length(text) >= 50 AND {punct_gate}),
     hkeep AS (
         SELECT doc_id, text FROM (
@@ -2504,9 +2513,11 @@ def t21_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     regression over the whole vocabulary) — natural corpora run near −1;
     a slope far off (as on this synthetic ~31-word corpus) is itself the
     signal that the vocabulary distribution is unnatural.  One
-    vocabulary-sized aggregate + a rank window + one regression
-    aggregate."""
-    from pyspark.sql import Window as W
+    vocabulary-sized aggregate + a distributed global rank
+    (lastper.global_rank — range-partitioned spans, every term ranked,
+    no single-partition window even at a 100 M-term vocabulary) + one
+    regression aggregate."""
+    from ago_sisdb_spark.operators import lastper
 
     docs = _t(spark, sf_dir, "documents")
     tok = (
@@ -2514,12 +2525,9 @@ def t21_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term")
         ).where(F.col("term") != "")
     )
-    freq = (
-        tok.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn(
-            "rank", F.row_number().over(W.orderBy(F.desc("n"), "term"))
-        )
+    freq = lastper.global_rank(
+        tok.groupBy("term").agg(F.count(F.lit(1)).alias("n")),
+        [F.desc("n"), F.col("term")],
     )
     return freq.agg(
         F.count(F.lit(1)).alias("n_terms"),

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ago_sisdb_spark.inventory import _t, query
-from ago_sisdb_spark.operators import series
+from ago_sisdb_spark.operators import lastper, series
 
 GOLDEN_SQL = "((1 + sqrt(5)) / 2)"
 
@@ -545,10 +545,29 @@ def a6_directional_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(F.when(F.col("event_type") == "click", F.col("value"))).alias("x"),
         F.avg(F.when(F.col("event_type") == "purchase", F.col("value"))).alias("y"),
     )
-    w = Window.orderBy("day")
-    s = d.select(
-        F.signum(F.col("x") - F.lag("x").over(w)).alias("dx"),
-        F.signum(F.col("y") - F.lag("y").over(w)).alias("dy"),
+    # the day-over-day lag runs over the DAY-aggregated series (one row
+    # per calendar day — bounded by the time span, not the event volume),
+    # so instead of an unpartitioned lag window (WindowExec funnel + its
+    # warning, r6 verdict #2) the whole series is collected into ONE
+    # sorted array by a partial-combined aggregate and the deltas come
+    # from zip_with over the array against itself shifted by one — the
+    # lambda is inner-only (safe; see similarity.py) and each slice is a
+    # materialized column, not re-evaluated per element
+    arr = d.agg(
+        F.array_sort(F.collect_list(F.struct("day", "x", "y"))).alias("__a")
+    )
+    pairs = arr.select(
+        F.zip_with(
+            F.expr("slice(__a, 2, size(__a) - 1)"),
+            F.expr("slice(__a, 1, size(__a) - 1)"),
+            lambda cur, prev: F.struct(
+                F.signum(cur["x"] - prev["x"]).alias("dx"),
+                F.signum(cur["y"] - prev["y"]).alias("dy"),
+            ),
+        ).alias("__d")
+    )
+    s = pairs.select(F.explode("__d").alias("__s")).select(
+        F.col("__s.dx").alias("dx"), F.col("__s.dy").alias("dy")
     )
     return s.agg(
         F.round(F.corr("dx", "dy"), 6).alias("dir_corr"),
@@ -720,11 +739,10 @@ def w5_event_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = s.select(
         F.concat_ws(">", "event_type", "e2", "e3").alias("motif")
     ).groupBy("motif").agg(F.count(F.lit(1)).alias("n"))
-    wr = Window.orderBy(F.desc("n"), "motif")
-    return (
-        c.withColumn("rank", F.row_number().over(wr).cast("long"))
-        .where(F.col("rank") <= 20)
-        .select("rank", "motif", "n")
+    # TakeOrderedAndProject + window-free rank over the 20 survivors, not
+    # a row_number window over the whole motif vocabulary (r6 verdict #2)
+    return lastper.topk_global(c, "n", "motif", 20).select(
+        "rank", "motif", "n"
     )
 
 

@@ -164,6 +164,14 @@ def streaming_minhash_screen(
 
     Emits one (id, hist_id) row per shared band; fold per-pair counts in
     ``foreachBatch`` via ``minhash_pairs_for_batch``.
+
+    State-schema note: the DEAD-bucket fix widened ``stateStructType``
+    from ``docs array<long>`` to ``docs array<long>, dead boolean``.  A
+    query restarted from a checkpoint written by the 1-field version must
+    use a FRESH checkpoint location (Spark's state store validates the
+    state schema and rejects the widening; ``screen`` also tolerates a
+    1-field tuple defensively, treating the bucket as live, in case an
+    old store is replayed through a lenient provider).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -176,11 +184,13 @@ def streaming_minhash_screen(
     def screen(key, pdfs, state):
         import pandas as pd
 
-        members, dead = (
-            (list(state.get[0]), bool(state.get[1]))
-            if state.exists
-            else ([], False)
-        )
+        if state.exists:
+            tup = state.get
+            members = list(tup[0])
+            # pre-widening checkpoints stored only `docs` — treat as live
+            dead = bool(tup[1]) if len(tup) > 1 else False
+        else:
+            members, dead = [], False
         pre = list(members)  # pairs judged vs PRE-batch membership only
         new_ids, hist_ids = [], []
         for pdf in pdfs:

@@ -42,11 +42,16 @@ def subscribe(
     pattern: str,
     sink_format: str = "memory",
     query_name: str = "subscription",
+    trigger: dict | None = None,
     **sink_options: str,
 ):
     """T1: start a subscription query over a streaming DataFrame.
 
     Returns the StreamingQuery handle; caller stops it (= ``unsub``).
+    ``trigger`` passes through to ``writeStream.trigger`` (e.g.
+    ``{"processingTime": "1 second"}`` for a fixed live cadence,
+    ``{"availableNow": True}`` for drain-and-stop backfills); default is
+    Spark's as-fast-as-possible micro-batching.
     """
     filtered = stream.where(key_pattern_filter(F.col(key_col), pattern))
     writer = (
@@ -54,6 +59,8 @@ def subscribe(
         .queryName(query_name)
         .outputMode("append")
     )
+    if trigger:
+        writer = writer.trigger(**trigger)
     for k, v in sink_options.items():
         writer = writer.option(k, v)
     return writer.start()

@@ -68,49 +68,79 @@ SECONDARY = [
 
 RUNS = 3
 
+_MODES = ("all", "headline", "secondary", "clean")
 
-def main() -> None:
+
+def _median_time(spark, queries, name: str) -> float:
+    fn = queries[name]
+    fn(spark, SF_DIR).collect()  # warm-up (codegen + file listing)
+    # settle before the timed samples: a JVM still GC-ing the previous
+    # query's shuffle blocks contaminated secondary medians by up to
+    # 2× round-over-round (r5 verdict #5) — one explicit GC + a short
+    # pause makes consecutive bench runs agree within ±15%
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(0.3)
+    samples = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).collect()
+        samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 4)
+
+
+def _run_inline(names: list[str]) -> dict[str, float]:
     from ago_sisdb_spark.inventory import all_queries, extended_queries
     from ago_sisdb_spark.session import get_spark
 
-    # optional set filter: `python bench.py secondary` re-measures only the
-    # secondary table (the r5-verdict de-noise check runs it twice and
-    # compares), `headline` only the headline total; default both.
-    which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark(app_name="ago_sisdb_bench")
     queries = all_queries()
     queries.update(extended_queries())
+    return {name: _median_time(spark, queries, name) for name in names}
 
-    def median_time(name: str) -> float:
-        fn = queries[name]
-        fn(spark, SF_DIR).collect()  # warm-up (codegen + file listing)
-        # settle before the timed samples: a JVM still GC-ing the previous
-        # query's shuffle blocks contaminated secondary medians by up to
-        # 2× round-over-round (r5 verdict #5) — one explicit GC + a short
-        # pause makes consecutive bench runs agree within ±15%
-        spark.sparkContext._jvm.System.gc()
-        time.sleep(0.3)
-        samples = []
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).collect()
-            samples.append(time.perf_counter() - t0)
-        return round(statistics.median(samples), 4)
 
-    timings = (
-        {name: median_time(name) for name in HEADLINE}
-        if which in ("all", "headline")
-        else {}
-    )
+def _run_clean(names: list[str]) -> dict[str, float]:
+    """One FRESH JVM per query (r6 verdict #5): in-sequence runs carry
+    GC debt from earlier queries, which made round-over-round headline
+    ratios drift 0.97×–1.16× on identical plans; a clean-session sample
+    per query is the adjudicable anchor.  Each child re-execs this script
+    in `_one` mode and prints {name: sec}."""
+    import subprocess
+
+    out: dict[str, float] = {}
+    for name in names:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "_one", name],
+            capture_output=True, text=True, check=True,
+        )
+        out.update(json.loads(r.stdout.strip().splitlines()[-1]))
+    return out
+
+
+def main() -> None:
+    # set filter: `python bench.py secondary` re-measures only the
+    # secondary table (the r5-verdict de-noise check runs it twice and
+    # compares), `headline` only the headline total, `clean` both sets
+    # with one fresh JVM per query; default both, in-sequence.
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which == "_one":  # internal: clean-mode child, one query per JVM
+        print(json.dumps(_run_inline([sys.argv[2]])))
+        return
+    if which not in _MODES:
+        sys.exit(
+            f"usage: python bench.py [{'|'.join(_MODES)}]  "
+            f"(got {which!r})"
+        )
+
+    runner = _run_clean if which == "clean" else _run_inline
+    timings = runner(HEADLINE) if which in ("all", "headline", "clean") else {}
     secondary = (
-        {name: median_time(name) for name in SECONDARY}
-        if which in ("all", "secondary")
-        else {}
+        runner(SECONDARY) if which in ("all", "secondary", "clean") else {}
     )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    label = "clean-session per query" if which == "clean" else "local[N]"
     out = {
-        "metric": "headline query wall time at sf (median of 3, local[N])",
+        "metric": f"headline query wall time at sf (median of 3, {label})",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,

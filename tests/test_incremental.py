@@ -524,3 +524,58 @@ def test_advance_prep_state_two_batches(spark, tmp_path):
     st_rows = {x.shard: x.base_tokens
                for x in spark.read.parquet(st).collect()}
     assert st_rows[0] == 140
+
+
+def test_streaming_minhash_screen_processing_time(spark, corpus, tmp_path):
+    """Live-path smoke for the stateful MinHash screen (r6 verdict #9):
+    under a processingTime trigger the (band, bucket) state built from a
+    batch that arrived while the query was ALREADY RUNNING screens the
+    next live arrival — the cross-micro-batch carry availableNow
+    backfills can't distinguish from a one-shot run."""
+    import time as _time
+
+    from ago_sisdb_spark.streaming.dedupe import (
+        minhash_pairs_for_batch,
+        streaming_minhash_screen,
+    )
+
+    base = " ".join(f"live{i}" for i in range(40))
+    b1 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    b2 = spark.createDataFrame(
+        [(2, base.replace("live39", "changed"))], "doc_id long, text string"
+    )
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.parquet(src)
+
+    results = []
+
+    def sink(df, epoch_id):
+        got = {
+            (r.batch_id, r.hist_id): r.n_shared_bands
+            for r in minhash_pairs_for_batch(df).collect()
+        }
+        if got:
+            results.append(got)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        streaming_minhash_screen(stream, "doc_id", "text")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline and not q.lastProgress:
+            _time.sleep(0.5)
+        # live arrival AFTER the query is up: near-dup of doc 1
+        b2.coalesce(1).write.mode("append").parquet(src)
+        deadline = _time.time() + 60
+        while _time.time() < deadline and not results:
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    assert len(results) == 1
+    pairs = results[0]
+    assert set(pairs) == {(2, 1)} and pairs[(2, 1)] >= 2

@@ -36,3 +36,41 @@ def test_topk_per_key(spark):
     out = lastper.topk_per_key(_df(spark), ["sym"], [F.col("t").desc()], 2)
     got = sorted((r.sym, r.t) for r in out.collect())
     assert got == [("A", 2), ("A", 3), ("B", 4), ("B", 5), ("C", 9)]
+
+
+def test_topk_global_rank_and_cap(spark):
+    """Window-free global top-k: rank order matches (score desc, tie asc),
+    the cap holds, and the executed plan has no WindowExec at all."""
+    rows = [(f"k{i:02d}", (i * 7) % 5) for i in range(40)]
+    df = spark.createDataFrame(rows, "name string, n long")
+    out = lastper.topk_global(df, "n", "name", 6)
+    got = [(r.rank, r.n, r.name) for r in out.collect()]
+    want = sorted(rows, key=lambda t: (-t[1], t[0]))[:6]
+    assert got == [(i + 1, n, name) for i, (name, n) in enumerate(want)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "TakeOrderedAndProject" in plan
+
+
+def test_topk_global_empty_input(spark):
+    df = spark.createDataFrame([], "name string, n long")
+    assert lastper.topk_global(df, "n", "name", 5).count() == 0
+
+
+def test_global_rank_matches_single_partition_row_number(spark):
+    """Distributed range-partitioned ranking == the single-partition
+    row_number ground truth, including heavy ties (the hapax-pile shape
+    of a Zipf vocabulary), across partition counts."""
+    rows = [(f"t{i:03d}", 1 if i < 150 else (i % 9) + 2) for i in range(200)]
+    df = spark.createDataFrame(rows, "term string, n long")
+    want = {
+        name: i + 1
+        for i, (name, _) in enumerate(
+            sorted(rows, key=lambda t: (-t[1], t[0]))
+        )
+    }
+    for p in (1, 4, 32):
+        out = lastper.global_rank(
+            df, [F.desc("n"), F.col("term")], num_partitions=p
+        )
+        got = {r.term: r.rank for r in out.collect()}
+        assert got == want, f"num_partitions={p}"

@@ -591,3 +591,39 @@ def test_curriculum_packing_orders_tiers_first(spark):
     for shard, bins in by_shard.items():
         bins.sort()
         assert bins[0][2] <= bins[-1][1] or len(bins) == 1
+
+
+def test_incremental_prep_in_batch_near_dups(spark, tmp_path):
+    """Two near-duplicates ARRIVING IN THE SAME BATCH share no history
+    doc, so the index screen alone keeps both (the ADVICE r6 gap); the
+    in-batch prune drops the higher id, mirroring full_prep_pipeline's
+    in-corpus rule.  With in_batch_prune=False the documented divergence
+    reappears (both survive)."""
+    from ago_sisdb_spark.operators import dedup
+
+    hist = spark.createDataFrame(
+        [(16, " ".join(f"old{i}" for i in range(60)))],
+        "doc_id long, text string",
+    )
+    twin = " ".join(f"pair{i}" for i in range(70))
+    batch = spark.createDataFrame(
+        [(32, twin), (64, twin.replace("pair69", "tweak"))],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    dig, st = prep.prep_state_paths(str(tmp_path), "corpus")
+    dedup.build_minhash_index(hist, "doc_id", "text", idx, portable=True)
+    prep.build_prep_state(hist, dig, st, n_shards=16)
+    digests, state = prep.load_prep_state(spark, dig, st)
+    index = dedup.load_minhash_index(spark, idx)
+
+    pruned = {r.shard: r for r in prep.incremental_prep_batch(
+        batch, digests, index, state, window_tokens=100
+    ).collect()}
+    assert pruned[0].n_docs == 1 and pruned[0].total_tokens == 70
+
+    both = {r.shard: r for r in prep.incremental_prep_batch(
+        batch, digests, index, state, window_tokens=100,
+        in_batch_prune=False,
+    ).collect()}
+    assert both[0].n_docs == 2 and both[0].total_tokens == 140

@@ -80,6 +80,14 @@ def test_offset_shift(series):
     assert [r.seq for r in fwd.collect()] == [5]
     # offset past the ends -> empty
     assert rangescan.offset_shift(series, "ts", dt(2024, 1, 2, 10), -10, _order()).count() == 0
+    # offset +n with no record at/before the anchor -> empty (the anchor
+    # itself must exist, matching the row_number-join semantics)
+    assert rangescan.offset_shift(series, "ts", dt(2023, 12, 1), 2, _order()).count() == 0
+    # the unkeyed form is window-free (r6 verdict #3): TakeOrdered limits
+    # + a 1-row min_by/max_by, never a single-partition WindowExec
+    for df in (back, fwd):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, plan
 
 
 def test_range_matrix_property_vs_model(spark):

@@ -681,3 +681,134 @@ def test_bpe_oracle_on_messy_corpus(spark):
     )
     want = sorted(tuple(r) for r in con.sql(_bpe_oracle(6)).fetchall())
     assert got == want and len(got) >= 4
+
+
+def test_bloom_vs_reference_impl(spark):
+    """Plain-Python Bloom filter (positions = hash60(md5hex#i) mod m,
+    32-bit words, mask |= 1<<(pos&31)) vs build_bloom/screen_batch on a
+    messy corpus with a DELIBERATELY tiny bitmap, so real collisions and
+    false positives occur — the bitmap must match word-for-word and every
+    verdict (incl. FP resolution via history) must match the model."""
+    from pyspark.sql import functions as F
+
+    from ago_sisdb_spark.operators import incremental
+
+    n_bits, k = 1 << 9, 3  # 512 bits: heavy load → guaranteed collisions
+    hist_texts = [f"doc {i}  tab\there {i*7}" for i in range(60)]
+    probe_texts = hist_texts[:10] + [f"unseen {j} body" for j in range(40)]
+
+    def py_positions(text):
+        d = hashlib.md5(text.encode()).hexdigest()
+        return [py_hash60(f"{d}#{i}") % n_bits for i in range(k)]
+
+    words: dict[int, int] = {}
+    for t in hist_texts:
+        for p in py_positions(t):
+            words[p >> 5] = words.get(p >> 5, 0) | (1 << (p % 32))
+
+    hist = spark.createDataFrame(
+        list(enumerate(hist_texts)), "doc_id long, text string"
+    )
+    bloom = incremental.build_bloom(hist, "text", n_bits, k)
+    assert {(r.word, r.mask) for r in bloom.collect()} == set(words.items())
+
+    def py_status(text):
+        return all(
+            (words.get(p >> 5, 0) >> (p % 32)) & 1 for p in py_positions(text)
+        )
+
+    batch = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(probe_texts)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.id: (r.status, r.is_dup)
+        for r in incremental.screen_batch(
+            batch, bloom, "doc_id", "text", n_bits, k, history=hist
+        ).collect()
+    }
+    hist_set = set(hist_texts)
+    want = {
+        1000 + i: (
+            "possible_dup" if py_status(t) else "definitely_new",
+            (t in hist_set) if py_status(t) else False,
+        )
+        for i, t in enumerate(probe_texts)
+    }
+    assert out == want
+    # the tiny bitmap must actually have produced at least one FP, or the
+    # two-tier verify path wasn't exercised
+    assert any(s == "possible_dup" and not d for s, d in want.values())
+
+
+def test_hashed_classifier_vs_reference_impl(spark):
+    """Plain-Python twin of t18's pseudo-weight scoring: feature =
+    hash60('w#'+tok) mod F, score_e6 = integer-half-up millionths of
+    mean((feature-half)/half) — exercised on a messy corpus with
+    negative, positive and near-zero scores (the fixed-point form exists
+    precisely because these land on rounding boundaries)."""
+    import re
+
+    from ago_sisdb_spark.operators import text as text_ops
+
+    texts = [
+        "plain words here",
+        "  LEADING space  and\ttabs\tinside  ",
+        "punct!!! heavy??? tokens,,, everywhere...",
+        "x",
+        "repeat repeat repeat repeat",
+        "MiXeD Case Tokens AND unicode héllo",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    nf = 2001
+    ihalf = (nf - 1) // 2
+
+    def py_score(t):
+        toks = [w for w in re.split(r"\s+", t.strip().lower()) if w]
+        feats = [py_hash60(f"w#{w}") % nf for w in toks]
+        n = len(feats)
+        num = (sum(feats) - n * ihalf) * 1_000_000
+        den = ihalf * n
+        # floor((num + den/2)/den) in exact integer arithmetic
+        return len(feats), (2 * num + den) // (2 * den)
+
+    got = {
+        r.doc_id: (r.n_toks, r.score_e6, r.keep)
+        for r in text_ops.hashed_linear_score(
+            df, "doc_id", "text", n_features=nf
+        ).collect()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        n, s = py_score(t)
+        want[i] = (n, s, s > 0)
+    assert got == want
+    assert {v[2] for v in want.values()} == {True, False}  # both classes hit
+
+
+def test_audio_windows_vs_reference_impl(spark):
+    """Plain-Python twin of m4's windowing schedule (5 s windows, 2 s hop
+    at 16 kHz, truncated tail) computed straight from the parquet's
+    n_chars — checks the window arithmetic the oracle merely restates."""
+    import pandas as pd
+
+    from ago_sisdb_spark.queries.pipeline import m4_audio_windows
+
+    sf_dir = "/root/testdata/sf0.001"
+    meta = pd.read_parquet(
+        sf_dir + "/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    want = set()
+    for doc_id, n_chars in zip(meta["doc_id"], meta["n_chars"]):
+        dur = (int(n_chars) % 30) * 16000
+        if dur <= 0:
+            continue
+        for w in range((dur - 1) // 48000 + 1):
+            want.add((int(doc_id), w, w * 48000, min(80000, dur - w * 48000)))
+    got = {
+        (r.media_id, r.win_idx, r.start_sample, r.n_samples)
+        for r in m4_audio_windows(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 100

@@ -442,3 +442,40 @@ def test_streaming_content_dedup(spark, tmp_path):
     texts = sorted(r.text for r in rows)
     assert texts == ["a different document", "the quick brown fox"]
     assert "__digest" not in spark.sql("select * from content_dedup_test").columns
+
+
+def test_subscribe_processing_time_live_arrival(spark, tick_dir, tmp_path):
+    """T1 live-path smoke (r6 verdict #9): a processingTime micro-batch
+    subscription keeps running after draining the backlog and picks up a
+    file that arrives WHILE the query is live — the `sub` semantics
+    availableNow runs can't exercise (they terminate at catch-up)."""
+    path, schema = tick_dir
+    stream = spark.readStream.schema(schema).parquet(path)
+    q = subscribe(
+        stream, "sym", "SH6*", query_name="sub_live",
+        trigger={"processingTime": "500 milliseconds"},
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("select count(*) c from sub_live").first().c >= 24:
+                break
+            time.sleep(0.5)
+        assert spark.sql("select count(*) c from sub_live").first().c == 24
+        # live arrival: a new matching file lands while the query runs
+        late = spark.createDataFrame(
+            [("SH600600", datetime(2024, 1, 1, 9, 33), 99.0, 7)],
+            schema,
+        )
+        late.coalesce(1).write.mode("append").parquet(path)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("select count(*) c from sub_live").first().c >= 25:
+                break
+            time.sleep(0.5)
+        got = spark.sql(
+            "select count(*) c from sub_live where price = 99.0"
+        ).first().c
+        assert got == 1
+    finally:
+        q.stop()

@@ -30,7 +30,9 @@ Pass criterion (reported, not asserted): time(×8)/time(×1) ≤ ~8·1.5.
 Superlinear growth flags a shape problem (e.g. a join that degenerated to
 cartesian, a bucket whose fan-out exploded).
 
-Usage: python tools/scale_probe.py [multipliers...]   (default 1 4 8)
+Usage: python tools/scale_probe.py [multipliers...] [--ops=a,b,...]
+(default multipliers 1 4 8; default ops: all).  --ops matches by prefix
+against the op keys below, so `--ops=pipe` runs pipe_full_prep + pipe8.
 Prints one JSON line; results recorded in BASELINE.md.
 """
 
@@ -84,7 +86,19 @@ def main() -> None:
     )
     from ago_sisdb_spark.operators import embed as embed_ops
 
-    muls = [int(x) for x in sys.argv[1:]] or [1, 4, 8]
+    args = sys.argv[1:]
+    ops_filter = None
+    muls = []
+    for a in args:
+        if a.startswith("--ops="):
+            ops_filter = a.split("=", 1)[1].split(",")
+        else:
+            muls.append(int(a))
+    muls = muls or [1, 4, 8]
+
+    def want(op: str) -> bool:
+        return ops_filter is None or any(op.startswith(p) for p in ops_filter)
+
     spark = get_spark(app_name="scale_probe")
     events = load_table(spark, SF_DIR, "events")
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
@@ -92,57 +106,64 @@ def main() -> None:
     n_docs_base = docs.count()
     # PQ codebooks train ONCE at base scale (the offline job); the probe
     # times the recurring serve path only
-    books = pq.train_pq_codebooks(emb, "vec_id", "embedding", 64, 8, 64, iters=2)
+    books = (
+        pq.train_pq_codebooks(emb, "vec_id", "embedding", 64, 8, 64, iters=2)
+        if want("n7_pq_serve")
+        else None
+    )
 
     out: dict = {"sf_dir": SF_DIR, "multipliers": muls, "ops": {}}
     for n in muls:
+        def probe(name, mk, n=n):
+            if want(name):
+                out["ops"].setdefault(name, {})[n] = timed(mk)
         ev = scaled(events, n, ["event_id", "user_id"]).localCheckpoint()
         dc = scaled(docs, n, ["doc_id"]).localCheckpoint()
         em = scaled(emb, n, ["vec_id"]).localCheckpoint()
-        out["ops"].setdefault("a1_ohlcv", {})[n] = timed(
+        probe("a1_ohlcv", 
             lambda: rollup.ohlcv(
                 ev, ["event_type"], "ts", "value", "1 hour", order_col="event_id"
             )
         )
-        out["ops"].setdefault("p6_last_per_key", {})[n] = timed(
+        probe("p6_last_per_key", 
             lambda: lastper.last_per_key(ev, ["user_id"], "event_id")
         )
-        out["ops"].setdefault("d1_exact_dedup", {})[n] = timed(
+        probe("d1_exact_dedup", 
             lambda: dedup.exact_dedup_groups(dc, "doc_id", "text")
         )
-        out["ops"].setdefault("d3_minhash_xx", {})[n] = timed(
+        probe("d3_minhash_xx", 
             lambda: dedup.minhash_lsh_candidates(dc, "doc_id", "text")
         )
         d6_bits = 6 + round(math.log2(n))  # occupancy-preserving tuning
-        out["ops"].setdefault("d6_embedding_lsh", {})[n] = timed(
+        probe("d6_embedding_lsh", 
             lambda: similarity.cosine_neardup_lsh(
                 em, "vec_id", "embedding", threshold=0.40, dim=64,
                 bits=d6_bits, tables=8,
             )
         )
         d8_bits = incremental.bloom_bits_for(n_docs_base * n)
-        out["ops"].setdefault("d8_bloom_screen", {})[n] = timed(
+        probe("d8_bloom_screen", 
             lambda: incremental.screen_batch(
                 docs,
                 incremental.build_bloom(dc, "text", d8_bits),
                 "doc_id", "text", d8_bits, history=dc,
             )
         )
-        out["ops"].setdefault("n7_pq_serve", {})[n] = timed(
+        probe("n7_pq_serve", 
             lambda: pq.adc_topk(
                 pq.encode_pq(em, "vec_id", "embedding", books, 64),
                 emb.where(F.col("vec_id") < 5),
                 "vec_id", "embedding", books, 64, 5,
             )
         )
-        out["ops"].setdefault("t12_bigram_lm", {})[n] = timed(
+        probe("t12_bigram_lm", 
             lambda: text.bigram_logprob(dc, "doc_id", "text")
         )
         # r5 family: CDC chunk dedup (map-only chunker + digest groupBy),
         # CMS build (shuffle bounded at depth*width), DSIR scoring (two
         # fixed-size bucket aggs + one scoring pass), A-Res weighted
         # sampling (group-keyed window)
-        out["ops"].setdefault("d11_cdc_chunks", {})[n] = timed(
+        probe("d11_cdc_chunks", 
             lambda: dedup.duplicate_chunks(dc, "doc_id", "text")
         )
         toks = (
@@ -152,10 +173,10 @@ def main() -> None:
                 ).alias("term")
             ).where(F.col("term") != "")
         )
-        out["ops"].setdefault("t15_cms_build", {})[n] = timed(
+        probe("t15_cms_build", 
             lambda: sketch.cms_build(toks, "term", 4, 2048)
         )
-        out["ops"].setdefault("pipe6_dsir", {})[n] = timed(
+        probe("pipe6_dsir", 
             lambda: prep.dsir_importance(
                 dc, dc.where(F.col("doc_id") % 7 == 0), "doc_id", "text"
             )
@@ -163,7 +184,7 @@ def main() -> None:
         sdf = dc.withColumn("grp", F.col("doc_id") % 16).withColumn(
             "w", F.length("text").cast("double")
         )
-        out["ops"].setdefault("s3_weighted_sample", {})[n] = timed(
+        probe("s3_weighted_sample", 
             lambda: prep.weighted_sample_per_group(sdf, "doc_id", "grp", "w", 10)
         )
         # late-r5 family: HLL register build (<= m rows out), NCM audit
@@ -175,20 +196,64 @@ def main() -> None:
                 "term"
             ),
         ).where(F.col("term") != "")
-        out["ops"].setdefault("hll_cells", {})[n] = timed(
+        probe("hll_cells", 
             lambda: sketch.hll_cells(toks2, "term", group_col="g")
         )
-        out["ops"].setdefault("e3_ncm_audit", {})[n] = timed(
+        probe("e3_ncm_audit", 
             lambda: embed_ops.ncm_confusion(em, "vec_id", "label", "embedding")
         )
-        out["ops"].setdefault("t20_bpe_train", {})[n] = timed(
+        probe("t20_bpe_train", 
             lambda: text.bpe_train(dc, "text", n_merges=4)
         )
         # r6 (r5 verdict #4): the composite end-to-end prep pipeline —
         # every stage is a probed building block, but only the composed
         # plan shows cross-stage shuffle interactions at scale
-        out["ops"].setdefault("pipe_full_prep", {})[n] = timed(
+        probe("pipe_full_prep",
             lambda: prep.full_prep_pipeline(dc)
+        )
+        # r7 (r6 verdict #4): the incremental batch against PERSISTED
+        # artifacts — bootstrap runs once per scale OUTSIDE the timer
+        # (it is the offline job); the probe times the recurring batch
+        # step, which must scale with the batch + index probe, never
+        # with history
+        if want("pipe8_incremental"):
+            import shutil
+            import tempfile
+
+            w3 = F.size(F.split(F.col("text"), r"\s+")) >= 3
+            hist = dc.where(F.col("doc_id") % 3 != 0)
+            batch = dc.where(F.col("doc_id") % 3 == 0)
+            tmp = tempfile.mkdtemp(prefix=f"probe_pipe8_x{n}_")
+            idxp = os.path.join(tmp, "idx")
+            digp, stp = prep.prep_state_paths(tmp, "probe")
+            dedup.build_minhash_index(
+                hist.where(w3), "doc_id", "text", idxp, portable=True
+            )
+            prep.build_prep_state(hist, digp, stp)
+            digests, state = prep.load_prep_state(spark, digp, stp)
+            index = dedup.load_minhash_index(spark, idxp)
+            probe("pipe8_incremental",
+                lambda: prep.incremental_prep_batch(
+                    batch, digests, index, state
+                )
+            )
+            shutil.rmtree(tmp, ignore_errors=True)
+        # r7 skew probe (r6 verdict #4): every doc planted into ONE shard
+        # (ids ×16 ⇒ pmod 16 = 0) vs the spread layout — the packing
+        # window's worst case; graceful = the hot-shard curve stays
+        # near-linear (one sorted span), it must not explode
+        skew = dc.select(
+            (F.col("doc_id") * 16).alias("doc_id"),
+            F.length("text").cast("bigint").alias("tokens"),
+        )
+        probe("pack_skew_one_shard",
+            lambda: prep.pack_sequences(skew, "doc_id", "tokens", 2048, 16)
+        )
+        spread = dc.select(
+            "doc_id", F.length("text").cast("bigint").alias("tokens")
+        )
+        probe("pack_spread_16_shards",
+            lambda: prep.pack_sequences(spread, "doc_id", "tokens", 2048, 16)
         )
     lo, hi = muls[0], muls[-1]
     out["ratio_vs_linear"] = {
