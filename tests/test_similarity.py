@@ -321,3 +321,42 @@ def test_ann_recall_floor_all_sfs(spark, sf_dir):
         assert len(recalls) == 5  # one row per probe, zero-filled if missed
     assert sum(by_method["ivf"]) / 5 >= 0.8, by_method["ivf"]
     assert sum(by_method["lsh"]) / 5 >= 0.8, by_method["lsh"]
+
+
+def test_ivf_assignment_variants_identical_and_shuffle_free(spark):
+    """r6 verdict #8: the numpy (Arrow matmul) assignment must reproduce
+    the literal-inlined assignment byte-for-byte on a planted config, and
+    its corpus side must stay a pure projection — ArrowEvalPython over
+    the scan with no Exchange before the per-probe top-k."""
+    import numpy as np
+
+    rnd = np.random.RandomState(7)
+    dim = 8
+    vecs = [
+        (int(i), [float(x) for x in rnd.randn(dim)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    probes = df.where(F.col("vec_id") < 3)
+
+    lit = similarity.ivf_topk(
+        df, probes, "vec_id", "embedding", "vec_id", k=5,
+        n_centroids=8, nprobe=3, train_iters=1, assign_via="literal",
+    )
+    npv = similarity.ivf_topk(
+        df, probes, "vec_id", "embedding", "vec_id", k=5,
+        n_centroids=8, nprobe=3, train_iters=1, assign_via="numpy",
+    )
+    lr = sorted((r.probe_id, r.neighbor_id, round(r.score, 12))
+                for r in lit.collect())
+    nr = sorted((r.probe_id, r.neighbor_id, round(r.score, 12))
+                for r in npv.collect())
+    assert lr == nr and len(lr) == 15
+    plan = npv._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    # auto mode picks literal at gate scale (k*dim tiny)
+    auto = similarity.ivf_topk(
+        df, probes, "vec_id", "embedding", "vec_id", k=5,
+        n_centroids=8, nprobe=3, train_iters=1,
+    )
+    aplan = auto._jdf.queryExecution().optimizedPlan().toString()
+    assert "ArrowEvalPython" not in aplan and "pythonUDF" not in aplan.lower()
