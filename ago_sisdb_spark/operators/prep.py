@@ -528,6 +528,70 @@ def advance_prep_state(
     ).write.mode("overwrite").parquet(pack_state_path)
 
 
+def screen_prep_batch(
+    batch: DataFrame,
+    digests: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared_bands: int = 2,
+    in_batch_prune: bool = True,
+) -> DataFrame:
+    """The ACCEPTED docs of one arriving batch — every screen of
+    ``incremental_prep_batch`` except packing, with the batch's columns
+    unchanged: in-batch exact dedup → history-digest anti-join → index
+    MinHash screen → in-batch near-dup prune → quality gate.  Split out
+    so ``incremental_ingest`` can both pack the survivors AND append
+    them to the artifacts without re-deriving the survivor set."""
+    from pyspark.sql import Window
+
+    from ago_sisdb_spark.operators import dedup, text
+
+    did = F.col(id_col)
+    keep = (
+        batch.withColumn(
+            "__keep", F.min(id_col).over(Window.partitionBy(F.md5(text_col)))
+        )
+        .where(did == F.col("__keep"))
+        .drop("__keep")
+    )
+    # no distinct on the digest side: left_anti is existence-only, so the
+    # duplicates an append-only artifact accumulates are harmless and a
+    # dedup shuffle here would be pure cost
+    keep = keep.withColumn("__digest", F.md5(text_col)).join(
+        digests.select(F.col("digest").alias("__digest")),
+        "__digest",
+        "left_anti",
+    ).drop("__digest")
+    # screen the RAW batch (not the exact-survivors): hits for docs the
+    # exact stage already dropped are no-ops in the anti-join, and the
+    # unconditioned form is what the oracle twin restates
+    w3 = F.size(F.split(F.col(text_col), r"\s+")) >= 3
+    hits = dedup.minhash_screen_batch(
+        batch.where(w3), index, id_col, text_col, portable=True
+    )
+    nd = (
+        hits.where(F.col("n_shared_bands") >= min_shared_bands)
+        .select(F.col("batch_id").alias(id_col))
+        .distinct()
+    )
+    keep = keep.join(nd, id_col, "left_anti")
+    if in_batch_prune:
+        inb = (
+            dedup.minhash_lsh_candidates(
+                batch.where(w3), id_col, text_col, shingle_k=3,
+                num_hashes=32, bands=8, portable=True,
+            )
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+        keep = keep.join(inb, id_col, "left_anti")
+    return keep.where(
+        (F.length(text_col) >= 50)
+        & (text.punct_ratio(F.col(text_col)) < 0.10)
+    )
+
+
 def incremental_prep_batch(
     batch: DataFrame,
     digests: DataFrame,
@@ -579,53 +643,32 @@ def incremental_prep_batch(
     pipeline drops on ANY shared band, and a batch doc can't retro-drop a
     history doc (history is already packed).
     """
+    keep = screen_prep_batch(
+        batch, digests, index, id_col, text_col,
+        min_shared_bands, in_batch_prune,
+    )
+    return _pack_report(
+        keep, pack_state, id_col, text_col, n_shards, window_tokens
+    )
+
+
+def _pack_report(
+    keep: DataFrame,
+    pack_state: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_shards: int,
+    window_tokens: int,
+) -> DataFrame:
+    """Pack ACCEPTED batch docs into per-shard bins continuing from
+    ``pack_state`` and aggregate the (shard, n_docs, n_bins, first_bin,
+    total_tokens) report — the tail of ``incremental_prep_batch``,
+    callable on an already-screened survivor frame."""
     from pyspark.sql import Window
 
-    from ago_sisdb_spark.operators import dedup, text
+    from ago_sisdb_spark.operators import text
 
     did = F.col(id_col)
-    keep = (
-        batch.withColumn(
-            "__keep", F.min(id_col).over(Window.partitionBy(F.md5(text_col)))
-        )
-        .where(did == F.col("__keep"))
-        .drop("__keep")
-    )
-    # no distinct on the digest side: left_anti is existence-only, so the
-    # duplicates an append-only artifact accumulates are harmless and a
-    # dedup shuffle here would be pure cost
-    keep = keep.withColumn("__digest", F.md5(text_col)).join(
-        digests.select(F.col("digest").alias("__digest")),
-        "__digest",
-        "left_anti",
-    ).drop("__digest")
-    # screen the RAW batch (not the exact-survivors): hits for docs the
-    # exact stage already dropped are no-ops in the anti-join, and the
-    # unconditioned form is what the oracle twin restates
-    w3 = F.size(F.split(F.col(text_col), r"\s+")) >= 3
-    hits = dedup.minhash_screen_batch(
-        batch.where(w3), index, id_col, text_col, portable=True
-    )
-    nd = (
-        hits.where(F.col("n_shared_bands") >= min_shared_bands)
-        .select(F.col("batch_id").alias(id_col))
-        .distinct()
-    )
-    keep = keep.join(nd, id_col, "left_anti")
-    if in_batch_prune:
-        inb = (
-            dedup.minhash_lsh_candidates(
-                batch.where(w3), id_col, text_col, shingle_k=3,
-                num_hashes=32, bands=8, portable=True,
-            )
-            .select(F.col("id_b").alias(id_col))
-            .distinct()
-        )
-        keep = keep.join(inb, id_col, "left_anti")
-    keep = keep.where(
-        (F.length(text_col) >= 50)
-        & (text.punct_ratio(F.col(text_col)) < 0.10)
-    )
     toks = keep.select(
         did.alias("__id"),
         F.pmod(did, F.lit(n_shards)).cast("bigint").alias("shard"),
@@ -649,3 +692,74 @@ def incremental_prep_batch(
         F.min("bin").alias("first_bin"),
         F.sum("tokens").alias("total_tokens"),
     )
+
+
+def incremental_ingest(
+    spark,
+    batch: DataFrame,
+    index_path: str,
+    digest_path: str,
+    pack_state_path: str,
+    results_path: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared_bands: int = 2,
+    n_shards: int = 16,
+    window_tokens: int = 2048,
+    in_batch_prune: bool = True,
+) -> DataFrame:
+    """One arriving batch, end to end, against the persisted artifacts —
+    AND the artifact advance, in the correct order.  This is the
+    ``foreachBatch`` body of a production streaming ingest::
+
+        def sink(bdf, epoch_id):
+            prep.incremental_ingest(
+                bdf.sparkSession, bdf, idx_path, dig_path, st_path)
+
+    Per micro-batch: load artifacts → screen (``screen_prep_batch``) →
+    pack against the current ``pack_state`` and MATERIALIZE the bin
+    report (≤ ``n_shards`` rows — collected before any artifact is
+    mutated, so the returned frame cannot observe the advanced state) →
+    append the report to ``results_path`` (if given) → append the
+    batch's digests and advance ``pack_state``
+    (``advance_prep_state``) → append the ACCEPTED docs' band rows to
+    the index (``dedup.append_minhash_index``), making the next batch
+    screen against history ∪ this batch.  The survivor set is cached
+    for the duration so screens run once, not once per artifact.
+    """
+    from ago_sisdb_spark.operators import dedup
+
+    loaded = load_prep_state(spark, digest_path, pack_state_path)
+    if loaded is None:
+        raise ValueError(
+            f"prep state not bootstrapped at {digest_path} / "
+            f"{pack_state_path} — run build_prep_state on history first"
+        )
+    digests, pack_state = loaded
+    index = dedup.load_minhash_index(spark, index_path)
+    if index is None:
+        raise ValueError(
+            f"MinHash band index missing at {index_path} — run "
+            "dedup.build_minhash_index on history first"
+        )
+    accepted = screen_prep_batch(
+        batch, digests, index, id_col, text_col,
+        min_shared_bands, in_batch_prune,
+    ).persist()
+    try:
+        report = _pack_report(
+            accepted, pack_state, id_col, text_col, n_shards, window_tokens
+        )
+        stable = spark.createDataFrame(report.collect(), report.schema)
+        if results_path is not None:
+            stable.write.mode("append").parquet(results_path)
+        advance_prep_state(
+            spark, batch, stable, digest_path, pack_state_path, text_col
+        )
+        w3 = F.size(F.split(F.col(text_col), r"\s+")) >= 3
+        dedup.append_minhash_index(
+            accepted.where(w3), id_col, text_col, index_path, portable=True
+        )
+        return stable
+    finally:
+        accepted.unpersist()

@@ -579,3 +579,75 @@ def test_streaming_minhash_screen_processing_time(spark, corpus, tmp_path):
     assert len(results) == 1
     pairs = results[0]
     assert set(pairs) == {(2, 1)} and pairs[(2, 1)] >= 2
+
+
+def test_incremental_ingest_foreachbatch_advances_state(spark, tmp_path):
+    """The production wiring in ONE call: `prep.incremental_ingest` as the
+    foreachBatch body screens each arriving file against the artifacts
+    AND advances them, so micro-batch 2 is screened against history ∪
+    micro-batch 1 with no caller-side sequencing: an exact dup of a
+    batch-1 doc dies on the appended digests, a near-dup of a batch-1
+    ACCEPTED doc dies on the appended band rows, and the survivor's bins
+    continue past batch-1's tokens.  Results parquet accumulates one
+    report per batch."""
+    import glob
+    import os
+    import time as _time
+
+    from ago_sisdb_spark.operators import dedup, prep
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    hist = spark.createDataFrame([(16, base)], "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    dig, st = prep.prep_state_paths(str(tmp_path), "corpus")
+    dedup.build_minhash_index(hist, "doc_id", "text", idx, portable=True)
+    prep.build_prep_state(hist, dig, st, n_shards=16)
+
+    b1_new = " ".join(f"day1w{i}" for i in range(80))
+    b1 = spark.createDataFrame([(32, b1_new)], "doc_id long, text string")
+    b2 = spark.createDataFrame(
+        [(48, b1_new),                              # exact dup of batch 1
+         (80, b1_new.replace("day1w79", "flip")),   # near-dup of batch 1
+         (96, " ".join(f"day2w{i}" for i in range(50)))],  # survivor
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.parquet(src)
+    files1 = glob.glob(src + "/part-*")
+    b2.coalesce(1).write.mode("append").parquet(src)
+    now = _time.time()
+    for f in files1:
+        os.utime(f, (now - 200, now - 200))
+    for f in set(glob.glob(src + "/part-*")) - set(files1):
+        os.utime(f, (now - 100, now - 100))
+
+    results = str(tmp_path / "results")
+
+    def sink(bdf, epoch_id):
+        prep.incremental_ingest(
+            bdf.sparkSession, bdf, idx, dig, st, results_path=results,
+            window_tokens=100,
+        )
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    reports = sorted(
+        map(tuple, spark.read.parquet(results).collect()),
+        key=lambda t: t[4],  # total_tokens: batch1=80, batch2=50
+    )
+    # batch 2 first after sort (50 < 80): 1 survivor continuing in bin 1
+    # (hist 60 + batch1 80 = 140 tokens => next window at 100 boundary)
+    assert reports == [(0, 1, 1, 1, 50), (0, 1, 1, 0, 80)]
+    # final on-disk state covers hist + both batches
+    st_rows = {r.shard: r.base_tokens for r in spark.read.parquet(st).collect()}
+    assert st_rows[0] == 60 + 80 + 50

@@ -128,3 +128,41 @@ def test_range_matrix_property_vs_model(spark):
         assert sorted(r.seq for r in tail.collect()) == sorted(
             i for i, _ in model[-n:]
         )
+
+
+def test_offset_shift_property_vs_model(spark):
+    """Property: the window-free unkeyed offset addressing (r7 rewrite)
+    matches the Python list model — rn == max{rn: ts <= anchor} + offset,
+    empty when the anchor has no record at/before it or the target falls
+    off either end — across random anchors and offsets, including ties
+    broken by the secondary order column."""
+    import random
+    from datetime import timedelta
+
+    rnd = random.Random(77)
+    base = datetime(2024, 1, 1)
+    # duplicate timestamps on purpose: seq breaks ties
+    rows = [(i, base + timedelta(minutes=(i // 2) * 10)) for i in range(60)]
+    df = spark.createDataFrame(
+        [(i, t, float(i)) for i, t in rows], "seq long, ts timestamp, v double"
+    ).repartition(5)
+    times = sorted({t for _, t in rows})
+
+    for _ in range(30):
+        anchor = rnd.choice(
+            times + [base - timedelta(days=1), base + timedelta(days=30)]
+        )
+        offset = rnd.randrange(-8, 9)
+        at_or_before = [i for i, t in rows if t <= anchor]
+        if not at_or_before:
+            want = []
+        else:
+            pos = len(at_or_before) - 1 + offset
+            want = [rows[pos][0]] if 0 <= pos < len(rows) else []
+        got = sorted(
+            r.seq
+            for r in rangescan.offset_shift(
+                df, "ts", anchor, offset, _order()
+            ).collect()
+        )
+        assert got == want, (anchor, offset, got, want)

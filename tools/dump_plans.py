@@ -22,6 +22,7 @@ NOTES = {
     "pipe6_dsir": "two fixed-size (4096-bucket) count aggregates broadcast back into ONE scoring pass; no vocabulary table, no corpus x corpus join",
     "pipe_full_prep": "headline since r6: digest window -> banded MinHash join -> shingle equi-join decontam -> expression gates -> per-shard packing windows, ONE composed plan; no collect, no cross join, every anti-join side bounded (AQE broadcasts the drop lists)",
     "n4_knn_ivf": "materialized-index serve path (r6 shape): the trained k x dim centroid table is read back and inlined as LITERAL arrays, so list assignment is a projection over the scan — no crossJoin, no min_by aggregation exchange; the only shuffle is the per-probe top-k",
+    "pipe8_incremental_prep": "incremental daily-ingest shape (r7): the ONLY documents scans carry the batch predicate (doc_id % 3 = 0 in PushedFilters) — history enters solely as three artifact parquet scans (digest set, band index, shards-sized pack_state); per-batch cost is batch + index probe, never a history scan",
 }
 
 HEADER = """# PLANS — executed physical plans of headline queries (sf0.1, AQE final)
