@@ -317,6 +317,56 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_lsh_drop_ids(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket_size: int = 1000,
+    portable: bool = False,
+) -> DataFrame:
+    """The ids to DROP under the keep-lowest-id near-dup policy — exactly
+    ``minhash_lsh_candidates(...).select(id_b).distinct()``, computed
+    WITHOUT materializing the O(m²) candidate pairs.
+
+    A doc appears as some pair's ``id_b`` iff it shares a surviving
+    (band, bucket) with a LOWER id, i.e. iff ``doc > min(doc)`` over its
+    bucket.  One window partitioned by (band, bucket) evaluates both the
+    fan-out cap count and the bucket min in a single WindowExec over the
+    band rows the pair join would have shuffled anyway — so the drop set
+    costs O(Σ bucket size) where the self-join pays O(Σ bucket size²).
+    A degenerate near-cap bucket (999 boilerplate docs → ~500 k pairs)
+    is the difference between a row filter and a joined blow-up.
+
+    Pipelines that only anti-join the drop list (``full_prep_pipeline``,
+    the in-batch prune of ``incremental_prep_batch``) should use this;
+    callers that need the pairs themselves (d3's reported
+    ``n_shared_bands``, connected-components clustering) keep
+    ``minhash_lsh_candidates``.
+    """
+    from pyspark.sql import Window
+
+    banded = minhash_band_rows(
+        df, id_col, text_col, shingle_k, num_hashes, bands, portable=portable
+    )
+    w = Window.partitionBy("band", "bucket")
+    sized = banded.select(
+        "doc",
+        F.count(F.lit(1)).over(w).alias("__bsz"),
+        F.min("doc").over(w).alias("__bmin"),
+    )
+    return (
+        sized.where(
+            (F.col("__bsz") <= F.lit(max_bucket_size))
+            & (F.col("doc") > F.col("__bmin"))
+        )
+        .select(F.col("doc").alias(id_col))
+        .distinct()
+    )
+
+
 def simhash64(
     df: DataFrame, id_col: str, text_col: str, portable: bool = False
 ) -> DataFrame:

@@ -372,11 +372,12 @@ def full_prep_pipeline(docs: DataFrame, id_col: str = "doc_id",
         .drop("__keep")
     )
     elig = docs.where(F.size(F.split(F.col(text_col), r"\s+")) >= 3)
-    pairs = dedup.minhash_lsh_candidates(
+    # set-identical to minhash_lsh_candidates(...).select(id_b).distinct()
+    # but pair-free: per capped bucket, drop everything above the bucket min
+    nd_drop = dedup.minhash_lsh_drop_ids(
         elig, id_col, text_col, shingle_k=3, num_hashes=32, bands=8,
         portable=True,
     )
-    nd_drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     keep = keep.join(nd_drop, id_col, "left_anti")
     keep = keep.where(F.pmod(did, F.lit(97)) != 0)
     w3 = F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= 3
@@ -577,13 +578,9 @@ def screen_prep_batch(
     )
     keep = keep.join(nd, id_col, "left_anti")
     if in_batch_prune:
-        inb = (
-            dedup.minhash_lsh_candidates(
-                batch.where(w3), id_col, text_col, shingle_k=3,
-                num_hashes=32, bands=8, portable=True,
-            )
-            .select(F.col("id_b").alias(id_col))
-            .distinct()
+        inb = dedup.minhash_lsh_drop_ids(
+            batch.where(w3), id_col, text_col, shingle_k=3,
+            num_hashes=32, bands=8, portable=True,
         )
         keep = keep.join(inb, id_col, "left_anti")
     return keep.where(

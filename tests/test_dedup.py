@@ -167,6 +167,49 @@ def test_bucket_fanout_cap_bounds_hot_bucket(spark):
     assert sim_open.count() == 40 * 39 // 2
 
 
+def test_drop_ids_match_pairwise_candidates(spark, corpus):
+    """minhash_lsh_drop_ids is the pair-free twin of ``candidates →
+    distinct id_b``: the two forms must produce the SAME id set, in both
+    hash families, with and without a biting cap."""
+    for portable in (False, True):
+        want = {
+            r.id_b
+            for r in dedup.minhash_lsh_candidates(
+                corpus, "doc_id", "text", shingle_k=2, num_hashes=32,
+                bands=16, portable=portable,
+            ).collect()
+        }
+        got = {
+            r.doc_id
+            for r in dedup.minhash_lsh_drop_ids(
+                corpus, "doc_id", "text", shingle_k=2, num_hashes=32,
+                bands=16, portable=portable,
+            ).collect()
+        }
+        assert got == want and want  # non-vacuous: corpus has near-dups
+
+    # hot bucket: 40 identical docs.  Tight cap drops the bucket whole on
+    # both forms (empty drop set); open cap keeps it — every doc but the
+    # lowest id is a drop.
+    rows = [(i, "the same boilerplate sentence repeated " * 4) for i in range(40)]
+    hot = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert (
+        dedup.minhash_lsh_drop_ids(
+            hot, "doc_id", "text", shingle_k=3, num_hashes=16, bands=4,
+            max_bucket_size=10,
+        ).count()
+        == 0
+    )
+    open_drops = {
+        r.doc_id
+        for r in dedup.minhash_lsh_drop_ids(
+            hot, "doc_id", "text", shingle_k=3, num_hashes=16, bands=4,
+            max_bucket_size=1000,
+        ).collect()
+    }
+    assert open_drops == set(range(1, 40))
+
+
 def test_bucket_fanout_cap_keeps_normal_buckets(spark):
     """The cap must not disturb healthy buckets below the threshold."""
     from ago_sisdb_spark.operators import dedup

@@ -58,3 +58,27 @@ def test_logistic_expression_matches_python(spark):
     got = [r[0] for r in df.select(call("logistic", F.col("x"))).collect()]
     want = [1.0 / (1.0 + math.exp(-v)) for v in vals]
     assert all(abs(a - b) < 1e-12 for a, b in zip(got, want))
+
+
+def test_no_unpartitioned_window_specs_in_source():
+    """Static guard (r6 verdict #2): no production code may build a window
+    spec that starts with a global orderBy — `Window.orderBy(...)` (or a
+    `W.orderBy` alias) funnels the whole frame through one partition.
+    Every global ranking need has a scale-safe helper now:
+    lastper.topk_global (top-k + rank), lastper.global_rank (whole-frame
+    rank), or a collect_list→array_sort aggregate for bounded series.
+    partitionBy(F.lit(0)) is equally banned — Catalyst strips foldable
+    partition keys, so it IS the global window it pretends not to be."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "ago_sisdb_spark"
+    bad = []
+    for f in root.rglob("*.py"):
+        src = f.read_text()
+        for pat in (r"\bWindow\.orderBy\(", r"\bW\.orderBy\(",
+                    r"partitionBy\(F\.lit\("):
+            for m in re.finditer(pat, src):
+                line = src[: m.start()].count("\n") + 1
+                bad.append(f"{f.relative_to(root.parent)}:{line}")
+    assert not bad, f"global window specs found: {bad}"

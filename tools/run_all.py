@@ -58,6 +58,16 @@ def main() -> int:
         r = subprocess.run(cmd, cwd=ROOT, capture_output=True, text=True)
         tail = (r.stdout.strip().splitlines() or [""])[-1]
         status = "PASS" if r.returncode == 0 else "FAIL"
+        # r6 verdict #2 regression tripwire: a production operator that
+        # reintroduces an unpartitioned window shows up here as WindowExec's
+        # single-partition warning in the gate/bench logs — fail the stage
+        n_funnels = (r.stdout + r.stderr).count("No Partition Defined")
+        if n_funnels and name in ("correctness", "bench"):
+            status = "FAIL"
+            tail += f"  [{n_funnels} unpartitioned-window warnings]"
+            print(f"{status}  {name}: {tail}")
+            failed.append(name)
+            continue
         print(f"{status}  {name}: {tail}")
         if name == "correctness":
             gate_tail = tail
