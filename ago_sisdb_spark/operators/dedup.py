@@ -346,11 +346,21 @@ def minhash_lsh_drop_ids(
     ``n_shared_bands``, connected-components clustering) keep
     ``minhash_lsh_candidates``.
     """
-    from pyspark.sql import Window
-
     banded = minhash_band_rows(
         df, id_col, text_col, shingle_k, num_hashes, bands, portable=portable
     )
+    return drop_ids_from_band_rows(banded, id_col, max_bucket_size)
+
+
+def drop_ids_from_band_rows(
+    banded: DataFrame, id_col: str, max_bucket_size: int = 1000
+) -> DataFrame:
+    """The window half of ``minhash_lsh_drop_ids``, for callers that
+    already hold (doc, band, bucket) rows — the incremental screen derives
+    the batch's band rows once and feeds this AND the index probe, so the
+    shingle hashing never runs twice per batch."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("band", "bucket")
     sized = banded.select(
         "doc",
@@ -954,6 +964,7 @@ def append_minhash_index(
     num_hashes: int = 32,
     bands: int = 8,
     portable: bool = False,
+    band_rows: DataFrame | None = None,
 ) -> None:
     """Append a batch's (doc, band, bucket) rows to an existing index —
     the per-batch half of ``build_minhash_index``'s append contract: a
@@ -962,10 +973,18 @@ def append_minhash_index(
     not re-applied across old+new rows (that would require reading the
     index); a batch that would push a bucket over the cap is the periodic
     compaction's job, and screens remain correct either way — the cap
-    only bounds fan-out."""
-    rows = minhash_band_rows(
+    only bounds fan-out.
+
+    ``band_rows``: precomputed band rows of the batch (superset allowed —
+    they are filtered to ``df``'s ids), so the ingest loop hashes each
+    batch once for screen + prune + append."""
+    rows = band_rows if band_rows is not None else minhash_band_rows(
         df, id_col, text_col, shingle_k, num_hashes, bands, portable=portable
     )
+    if band_rows is not None:
+        rows = rows.join(
+            df.select(F.col(id_col).alias("doc")), "doc", "left_semi"
+        )
     rows.repartition(F.col("band")).write.mode("append").parquet(path)
 
 
@@ -989,6 +1008,7 @@ def minhash_screen_batch(
     num_hashes: int = 32,
     bands: int = 8,
     portable: bool = False,
+    band_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate screen of a new batch against a materialized history
     index: the batch's band rows equi-join the persisted buckets — shuffle
@@ -996,8 +1016,13 @@ def minhash_screen_batch(
     band come back as (batch_id, hist_id, n_shared_bands).  Two-tier like
     the Bloom screen: verify candidates with exact ``ngram_jaccard_pairs``
     on the pair set only.  Re-screened history members match themselves;
-    the self-pair is excluded so re-ingest runs are idempotent."""
-    brows = minhash_band_rows(
+    the self-pair is excluded so re-ingest runs are idempotent.
+
+    ``band_rows`` (optional): precomputed ``minhash_band_rows`` of the
+    SAME batch/parameters — callers that also prune in-batch or append to
+    the index pass one persisted frame so the shingle hashing runs once
+    per batch, not once per consumer."""
+    brows = band_rows if band_rows is not None else minhash_band_rows(
         batch, id_col, text_col, shingle_k, num_hashes, bands, portable=portable
     )
     j = brows.alias("n").join(

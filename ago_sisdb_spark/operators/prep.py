@@ -47,17 +47,18 @@ def decontaminate(
     shingles exactly like ``ngram_jaccard_pairs`` does.
     """
     tr = shingle_rows(train, id_col, text_col, ngram).distinct()
-    ev = shingle_rows(eval_df, id_col, text_col, ngram).distinct()
+    ev = shingle_rows(eval_df, id_col, text_col, ngram).select("shingle").distinct()
     if max_doc_freq is not None:
         freq = tr.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
         keep = freq.where(F.col("__df") <= max_doc_freq).select("shingle")
         tr = tr.join(keep, "shingle")
-    hits = tr.alias("t").join(
-        ev.select("shingle").distinct().alias("e"), "shingle"
-    )
+    hits = tr.alias("t").join(ev.alias("e"), "shingle")
+    # tr is (doc, shingle)-unique and ev shingle-unique, so the joined rows
+    # stay unique per (doc, shingle): plain count == count(DISTINCT shingle)
+    # without the two-phase distinct aggregate
     return (
         hits.groupBy(F.col("t.doc").alias("train_id"))
-        .agg(F.countDistinct("shingle").alias("n_shared_shingles"))
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )
 
 
@@ -347,11 +348,12 @@ def full_prep_pipeline(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """The WHOLE training-data prep pipeline as ONE composed plan: exact
     dedup (digest window, keep lowest id) → MinHash-LSH near-dup prune
-    (portable d3 candidates, drop the higher id of each pair) →
+    (portable d3 buckets, drop everything above each bucket min) →
     decontaminate vs the held-out id%97 eval slice (3-gram shingle
-    equi-join, stop-shingle cap 50, drop docs sharing ≥3 shingles) →
-    quality gate (length + punctuation ratio) → pack into 2048-token
-    windows across 16 shards, reported as per-shard doc/bin/token totals.
+    equi-join over the RAW non-eval corpus, stop-shingle cap 50, drop
+    docs sharing ≥3 shingles) → quality gate (length + punctuation
+    ratio) → pack into 2048-token windows across 16 shards, reported as
+    per-shard doc/bin/token totals.
 
     Every stage is the oracle-proven building block of its standalone
     entry (d1 / d3 / pipe3 / pipe1 / pipe4); the `pipe_full_prep` query
@@ -381,9 +383,18 @@ def full_prep_pipeline(docs: DataFrame, id_col: str = "doc_id",
     keep = keep.join(nd_drop, id_col, "left_anti")
     keep = keep.where(F.pmod(did, F.lit(97)) != 0)
     w3 = F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= 3
+    # screen the RAW non-eval corpus, not the post-dedup survivors: contam
+    # hits for docs the earlier stages already dropped are no-ops in the
+    # anti-join (same principle as the incremental batch screen), and the
+    # raw source keeps the decontam branch independent of the dedup chain —
+    # feeding `keep` here made the digest window + MinHash prune a
+    # two-consumer subplan that executed twice (~1.8× on the whole
+    # pipeline at sf0.1).  Consequence: the stop-shingle document
+    # frequency is computed on the raw train slice, where boilerplate
+    # detection belongs, rather than on the dedup survivors.
     contam = (
         decontaminate(
-            keep.where(w3),
+            docs.where((F.pmod(did, F.lit(97)) != 0) & w3),
             docs.where((F.pmod(did, F.lit(97)) == 0) & w3),
             id_col, text_col, ngram=3, max_doc_freq=50,
         )
@@ -537,13 +548,22 @@ def screen_prep_batch(
     text_col: str = "text",
     min_shared_bands: int = 2,
     in_batch_prune: bool = True,
+    band_rows: DataFrame | None = None,
 ) -> DataFrame:
     """The ACCEPTED docs of one arriving batch — every screen of
     ``incremental_prep_batch`` except packing, with the batch's columns
     unchanged: in-batch exact dedup → history-digest anti-join → index
     MinHash screen → in-batch near-dup prune → quality gate.  Split out
     so ``incremental_ingest`` can both pack the survivors AND append
-    them to the artifacts without re-deriving the survivor set."""
+    them to the artifacts without re-deriving the survivor set.
+
+    ``band_rows``: precomputed (and ideally persisted)
+    ``dedup.minhash_band_rows`` of the ≥3-word batch docs with the d3
+    parameters (shingle_k=3, 32 hashes, 8 bands, portable).  The index
+    screen and the in-batch prune are two consumers of the same band
+    rows — without a shared materialized frame Spark executes the
+    shingle-hash subplan once PER consumer (no exchange reuse across the
+    two aggregates; measured 2× the whole batch cost at sf0.1)."""
     from pyspark.sql import Window
 
     from ago_sisdb_spark.operators import dedup, text
@@ -569,7 +589,8 @@ def screen_prep_batch(
     # unconditioned form is what the oracle twin restates
     w3 = F.size(F.split(F.col(text_col), r"\s+")) >= 3
     hits = dedup.minhash_screen_batch(
-        batch.where(w3), index, id_col, text_col, portable=True
+        batch.where(w3), index, id_col, text_col, portable=True,
+        band_rows=band_rows,
     )
     nd = (
         hits.where(F.col("n_shared_bands") >= min_shared_bands)
@@ -578,10 +599,13 @@ def screen_prep_batch(
     )
     keep = keep.join(nd, id_col, "left_anti")
     if in_batch_prune:
-        inb = dedup.minhash_lsh_drop_ids(
-            batch.where(w3), id_col, text_col, shingle_k=3,
-            num_hashes=32, bands=8, portable=True,
-        )
+        if band_rows is not None:
+            inb = dedup.drop_ids_from_band_rows(band_rows, id_col)
+        else:
+            inb = dedup.minhash_lsh_drop_ids(
+                batch.where(w3), id_col, text_col, shingle_k=3,
+                num_hashes=32, bands=8, portable=True,
+            )
         keep = keep.join(inb, id_col, "left_anti")
     return keep.where(
         (F.length(text_col) >= 50)
@@ -600,6 +624,7 @@ def incremental_prep_batch(
     n_shards: int = 16,
     window_tokens: int = 2048,
     in_batch_prune: bool = True,
+    band_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental counterpart of ``full_prep_pipeline``: prep ONE new
     batch against persisted history state, never re-processing (or even
@@ -642,7 +667,7 @@ def incremental_prep_batch(
     """
     keep = screen_prep_batch(
         batch, digests, index, id_col, text_col,
-        min_shared_bands, in_batch_prune,
+        min_shared_bands, in_batch_prune, band_rows=band_rows,
     )
     return _pack_report(
         keep, pack_state, id_col, text_col, n_shards, window_tokens
@@ -739,9 +764,17 @@ def incremental_ingest(
             f"MinHash band index missing at {index_path} — run "
             "dedup.build_minhash_index on history first"
         )
+    # hash the batch ONCE: the index screen, the in-batch prune, and the
+    # index append are three consumers of the same (doc, band, bucket)
+    # rows — without the persisted frame each consumer re-runs the
+    # shingle-hash subplan (no exchange reuse across separate aggregates)
+    w3 = F.size(F.split(F.col(text_col), r"\s+")) >= 3
+    brows = dedup.minhash_band_rows(
+        batch.where(w3), id_col, text_col, 3, 32, 8, portable=True
+    ).persist()
     accepted = screen_prep_batch(
         batch, digests, index, id_col, text_col,
-        min_shared_bands, in_batch_prune,
+        min_shared_bands, in_batch_prune, band_rows=brows,
     ).persist()
     try:
         report = _pack_report(
@@ -753,10 +786,11 @@ def incremental_ingest(
         advance_prep_state(
             spark, batch, stable, digest_path, pack_state_path, text_col
         )
-        w3 = F.size(F.split(F.col(text_col), r"\s+")) >= 3
         dedup.append_minhash_index(
-            accepted.where(w3), id_col, text_col, index_path, portable=True
+            accepted.where(w3), id_col, text_col, index_path, portable=True,
+            band_rows=brows,
         )
         return stable
     finally:
         accepted.unpersist()
+        brows.unpersist()

@@ -1144,8 +1144,13 @@ def _pipe_full_oracle() -> str:
         WHERE doc_id % 97 != 0
           AND doc_id NOT IN (SELECT doc_id FROM nd_drop)),
     tr0 AS (
+        -- raw non-eval corpus, NOT the dedup survivors: hits for already-
+        -- dropped docs are no-ops in the NOT IN below, and the raw source
+        -- mirrors the Spark side's single-consumer decontam branch
         SELECT DISTINCT doc_id AS doc, unnest(list_distinct({_SH3})) AS shingle
-        FROM pre WHERE len(string_split_regex(trim(text), '\s+')) >= 3),
+        FROM documents
+        WHERE doc_id % 97 != 0
+          AND len(string_split_regex(trim(text), '\s+')) >= 3),
     keepsh AS (
         SELECT shingle FROM tr0 GROUP BY shingle HAVING count(*) <= 50),
     tr AS (SELECT tr0.* FROM tr0 JOIN keepsh USING (shingle)),
@@ -1303,9 +1308,15 @@ def pipe8_incremental_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         prep.build_prep_state(hist, dig_path, st_path, "doc_id", "text", 16)
         state = prep.load_prep_state(spark, dig_path, st_path)
     digests, pack_state = state
+    # hash the batch once: index screen + in-batch prune share this
+    # persisted band-row frame (8 longs per doc; LRU-evictable)
+    brows = dedup.minhash_band_rows(
+        batch.where(w3), "doc_id", "text", 3, 32, 8, portable=True
+    ).persist()
     return prep.incremental_prep_batch(
         batch, digests, index, pack_state, "doc_id", "text",
         min_shared_bands=2, n_shards=16, window_tokens=2048,
+        band_rows=brows,
     )
 
 
