@@ -294,26 +294,50 @@ def minhash_lsh_candidates(
     (``minhash_lsh_oracle_sql``).  Callers of the portable form should
     pre-filter docs with >= shingle_k words: ``shingle_rows`` gives shorter
     docs their first word, which the SQL twin's range() expansion omits.
+
+    Pair generation is one aggregate, not a self-join: each (band, bucket)
+    group collects its (cap-bounded, so ≤1000-element) sorted member
+    array and expands the C(m,2) pairs locally with array HOFs — same
+    pairs as the equi-self-join (sorted array ⇒ earlier element is the
+    smaller id), one fewer shuffle, and the cap check is a size() guard
+    instead of a count window.  The HOF lambdas range over a materialized
+    column array, so neither the interpreted-HOF re-evaluation trap nor
+    the literal-array self-join trap applies.
     """
     banded = minhash_band_rows(
         df, id_col, text_col, shingle_k, num_hashes, bands, portable=portable
     )
-    banded = cap_bucket_fanout(
-        banded, ["band", "bucket"], max_bucket_size, log_drops, "minhash_lsh"
+    grp = banded.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_list("doc")).alias("__ds")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc") < F.col("b.doc")),
+    if log_drops:
+        import logging
+
+        dropped = grp.where(F.size("__ds") > max_bucket_size)
+        n_buckets, n_rows = (
+            dropped.agg(
+                F.count(F.lit(1)), F.coalesce(F.sum(F.size("__ds")), F.lit(0))
+            ).collect()[0]
         )
-        .groupBy(
-            F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b")
+        logging.getLogger(__name__).warning(
+            "%s: dropped %d over-cap buckets (> %d members, %d rows total)",
+            "minhash_lsh", n_buckets, max_bucket_size, n_rows,
         )
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    pairs = (
+        grp.where(F.size("__ds").between(2, max_bucket_size))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__ds, (x, i) -> "
+                    "transform(slice(__ds, i + 2, size(__ds)), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("__p")
+        )
+        .select("__p.id_a", "__p.id_b")
+    )
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_shared_bands")
     )
 
 
