@@ -705,23 +705,38 @@ def simhash_neardup_pairs(
             )
         ).alias("band", "bucket"),
     )
-    banded = cap_bucket_fanout(
-        banded, ["band", "bucket"], max_bucket_size, log_drops, "simhash"
+    # pair generation per bucket via array HOFs — same shape as
+    # minhash_lsh_candidates: the sorted (cap-bounded) member array expands
+    # its C(m,2) pairs locally, one fewer shuffle than the equi-self-join
+    grp = banded.groupBy("band", "bucket").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("doc"), F.col("simhash")))
+        ).alias("__ms")
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    if log_drops:
+        import logging
+
+        dropped = grp.where(F.size("__ms") > max_bucket_size)
+        n_buckets, n_rows = dropped.agg(
+            F.count(F.lit(1)), F.coalesce(F.sum(F.size("__ms")), F.lit(0))
+        ).collect()[0]
+        logging.getLogger(__name__).warning(
+            "%s: dropped %d over-cap buckets (> %d members, %d rows total)",
+            "simhash", n_buckets, max_bucket_size, n_rows,
+        )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
+        grp.where(F.size("__ms").between(2, max_bucket_size))
         .select(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
-            F.col("a.simhash").alias("__fa"),
-            F.col("b.simhash").alias("__fb"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(__ms, (x, i) -> "
+                    "transform(slice(__ms, i + 2, size(__ms)), "
+                    "y -> struct(x.doc AS id_a, y.doc AS id_b, "
+                    "x.simhash AS __fa, y.simhash AS __fb))))"
+                )
+            ).alias("__p")
         )
+        .select("__p.*")
         .dropDuplicates(["id_a", "id_b"])
     )
     return cand.select(
