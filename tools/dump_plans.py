@@ -16,11 +16,11 @@ NOTES = {
     "a1_ohlcv_rollup": "six bar aggregates partial-combine map-side; shuffle carries one row per (key, bar)",
     "j4_range_join": "interval predicate rides a broadcast hash join on the user key",
     "d1_dedup_exact": "digest computed in the scan projection; shuffle carries (digest, id) only",
-    "d3_minhash_lsh": "explode -> hash once -> 32 affine mins in ONE hash-aggregate -> banded equi-join; the cap's count window reuses the (band,bucket) partitioning the join needs",
+    "d3_minhash_lsh": "explode -> hash once -> 32 affine mins in ONE hash-aggregate -> per-bucket collect_list + local array pair expansion (r7, no self-join); the cap is a size() guard and the only shuffles are bucket + pair aggregates",
     "d8_bloom_incremental": "bloom bitmap and verified-dup set both broadcast; the batch shuffles once (per-doc min over probe hits, map-side combined)",
     "t15_cms_counts": "sketch cells partial-aggregate map-side (<= depth*width rows per task shuffle); the depth*width-bounded sketch is broadcast into the probe join",
     "pipe6_dsir": "two fixed-size (4096-bucket) count aggregates broadcast back into ONE scoring pass; no vocabulary table, no corpus x corpus join",
-    "pipe_full_prep": "headline since r6: digest window -> banded MinHash join -> shingle equi-join decontam -> expression gates -> per-shard packing windows, ONE composed plan; no collect, no cross join, every anti-join side bounded (AQE broadcasts the drop lists)",
+    "pipe_full_prep": "headline since r6: digest window -> pair-free MinHash drop set (bucket-min window) -> raw-corpus shingle decontam (r7: single-consumer branches, nothing in the keep chain executes twice) -> expression gates -> per-shard packing windows, ONE composed plan; no collect, no cross join, every anti-join side bounded (AQE broadcasts the drop lists)",
     "n4_knn_ivf": "materialized-index serve path (r6 shape): the trained k x dim centroid table is read back and inlined as LITERAL arrays, so list assignment is a projection over the scan — no crossJoin, no min_by aggregation exchange; the only shuffle is the per-probe top-k",
     "pipe8_incremental_prep": "incremental daily-ingest shape (r7): the ONLY documents scans carry the batch predicate (doc_id % 3 = 0 in PushedFilters) — history enters solely as three artifact parquet scans (digest set, band index, shards-sized pack_state); per-batch cost is batch + index probe, never a history scan",
 }
