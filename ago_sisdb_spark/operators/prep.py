@@ -794,3 +794,91 @@ def incremental_ingest(
     finally:
         accepted.unpersist()
         brows.unpersist()
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 64,
+    seed: int = 17,
+) -> DataFrame:
+    """Deterministic training-order shuffle: (shard, pos) totally orders
+    the corpus pseudo-randomly with NO global sort and no RNG state.
+
+    shard = knuth_hash(id, seed) mod ``n_shards``; pos = rank of the hash
+    within the shard (ties by id).  A training reader consumes shards in
+    shard order, each shard internally hash-ordered — the standard
+    epoch-shuffle layout for a corpus too large to orderBy(rand()):
+    the only non-map work is one per-shard window, so 1000 executors
+    shuffle each row exactly once and sort only shard-sized runs.
+    Reproducible across runs and resumable mid-epoch; vary ``seed`` per
+    epoch for a fresh permutation.
+
+    Same Knuth-multiplicative gate family as ``quality_sample`` (mod
+    BEFORE multiply keeps ANSI int64 exact at any id scale); the oracle
+    restates the formula verbatim.
+    """
+    from pyspark.sql import Window
+
+    h = (
+        F.pmod(F.col(id_col), F.lit(1000003)) * F.lit(2654435761)
+        + F.lit(seed) * F.lit(40503)
+    ) % F.lit(1000003)
+    shard = F.pmod(h, F.lit(n_shards))
+    out = df.select(
+        F.col(id_col),
+        shard.cast("bigint").alias("shard"),
+        h.alias("__h"),
+    )
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return out.select(
+        id_col,
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+def epoch_mix(
+    df: DataFrame,
+    id_col: str,
+    source_col,
+    epochs: dict[str, float],
+    default_epochs: float = 1.0,
+) -> DataFrame:
+    """Repeat-factor source mixing: emit each doc once per training epoch
+    of its source, with fractional epochs as a deterministic subsample —
+    e.g. ``{"en": 2.5}`` yields every en doc in epochs 1 and 2 plus a
+    reproducible half of them in epoch 3 (the Pile/LLaMA-style mixture
+    where high-quality sources are seen more than once).
+
+    Pure map stage: the copy list is one ``sequence`` expression +
+    ``explode`` — no shuffle, no join; row fan-out is bounded by
+    ``ceil(max epochs)``.  The fractional gate hashes (id, epoch) with
+    the same Knuth form as ``quality_sample``, so the epoch-3 half is
+    the SAME docs every run (resumable, oracle-restatable) and
+    independent of the epoch-1/2 membership.
+
+    Output: (id, source, epoch) with epoch 1-based.
+    """
+    src = source_col if not isinstance(source_col, str) else F.col(source_col)
+    e = F.lit(float(default_epochs))
+    for name, r in epochs.items():
+        e = F.when(src == name, F.lit(float(r))).otherwise(e)
+    n_full = F.floor(e).cast("int")
+    # integer threshold for the fractional tail epoch: frac * 1000003
+    thresh = F.floor((e - n_full) * F.lit(1000003)).cast("bigint")
+    gate = (
+        F.pmod(F.col(id_col), F.lit(1000003)) * F.lit(2654435761)
+        + (n_full + 1) * F.lit(40503)
+    ) % F.lit(1000003)
+    n_copies = n_full + F.when(gate < thresh, F.lit(1)).otherwise(F.lit(0))
+    out = df.select(
+        F.col(id_col),
+        src.alias("source"),
+        F.explode(
+            F.when(
+                n_copies >= 1, F.sequence(F.lit(1), n_copies)
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("epoch"),
+    )
+    return out.select(id_col, "source", F.col("epoch").cast("bigint").alias("epoch"))

@@ -1855,6 +1855,72 @@ def s3_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s5_global_shuffle",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               ((doc_id % 1000003) * 2654435761 + 17 * 40503) % 1000003 AS h
+        FROM documents)
+    SELECT doc_id, CAST(h % 64 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY h % 64
+                ORDER BY h, doc_id) AS BIGINT) AS pos
+    FROM s
+    """,
+    extended=True,
+)
+def s5_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle (operators/prep.global_shuffle):
+    every doc gets a (shard, pos) slot from a Knuth-multiplicative hash —
+    the epoch-shuffle layout for corpora too large to orderBy(rand()).
+    No global sort: one per-shard window ranks hash order inside each of
+    64 shards; reproducible with no RNG state, re-seedable per epoch.
+    Oracle restates the hash + per-shard rank verbatim (int64-exact)."""
+    from ago_sisdb_spark.operators import prep
+
+    docs = _t(spark, sf_dir, "documents")
+    return prep.global_shuffle(docs.select("doc_id"), "doc_id", 64, 17)
+
+
+@query(
+    "s6_epoch_mix",
+    oracle="""
+    WITH e AS (
+        SELECT doc_id, lang AS source,
+               CASE lang WHEN 'en' THEN 2.5 WHEN 'de' THEN 2.0
+                    WHEN 'fr' THEN 1.0 ELSE 0.5 END AS ep
+        FROM documents),
+    c AS (
+        SELECT doc_id, source, CAST(floor(ep) AS INT) AS n_full,
+               CAST(floor((ep - floor(ep)) * 1000003) AS BIGINT) AS thresh
+        FROM e),
+    n AS (
+        SELECT doc_id, source,
+               n_full + CASE WHEN ((doc_id % 1000003) * 2654435761
+                    + (n_full + 1) * 40503) % 1000003 < thresh
+                    THEN 1 ELSE 0 END AS n_copies
+        FROM c)
+    SELECT doc_id, source, CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS epoch
+    FROM n WHERE n_copies >= 1
+    """,
+    extended=True,
+)
+def s6_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-factor source mixing (operators/prep.epoch_mix): en seen 2.5
+    epochs (third epoch = deterministic half-sample), de 2, fr 1, the
+    rest 0.5 — the Pile/LLaMA-style mixture where quality sources repeat.
+    Pure map stage (sequence + explode, no shuffle/join); the fractional
+    tail gate hashes (id, epoch) with the quality_sample Knuth form so the
+    subsample is reproducible and oracle-restatable."""
+    from ago_sisdb_spark.operators import prep
+
+    docs = _t(spark, sf_dir, "documents")
+    return prep.epoch_mix(
+        docs.select("doc_id", "lang"), "doc_id", "lang",
+        {"en": 2.5, "de": 2.0, "fr": 1.0}, default_epochs=0.5,
+    )
+
+
+@query(
     "t16_ppl_buckets",
     oracle=r"""
     WITH toks AS (

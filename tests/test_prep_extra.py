@@ -627,3 +627,72 @@ def test_incremental_prep_in_batch_near_dups(spark, tmp_path):
         in_batch_prune=False,
     ).collect()}
     assert both[0].n_docs == 2 and both[0].total_tokens == 140
+
+
+def test_global_shuffle_is_a_permutation(spark):
+    """Every doc appears exactly once; per-shard positions are contiguous
+    1..count; the layout is reproducible; a different seed reorders."""
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = prep.global_shuffle(df, "doc_id", n_shards=8, seed=17).collect()
+    b = prep.global_shuffle(df, "doc_id", n_shards=8, seed=17).collect()
+    assert sorted(r.doc_id for r in a) == list(range(500))
+    assert {(r.doc_id, r.shard, r.pos) for r in a} == {
+        (r.doc_id, r.shard, r.pos) for r in b
+    }
+    per = {}
+    for r in a:
+        per.setdefault(r.shard, []).append(r.pos)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())
+    c = {r.doc_id: (r.shard, r.pos) for r in
+         prep.global_shuffle(df, "doc_id", n_shards=8, seed=18).collect()}
+    moved = sum((c[r.doc_id] != (r.shard, r.pos)) for r in a)
+    assert moved > 400  # new seed reshuffles nearly everything
+
+
+def test_global_shuffle_not_id_ordered(spark):
+    """The point of the operator: shard-internal order must not be id
+    order (a sorted corpus stays sorted under a broken shuffle)."""
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    rows = prep.global_shuffle(df, "doc_id", n_shards=4, seed=17).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.shard, []).append((r.pos, r.doc_id))
+    inversions = 0
+    for v in per.values():
+        ids = [d for _, d in sorted(v)]
+        inversions += sum(a > b for a, b in zip(ids, ids[1:]))
+    assert inversions > 100  # id order thoroughly destroyed
+
+
+def test_epoch_mix_integer_and_fractional(spark):
+    rows = [(i, "hi" if i < 100 else "lo") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = prep.epoch_mix(df, "doc_id", "src", {"hi": 2.5, "lo": 1.0}).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r.epoch)
+    # lo docs: exactly epoch [1]; hi docs: [1,2] or [1,2,3]
+    assert all(sorted(per_doc[i]) == [1] for i in range(100, 200))
+    n3 = 0
+    for i in range(100):
+        eps = sorted(per_doc[i])
+        assert eps in ([1, 2], [1, 2, 3])
+        n3 += eps == [1, 2, 3]
+    assert 30 <= n3 <= 70  # ~half get the fractional third epoch
+    again = prep.epoch_mix(df, "doc_id", "src", {"hi": 2.5, "lo": 1.0}).collect()
+    assert {(r.doc_id, r.epoch) for r in again} == {
+        (r.doc_id, r.epoch) for r in out
+    }  # the fractional half is the SAME docs every run
+
+
+def test_epoch_mix_zero_and_default(spark):
+    df = spark.createDataFrame(
+        [(i, "drop" if i % 2 else "other") for i in range(100)],
+        "doc_id long, src string",
+    )
+    out = prep.epoch_mix(
+        df, "doc_id", "src", {"drop": 0.0}, default_epochs=0.5
+    ).collect()
+    assert all(r.source == "other" for r in out)  # 0 epochs -> absent
+    assert all(r.epoch == 1 for r in out)
+    assert 10 <= len(out) <= 40  # ~half of the 50 'other' docs
