@@ -814,12 +814,20 @@ def global_shuffle(
     Reproducible across runs and resumable mid-epoch; vary ``seed`` per
     epoch for a fresh permutation.
 
+    Size ``n_shards`` so one shard's rows fit a single task's sort budget
+    (corpus_rows / n_shards ≲ tens of millions): the window sorts each
+    shard in one task, so 64 suits the local gate while a 100 TB corpus
+    wants n_shards in the tens of thousands — shard count is layout, not
+    semantics (any n gives a valid permutation).
+
     Same Knuth-multiplicative gate family as ``quality_sample`` (mod
     BEFORE multiply keeps ANSI int64 exact at any id scale); the oracle
     restates the formula verbatim.
     """
     from pyspark.sql import Window
 
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
     h = (
         F.pmod(F.col(id_col), F.lit(1000003)) * F.lit(2654435761)
         + F.lit(seed) * F.lit(40503)
@@ -860,6 +868,9 @@ def epoch_mix(
 
     Output: (id, source, epoch) with epoch 1-based.
     """
+    bad = {k: v for k, v in epochs.items() if v < 0}
+    if bad or default_epochs < 0:
+        raise ValueError(f"epoch counts must be >= 0, got {bad or default_epochs}")
     src = source_col if not isinstance(source_col, str) else F.col(source_col)
     e = F.lit(float(default_epochs))
     for name, r in epochs.items():

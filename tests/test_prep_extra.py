@@ -696,3 +696,13 @@ def test_epoch_mix_zero_and_default(spark):
     assert all(r.source == "other" for r in out)  # 0 epochs -> absent
     assert all(r.epoch == 1 for r in out)
     assert 10 <= len(out) <= 40  # ~half of the 50 'other' docs
+
+
+def test_shuffle_and_epoch_mix_reject_bad_params(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, src string")
+    with pytest.raises(ValueError, match="n_shards"):
+        prep.global_shuffle(df, "doc_id", n_shards=0)
+    with pytest.raises(ValueError, match="epoch counts"):
+        prep.epoch_mix(df, "doc_id", "src", {"a": -1.0})
+    with pytest.raises(ValueError, match="epoch counts"):
+        prep.epoch_mix(df, "doc_id", "src", {}, default_epochs=-0.5)
