@@ -188,8 +188,6 @@ def cosine_neardup_lsh(
     """
     import random
 
-    from ago_sisdb_spark.operators.dedup import cap_bucket_fanout
-
     if planes is None:
         rnd = random.Random(seed)
         planes = [
@@ -203,18 +201,35 @@ def cosine_neardup_lsh(
     exploded = base.select(
         "id", F.posexplode(_bucket_udf(planes, bits, tables)(F.col("__v"))).alias("table", "bucket")
     )
-    exploded = cap_bucket_fanout(
-        exploded, ["table", "bucket"], max_bucket_size, log_drops, "cosine_lsh"
+    # per-bucket array pair expansion (same shape as minhash_lsh_candidates,
+    # r7): sorted cap-bounded member array → local C(m,2) pairs, one fewer
+    # shuffle than the equi-self-join; cap = size() guard
+    grp = exploded.groupBy("table", "bucket").agg(
+        F.array_sort(F.collect_list("id")).alias("__ds")
     )
-    a, b = exploded.alias("a"), exploded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.table") == F.col("b.table"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+    if log_drops:
+        import logging
+
+        dropped = grp.where(F.size("__ds") > max_bucket_size)
+        n_buckets, n_rows = dropped.agg(
+            F.count(F.lit(1)), F.coalesce(F.sum(F.size("__ds")), F.lit(0))
+        ).collect()[0]
+        logging.getLogger(__name__).warning(
+            "%s: dropped %d over-cap buckets (> %d members, %d rows total)",
+            "cosine_lsh", n_buckets, max_bucket_size, n_rows,
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    cand = (
+        grp.where(F.size("__ds").between(2, max_bucket_size))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__ds, (x, i) -> "
+                    "transform(slice(__ds, i + 2, size(__ds)), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("__p")
+        )
+        .select("__p.id_a", "__p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     scored = (
