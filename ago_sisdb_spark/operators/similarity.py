@@ -675,8 +675,6 @@ def semantic_dedup_pairs(
     pair cosine.  Returns (id_a, id_b, list_id, cosine) pairs at or above
     ``threshold``; keep-policy (e.g. lowest id wins) is the caller's.
     """
-    from ago_sisdb_spark.operators.dedup import cap_bucket_fanout
-
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
     cent_rows = _collect_centroids(centroids)
     assigned = base.select(
@@ -685,18 +683,37 @@ def semantic_dedup_pairs(
             _ranked_lists_expr(F.col("__v"), cent_rows, 1), 1
         )["cid"].alias("list_id"),
     )
-    capped = cap_bucket_fanout(
-        assigned, ["list_id"], max_cluster_size, log_drops, "semdedup"
+    # per-cluster array pair expansion (same shape as the LSH pair
+    # generators, r7): one aggregate instead of cap window + self-join —
+    # which also removes the self-join that r6's lambda-free
+    # _ranked_lists_expr rewrite existed to keep safe
+    grp = assigned.groupBy("list_id").agg(
+        F.array_sort(F.collect_list("id")).alias("__ds")
     )
-    a, b = capped.alias("a"), capped.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.list_id") == F.col("b.list_id"))
-        & (F.col("a.id") < F.col("b.id")),
-    ).select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        F.col("a.list_id").alias("list_id"),
+    if log_drops:
+        import logging
+
+        dropped = grp.where(F.size("__ds") > max_cluster_size)
+        n_buckets, n_rows = dropped.agg(
+            F.count(F.lit(1)), F.coalesce(F.sum(F.size("__ds")), F.lit(0))
+        ).collect()[0]
+        logging.getLogger(__name__).warning(
+            "%s: dropped %d over-cap buckets (> %d members, %d rows total)",
+            "semdedup", n_buckets, max_cluster_size, n_rows,
+        )
+    cand = (
+        grp.where(F.size("__ds").between(2, max_cluster_size))
+        .select(
+            "list_id",
+            F.explode(
+                F.expr(
+                    "flatten(transform(__ds, (x, i) -> "
+                    "transform(slice(__ds, i + 2, size(__ds)), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("__p"),
+        )
+        .select("__p.id_a", "__p.id_b", "list_id")
     )
     scored = cand.join(
         base.select(F.col("id").alias("id_a"), F.col("__v").alias("__va")),
