@@ -69,6 +69,7 @@ def pack_sequences(
     window_tokens: int = 2048,
     n_shards: int = 64,
     order_cols: list | None = None,
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Assign each doc a (shard, bin) context-window slot; returns the input
     plus ``shard``, ``bin``, ``tokens`` columns.
@@ -78,13 +79,20 @@ def pack_sequences(
     window partitioned by shard — at 1000 executors each shard packs
     independently; no global sort, no driver loop.  Deterministic: same
     data → same bins at any parallelism.
+
+    ``shard_col`` reuses an upstream shard assignment (e.g.
+    ``global_shuffle``'s) instead of hashing the id; ``n_shards`` is then
+    ignored — pass ``order_cols=["pos"]`` alongside to pack in the
+    shuffled read order.
     """
     from pyspark.sql import Window
 
     tokens = token_count_col if not isinstance(token_count_col, str) else F.col(
         token_count_col
     )
-    shard = F.pmod(F.col(id_col), F.lit(n_shards))
+    shard = (
+        F.col(shard_col) if shard_col else F.pmod(F.col(id_col), F.lit(n_shards))
+    )
     # ``order_cols`` overrides the in-shard packing order (default id order);
     # curriculum packing passes (tier, id) so early bins hold easy docs
     w = (
@@ -893,3 +901,67 @@ def epoch_mix(
         ).alias("epoch"),
     )
     return out.select(id_col, "source", F.col("epoch").cast("bigint").alias("epoch"))
+
+
+def write_training_shards(
+    packed: DataFrame,
+    out_path: str,
+    shard_col: str = "shard",
+    order_cols: list | None = None,
+) -> None:
+    """Materialize a packed/shuffled corpus as training shards: one
+    parquet directory per shard, rows inside each shard stored in the
+    training read order (default ``bin`` — pass ``["bin", "pos"]`` after
+    ``global_shuffle`` + ``pack_sequences(order_cols=["pos"])``).
+
+    Layout, not computation: ``repartition(shard)`` moves each shard's
+    rows to exactly one task (ONE shuffle, the op's only one), the
+    in-task sort orders them, and ``partitionBy`` routes them to
+    ``shard=N/`` directories — so every shard is a single
+    internally-ordered file a training reader can stream sequentially,
+    and a resuming reader's ``shard = N`` filter prunes at the directory
+    level (PartitionFilters).  At 100 TB, shard count is chosen upstream
+    (``global_shuffle(n_shards=...)``) so one shard fits a task's sort
+    budget; the writer inherits that decision.
+    """
+    cols = order_cols if order_cols else ["bin"]
+    (
+        packed.repartition(F.col(shard_col))
+        .sortWithinPartitions(shard_col, *cols)
+        .write.mode("overwrite")
+        .partitionBy(shard_col)
+        .parquet(out_path)
+    )
+
+
+def read_training_shards(spark, path: str, shards: list[int] | None = None) -> DataFrame:
+    """Read back training shards, optionally restricted to ``shards`` —
+    the resume path: the shard filter prunes whole directories
+    (PartitionFilters in the scan, pinned by pytest), so resuming an
+    epoch at shard k reads nothing before k."""
+    df = spark.read.parquet(path)
+    if shards is not None:
+        df = df.where(F.col("shard").isin([int(s) for s in shards]))
+    return df
+
+
+def training_manifest(
+    shards: DataFrame,
+    shard_col: str = "shard",
+    bin_col: str = "bin",
+    token_col: str = "tokens",
+) -> DataFrame:
+    """Per-shard manifest of a materialized training corpus: (shard,
+    n_docs, n_bins, n_tokens, last_bin) — what a training launcher needs
+    to schedule readers and size epochs without scanning payloads.  One
+    shard-keyed aggregate over the shard columns only (column pruning
+    keeps text/embedding payloads out of the scan)."""
+    return (
+        shards.groupBy(F.col(shard_col).cast("bigint").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(bin_col).alias("n_bins"),
+            F.sum(token_col).cast("bigint").alias("n_tokens"),
+            F.max(bin_col).cast("bigint").alias("last_bin"),
+        )
+    )

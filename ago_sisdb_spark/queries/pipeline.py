@@ -1921,6 +1921,64 @@ def s6_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s7_training_shards",
+    oracle=r"""
+    WITH s AS (
+        SELECT doc_id,
+               ((doc_id % 1000003) * 2654435761 + 17 * 40503) % 1000003 AS h,
+               len(string_split_regex(trim(text), '\s+')) AS tokens
+        FROM documents),
+    sh AS (
+        SELECT doc_id, tokens, CAST(h % 8 AS BIGINT) AS shard,
+               row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+        FROM s),
+    b AS (
+        SELECT shard, tokens,
+               CAST(floor(coalesce(sum(tokens) OVER (
+                   PARTITION BY shard ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   / 512) AS BIGINT) AS bin
+        FROM sh)
+    SELECT shard, count(*) AS n_docs, count(DISTINCT bin) AS n_bins,
+           CAST(sum(tokens) AS BIGINT) AS n_tokens,
+           CAST(max(bin) AS BIGINT) AS last_bin
+    FROM b GROUP BY shard
+    """,
+    extended=True,
+)
+def s7_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-corpus SINK: `global_shuffle` order → `pack_sequences`
+    in that order → `write_training_shards` (one internally-ordered
+    parquet directory per shard, the op's single shuffle) →
+    `training_manifest` over the read-back — the manifest a training
+    launcher schedules readers from.  The write happens under the
+    warehouse dir and is overwritten idempotently; the oracle restates
+    shuffle hash + pos-ordered packing + the per-shard rollup, so a wrong
+    write/read-back (lost rows, wrong shard routing, type drift in the
+    partition column) breaks the hash.  Resume-path directory pruning is
+    pinned by pytest (PartitionFilters on the shard read)."""
+    import os
+
+    from ago_sisdb_spark.operators import prep
+
+    docs = _t(spark, sf_dir, "documents")
+    order = prep.global_shuffle(docs.select("doc_id"), "doc_id", 8, 17)
+    toks = docs.select("doc_id", text.token_count(F.col("text")).alias("tokens"))
+    packed = prep.pack_sequences(
+        order.join(toks, "doc_id"), "doc_id", "tokens",
+        window_tokens=512, shard_col="shard", order_cols=["pos"],
+    )
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    out = os.path.join(warehouse, "training_shards", tag)
+    prep.write_training_shards(
+        packed.select("doc_id", "pos", "tokens", "bin", "shard"),
+        out, order_cols=["bin", "pos"],
+    )
+    return prep.training_manifest(prep.read_training_shards(spark, out))
+
+
+@query(
     "t16_ppl_buckets",
     oracle=r"""
     WITH toks AS (

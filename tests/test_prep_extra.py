@@ -706,3 +706,97 @@ def test_shuffle_and_epoch_mix_reject_bad_params(spark):
         prep.epoch_mix(df, "doc_id", "src", {"a": -1.0})
     with pytest.raises(ValueError, match="epoch counts"):
         prep.epoch_mix(df, "doc_id", "src", {}, default_epochs=-0.5)
+
+
+def test_write_training_shards_layout_and_order(spark, tmp_path):
+    """One parquet data file per shard directory; read-back rows arrive
+    in (bin, pos) order within each file; nothing lost or duplicated."""
+    import glob
+    import os
+
+    rows = [(i, 37 + (i * 7) % 90) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens long")
+    order = prep.global_shuffle(df.select("doc_id"), "doc_id", 4, 5)
+    packed = prep.pack_sequences(
+        order.join(df, "doc_id"), "doc_id", "tokens",
+        window_tokens=256, shard_col="shard", order_cols=["pos"],
+    )
+    out = str(tmp_path / "shards")
+    prep.write_training_shards(
+        packed.select("doc_id", "pos", "tokens", "bin", "shard"),
+        out, order_cols=["bin", "pos"],
+    )
+    dirs = sorted(glob.glob(os.path.join(out, "shard=*")))
+    assert len(dirs) == 4
+    for d in dirs:
+        files = [f for f in glob.glob(os.path.join(d, "*.parquet"))]
+        assert len(files) == 1, f"{d}: expected one file, got {files}"
+        # in-file row order IS the training read order
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(files[0], columns=["bin", "pos"]).to_pydict()
+        seq = list(zip(t["bin"], t["pos"]))
+        assert seq == sorted(seq)
+    back = prep.read_training_shards(spark, out)
+    assert back.count() == 200
+    assert {r.doc_id for r in back.select("doc_id").collect()} == set(range(200))
+
+
+def test_read_training_shards_prunes_directories(spark, tmp_path):
+    """The resume path: a shard filter must show up as PartitionFilters
+    (directory pruning), not a post-scan filter over all shards."""
+    df = spark.createDataFrame(
+        [(i, 50) for i in range(64)], "doc_id long, tokens long"
+    )
+    packed = prep.pack_sequences(df, "doc_id", "tokens", 512, n_shards=8)
+    out = str(tmp_path / "shards")
+    prep.write_training_shards(packed, out)
+    sub = prep.read_training_shards(spark, out, shards=[2, 5])
+    sub.collect()
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "shard" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    assert {r.shard for r in sub.select("shard").distinct().collect()} == {2, 5}
+
+
+def test_training_manifest_matches_direct_agg(spark, tmp_path):
+    """Manifest over the read-back == the same rollup computed on the
+    pre-write frame, and a second write is byte-stable (idempotent)."""
+    import hashlib
+    import glob
+    import os
+
+    rows = [(i, 10 + i % 23) for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens long")
+    packed = prep.pack_sequences(df, "doc_id", "tokens", 128, n_shards=4)
+    out = str(tmp_path / "shards")
+    prep.write_training_shards(packed, out)
+
+    def digest():
+        h = hashlib.md5()
+        for f in sorted(glob.glob(os.path.join(out, "shard=*", "*.parquet"))):
+            h.update(open(f, "rb").read())
+        return h.hexdigest()
+
+    d1 = digest()
+    got = {
+        r.shard: (r.n_docs, r.n_bins, r.n_tokens, r.last_bin)
+        for r in prep.training_manifest(
+            prep.read_training_shards(spark, out)
+        ).collect()
+    }
+    want = {
+        r.shard: (r.n_docs, r.n_bins, r.n_tokens, r.last_bin)
+        for r in packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("bin").alias("n_bins"),
+            F.sum("tokens").alias("n_tokens"),
+            F.max("bin").alias("last_bin"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) == 4
+    prep.write_training_shards(packed, out)
+    assert digest() == d1
