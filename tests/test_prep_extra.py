@@ -800,3 +800,19 @@ def test_training_manifest_matches_direct_agg(spark, tmp_path):
     assert got == want and len(got) == 4
     prep.write_training_shards(packed, out)
     assert digest() == d1
+
+
+def test_shuffle_and_epoch_mix_survive_huge_ids(spark):
+    """ids near 2^40 (real at 100 TB): the mod-BEFORE-multiply hash must
+    stay inside int64 under ANSI mode — a raw id * 2654435761 would
+    overflow and raise."""
+    base = 1 << 40
+    df = spark.createDataFrame(
+        [(base + i,) for i in range(64)], "doc_id long"
+    )
+    out = prep.global_shuffle(df, "doc_id", n_shards=4, seed=17).collect()
+    assert len(out) == 64 and all(0 <= r.shard < 4 and r.pos >= 1 for r in out)
+    mixed = prep.epoch_mix(
+        df.withColumn("src", F.lit("hi")), "doc_id", "src", {"hi": 2.5}
+    ).collect()
+    assert len(mixed) >= 2 * 64 and all(1 <= r.epoch <= 3 for r in mixed)

@@ -61,9 +61,16 @@ def scaled(df, n: int, id_cols: list[str]):
 
 
 def timed(mk) -> float:
-    mk().count()  # warm: file listing + codegen
+    # consume with the noop sink, NOT count(): count() lets Catalyst prune
+    # operators that don't affect cardinality — a Window-only op (pack,
+    # global_shuffle) collapses to a bare scan-count and the probe measures
+    # nothing (caught late r7; the noop write materializes every column)
+    def run():
+        mk().write.mode("overwrite").format("noop").save()
+
+    run()  # warm: file listing + codegen
     t0 = time.perf_counter()
-    mk().count()
+    run()
     return round(time.perf_counter() - t0, 3)
 
 
@@ -255,6 +262,45 @@ def main() -> None:
         probe("pack_spread_16_shards",
             lambda: prep.pack_sequences(spread, "doc_id", "tokens", 2048, 16)
         )
+        # late-r7 training-order family: hash-order shuffle (per-shard
+        # window at FIXED 64 shards — shard count is layout, so the probe
+        # shows the window curve itself holds as shard occupancy ×32),
+        # epoch mixing (pure map: sequence+explode), and the corpus sink
+        # (repartition-by-shard write + manifest read-back; timed() runs
+        # the write twice and reports the warm pass)
+        probe("s5_shuffle_order",
+            lambda: prep.global_shuffle(dc.select("doc_id"), "doc_id", 64, 17)
+        )
+        mixed = dc.select(
+            "doc_id",
+            F.concat(F.lit("s"), (F.col("doc_id") % 4).cast("string")).alias("src"),
+        )
+        probe("s6_epoch_mix",
+            lambda: prep.epoch_mix(
+                mixed, "doc_id", "src", {"s0": 2.5, "s1": 2.0, "s2": 1.0}, 0.5
+            )
+        )
+        if want("s7_shard_write"):
+            import shutil as _sh
+            import tempfile as _tf
+
+            packed7 = prep.pack_sequences(
+                dc.select(
+                    "doc_id", F.length("text").cast("bigint").alias("tokens")
+                ),
+                "doc_id", "tokens", 2048, 16,
+            )
+            tmp7 = _tf.mkdtemp(prefix=f"probe_s7_x{n}_")
+            outp = os.path.join(tmp7, "shards")
+
+            def mk_s7(packed7=packed7, outp=outp):
+                prep.write_training_shards(packed7, outp)
+                return prep.training_manifest(
+                    prep.read_training_shards(packed7.sparkSession, outp)
+                )
+
+            probe("s7_shard_write", mk_s7)
+            _sh.rmtree(tmp7, ignore_errors=True)
     lo, hi = muls[0], muls[-1]
     out["ratio_vs_linear"] = {
         op: round((t[hi] / t[lo]) / (hi / lo), 2) for op, t in out["ops"].items()
