@@ -60,18 +60,32 @@ def scaled(df, n: int, id_cols: list[str]):
     return out
 
 
+def _settle() -> None:
+    # the noop sink materializes full payload columns, so back-to-back
+    # probes carry real GC debt (the bench.py r5 lesson): force a GC and
+    # pause before the timed samples or ×1 reads slower than ×4
+    from pyspark.sql import SparkSession
+
+    sp = SparkSession.getActiveSession()
+    if sp is not None:
+        sp.sparkContext._jvm.System.gc()
+    time.sleep(0.3)
+
+
 def timed(mk) -> float:
     # consume with the noop sink, NOT count(): count() lets Catalyst prune
     # operators that don't affect cardinality — a Window-only op (pack,
     # global_shuffle) collapses to a bare scan-count and the probe measures
     # nothing (caught late r7; the noop write materializes every column)
-    def run():
+    def run() -> float:
+        t0 = time.perf_counter()
         mk().write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
 
     run()  # warm: file listing + codegen
-    t0 = time.perf_counter()
-    run()
-    return round(time.perf_counter() - t0, 3)
+    _settle()
+    # min of 2: scaling curves want the noise floor, not the noise
+    return round(min(run(), run()), 3)
 
 
 def main() -> None:
@@ -301,6 +315,12 @@ def main() -> None:
 
             probe("s7_shard_write", mk_s7)
             _sh.rmtree(tmp7, ignore_errors=True)
+        # release this scale's localCheckpoint blocks before the next
+        # multiplier: without it the ×32 pass runs on top of ×1+×4's
+        # cached copies and every sample carries eviction/GC noise
+        del ev, dc, em
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.5)
     lo, hi = muls[0], muls[-1]
     out["ratio_vs_linear"] = {
         op: round((t[hi] / t[lo]) / (hi / lo), 2) for op, t in out["ops"].items()
