@@ -23,6 +23,8 @@ NOTES = {
     "pipe_full_prep": "headline since r6: digest window -> pair-free MinHash drop set (bucket-min window) -> raw-corpus shingle decontam (r7: single-consumer branches, nothing in the keep chain executes twice) -> expression gates -> per-shard packing windows, ONE composed plan; no collect, no cross join, every anti-join side bounded (AQE broadcasts the drop lists)",
     "n4_knn_ivf": "materialized-index serve path (r6 shape): the trained k x dim centroid table is read back and inlined as LITERAL arrays, so list assignment is a projection over the scan — no crossJoin, no min_by aggregation exchange; the only shuffle is the per-probe top-k",
     "pipe8_incremental_prep": "incremental daily-ingest shape (r7): the ONLY documents scans carry the batch predicate (doc_id % 3 = 0 in PushedFilters) — history enters solely as three artifact parquet scans (digest set, band index, shards-sized pack_state); per-batch cost is batch + index probe, never a history scan",
+    "s5_global_shuffle": "training-order shuffle (r7): ONE exchange on the shard key feeding a per-shard WindowExec rank — no global sort, no single-partition window; shard count is layout so 1000 executors each sort shard-sized runs",
+    "s7_training_shards": "training-corpus sink manifest (r7): the write ran before this plan (repartition-by-shard + in-task sort + partitionBy, its one shuffle); the manifest scan reads ONLY tokens+bin (payloads pruned, ReadSchema) + the shard partition column, two-phase distinct aggregate, all codegen",
 }
 
 HEADER = """# PLANS — executed physical plans of headline queries (sf0.1, AQE final)
