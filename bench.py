@@ -64,6 +64,9 @@ SECONDARY = [
     # daily-ingest twin; measures the screen+pack serve path — the band
     # index is built once and reused like n7's codebooks)
     "pipe8_incremental_prep",
+    # r7 (late): the training-corpus sink — shuffle-order pack + sharded
+    # ordered write + manifest read-back (the write IS the measured work)
+    "s7_training_shards",
 ]
 
 RUNS = 3
