@@ -682,7 +682,7 @@ def incremental_prep_batch(
     )
 
 
-def _pack_report(
+def _pack_bins(
     keep: DataFrame,
     pack_state: DataFrame,
     id_col: str,
@@ -690,10 +690,9 @@ def _pack_report(
     n_shards: int,
     window_tokens: int,
 ) -> DataFrame:
-    """Pack ACCEPTED batch docs into per-shard bins continuing from
-    ``pack_state`` and aggregate the (shard, n_docs, n_bins, first_bin,
-    total_tokens) report — the tail of ``incremental_prep_batch``,
-    callable on an already-screened survivor frame."""
+    """Per-doc (id, shard, tokens, bin) for ACCEPTED batch docs, bins
+    continuing from ``pack_state`` — the shared packing core of the
+    report aggregate and the per-batch shard sink."""
     from pyspark.sql import Window
 
     from ago_sisdb_spark.operators import text
@@ -713,8 +712,25 @@ def _pack_report(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum_before = F.col("__base") + F.coalesce(F.sum("tokens").over(wp), F.lit(0))
-    binned = toks.withColumn(
+    return toks.withColumn(
         "bin", F.floor(cum_before / window_tokens).cast("bigint")
+    ).select(F.col("__id").alias(id_col), "shard", "tokens", "bin")
+
+
+def _pack_report(
+    keep: DataFrame,
+    pack_state: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_shards: int,
+    window_tokens: int,
+) -> DataFrame:
+    """Pack ACCEPTED batch docs into per-shard bins continuing from
+    ``pack_state`` and aggregate the (shard, n_docs, n_bins, first_bin,
+    total_tokens) report — the tail of ``incremental_prep_batch``,
+    callable on an already-screened survivor frame."""
+    binned = _pack_bins(
+        keep, pack_state, id_col, text_col, n_shards, window_tokens
     )
     return binned.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -737,6 +753,7 @@ def incremental_ingest(
     n_shards: int = 16,
     window_tokens: int = 2048,
     in_batch_prune: bool = True,
+    shards_path: str | None = None,
 ) -> DataFrame:
     """One arriving batch, end to end, against the persisted artifacts —
     AND the artifact advance, in the correct order.  This is the
@@ -756,6 +773,13 @@ def incremental_ingest(
     the index (``dedup.append_minhash_index``), making the next batch
     screen against history ∪ this batch.  The survivor set is cached
     for the duration so screens run once, not once per artifact.
+
+    ``shards_path`` additionally lands the batch's accepted, packed docs
+    as TRAINING SHARDS (``write_training_shards(mode="append")``): one
+    new (bin, id)-ordered file per shard per batch, bins continuing from
+    ``pack_state`` — so the streaming ingest's output IS a training-ready
+    corpus, with ``training_manifest`` over the directory as the
+    scheduler's view.
     """
     from ago_sisdb_spark.operators import dedup
 
@@ -791,6 +815,14 @@ def incremental_ingest(
         stable = spark.createDataFrame(report.collect(), report.schema)
         if results_path is not None:
             stable.write.mode("append").parquet(results_path)
+        if shards_path is not None:
+            write_training_shards(
+                _pack_bins(
+                    accepted, pack_state, id_col, text_col,
+                    n_shards, window_tokens,
+                ),
+                shards_path, order_cols=["bin", id_col], mode="append",
+            )
         advance_prep_state(
             spark, batch, stable, digest_path, pack_state_path, text_col
         )
@@ -908,6 +940,7 @@ def write_training_shards(
     out_path: str,
     shard_col: str = "shard",
     order_cols: list | None = None,
+    mode: str = "overwrite",
 ) -> None:
     """Materialize a packed/shuffled corpus as training shards: one
     parquet directory per shard, rows inside each shard stored in the
@@ -923,12 +956,19 @@ def write_training_shards(
     level (PartitionFilters).  At 100 TB, shard count is chosen upstream
     (``global_shuffle(n_shards=...)``) so one shard fits a task's sort
     budget; the writer inherits that decision.
+
+    ``mode="append"`` is the streaming-ingest form (one NEW ordered file
+    per shard per batch — `incremental_ingest`'s per-micro-batch sink);
+    order then holds within each batch's file, and a periodic overwrite
+    rewrite (or `sources.ingest.compact`) restores one file per shard.
     """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be 'overwrite' or 'append', got {mode!r}")
     cols = order_cols if order_cols else ["bin"]
     (
         packed.repartition(F.col(shard_col))
         .sortWithinPartitions(shard_col, *cols)
-        .write.mode("overwrite")
+        .write.mode(mode)
         .partitionBy(shard_col)
         .parquet(out_path)
     )

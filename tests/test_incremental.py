@@ -651,3 +651,47 @@ def test_incremental_ingest_foreachbatch_advances_state(spark, tmp_path):
     # final on-disk state covers hist + both batches
     st_rows = {r.shard: r.base_tokens for r in spark.read.parquet(st).collect()}
     assert st_rows[0] == 60 + 80 + 50
+
+
+def test_incremental_ingest_lands_training_shards(spark, tmp_path):
+    """`shards_path`: each batch appends ONE (bin, id)-ordered file per
+    touched shard, bins continuing from pack_state — so the streaming
+    ingest's output is a training-ready corpus, and `training_manifest`
+    over the directory is the scheduler's view."""
+    import glob
+
+    from ago_sisdb_spark.operators import dedup, prep
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    hist = spark.createDataFrame([(16, base)], "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    dig, st = prep.prep_state_paths(str(tmp_path), "corpus")
+    dedup.build_minhash_index(hist, "doc_id", "text", idx, portable=True)
+    prep.build_prep_state(hist, dig, st, n_shards=16)
+    shards = str(tmp_path / "shards")
+
+    b1 = spark.createDataFrame(
+        [(32, " ".join(f"d1w{i}" for i in range(80)))],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(48, " ".join(f"d2w{i}" for i in range(50)))],
+        "doc_id long, text string",
+    )
+    prep.incremental_ingest(
+        spark, b1, idx, dig, st, window_tokens=100, shards_path=shards
+    )
+    prep.incremental_ingest(
+        spark, b2, idx, dig, st, window_tokens=100, shards_path=shards
+    )
+    # both docs hash to shard 0; one appended file per batch
+    assert len(glob.glob(shards + "/shard=0/*.parquet")) == 2
+    back = prep.read_training_shards(spark, shards)
+    rows = sorted((r.doc_id, r.shard, r.bin) for r in back.collect())
+    # doc 32 packs after hist's 60 tokens -> bin 0; doc 48 after
+    # 60+80=140 -> bin 1 (the pack_state continuation, now on disk)
+    assert rows == [(32, 0, 0), (48, 0, 1)]
+    man = prep.training_manifest(back).collect()
+    assert [(m.shard, m.n_docs, m.n_bins, m.n_tokens) for m in man] == [
+        (0, 2, 2, 130)
+    ]
