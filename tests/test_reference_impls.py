@@ -812,3 +812,85 @@ def test_audio_windows_vs_reference_impl(spark):
         for r in m4_audio_windows(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 100
+
+
+def test_training_order_vs_reference_impl(spark):
+    """Plain-Python twin of the training-order chain — global_shuffle's
+    (shard, pos), epoch_mix's copy counts, and pack_sequences' bins in
+    shuffle order — computed with independent arithmetic (no SQL, no
+    Spark) on real sf0.001 ids.  The gate oracles RESTATE the formulas;
+    this checks the formulas themselves produce the intended layout."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from ago_sisdb_spark.operators import prep
+
+    sf_dir = "/root/testdata/sf0.001"
+    ids = sorted(
+        pd.read_parquet(sf_dir + "/documents.parquet", columns=["doc_id"])[
+            "doc_id"
+        ].tolist()
+    )
+
+    P, A, B = 1000003, 2654435761, 40503
+    def h(i, seed):
+        return ((i % P) * A + seed * B) % P
+
+    # --- global_shuffle: shard = h mod n, pos = rank of (h, id) in shard
+    n_shards, seed = 8, 17
+    by_shard: dict[int, list] = {}
+    for i in ids:
+        by_shard.setdefault(h(i, seed) % n_shards, []).append((h(i, seed), i))
+    want_order = {}
+    for s, members in by_shard.items():
+        for pos, (_, i) in enumerate(sorted(members), start=1):
+            want_order[i] = (s, pos)
+    df = spark.read.parquet(sf_dir + "/documents.parquet").select("doc_id")
+    got_order = {
+        r.doc_id: (r.shard, r.pos)
+        for r in prep.global_shuffle(df, "doc_id", n_shards, seed).collect()
+    }
+    assert got_order == want_order
+
+    # --- epoch_mix: floor(e) copies + one more iff h(id, floor(e)+1) is
+    # under the fractional threshold
+    rates = {0: 2.5, 1: 2.0, 2: 1.0, 3: 0.5}
+    want_epochs = {}
+    for i in ids:
+        e = rates[i % 4]
+        n_full = int(e)
+        thresh = int((e - n_full) * P)
+        gate = ((i % P) * A + (n_full + 1) * B) % P
+        want_epochs[i] = n_full + (1 if gate < thresh else 0)
+    src = df.withColumn("src", (F.col("doc_id") % 4).cast("string"))
+    mixed = prep.epoch_mix(
+        src, "doc_id", "src", {str(k): v for k, v in rates.items()}, 0.0
+    )
+    got_epochs: dict[int, int] = {}
+    for r in mixed.collect():
+        got_epochs[r.doc_id] = max(got_epochs.get(r.doc_id, 0), r.epoch)
+        assert r.epoch >= 1
+    for i in ids:
+        assert got_epochs.get(i, 0) == want_epochs[i], i
+
+    # --- pack_sequences over the shuffle order: greedy running sum per
+    # shard in pos order
+    toks = {i: 37 + (i * 7) % 90 for i in ids}
+    window = 512
+    want_bins = {}
+    for s, members in by_shard.items():
+        cum = 0
+        for _, i in sorted(members):
+            want_bins[i] = cum // window
+            cum += toks[i]
+    tdf = spark.createDataFrame(
+        [(i, t) for i, t in toks.items()], "doc_id long, tokens long"
+    )
+    packed = prep.pack_sequences(
+        prep.global_shuffle(df, "doc_id", n_shards, seed).join(tdf, "doc_id"),
+        "doc_id", "tokens", window_tokens=window,
+        shard_col="shard", order_cols=["pos"],
+    )
+    got_bins = {r.doc_id: r.bin for r in packed.collect()}
+    assert got_bins == want_bins
