@@ -754,6 +754,7 @@ def incremental_ingest(
     window_tokens: int = 2048,
     in_batch_prune: bool = True,
     shards_path: str | None = None,
+    batch_id: int | None = None,
 ) -> DataFrame:
     """One arriving batch, end to end, against the persisted artifacts —
     AND the artifact advance, in the correct order.  This is the
@@ -775,13 +776,48 @@ def incremental_ingest(
     for the duration so screens run once, not once per artifact.
 
     ``shards_path`` additionally lands the batch's accepted, packed docs
-    as TRAINING SHARDS (``write_training_shards(mode="append")``): one
-    new (bin, id)-ordered file per shard per batch, bins continuing from
-    ``pack_state`` — so the streaming ingest's output IS a training-ready
-    corpus, with ``training_manifest`` over the directory as the
-    scheduler's view.
+    as TRAINING SHARDS: one new (bin, id)-ordered file per shard per
+    batch, bins continuing from ``pack_state`` — so the streaming
+    ingest's output IS a training-ready corpus, with
+    ``training_manifest`` over the directory as the scheduler's view.
+    Pass the foreachBatch ``epoch_id`` as ``batch_id`` (with a
+    ``results_path``) to make REDELIVERY idempotent.  foreachBatch is
+    at-least-once: Spark re-runs a batch whenever the sink finished but
+    the streaming checkpoint commit didn't — by far the common replay.
+    The results parquet doubles as the processed-batch LEDGER (each
+    report row carries ``batch``): the ledger row is written LAST, a
+    replay of an already-ledgered id returns the stored report and
+    touches NOTHING, and the shard write lands under
+    ``batch=<id>/shard=<n>/`` via dynamic partition overwrite, so
+    re-running an unledgered batch rewrites its own shard partitions
+    instead of appending duplicates.  Residual window, stated exactly: a
+    crash INSIDE the artifact advance (after pack_state/index mutated,
+    before the ledger row) replays as at-least-once — digest re-append
+    is harmless (anti-join on a set), but pack_state/index would
+    re-advance; closing that needs a transactional table format (Delta/
+    Iceberg MERGE in production) or batch-keyed state partitions.
+    Without ``batch_id`` every write is a plain append (at-least-once).
     """
     from ago_sisdb_spark.operators import dedup
+
+    report_schema = (
+        "shard bigint, n_docs bigint, n_bins bigint, "
+        "first_bin bigint, total_tokens bigint"
+    )
+    if batch_id is not None and results_path is not None:
+        from pyspark.errors import AnalysisException
+
+        try:
+            prior = (
+                spark.read.parquet(results_path)
+                .where(F.col("batch") == int(batch_id))
+                .drop("batch")
+                .collect()
+            )
+        except AnalysisException:
+            prior = []
+        if prior:  # ledgered: redelivery of a committed batch — no-op
+            return spark.createDataFrame(prior, report_schema)
 
     loaded = load_prep_state(spark, digest_path, pack_state_path)
     if loaded is None:
@@ -813,16 +849,27 @@ def incremental_ingest(
             accepted, pack_state, id_col, text_col, n_shards, window_tokens
         )
         stable = spark.createDataFrame(report.collect(), report.schema)
-        if results_path is not None:
-            stable.write.mode("append").parquet(results_path)
         if shards_path is not None:
-            write_training_shards(
-                _pack_bins(
-                    accepted, pack_state, id_col, text_col,
-                    n_shards, window_tokens,
-                ),
-                shards_path, order_cols=["bin", id_col], mode="append",
+            binned = _pack_bins(
+                accepted, pack_state, id_col, text_col, n_shards, window_tokens
             )
+            if batch_id is None:
+                write_training_shards(
+                    binned, shards_path, order_cols=["bin", id_col],
+                    mode="append",
+                )
+            else:
+                # batch-keyed dynamic overwrite: a re-run of this batch
+                # replaces ONLY its own batch=<id>/shard=<n> partitions
+                (
+                    binned.withColumn("batch", F.lit(int(batch_id)))
+                    .repartition(F.col("shard"))
+                    .sortWithinPartitions("shard", "bin", id_col)
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch", "shard")
+                    .parquet(shards_path)
+                )
         advance_prep_state(
             spark, batch, stable, digest_path, pack_state_path, text_col
         )
@@ -830,6 +877,15 @@ def incremental_ingest(
             accepted.where(w3), id_col, text_col, index_path, portable=True,
             band_rows=brows,
         )
+        # the ledger/results row is written LAST: its presence means the
+        # batch fully committed, so the redelivery check above can no-op
+        if results_path is not None:
+            out = (
+                stable
+                if batch_id is None
+                else stable.withColumn("batch", F.lit(int(batch_id)))
+            )
+            out.write.mode("append").parquet(results_path)
         return stable
     finally:
         accepted.unpersist()

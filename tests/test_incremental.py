@@ -695,3 +695,52 @@ def test_incremental_ingest_lands_training_shards(spark, tmp_path):
     assert [(m.shard, m.n_docs, m.n_bins, m.n_tokens) for m in man] == [
         (0, 2, 2, 130)
     ]
+
+
+def test_incremental_ingest_redelivery_is_idempotent(spark, tmp_path):
+    """foreachBatch redelivery (sink finished, checkpoint commit lost):
+    re-running a LEDGERED batch_id returns the stored report and
+    advances nothing — pack_state counted once, one results row, one
+    shard partition set; a genuinely new batch_id still advances."""
+    import glob
+
+    from ago_sisdb_spark.operators import dedup, prep
+
+    hist = spark.createDataFrame(
+        [(16, " ".join(f"tok{i}" for i in range(60)))],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    dig, st = prep.prep_state_paths(str(tmp_path), "corpus")
+    dedup.build_minhash_index(hist, "doc_id", "text", idx, portable=True)
+    prep.build_prep_state(hist, dig, st, n_shards=16)
+    res, shards = str(tmp_path / "results"), str(tmp_path / "shards")
+
+    b1 = spark.createDataFrame(
+        [(32, " ".join(f"d1w{i}" for i in range(80)))],
+        "doc_id long, text string",
+    )
+    kw = dict(
+        results_path=res, window_tokens=100, shards_path=shards
+    )
+    r1 = prep.incremental_ingest(spark, b1, idx, dig, st, batch_id=7, **kw)
+    first = sorted(map(tuple, r1.collect()))
+    r2 = prep.incremental_ingest(spark, b1, idx, dig, st, batch_id=7, **kw)
+    assert sorted(map(tuple, r2.collect())) == first
+    st_rows = {r.shard: r.base_tokens for r in spark.read.parquet(st).collect()}
+    assert st_rows[0] == 60 + 80  # advanced once, not twice
+    led = spark.read.parquet(res)
+    assert led.where("batch = 7").count() == 1
+    assert len(glob.glob(shards + "/batch=7/shard=0/*.parquet")) == 1
+
+    b2 = spark.createDataFrame(
+        [(48, " ".join(f"d2w{i}" for i in range(50)))],
+        "doc_id long, text string",
+    )
+    prep.incremental_ingest(spark, b2, idx, dig, st, batch_id=8, **kw)
+    st_rows = {r.shard: r.base_tokens for r in spark.read.parquet(st).collect()}
+    assert st_rows[0] == 60 + 80 + 50
+    back = prep.read_training_shards(spark, shards)
+    assert sorted((r.doc_id, r.batch, r.shard, r.bin) for r in back.collect()) == [
+        (32, 7, 0, 0), (48, 8, 0, 1)
+    ]
