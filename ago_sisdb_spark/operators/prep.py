@@ -762,7 +762,9 @@ def incremental_ingest(
 
         def sink(bdf, epoch_id):
             prep.incremental_ingest(
-                bdf.sparkSession, bdf, idx_path, dig_path, st_path)
+                bdf.sparkSession, bdf, idx_path, dig_path, st_path,
+                results_path=res_path, shards_path=shards_path,
+                batch_id=epoch_id)
 
     Per micro-batch: load artifacts → screen (``screen_prep_batch``) →
     pack against the current ``pack_state`` and MATERIALIZE the bin
