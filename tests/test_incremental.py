@@ -744,3 +744,53 @@ def test_incremental_ingest_redelivery_is_idempotent(spark, tmp_path):
     assert sorted((r.doc_id, r.batch, r.shard, r.bin) for r in back.collect()) == [
         (32, 7, 0, 0), (48, 8, 0, 1)
     ]
+
+
+def test_batch_keyed_shards_compact_and_prune(spark, tmp_path):
+    """The documented maintenance pair for the streaming shard layout:
+    (1) a resume read's shard filter prunes directories even under the
+    batch=N/shard=M layout; (2) periodic compaction — read back, rewrite
+    with write_training_shards(mode='overwrite') — restores one ordered
+    file per shard, losing no rows."""
+    import glob
+
+    from ago_sisdb_spark.operators import dedup, prep
+
+    hist = spark.createDataFrame(
+        [(16, " ".join(f"tok{i}" for i in range(60)))],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    dig, st = prep.prep_state_paths(str(tmp_path), "corpus")
+    dedup.build_minhash_index(hist, "doc_id", "text", idx, portable=True)
+    prep.build_prep_state(hist, dig, st, n_shards=16)
+    res, shards = str(tmp_path / "results"), str(tmp_path / "shards")
+    for bid, did in ((1, 32), (2, 33), (3, 48)):
+        b = spark.createDataFrame(
+            [(did, " ".join(f"b{bid}w{i}" for i in range(40)))],
+            "doc_id long, text string",
+        )
+        prep.incremental_ingest(
+            spark, b, idx, dig, st, results_path=res, window_tokens=100,
+            shards_path=shards, batch_id=bid,
+        )
+
+    sub = prep.read_training_shards(spark, shards, shards=[0])
+    sub.collect()
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "shard" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    assert {r.doc_id for r in sub.collect()} == {32, 48}  # 33 -> shard 1
+
+    compacted = str(tmp_path / "compacted")
+    prep.write_training_shards(
+        prep.read_training_shards(spark, shards).drop("batch"),
+        compacted, order_cols=["bin", "doc_id"],
+    )
+    for d in glob.glob(compacted + "/shard=*"):
+        assert len(glob.glob(d + "/*.parquet")) == 1
+    back = prep.read_training_shards(spark, compacted)
+    assert sorted((r.doc_id, r.shard, r.bin) for r in back.collect()) == [
+        (32, 0, 0), (33, 1, 0), (48, 0, 1),
+    ]
