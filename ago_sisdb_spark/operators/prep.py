@@ -729,9 +729,12 @@ def _pack_report(
     ``pack_state`` and aggregate the (shard, n_docs, n_bins, first_bin,
     total_tokens) report — the tail of ``incremental_prep_batch``,
     callable on an already-screened survivor frame."""
-    binned = _pack_bins(
-        keep, pack_state, id_col, text_col, n_shards, window_tokens
+    return _report_from_bins(
+        _pack_bins(keep, pack_state, id_col, text_col, n_shards, window_tokens)
     )
+
+
+def _report_from_bins(binned: DataFrame) -> DataFrame:
     return binned.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("bin").alias("n_bins"),
@@ -786,13 +789,18 @@ def incremental_ingest(
     ``results_path``) to make REDELIVERY idempotent.  foreachBatch is
     at-least-once: Spark re-runs a batch whenever the sink finished but
     the streaming checkpoint commit didn't — by far the common replay.
-    The results parquet doubles as the processed-batch LEDGER (each
-    report row carries ``batch``): the ledger row is written LAST, a
-    replay of an already-ledgered id returns the stored report and
-    touches NOTHING, and the shard write lands under
-    ``batch=<id>/shard=<n>/`` via dynamic partition overwrite, so
-    re-running an unledgered batch rewrites its own shard partitions
-    instead of appending duplicates.  Residual window, stated exactly: a
+    The results parquet doubles as the processed-batch LEDGER,
+    partitioned by ``batch`` (the redelivery check prunes to one
+    directory — O(1) however long the stream runs): the ledger rows are
+    written LAST via dynamic partition overwrite, a replay of an
+    already-ledgered id returns the stored report and touches NOTHING
+    (an empty report ledgers a ``shard=-1`` sentinel row so even an
+    all-duplicates batch commits; filter ``shard >= 0`` when consuming
+    reports), and the shard write lands under ``batch=<id>/shard=<n>/``
+    the same way, so re-running an unledgered batch rewrites its own
+    shard partitions instead of appending duplicates.  A ledgered
+    results_path refuses batch_id=None rows (and vice versa raises on
+    read) rather than silently losing idempotence.  Residual window, stated exactly: a
     crash INSIDE the artifact advance (after pack_state/index mutated,
     before the ledger row) replays as at-least-once — digest re-append
     is harmless (anti-join on a set), but pack_state/index would
@@ -810,16 +818,30 @@ def incremental_ingest(
         from pyspark.errors import AnalysisException
 
         try:
+            led = spark.read.parquet(results_path)
+        except AnalysisException:  # first batch: no ledger yet
+            led = None
+        if led is not None:
+            if "batch" not in led.columns:
+                # mixing ledgered and plain-append reports in one path
+                # would SILENTLY disable the redelivery no-op (and a
+                # replay would double-advance pack_state) — refuse loudly
+                raise ValueError(
+                    f"results_path {results_path!r} holds batch_id=None "
+                    "reports (no 'batch' column) — use a fresh "
+                    "results_path for ledgered ingest"
+                )
+            # 'batch' is a partition column, so this read prunes to the
+            # one batch=<id> directory — O(1) in stream lifetime
             prior = (
-                spark.read.parquet(results_path)
-                .where(F.col("batch") == int(batch_id))
+                led.where(F.col("batch") == int(batch_id))
                 .drop("batch")
                 .collect()
             )
-        except AnalysisException:
-            prior = []
-        if prior:  # ledgered: redelivery of a committed batch — no-op
-            return spark.createDataFrame(prior, report_schema)
+            if prior:  # ledgered: redelivery of a committed batch — no-op
+                return spark.createDataFrame(
+                    [r for r in prior if r["shard"] >= 0], report_schema
+                )
 
     loaded = load_prep_state(spark, digest_path, pack_state_path)
     if loaded is None:
@@ -846,32 +868,23 @@ def incremental_ingest(
         batch, digests, index, id_col, text_col,
         min_shared_bands, in_batch_prune, band_rows=brows,
     ).persist()
+    binned = _pack_bins(
+        accepted, pack_state, id_col, text_col, n_shards, window_tokens
+    )
+    if shards_path is not None:
+        # the report AND the shard write both consume the pack subplan
+        # (token_count + pack_state join + per-shard window) — persist it
+        # or it executes twice per batch (no exchange reuse across
+        # separate consumers)
+        binned = binned.persist()
     try:
-        report = _pack_report(
-            accepted, pack_state, id_col, text_col, n_shards, window_tokens
-        )
+        report = _report_from_bins(binned)
         stable = spark.createDataFrame(report.collect(), report.schema)
         if shards_path is not None:
-            binned = _pack_bins(
-                accepted, pack_state, id_col, text_col, n_shards, window_tokens
+            write_training_shards(
+                binned, shards_path, order_cols=["bin", id_col],
+                mode="append", batch_id=batch_id,
             )
-            if batch_id is None:
-                write_training_shards(
-                    binned, shards_path, order_cols=["bin", id_col],
-                    mode="append",
-                )
-            else:
-                # batch-keyed dynamic overwrite: a re-run of this batch
-                # replaces ONLY its own batch=<id>/shard=<n> partitions
-                (
-                    binned.withColumn("batch", F.lit(int(batch_id)))
-                    .repartition(F.col("shard"))
-                    .sortWithinPartitions("shard", "bin", id_col)
-                    .write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("batch", "shard")
-                    .parquet(shards_path)
-                )
         advance_prep_state(
             spark, batch, stable, digest_path, pack_state_path, text_col
         )
@@ -882,16 +895,31 @@ def incremental_ingest(
         # the ledger/results row is written LAST: its presence means the
         # batch fully committed, so the redelivery check above can no-op
         if results_path is not None:
-            out = (
-                stable
-                if batch_id is None
-                else stable.withColumn("batch", F.lit(int(batch_id)))
-            )
-            out.write.mode("append").parquet(results_path)
+            if batch_id is None:
+                stable.write.mode("append").parquet(results_path)
+            else:
+                # batch-partitioned (the redelivery check prunes to one
+                # directory) + dynamic overwrite (re-writing the same id
+                # replaces, never duplicates).  An EMPTY report must
+                # still ledger or the batch could never commit — the
+                # shard=-1 sentinel marks a committed-empty batch and is
+                # filtered back out on the redelivery return path.
+                rows = stable.collect() or [(-1, 0, 0, 0, 0)]
+                (
+                    spark.createDataFrame(rows, report_schema)
+                    .withColumn("batch", F.lit(int(batch_id)))
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch")
+                    .parquet(results_path)
+                )
         return stable
     finally:
         accepted.unpersist()
         brows.unpersist()
+        if shards_path is not None:
+            binned.unpersist()
 
 
 def global_shuffle(
@@ -999,6 +1027,7 @@ def write_training_shards(
     shard_col: str = "shard",
     order_cols: list | None = None,
     mode: str = "overwrite",
+    batch_id: int | None = None,
 ) -> None:
     """Materialize a packed/shuffled corpus as training shards: one
     parquet directory per shard, rows inside each shard stored in the
@@ -1017,12 +1046,28 @@ def write_training_shards(
 
     ``mode="append"`` is the streaming-ingest form (one NEW ordered file
     per shard per batch — `incremental_ingest`'s per-micro-batch sink);
-    order then holds within each batch's file, and a periodic overwrite
-    rewrite (or `sources.ingest.compact`) restores one file per shard.
+    order then holds within each batch's file.  ``batch_id`` instead
+    lands the rows under ``batch=<id>/shard=<n>/`` via DYNAMIC partition
+    overwrite — re-writing the same batch replaces its own partitions
+    (retry-idempotent), other batches untouched.  Compaction = read the
+    directory back and rewrite with ``write_training_shards(mode=
+    "overwrite")`` — do NOT use `sources.ingest.compact`, which neither
+    partitions by shard nor preserves the (bin, pos) row order.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be 'overwrite' or 'append', got {mode!r}")
     cols = order_cols if order_cols else ["bin"]
+    if batch_id is not None:
+        (
+            packed.withColumn("batch", F.lit(int(batch_id)))
+            .repartition(F.col(shard_col))
+            .sortWithinPartitions(shard_col, *cols)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch", shard_col)
+            .parquet(out_path)
+        )
+        return
     (
         packed.repartition(F.col(shard_col))
         .sortWithinPartitions(shard_col, *cols)

@@ -794,3 +794,72 @@ def test_batch_keyed_shards_compact_and_prune(spark, tmp_path):
     assert sorted((r.doc_id, r.shard, r.bin) for r in back.collect()) == [
         (32, 0, 0), (33, 1, 0), (48, 0, 1),
     ]
+
+
+def test_incremental_ingest_empty_batch_still_ledgers(spark, tmp_path):
+    """A batch screened down to NOTHING (all exact dups of history) must
+    still commit: the shard=-1 sentinel row ledgers the batch_id, so a
+    redelivery no-ops (no new digest append) and returns the same empty
+    report — without it an all-duplicates batch could never become
+    ledgered and every replay would re-run the full advance path."""
+    import glob
+
+    from ago_sisdb_spark.operators import dedup, prep
+
+    txt = " ".join(f"tok{i}" for i in range(60))
+    hist = spark.createDataFrame([(16, txt)], "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    dig, st = prep.prep_state_paths(str(tmp_path), "corpus")
+    dedup.build_minhash_index(hist, "doc_id", "text", idx, portable=True)
+    prep.build_prep_state(hist, dig, st, n_shards=16)
+    res = str(tmp_path / "results")
+
+    dup_batch = spark.createDataFrame(
+        [(32, txt)], "doc_id long, text string"  # exact dup -> screened out
+    )
+    r1 = prep.incremental_ingest(
+        spark, dup_batch, idx, dig, st, results_path=res, batch_id=3
+    )
+    assert r1.count() == 0
+    led = spark.read.parquet(res)
+    assert [(r.batch, r.shard) for r in led.collect()] == [(3, -1)]
+    n_digest_files = len(glob.glob(dig + "/*.parquet"))
+    r2 = prep.incremental_ingest(  # redelivery: must touch nothing
+        spark, dup_batch, idx, dig, st, results_path=res, batch_id=3
+    )
+    assert r2.count() == 0
+    assert len(glob.glob(dig + "/*.parquet")) == n_digest_files
+    assert spark.read.parquet(res).count() == 1
+
+
+def test_incremental_ingest_mixed_ledger_mode_refused(spark, tmp_path):
+    """A results_path holding batch_id=None reports cannot silently serve
+    as a ledger (the replay check would never match and pack_state would
+    double-advance) — ledgered mode refuses it loudly."""
+    import pytest
+
+    from ago_sisdb_spark.operators import dedup, prep
+
+    hist = spark.createDataFrame(
+        [(16, " ".join(f"tok{i}" for i in range(60)))],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    dig, st = prep.prep_state_paths(str(tmp_path), "corpus")
+    dedup.build_minhash_index(hist, "doc_id", "text", idx, portable=True)
+    prep.build_prep_state(hist, dig, st, n_shards=16)
+    res = str(tmp_path / "results")
+
+    b = spark.createDataFrame(
+        [(32, " ".join(f"d1w{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    prep.incremental_ingest(spark, b, idx, dig, st, results_path=res)
+    b2 = spark.createDataFrame(
+        [(48, " ".join(f"d2w{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="batch_id=None"):
+        prep.incremental_ingest(
+            spark, b2, idx, dig, st, results_path=res, batch_id=1
+        )

@@ -259,6 +259,7 @@ def main() -> None:
                 )
             )
             shutil.rmtree(tmp, ignore_errors=True)
+            del hist, batch, digests, state, index
         # r7 skew probe (r6 verdict #4): every doc planted into ONE shard
         # (ids ×16 ⇒ pmod 16 = 0) vs the spread layout — the packing
         # window's worst case; graceful = the hot-shard curve stays
@@ -315,10 +316,14 @@ def main() -> None:
 
             probe("s7_shard_write", mk_s7)
             _sh.rmtree(tmp7, ignore_errors=True)
+            del packed7, mk_s7
         # release this scale's localCheckpoint blocks before the next
         # multiplier: without it the ×32 pass runs on top of ×1+×4's
-        # cached copies and every sample carries eviction/GC noise
-        del ev, dc, em
+        # cached copies and every sample carries eviction/GC noise.
+        # The DERIVED frames must go too — their plans reference the
+        # checkpointed RDDs, and ContextCleaner can only unpersist a
+        # block once nothing reachable points at it
+        del ev, dc, em, mixed, spread, sdf, skew, toks, toks2
         spark.sparkContext._jvm.System.gc()
         time.sleep(0.5)
     lo, hi = muls[0], muls[-1]
