@@ -946,18 +946,22 @@ def global_shuffle(
     wants n_shards in the tens of thousands — shard count is layout, not
     semantics (any n gives a valid permutation).
 
-    Same Knuth-multiplicative gate family as ``quality_sample`` (mod
-    BEFORE multiply keeps ANSI int64 exact at any id scale); the oracle
-    restates the formula verbatim.
+    The seed enters the MULTIPLIER, not the offset: h = (id mod p) ·
+    mult(seed) mod p with mult = 1 + (2654435761 + seed·40503) mod (p−1).
+    An additive seed (h + seed·c) only translates every hash by a
+    constant, which relabels shards and ROTATES each shard's order —
+    epoch 2 would consume nearly the same document sequence as epoch 1
+    (caught by review, late r7).  Distinct multipliers mod the prime p
+    are genuinely different orderings; mod-before-multiply keeps ANSI
+    int64 exact at any id scale.  The oracle restates the formula
+    verbatim and a rotation-detector pytest pins the reshuffle.
     """
     from pyspark.sql import Window
 
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
-    h = (
-        F.pmod(F.col(id_col), F.lit(1000003)) * F.lit(2654435761)
-        + F.lit(seed) * F.lit(40503)
-    ) % F.lit(1000003)
+    mult = 1 + (2654435761 + (seed % 1000002) * 40503) % 1000002
+    h = (F.pmod(F.col(id_col), F.lit(1000003)) * F.lit(mult)) % F.lit(1000003)
     shard = F.pmod(h, F.lit(n_shards))
     out = df.select(
         F.col(id_col),

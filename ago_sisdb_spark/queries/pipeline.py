@@ -1859,7 +1859,7 @@ def s3_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
         SELECT doc_id,
-               ((doc_id % 1000003) * 2654435761 + 17 * 40503) % 1000003 AS h
+               ((doc_id % 1000003) * (1 + (2654435761 + 17 * 40503) % 1000002)) % 1000003 AS h
         FROM documents)
     SELECT doc_id, CAST(h % 64 AS BIGINT) AS shard,
            CAST(row_number() OVER (PARTITION BY h % 64
@@ -1925,7 +1925,7 @@ def s6_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH s AS (
         SELECT doc_id,
-               ((doc_id % 1000003) * 2654435761 + 17 * 40503) % 1000003 AS h,
+               ((doc_id % 1000003) * (1 + (2654435761 + 17 * 40503) % 1000002)) % 1000003 AS h,
                len(string_split_regex(trim(text), '\s+')) AS tokens
         FROM documents),
     sh AS (

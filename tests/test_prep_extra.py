@@ -816,3 +816,23 @@ def test_shuffle_and_epoch_mix_survive_huge_ids(spark):
         df.withColumn("src", F.lit("hi")), "doc_id", "src", {"hi": 2.5}
     ).collect()
     assert len(mixed) >= 2 * 64 and all(1 <= r.epoch <= 3 for r in mixed)
+
+
+def test_global_shuffle_reseed_is_not_a_rotation(spark):
+    """The epoch-reshuffle guarantee: with the seed in the multiplier,
+    seed k+1's within-shard order must be a genuinely different
+    permutation — an additive seed would make it a shard-relabel plus a
+    ROTATION of the same sequence (the review-caught r7 bug), so assert
+    seed 18's single-shard order is no cyclic rotation of seed 17's."""
+    df = spark.createDataFrame([(i,) for i in range(257)], "doc_id long")
+
+    def order(seed):
+        rows = prep.global_shuffle(df, "doc_id", n_shards=1, seed=seed).collect()
+        return [r.doc_id for r in sorted(rows, key=lambda r: r.pos)]
+
+    a, b = order(17), order(18)
+    assert sorted(a) == sorted(b) == list(range(257))
+    doubled = a + a
+    assert all(
+        doubled[i : i + len(a)] != b for i in range(len(a))
+    ), "reseeded order is a rotation of the original"

@@ -835,7 +835,8 @@ def test_training_order_vs_reference_impl(spark):
 
     P, A, B = 1000003, 2654435761, 40503
     def h(i, seed):
-        return ((i % P) * A + seed * B) % P
+        # seed in the MULTIPLIER (additive seed = rotation, not reshuffle)
+        return (i % P) * (1 + (A + (seed % (P - 1)) * B) % (P - 1)) % P
 
     # --- global_shuffle: shard = h mod n, pos = rank of (h, id) in shard
     n_shards, seed = 8, 17
