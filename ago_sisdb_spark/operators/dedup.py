@@ -227,6 +227,61 @@ def cap_bucket_fanout(
     return sized.where(F.col("__bsz") <= max_bucket_size).drop("__bsz")
 
 
+def capped_bucket_pairs(
+    rows: DataFrame,
+    bucket_cols: list[str],
+    member_col,
+    pair_fields: str,
+    max_bucket_size: int,
+    log_drops: bool = False,
+    name: str = "lsh",
+) -> DataFrame:
+    """The shared per-bucket pair generator (r7; one implementation for
+    the MinHash / SimHash / cosine-LSH / SemDeDup candidate stages):
+    cap → collect → expand.
+
+    The cap runs as ``cap_bucket_fanout``'s count window BEFORE
+    ``collect_list``, never after: a degenerate 10⁷-member bucket must be
+    dropped by a spillable row-level filter, not first materialized as
+    one multi-GB aggregation-buffer array and then discarded by a size()
+    guard (review-caught, late r7).  The window's hash partitioning is
+    the grouping the aggregate needs, so the cap adds a sort but NO extra
+    exchange, and the collected arrays are ≤ ``max_bucket_size``.
+
+    ``member_col`` is what each bucket collects (an id column or a
+    struct whose FIRST field is the id — array_sort then orders pairs so
+    id_a < id_b); ``pair_fields`` is the struct body of one emitted pair
+    over the sorted array's (x, y), e.g. ``"x AS id_a, y AS id_b"`` or
+    ``"x.doc AS id_a, y.doc AS id_b, x.simhash AS __fa, ..."``.  Output:
+    ``bucket_cols + the pair fields``, with ``id_a = id_b`` self-pairs
+    (possible when the same id appears twice in one bucket, e.g. a
+    re-ingested embedding row) filtered out — the old ``a.id < b.id``
+    self-joins could never emit them, and keep-lowest-id policies would
+    otherwise drop a doc against itself.
+    """
+    rows = cap_bucket_fanout(
+        rows, bucket_cols, max_bucket_size, log_drops, name
+    )
+    grp = rows.groupBy(*bucket_cols).agg(
+        F.array_sort(F.collect_list(member_col)).alias("__ms")
+    )
+    return (
+        grp.where(F.size("__ms") >= 2)
+        .select(
+            *bucket_cols,
+            F.explode(
+                F.expr(
+                    "flatten(transform(__ms, (x, i) -> "
+                    "transform(slice(__ms, i + 2, size(__ms)), "
+                    f"y -> struct({pair_fields}))))"
+                )
+            ).alias("__p"),
+        )
+        .select(*bucket_cols, "__p.*")
+        .where(F.col("id_a") != F.col("id_b"))
+    )
+
+
 def minhash_band_rows(
     df: DataFrame,
     id_col: str,
@@ -295,46 +350,22 @@ def minhash_lsh_candidates(
     pre-filter docs with >= shingle_k words: ``shingle_rows`` gives shorter
     docs their first word, which the SQL twin's range() expansion omits.
 
-    Pair generation is one aggregate, not a self-join: each (band, bucket)
-    group collects its (cap-bounded, so ≤1000-element) sorted member
-    array and expands the C(m,2) pairs locally with array HOFs — same
-    pairs as the equi-self-join (sorted array ⇒ earlier element is the
-    smaller id), one fewer shuffle, and the cap check is a size() guard
-    instead of a count window.  The HOF lambdas range over a materialized
-    column array, so neither the interpreted-HOF re-evaluation trap nor
-    the literal-array self-join trap applies.
+    Pair generation is one aggregate, not a self-join
+    (``capped_bucket_pairs``): each (band, bucket) group collects its
+    cap-bounded (≤1000-element, the cap filters rows BEFORE the collect)
+    sorted member array and expands the C(m,2) pairs locally with array
+    HOFs — same pairs as the equi-self-join (sorted array ⇒ earlier
+    element is the smaller id), one fewer shuffle.  The HOF lambdas
+    range over a materialized column array, so neither the
+    interpreted-HOF re-evaluation trap nor the literal-array self-join
+    trap applies.
     """
     banded = minhash_band_rows(
         df, id_col, text_col, shingle_k, num_hashes, bands, portable=portable
     )
-    grp = banded.groupBy("band", "bucket").agg(
-        F.array_sort(F.collect_list("doc")).alias("__ds")
-    )
-    if log_drops:
-        import logging
-
-        dropped = grp.where(F.size("__ds") > max_bucket_size)
-        n_buckets, n_rows = (
-            dropped.agg(
-                F.count(F.lit(1)), F.coalesce(F.sum(F.size("__ds")), F.lit(0))
-            ).collect()[0]
-        )
-        logging.getLogger(__name__).warning(
-            "%s: dropped %d over-cap buckets (> %d members, %d rows total)",
-            "minhash_lsh", n_buckets, max_bucket_size, n_rows,
-        )
-    pairs = (
-        grp.where(F.size("__ds").between(2, max_bucket_size))
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(__ds, (x, i) -> "
-                    "transform(slice(__ds, i + 2, size(__ds)), "
-                    "y -> struct(x AS id_a, y AS id_b))))"
-                )
-            ).alias("__p")
-        )
-        .select("__p.id_a", "__p.id_b")
+    pairs = capped_bucket_pairs(
+        banded, ["band", "bucket"], F.col("doc"), "x AS id_a, y AS id_b",
+        max_bucket_size, log_drops, "minhash_lsh",
     )
     return pairs.groupBy("id_a", "id_b").agg(
         F.count(F.lit(1)).alias("n_shared_bands")
@@ -705,40 +736,19 @@ def simhash_neardup_pairs(
             )
         ).alias("band", "bucket"),
     )
-    # pair generation per bucket via array HOFs — same shape as
-    # minhash_lsh_candidates: the sorted (cap-bounded) member array expands
-    # its C(m,2) pairs locally, one fewer shuffle than the equi-self-join
-    grp = banded.groupBy("band", "bucket").agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("doc"), F.col("simhash")))
-        ).alias("__ms")
-    )
-    if log_drops:
-        import logging
-
-        dropped = grp.where(F.size("__ms") > max_bucket_size)
-        n_buckets, n_rows = dropped.agg(
-            F.count(F.lit(1)), F.coalesce(F.sum(F.size("__ms")), F.lit(0))
-        ).collect()[0]
-        logging.getLogger(__name__).warning(
-            "%s: dropped %d over-cap buckets (> %d members, %d rows total)",
-            "simhash", n_buckets, max_bucket_size, n_rows,
-        )
-    cand = (
-        grp.where(F.size("__ms").between(2, max_bucket_size))
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(__ms, (x, i) -> "
-                    "transform(slice(__ms, i + 2, size(__ms)), "
-                    "y -> struct(x.doc AS id_a, y.doc AS id_b, "
-                    "x.simhash AS __fa, y.simhash AS __fb))))"
-                )
-            ).alias("__p")
-        )
-        .select("__p.*")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # pair generation per bucket via capped_bucket_pairs — same shape as
+    # minhash_lsh_candidates: row-level cap, then the sorted member array
+    # expands its C(m,2) pairs locally, one fewer shuffle than the
+    # equi-self-join
+    cand = capped_bucket_pairs(
+        banded,
+        ["band", "bucket"],
+        F.struct(F.col("doc"), F.col("simhash")),
+        "x.doc AS id_a, y.doc AS id_b, x.simhash AS __fa, y.simhash AS __fb",
+        max_bucket_size,
+        log_drops,
+        "simhash",
+    ).dropDuplicates(["id_a", "id_b"])
     return cand.select(
         "id_a",
         "id_b",

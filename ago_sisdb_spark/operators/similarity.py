@@ -201,35 +201,18 @@ def cosine_neardup_lsh(
     exploded = base.select(
         "id", F.posexplode(_bucket_udf(planes, bits, tables)(F.col("__v"))).alias("table", "bucket")
     )
-    # per-bucket array pair expansion (same shape as minhash_lsh_candidates,
-    # r7): sorted cap-bounded member array → local C(m,2) pairs, one fewer
-    # shuffle than the equi-self-join; cap = size() guard
-    grp = exploded.groupBy("table", "bucket").agg(
-        F.array_sort(F.collect_list("id")).alias("__ds")
-    )
-    if log_drops:
-        import logging
+    # per-bucket pair expansion via dedup.capped_bucket_pairs (r7): row-
+    # level cap, then the sorted member array expands local C(m,2) pairs —
+    # one fewer shuffle than the equi-self-join, and duplicate-id inputs
+    # cannot emit (x, x) self-pairs
+    from ago_sisdb_spark.operators.dedup import capped_bucket_pairs
 
-        dropped = grp.where(F.size("__ds") > max_bucket_size)
-        n_buckets, n_rows = dropped.agg(
-            F.count(F.lit(1)), F.coalesce(F.sum(F.size("__ds")), F.lit(0))
-        ).collect()[0]
-        logging.getLogger(__name__).warning(
-            "%s: dropped %d over-cap buckets (> %d members, %d rows total)",
-            "cosine_lsh", n_buckets, max_bucket_size, n_rows,
-        )
     cand = (
-        grp.where(F.size("__ds").between(2, max_bucket_size))
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(__ds, (x, i) -> "
-                    "transform(slice(__ds, i + 2, size(__ds)), "
-                    "y -> struct(x AS id_a, y AS id_b))))"
-                )
-            ).alias("__p")
+        capped_bucket_pairs(
+            exploded, ["table", "bucket"], F.col("id"),
+            "x AS id_a, y AS id_b", max_bucket_size, log_drops, "cosine_lsh",
         )
-        .select("__p.id_a", "__p.id_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     scored = (
@@ -683,38 +666,16 @@ def semantic_dedup_pairs(
             _ranked_lists_expr(F.col("__v"), cent_rows, 1), 1
         )["cid"].alias("list_id"),
     )
-    # per-cluster array pair expansion (same shape as the LSH pair
-    # generators, r7): one aggregate instead of cap window + self-join —
-    # which also removes the self-join that r6's lambda-free
-    # _ranked_lists_expr rewrite existed to keep safe
-    grp = assigned.groupBy("list_id").agg(
-        F.array_sort(F.collect_list("id")).alias("__ds")
-    )
-    if log_drops:
-        import logging
+    # per-cluster pair expansion via dedup.capped_bucket_pairs (r7):
+    # row-level cap window, then local C(m,2) expansion — no self-join
+    # (which r6's lambda-free _ranked_lists_expr rewrite existed to keep
+    # safe), and duplicate-id inputs cannot emit (x, x) self-pairs
+    from ago_sisdb_spark.operators.dedup import capped_bucket_pairs
 
-        dropped = grp.where(F.size("__ds") > max_cluster_size)
-        n_buckets, n_rows = dropped.agg(
-            F.count(F.lit(1)), F.coalesce(F.sum(F.size("__ds")), F.lit(0))
-        ).collect()[0]
-        logging.getLogger(__name__).warning(
-            "%s: dropped %d over-cap buckets (> %d members, %d rows total)",
-            "semdedup", n_buckets, max_cluster_size, n_rows,
-        )
-    cand = (
-        grp.where(F.size("__ds").between(2, max_cluster_size))
-        .select(
-            "list_id",
-            F.explode(
-                F.expr(
-                    "flatten(transform(__ds, (x, i) -> "
-                    "transform(slice(__ds, i + 2, size(__ds)), "
-                    "y -> struct(x AS id_a, y AS id_b))))"
-                )
-            ).alias("__p"),
-        )
-        .select("__p.id_a", "__p.id_b", "list_id")
-    )
+    cand = capped_bucket_pairs(
+        assigned, ["list_id"], F.col("id"), "x AS id_a, y AS id_b",
+        max_cluster_size, log_drops, "semdedup",
+    ).select("id_a", "id_b", "list_id")
     scored = cand.join(
         base.select(F.col("id").alias("id_a"), F.col("__v").alias("__va")),
         "id_a",

@@ -360,3 +360,21 @@ def test_ivf_assignment_variants_identical_and_shuffle_free(spark):
     )
     aplan = auto._jdf.queryExecution().optimizedPlan().toString()
     assert "ArrowEvalPython" not in aplan and "pythonUDF" not in aplan.lower()
+
+
+def test_cosine_lsh_duplicate_ids_no_self_pairs(spark):
+    """A re-ingested embedding row (same id twice) lands both copies in
+    the same bucket; the pair expansion must not emit an (x, x)
+    self-pair — the old a.id < b.id join could never produce one, and a
+    keep-lowest-id policy would otherwise drop the doc against itself."""
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),  # duplicate id
+        (2, [1.0, 0.001, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = similarity.cosine_neardup_lsh(
+        df, "vec_id", "embedding", threshold=0.9, dim=4, bits=2, tables=4
+    ).collect()
+    assert all(r.id_a != r.id_b for r in got)
+    assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}
