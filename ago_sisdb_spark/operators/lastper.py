@@ -139,12 +139,21 @@ def global_rank(
     (the window partitions by the range-partition id — defined, balanced
     by the range sampler), and add each partition's starting offset,
     computed as a partition-count-sized triangular self-join (``P²`` rows
-    at most — plan-side, no driver action, so the sampled range bounds
-    are computed once and reused via ReusedExchange).  At a 100 M-row
-    vocabulary this is P sorted spans instead of one executor sorting
-    everything."""
-    dfr = df.repartitionByRange(num_partitions, *order).withColumn(
-        "__pid", F.spark_partition_id()
+    at most — plan-side, no driver action).  At a 100 M-row vocabulary
+    this is P sorted spans instead of one executor sorting everything.
+
+    The range-partitioned frame is ``persist()``-ed because BOTH the
+    counts aggregate and the ranked branch consume it: exchange reuse
+    across two consumers of one subplan is not guaranteed, and two
+    independent instantiations of ``repartitionByRange`` may SAMPLE
+    DIFFERENT bounds — ``__pid`` would then disagree between the
+    branches and ranks would silently duplicate/skip.  The cached copy
+    pins one set of bounds (evicted blocks re-read the same shuffle
+    files, so consistency survives eviction)."""
+    dfr = (
+        df.repartitionByRange(num_partitions, *order)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
     )
     counts = dfr.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
     a, b = counts.alias("a"), counts.alias("b")

@@ -471,6 +471,13 @@ def ivf_topk(
             )
         )
     cent_rows = _collect_centroids(cent)
+    if assign_via not in ("auto", "literal", "numpy"):
+        # a silent fallthrough to 'literal' on a typo would inline k×dim
+        # float literals into the expression tree — the exact blow-up the
+        # parameter exists to avoid
+        raise ValueError(
+            f"assign_via must be 'auto', 'literal' or 'numpy', got {assign_via!r}"
+        )
     if assign_via == "auto":
         cells = len(cent_rows) * len(cent_rows[0][1])
         assign_via = "literal" if cells <= IVF_LITERAL_MAX_CELLS else "numpy"

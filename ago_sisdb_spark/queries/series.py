@@ -556,10 +556,13 @@ def a6_directional_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = d.agg(
         F.array_sort(F.collect_list(F.struct("day", "x", "y"))).alias("__a")
     )
+    # greatest(..., 0): slice() raises on a negative length, so an empty
+    # or single-day series (size(__a) <= 1) must degrade to zero pairs,
+    # matching the old lag-window form's NULL-corr row
     pairs = arr.select(
         F.zip_with(
-            F.expr("slice(__a, 2, size(__a) - 1)"),
-            F.expr("slice(__a, 1, size(__a) - 1)"),
+            F.expr("slice(__a, 2, greatest(size(__a) - 1, 0))"),
+            F.expr("slice(__a, 1, greatest(size(__a) - 1, 0))"),
             lambda cur, prev: F.struct(
                 F.signum(cur["x"] - prev["x"]).alias("dx"),
                 F.signum(cur["y"] - prev["y"]).alias("dy"),
