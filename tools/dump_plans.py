@@ -16,7 +16,7 @@ NOTES = {
     "a1_ohlcv_rollup": "six bar aggregates partial-combine map-side; shuffle carries one row per (key, bar)",
     "j4_range_join": "interval predicate rides a broadcast hash join on the user key",
     "d1_dedup_exact": "digest computed in the scan projection; shuffle carries (digest, id) only",
-    "d3_minhash_lsh": "explode -> hash once -> 32 affine mins in ONE hash-aggregate -> per-bucket collect_list + local array pair expansion (r7, no self-join); the cap is a size() guard and the only shuffles are bucket + pair aggregates",
+    "d3_minhash_lsh": "explode -> hash once -> 32 affine mins in ONE hash-aggregate -> capped_bucket_pairs: the cap count-window SHARES the bucket exchange (no extra shuffle), collect_list is cap-bounded BEFORE it materializes, local array pair expansion (no self-join); shuffles: bucket + pair aggregates only",
     "d8_bloom_incremental": "bloom bitmap and verified-dup set both broadcast; the batch shuffles once (per-doc min over probe hits, map-side combined)",
     "t15_cms_counts": "sketch cells partial-aggregate map-side (<= depth*width rows per task shuffle); the depth*width-bounded sketch is broadcast into the probe join",
     "pipe6_dsir": "two fixed-size (4096-bucket) count aggregates broadcast back into ONE scoring pass; no vocabulary table, no corpus x corpus join",
