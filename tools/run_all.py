@@ -23,6 +23,7 @@ STAGES = [
     ("pytest", [sys.executable, "-m", "pytest", "tests/", "-q", "--tb=no"]),
     ("correctness", [sys.executable, "tools/check_correctness.py"]),
     ("schema-alignment", [sys.executable, "tools/check_schema_alignment.py"]),
+    ("plan-audit", [sys.executable, "tools/audit_plans.py"]),
     ("bench", [sys.executable, "bench.py"]),
 ]
 
