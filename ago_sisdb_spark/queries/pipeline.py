@@ -2805,3 +2805,88 @@ def pipe7_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("tier_no").alias("min_tier"),
         F.max("tier_no").alias("max_tier"),
     )
+
+
+def _t22_oracle(margin: float = 0.15) -> str:
+    # Mirrors the Spark planted arithmetic EXACTLY (same op tree, all
+    # literals cast to DOUBLE — bare DuckDB decimals are DECIMAL and would
+    # change the division/multiplication types): identical IEEE doubles on
+    # both engines, so the margin filter can never disagree.
+    return f"""
+    WITH p AS (
+        SELECT doc_id,
+               (doc_id * 37 % 97) / CAST(97.0 AS DOUBLE) AS x1,
+               (doc_id * 59 % 89) / CAST(89.0 AS DOUBLE) AS x2,
+               (doc_id * 83 % 79) / CAST(79.0 AS DOUBLE) AS x3
+        FROM documents),
+    m AS (
+        SELECT doc_id,
+               x1 + CAST(0.5 AS DOUBLE) * x2 - CAST(0.8 AS DOUBLE) * x3
+                  - CAST(0.35 AS DOUBLE) AS marg
+        FROM p)
+    SELECT doc_id, CAST(marg > 0 AS BIGINT) AS label_pred
+    FROM m WHERE abs(marg) > CAST({margin} AS DOUBLE)
+    """
+
+
+@query("t22_classifier_train_planted", oracle=_t22_oracle(), extended=True)
+def t22_classifier_train_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed classifier TRAINING, hash-checked by the planted-oracle
+    trick (same pattern as a8_polyfit_planted / e1_pca_planted): plant a
+    linearly separable concept over pseudo-uniform features derived from
+    doc_id (x·[1, 0.5, -0.8] > 0.35 with every point ≥ 0.15 from the
+    boundary), fit logistic regression distributed (operators/classifier.
+    train_lr — pyspark.ml L-BFGS, one treeAggregate gradient pass per
+    iteration), and return the trained model's OWN predictions on the
+    training set.  Separable data + margin ⇒ the fit must reach zero
+    training error, so the oracle states the concept closed-form and the
+    gate hash-checks that distributed training actually learned it;
+    serving is the expression-only sigmoid (lr_score_expr), no Python."""
+    from ago_sisdb_spark.operators import classifier
+
+    d = F.col("doc_id")
+    planted = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            ((d * 37 % 97) / F.lit(97.0)).alias("x1"),
+            ((d * 59 % 89) / F.lit(89.0)).alias("x2"),
+            ((d * 83 % 79) / F.lit(79.0)).alias("x3"),
+        )
+        .withColumn(
+            "marg",
+            F.col("x1")
+            + F.lit(0.5) * F.col("x2")
+            - F.lit(0.8) * F.col("x3")
+            - F.lit(0.35),
+        )
+        .where(F.abs(F.col("marg")) > F.lit(0.15))
+        .withColumn("y", (F.col("marg") > 0).cast("int"))
+    )
+    planted = planted.cache()
+    try:
+        weights, intercept = classifier.train_lr(
+            planted, ["x1", "x2", "x3"], "y"
+        )
+        score = classifier.lr_score_expr(["x1", "x2", "x3"], weights, intercept)
+        return planted.select(
+            "doc_id", (score > F.lit(0.5)).cast("bigint").alias("label_pred")
+        )
+    finally:
+        planted.unpersist()
+
+
+@query("t23_quality_classifier", extended=True)
+def t23_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real-data twin of t22 (rows-only by design — the trained
+    weights depend on iterative distributed optimization, so no SQL can
+    restate them; the concept-recovery HASH check lives in t22 and the
+    independent plain-numpy trainer cross-check in tests/test_classifier):
+    distill the composite C4/Gopher quality rule into a linear scorer —
+    weak labels from quality_score ≥ 0.75, the rule's four raw inputs as
+    features, one distributed fit, expression-only scoring of every doc
+    (operators/classifier.train_quality_classifier)."""
+    from ago_sisdb_spark.operators import classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    return classifier.train_quality_classifier(docs, "doc_id", "text")

@@ -1,0 +1,142 @@
+"""Classifier-training cross-checks (the t22/t23 family).
+
+t22's DuckDB oracle hash-checks that the DISTRIBUTED fit recovers the
+planted concept; these tests add the independent-implementation leg the
+other planted-oracle families have (test_reference_impls pattern): a
+plain-numpy full-batch gradient-descent trainer fit on the SAME data must
+agree with the Spark-trained model, and the serving path must stay
+expression-only (no Python eval nodes in the plan).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _numpy_lr(X: np.ndarray, y: np.ndarray, iters: int = 3000, lr: float = 1.0):
+    """Independent trainer: standardized features, full-batch GD on the
+    unregularized logistic loss — no MLlib, no SQL."""
+    mu, sd = X.mean(axis=0), X.std(axis=0)
+    sd[sd == 0] = 1.0
+    Xs = (X - mu) / sd
+    w = np.zeros(Xs.shape[1])
+    b = 0.0
+    for _ in range(iters):
+        z = Xs @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w -= lr * (Xs.T @ g) / len(y)
+        b -= lr * g.mean()
+    return (Xs @ w + b) > 0  # predicted labels
+
+
+def _planted(spark):
+    from ago_sisdb_spark.inventory import _t
+
+    d = F.col("doc_id")
+    return (
+        _t(spark, SF, "documents")
+        .select(
+            "doc_id",
+            ((d * 37 % 97) / F.lit(97.0)).alias("x1"),
+            ((d * 59 % 89) / F.lit(89.0)).alias("x2"),
+            ((d * 83 % 79) / F.lit(79.0)).alias("x3"),
+        )
+        .withColumn(
+            "marg",
+            F.col("x1") + F.lit(0.5) * F.col("x2")
+            - F.lit(0.8) * F.col("x3") - F.lit(0.35),
+        )
+        .where(F.abs("marg") > F.lit(0.15))
+        .withColumn("y", (F.col("marg") > 0).cast("int"))
+    )
+
+
+def test_planted_training_reaches_zero_error_and_matches_numpy(spark):
+    from ago_sisdb_spark.operators import classifier
+
+    planted = _planted(spark).cache()
+    rows = planted.orderBy("doc_id").collect()
+    assert len(rows) > 200  # margin filter keeps most of the 500 docs
+    weights, intercept = classifier.train_lr(planted, ["x1", "x2", "x3"], "y")
+    score = classifier.lr_score_expr(["x1", "x2", "x3"], weights, intercept)
+    got = {
+        r["doc_id"]: r["p"]
+        for r in planted.select(
+            "doc_id", (score > 0.5).cast("int").alias("p")
+        ).collect()
+    }
+    truth = {r["doc_id"]: r["y"] for r in rows}
+    assert got == truth  # zero training error on separable margin data
+
+    # independent plain-numpy trainer on the SAME data agrees exactly
+    X = np.array([[r["x1"], r["x2"], r["x3"]] for r in rows])
+    y = np.array([r["y"] for r in rows], dtype=float)
+    np_pred = _numpy_lr(X, y)
+    assert [truth[r["doc_id"]] for r in rows] == [int(p) for p in np_pred]
+    planted.unpersist()
+
+    # learned direction must match the planted concept [1, 0.5, -0.8]:
+    # signs and the dominant|secondary ordering (scale is arbitrary)
+    assert weights[0] > 0 and weights[1] > 0 and weights[2] < 0
+    assert abs(weights[0]) > abs(weights[1])
+
+
+def test_real_quality_classifier_distills_the_rule(spark):
+    from ago_sisdb_spark.inventory import _t
+    from ago_sisdb_spark.operators import classifier, text
+
+    docs = _t(spark, SF, "documents")
+    scored = classifier.train_quality_classifier(docs, "doc_id", "text")
+    weak = docs.select(
+        "doc_id",
+        (text.quality_score(F.col("text")) >= 0.75).cast("int").alias("y"),
+    )
+    j = scored.join(weak, "doc_id").select("pred_label", "y").collect()
+    assert len(j) == docs.count()
+    acc = sum(int(r["pred_label"] == r["y"]) for r in j) / len(j)
+    # an AND-of-thresholds rule is not exactly linear; the distilled model
+    # must still track it closely on its own training corpus
+    assert acc >= 0.85, f"distilled accuracy {acc}"
+
+    # independent numpy trainer on the same features/labels must agree
+    # with the Spark-trained model on nearly every document
+    feats = classifier.quality_features(docs, "text").select(
+        "doc_id", *classifier.QUALITY_FEATURES
+    )
+    rows = feats.join(weak, "doc_id").orderBy("doc_id").collect()
+    X = np.array([[r[c] for c in classifier.QUALITY_FEATURES] for r in rows])
+    y = np.array([r["y"] for r in rows], dtype=float)
+    np_pred = _numpy_lr(X, y)
+    spark_pred = {
+        r["doc_id"]: r["pred_label"] for r in scored.collect()
+    }
+    agree = sum(
+        int(bool(np_pred[i]) == bool(spark_pred[r["doc_id"]]))
+        for i, r in enumerate(rows)
+    ) / len(rows)
+    assert agree >= 0.95, f"numpy-vs-spark agreement {agree}"
+
+
+def test_serving_path_is_expression_only(spark):
+    """The 100 TB claim: scoring uses no Python eval node of any kind —
+    the model is literals inside whole-stage codegen."""
+    from ago_sisdb_spark.operators import classifier
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 10 / 10.0).alias("x1"),
+        (F.col("id") % 7 / 7.0).alias("x2"),
+        (F.col("id") % 3 / 3.0).alias("x3"),
+    )
+    score = classifier.lr_score_expr(["x1", "x2", "x3"], [1.0, 0.5, -0.8], -0.35)
+    plan = (
+        df.select("doc_id", score.alias("s"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "Arrow" not in plan
