@@ -67,6 +67,11 @@ SECONDARY = [
     # r7 (late): the training-corpus sink — shuffle-order pack + sharded
     # ordered write + manifest read-back (the write IS the measured work)
     "s7_training_shards",
+    # r7 (continuation): distributed quality-classifier distillation —
+    # feature extraction + pyspark.ml L-BFGS fit + expression-only scoring
+    # of the corpus (training IS the measured work; serving alone is a
+    # plain projection)
+    "t23_quality_classifier",
 ]
 
 RUNS = 3
