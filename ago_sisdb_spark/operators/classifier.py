@@ -105,6 +105,130 @@ def lr_score_expr(
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
+def _cramer3(
+    a: float, b: float, c: float, d: float, e: float, f: float,
+    p: float, q: float, r: float,
+) -> tuple[float, float, float]:
+    """Solve the symmetric 3x3 system [[a,b,c],[b,d,e],[c,e,f]] beta =
+    [p,q,r] by Cramer's rule with a FIXED operation tree — the DuckDB
+    oracle restates these exact formulas, so given bit-identical inputs
+    both engines produce bit-identical coefficients (np.linalg.solve would
+    pivot differently and break cross-engine equality at the ulp)."""
+    det = a * (d * f - e * e) - b * (b * f - e * c) + c * (b * e - d * c)
+    if det == 0.0:
+        raise ValueError("singular normal matrix — degenerate features")
+    det0 = p * (d * f - e * e) - b * (q * f - e * r) + c * (q * e - d * r)
+    det1 = a * (q * f - r * e) - p * (b * f - e * c) + c * (b * r - q * c)
+    det2 = a * (d * r - e * q) - b * (b * r - q * c) + p * (b * e - d * c)
+    return det0 / det, det1 / det, det2 / det
+
+
+def ridge_fit(
+    df: DataFrame,
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+    lam: float = 1.0,
+) -> tuple[float, float, float]:
+    """Two-feature ridge regression by NORMAL EQUATIONS — training as ONE
+    aggregation pass: the map side partial-sums the 9 moments (n, Σx1,
+    Σx2, Σx1², Σx1x2, Σx2², Σy, Σx1y, Σx2y), one row crosses the wire,
+    and the driver solves the 3×3 system (λ on every coefficient incl.
+    the intercept — documented, keeps the system one formula).  Returns
+    (b0, b1, b2) for ŷ = b0 + b1·x1 + b2·x2; serving is expression-only.
+
+    This is the closed-form counterpart of ``train_lr``: no iterations, so
+    training cost at 100 TB is exactly one corpus scan.  When the inputs
+    are INTEGER columns every distributed sum is exact (< 2^53), making
+    the whole fit bit-reproducible across engines — the t24 gate entry
+    hash-checks training end-to-end on real data, no planted input needed.
+    """
+    x1, x2, y = (F.col(c).cast("double") for c in (x1_col, x2_col, y_col))
+    m = df.select(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x1).alias("s1"),
+        F.sum(x2).alias("s2"),
+        F.sum(x1 * x1).alias("s11"),
+        F.sum(x1 * x2).alias("s12"),
+        F.sum(x2 * x2).alias("s22"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * y).alias("s1y"),
+        F.sum(x2 * y).alias("s2y"),
+    ).collect()[0]
+    lam = float(lam)
+    return _cramer3(
+        m["n"] + lam, m["s1"], m["s2"],
+        m["s11"] + lam, m["s12"], m["s22"] + lam,
+        m["sy"], m["s1y"], m["s2y"],
+    )
+
+
+def ridge_predict_expr(
+    x1_col: str, x2_col: str, beta: tuple[float, float, float]
+) -> Column:
+    """ŷ = b0 + b1·x1 + b2·x2 as a pure Column expression (the literals
+    ARE the model — no broadcast, no Python at serve time)."""
+    b0, b1, b2 = (float(b) for b in beta)
+    return (
+        F.lit(b0)
+        + F.lit(b1) * F.col(x1_col).cast("double")
+        + F.lit(b2) * F.col(x2_col).cast("double")
+    )
+
+
+def ridge_oracle_sql(
+    table: str,
+    id_col: str,
+    x1_expr: str,
+    x2_expr: str,
+    y_expr: str,
+    lam: float = 1.0,
+) -> str:
+    """DuckDB twin of ``ridge_fit`` + ``ridge_predict_expr``: the same 9
+    exact integer moments, the same Cramer operation tree (every literal
+    CAST to DOUBLE — bare decimals are DECIMAL in DuckDB), the same
+    prediction expression.  SUM(BIGINT) is HUGEINT — cast to DOUBLE,
+    exact below 2^53."""
+    lam_sql = f"CAST({lam} AS DOUBLE)"
+    return f"""
+    WITH feats AS (
+        SELECT {id_col} AS id_,
+               CAST({x1_expr} AS DOUBLE) AS x1,
+               CAST({x2_expr} AS DOUBLE) AS x2,
+               CAST({y_expr} AS DOUBLE) AS y
+        FROM {table}),
+    mom AS (
+        SELECT CAST(count(*) AS DOUBLE) + {lam_sql} AS a,
+               CAST(sum(x1) AS DOUBLE) AS b,
+               CAST(sum(x2) AS DOUBLE) AS c,
+               CAST(sum(x1 * x1) AS DOUBLE) + {lam_sql} AS d,
+               CAST(sum(x1 * x2) AS DOUBLE) AS e,
+               CAST(sum(x2 * x2) AS DOUBLE) + {lam_sql} AS f,
+               CAST(sum(y) AS DOUBLE) AS p,
+               CAST(sum(x1 * y) AS DOUBLE) AS q,
+               CAST(sum(x2 * y) AS DOUBLE) AS r
+        FROM feats),
+    beta AS (
+        SELECT (p * (d * f - e * e) - b * (q * f - e * r)
+                  + c * (q * e - d * r))
+               / (a * (d * f - e * e) - b * (b * f - e * c)
+                  + c * (b * e - d * c)) AS b0,
+               (a * (q * f - r * e) - p * (b * f - e * c)
+                  + c * (b * r - q * c))
+               / (a * (d * f - e * e) - b * (b * f - e * c)
+                  + c * (b * e - d * c)) AS b1,
+               (a * (d * r - e * q) - b * (b * r - q * c)
+                  + p * (b * e - d * c))
+               / (a * (d * f - e * e) - b * (b * f - e * c)
+                  + c * (b * e - d * c)) AS b2
+        FROM mom)
+    SELECT feats.id_ AS {id_col},
+           round(b0 + b1 * x1 + b2 * x2, 6) AS pred,
+           round(y - (b0 + b1 * x1 + b2 * x2), 6) AS resid
+    FROM feats, beta
+    """
+
+
 def train_quality_classifier(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -2890,3 +2890,47 @@ def t23_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return classifier.train_quality_classifier(docs, "doc_id", "text")
+
+
+def _t24_oracle() -> str:
+    from ago_sisdb_spark.operators import classifier
+
+    return classifier.ridge_oracle_sql(
+        "documents",
+        "doc_id",
+        "n_chars",
+        r"length(regexp_replace(text, '[^\.,;:!\?]', '', 'g'))",
+        r"len(string_split_regex(trim(text), '\s+'))",
+    )
+
+
+@query("t24_ridge_length_model", oracle=_t24_oracle(), extended=True)
+def t24_ridge_length_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-feature ridge regression trained by NORMAL EQUATIONS and
+    hash-checked END-TO-END on real data (operators/classifier.ridge_fit):
+    predict each document's whitespace token count from its char count and
+    punctuation count — training is ONE aggregation pass (9 moments, one
+    row over the wire), the driver solves the 3×3 system with a pinned
+    Cramer operation tree, and serving is an expression-only projection.
+    Because the features/target are integers, every distributed sum is
+    exact, so the DuckDB oracle reproduces the ENTIRE training computation
+    bit-for-bit — no planted input needed (contrast t22, where iterative
+    L-BFGS forces the planted-concept check)."""
+    from ago_sisdb_spark.operators import classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("x1"),
+        F.length(
+            F.regexp_replace(F.col("text"), r"[^\.,;:!\?]", "")
+        ).alias("x2"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("y"),
+    )
+    beta = classifier.ridge_fit(base, "x1", "x2", "y")
+    pred = classifier.ridge_predict_expr("x1", "x2", beta)
+    return base.select(
+        "doc_id",
+        F.round(pred, 6).alias("pred"),
+        F.round(F.col("y").cast("double") - pred, 6).alias("resid"),
+    )

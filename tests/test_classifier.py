@@ -140,3 +140,44 @@ def test_serving_path_is_expression_only(spark):
         .toString()
     )
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_ridge_normal_equations_matches_numpy_lstsq(spark):
+    """Independent-implementation leg for t24: the one-pass Cramer solve
+    must agree with numpy's QR-based ridge solution on the same data."""
+    import pytest
+
+    from ago_sisdb_spark.inventory import _t
+    from ago_sisdb_spark.operators import classifier
+
+    docs = _t(spark, SF, "documents")
+    base = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("x1"),
+        F.length(F.regexp_replace(F.col("text"), r"[^\.,;:!\?]", "")).alias("x2"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("y"),
+    )
+    beta = classifier.ridge_fit(base, "x1", "x2", "y", lam=1.0)
+
+    rows = base.collect()
+    X = np.array([[1.0, r["x1"], r["x2"]] for r in rows])
+    y = np.array([r["y"] for r in rows], dtype=float)
+    # ridge with lambda on ALL coefficients (incl. intercept), as documented
+    A = X.T @ X + 1.0 * np.eye(3)
+    b_np = np.linalg.solve(A, X.T @ y)
+    assert np.allclose(beta, b_np, rtol=1e-8, atol=1e-8)
+
+    # predictions from the expression path match numpy's
+    pred_rows = base.select(
+        "doc_id",
+        classifier.ridge_predict_expr("x1", "x2", beta).alias("p"),
+    ).collect()
+    got = {r["doc_id"]: r["p"] for r in pred_rows}
+    for i, r in enumerate(rows):
+        assert abs(got[r["doc_id"]] - float(X[i] @ b_np)) < 1e-6
+
+    # degenerate (perfectly collinear, lam=0) normal matrix must refuse
+    coll = base.select("doc_id", "x1", (F.col("x1") * 2).alias("x2"),
+                       F.col("y"))
+    with pytest.raises(ValueError, match="singular"):
+        classifier.ridge_fit(coll, "x1", "x2", "y", lam=0.0)
