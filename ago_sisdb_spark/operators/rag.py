@@ -1,0 +1,122 @@
+"""Chunk-level retrieval — the RAG ingest/serve composite over CDC chunks.
+
+Pipeline: content-defined chunking (dedup.cdc_chunk_docs, boundaries that
+survive edits) → deterministic trigram-hash chunk embeddings (an
+integer-exact stand-in for a model encoder: same plumbing, same plan
+shape, swap the mapInPandas body for a real encoder) → cosine top-k with
+(doc_id, chunk_idx) provenance.
+
+Scale shape: embedding is embarrassingly row-parallel mapInPandas (no
+shuffle — scales with scan bandwidth; at 100 TB the embedded corpus is
+materialized once as parquet, exactly like the MinHash band index).  The
+serve side broadcasts the tiny query set (BroadcastNestedLoopJoin), scores
+with integer-exact array arithmetic, and ranks inside a per-query window —
+the same WindowGroupLimit shape as n4's IVF serve.  Swap the brute scan
+for n2/n4's LSH/IVF bucketing when the chunk corpus outgrows one pass.
+
+Cross-engine exactness: raw embeddings are INTEGER trigram-count vectors,
+so dot products and squared norms are exact in both engines regardless of
+summation order; the only float ops are one sqrt and one division —
+bit-identical IEEE on both — which is what lets pipe9's DuckDB oracle
+hash-check the whole retrieval end-to-end (same trick as t24's ridge).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+EMBED_DIM = 16
+
+
+def embed_chunks_trigram(
+    chunks: DataFrame,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    chunk_col: str = "chunk",
+    dim: int = EMBED_DIM,
+    min_len: int = 8,
+) -> DataFrame:
+    """(id, idx, chunk) → (id, idx, vec array<bigint>[dim], norm double).
+
+    vec[d] = number of character trigrams whose code (c0·961 + c1·31 + c2,
+    unicode code points, matching DuckDB ``ascii``) ≡ d (mod dim); norm is
+    the L2 length.  Chunks shorter than ``min_len`` are dropped (a ≥3-char
+    chunk always has ≥1 trigram, so norm > 0 for every emitted row).
+    Vectorized per row (sliding-window dot, the d11 pattern — per-char
+    relational HOFs re-evaluate their source per element)."""
+    import numpy as np
+    import pandas as pd
+
+    globals()["pd"] = pd  # pandas_udf/mapInPandas + future-annotations gotcha
+    out_schema = f"`{id_col}` long, `{idx_col}` long, vec array<long>, norm double"
+
+    def gen(batches):
+        for pdf in batches:
+            ids, idxs, vecs, norms = [], [], [], []
+            for did, cidx, c in zip(pdf[id_col], pdf[idx_col], pdf[chunk_col]):
+                if c is None or len(c) < min_len:
+                    continue
+                codes = np.fromiter(map(ord, c), dtype=np.int64, count=len(c))
+                trig = (codes[:-2] * 961 + codes[1:-1] * 31 + codes[2:]) % dim
+                v = np.bincount(trig, minlength=dim)
+                ids.append(did)
+                idxs.append(cidx)
+                vecs.append(v.tolist())
+                norms.append(float(np.sqrt(float((v * v).sum()))))
+            yield pd.DataFrame(
+                {id_col: ids, idx_col: idxs, "vec": vecs, "norm": norms}
+            )
+
+    return chunks.select(id_col, idx_col, chunk_col).mapInPandas(gen, out_schema)
+
+
+def chunk_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+) -> DataFrame:
+    """Brute cosine top-k of every query chunk against the embedded corpus
+    with provenance: (q_doc, doc_id, chunk_idx, score, rank).  The query
+    set broadcasts (tiny); the integer dot folds over the materialized
+    array columns (inner HOF lambdas — the safe kind); ranking is a
+    per-query window (WindowGroupLimit under AQE).  The query chunk itself
+    is excluded so rank 1 is the nearest OTHER chunk."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("q_doc"),
+            F.col(idx_col).alias("q_idx"),
+            F.col("vec").alias("q_vec"),
+            F.col("norm").alias("q_norm"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("vec", "q_vec", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        emb.crossJoin(q)
+        .where(
+            ~((F.col(id_col) == F.col("q_doc")) & (F.col(idx_col) == F.col("q_idx")))
+        )
+        .select(
+            "q_doc",
+            id_col,
+            idx_col,
+            (dot.cast("double") / (F.col("norm") * F.col("q_norm"))).alias("s"),
+        )
+    )
+    w = Window.partitionBy("q_doc").orderBy(
+        F.col("s").desc(), F.col(id_col), F.col(idx_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(
+            "q_doc", id_col, idx_col, F.round("s", 6).alias("score"), "rank"
+        )
+    )

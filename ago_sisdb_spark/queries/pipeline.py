@@ -2934,3 +2934,94 @@ def t24_ridge_length_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pred, 6).alias("pred"),
         F.round(F.col("y").cast("double") - pred, 6).alias("resid"),
     )
+
+
+def _pipe9_oracle(
+    window: int = 8, divisor: int = 64, dim: int = 16, k: int = 5,
+    min_len: int = 8,
+) -> str:
+    hash_sum = " + ".join(
+        f"ascii(substring(t, i - {j}, 1)) * CAST({31**j} AS BIGINT)"
+        for j in range(window)
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id, lower(trim(text)) AS t, length(lower(trim(text))) AS len
+        FROM documents WHERE length(lower(trim(text))) > 0),
+    ends AS (
+        SELECT doc_id, t, len,
+               list_sort(list_distinct(list_append(
+                   list_filter(range({window}, len + 1),
+                               i -> ({hash_sum}) % {divisor} = 0),
+                   len))) AS e
+        FROM base),
+    chunks AS (
+        SELECT doc_id,
+               unnest(range(1, len(e) + 1)) - 1 AS chunk_idx,
+               unnest(list_transform(range(1, len(e) + 1), q ->
+                 substring(t,
+                   (CASE WHEN q = 1 THEN 0 ELSE e[q - 1] END) + 1,
+                   e[q] - (CASE WHEN q = 1 THEN 0 ELSE e[q - 1] END)))) AS chunk
+        FROM ends),
+    codes AS (
+        SELECT doc_id, chunk_idx,
+               list_transform(range(1, length(chunk) - 1), i ->
+                 (ascii(substring(chunk, i, 1)) * 961
+                    + ascii(substring(chunk, i + 1, 1)) * 31
+                    + ascii(substring(chunk, i + 2, 1))) % {dim}) AS cs
+        FROM chunks WHERE length(chunk) >= {min_len}),
+    emb AS (
+        SELECT doc_id, chunk_idx,
+               list_transform(range(0, {dim}), d ->
+                 CAST(len(list_filter(cs, c -> c = d)) AS BIGINT)) AS vec
+        FROM codes),
+    nrm AS (
+        SELECT doc_id, chunk_idx, vec,
+               sqrt(CAST(list_sum(list_transform(vec, v -> v * v))
+                    AS DOUBLE)) AS norm
+        FROM emb),
+    q AS (
+        SELECT doc_id AS q_doc, chunk_idx AS q_idx, vec AS q_vec,
+               norm AS q_norm
+        FROM nrm WHERE doc_id IN (1, 11, 21) AND chunk_idx = 0),
+    scored AS (
+        SELECT q.q_doc, e.doc_id, e.chunk_idx,
+               CAST(list_sum(list_transform(range(1, {dim} + 1), i ->
+                    e.vec[i] * q.q_vec[i])) AS DOUBLE)
+                 / (e.norm * q.q_norm) AS s
+        FROM nrm e, q
+        WHERE NOT (e.doc_id = q.q_doc AND e.chunk_idx = q.q_idx)),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY q_doc
+                     ORDER BY s DESC, doc_id, chunk_idx) AS rank
+        FROM scored)
+    SELECT q_doc, doc_id, chunk_idx, round(s, 6) AS score,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("pipe9_chunk_retrieval", oracle=_pipe9_oracle(), extended=True)
+def pipe9_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end chunk-level retrieval (RAG ingest + serve;
+    operators/rag.py): CDC chunking → deterministic trigram-hash chunk
+    embeddings (integer-exact stand-in for a model encoder — same
+    plumbing, swap the mapInPandas body) → brute cosine top-5 per query
+    chunk with (doc, chunk) provenance.  The query set re-chunks only its
+    3 documents (the doc_id filter pushes to the scan — embedding the
+    corpus side once and filtering AFTER mapInPandas would re-run the
+    whole encoder for 3 rows), then broadcasts.  Integer count vectors
+    make dot/norm² exact on both engines, so the DuckDB twin restates the
+    entire retrieval and the gate hash-checks scores AND ranking."""
+    from ago_sisdb_spark.operators import dedup, rag
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = rag.embed_chunks_trigram(
+        dedup.cdc_chunk_docs(docs, "doc_id", "text")
+    )
+    queries = rag.embed_chunks_trigram(
+        dedup.cdc_chunk_docs(
+            docs.where(F.col("doc_id").isin(1, 11, 21)), "doc_id", "text"
+        )
+    ).where(F.col("chunk_idx") == 0)
+    return rag.chunk_topk(emb, queries, k=5)

@@ -1,0 +1,96 @@
+"""Chunk-retrieval (operators/rag.py, pipe9) cross-checks.
+
+The pipe9 oracle restates the retrieval in DuckDB; these tests add the
+independent plain-Python leg (test_reference_impls pattern): a dict-and-
+loop reimplementation of the trigram embedding and the brute top-k must
+reproduce the Spark results exactly, and the serve plan must broadcast
+the query side (no shuffle of the corpus for a 3-query serve).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+SF = "/root/testdata/sf0.001"
+DIM = 16
+
+
+def _py_embed(chunk: str, dim: int = DIM):
+    """Plain-Python twin of embed_chunks_trigram: no numpy, no SQL."""
+    v = [0] * dim
+    for i in range(len(chunk) - 2):
+        code = ord(chunk[i]) * 961 + ord(chunk[i + 1]) * 31 + ord(chunk[i + 2])
+        v[code % dim] += 1
+    return v, math.sqrt(float(sum(x * x for x in v)))
+
+
+def test_trigram_embedding_vs_python_impl(spark):
+    from ago_sisdb_spark.inventory import _t
+    from ago_sisdb_spark.operators import dedup, rag
+
+    docs = _t(spark, SF, "documents").limit(50)
+    chunks = dedup.cdc_chunk_docs(docs, "doc_id", "text")
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (list(r["vec"]), r["norm"])
+        for r in rag.embed_chunks_trigram(chunks).collect()
+    }
+    raw = {(r["doc_id"], r["chunk_idx"]): r["chunk"] for r in chunks.collect()}
+    expected = {
+        key: _py_embed(c) for key, c in raw.items() if c and len(c) >= 8
+    }
+    assert set(got) == set(expected)
+    for key, (v, n) in expected.items():
+        assert got[key][0] == v, key
+        assert got[key][1] == n, key  # bit-exact: sqrt of an exact integer
+
+
+def test_topk_vs_python_bruteforce(spark):
+    from ago_sisdb_spark.inventory import _t
+    from ago_sisdb_spark.operators import dedup, rag
+
+    docs = _t(spark, SF, "documents").where(F.col("doc_id") < 80)
+    emb_df = rag.embed_chunks_trigram(dedup.cdc_chunk_docs(docs, "doc_id", "text"))
+    emb = {
+        (r["doc_id"], r["chunk_idx"]): (list(r["vec"]), r["norm"])
+        for r in emb_df.collect()
+    }
+    queries = emb_df.where((F.col("doc_id").isin(1, 11)) & (F.col("chunk_idx") == 0))
+    got = [
+        (r["q_doc"], r["doc_id"], r["chunk_idx"], r["score"], r["rank"])
+        for r in rag.chunk_topk(emb_df, queries, k=5)
+        .orderBy("q_doc", "rank")
+        .collect()
+    ]
+
+    expected = []
+    for qd in (1, 11):
+        qv, qn = emb[(qd, 0)]
+        cand = []
+        for (d, ci), (v, n) in emb.items():
+            if (d, ci) == (qd, 0):
+                continue
+            s = float(sum(a * b for a, b in zip(qv, v))) / (n * qn)
+            cand.append((-s, d, ci))
+        cand.sort()
+        for rank, (neg_s, d, ci) in enumerate(cand[:5], start=1):
+            expected.append((qd, d, ci, round(-neg_s, 6), rank))
+    assert got == expected
+
+
+def test_serve_plan_broadcasts_queries(spark):
+    from ago_sisdb_spark.inventory import _t
+    from ago_sisdb_spark.operators import dedup, rag
+
+    docs = _t(spark, SF, "documents")
+    emb = rag.embed_chunks_trigram(dedup.cdc_chunk_docs(docs, "doc_id", "text"))
+    queries = emb.where((F.col("doc_id") == 1) & (F.col("chunk_idx") == 0))
+    plan = (
+        rag.chunk_topk(emb, queries)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
