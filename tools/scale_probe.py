@@ -98,9 +98,11 @@ def main() -> None:
     import math
 
     from ago_sisdb_spark.operators import (
+        classifier,
         incremental,
         pq,
         prep,
+        rag,
         similarity,
         sketch,
         text,
@@ -294,6 +296,28 @@ def main() -> None:
             lambda: prep.epoch_mix(
                 mixed, "doc_id", "src", {"s0": 2.5, "s1": 2.0, "s2": 1.0}, 0.5
             )
+        )
+        # r7 continuation: chunk retrieval (embed ×N chunks shuffle-free,
+        # serve a FIXED 3-query set against them — the recurring serve
+        # cost is one corpus pass) and classifier training (L-BFGS over
+        # ×N cached feature vectors; iterations ~constant, so the curve
+        # should track the per-pass scan cost)
+        probe("pipe9_embed_serve",
+            lambda: rag.chunk_topk(
+                rag.embed_chunks_trigram(
+                    dedup.cdc_chunk_docs(dc, "doc_id", "text")
+                ),
+                rag.embed_chunks_trigram(
+                    dedup.cdc_chunk_docs(
+                        docs.where(F.col("doc_id").isin(1, 11, 21)),
+                        "doc_id", "text",
+                    )
+                ).where(F.col("chunk_idx") == 0),
+                k=5,
+            )
+        )
+        probe("t23_classifier_train",
+            lambda: classifier.train_quality_classifier(dc, "doc_id", "text")
         )
         if want("s7_shard_write"):
             import shutil as _sh
