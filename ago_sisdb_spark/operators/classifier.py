@@ -105,6 +105,39 @@ def lr_score_expr(
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
+def save_weights(
+    spark,
+    path: str,
+    feature_cols: list[str] | tuple[str, ...],
+    weights: list[float],
+    intercept: float,
+) -> None:
+    """Persist a trained linear model as a one-row parquet artifact beside
+    the other serve-time state (MinHash band index, PQ codebooks, pipe8
+    digest set): train once, reload into ``lr_score_expr`` /
+    ``ridge_predict_expr`` in any later session without refitting."""
+    if len(feature_cols) != len(weights):
+        raise ValueError(
+            f"{len(feature_cols)} feature cols vs {len(weights)} weights"
+        )
+    spark.createDataFrame(
+        [(list(feature_cols), [float(w) for w in weights], float(intercept))],
+        "features array<string>, weights array<double>, intercept double",
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_weights(spark, path: str) -> tuple[list[str], list[float], float]:
+    """Read back a ``save_weights`` artifact → (feature_cols, weights,
+    intercept), ready for the expression-only serve path."""
+    rows = spark.read.parquet(path).collect()
+    if len(rows) != 1:
+        raise ValueError(f"weights artifact at {path} has {len(rows)} rows")
+    r = rows[0]
+    return list(r["features"]), [float(w) for w in r["weights"]], float(
+        r["intercept"]
+    )
+
+
 def _cramer3(
     a: float, b: float, c: float, d: float, e: float, f: float,
     p: float, q: float, r: float,

@@ -2899,7 +2899,7 @@ def _t24_oracle() -> str:
         "documents",
         "doc_id",
         "n_chars",
-        r"length(regexp_replace(text, '[^\.,;:!\?]', '', 'g'))",
+        r"len(list_distinct(string_split_regex(trim(text), '\s+')))",
         r"len(string_split_regex(trim(text), '\s+'))",
     )
 
@@ -2909,7 +2909,7 @@ def t24_ridge_length_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-feature ridge regression trained by NORMAL EQUATIONS and
     hash-checked END-TO-END on real data (operators/classifier.ridge_fit):
     predict each document's whitespace token count from its char count and
-    punctuation count — training is ONE aggregation pass (9 moments, one
+    distinct-token count — training is ONE aggregation pass (9 moments, one
     row over the wire), the driver solves the 3×3 system with a pinned
     Cramer operation tree, and serving is an expression-only projection.
     Because the features/target are integers, every distributed sum is
@@ -2922,8 +2922,8 @@ def t24_ridge_length_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select(
         "doc_id",
         F.col("n_chars").alias("x1"),
-        F.length(
-            F.regexp_replace(F.col("text"), r"[^\.,;:!\?]", "")
+        F.size(
+            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
         ).alias("x2"),
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("y"),
     )

@@ -72,6 +72,10 @@ SECONDARY = [
     # of the corpus (training IS the measured work; serving alone is a
     # plain projection)
     "t23_quality_classifier",
+    # r7 (continuation): chunk-level retrieval — CDC chunking + trigram
+    # embedding of the whole corpus + 3-query cosine top-k serve in one
+    # measured pass (the RAG ingest+serve composite)
+    "pipe9_chunk_retrieval",
 ]
 
 RUNS = 3

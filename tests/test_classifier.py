@@ -154,7 +154,7 @@ def test_ridge_normal_equations_matches_numpy_lstsq(spark):
     base = docs.select(
         "doc_id",
         F.col("n_chars").alias("x1"),
-        F.length(F.regexp_replace(F.col("text"), r"[^\.,;:!\?]", "")).alias("x2"),
+        F.size(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))).alias("x2"),
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("y"),
     )
     beta = classifier.ridge_fit(base, "x1", "x2", "y", lam=1.0)
@@ -181,3 +181,30 @@ def test_ridge_normal_equations_matches_numpy_lstsq(spark):
                        F.col("y"))
     with pytest.raises(ValueError, match="singular"):
         classifier.ridge_fit(coll, "x1", "x2", "y", lam=0.0)
+
+
+def test_weights_artifact_roundtrip(spark, tmp_path):
+    """Train-once-serve-anywhere: weights persisted like the MinHash index
+    reload into the identical expression — scores byte-equal."""
+    from ago_sisdb_spark.operators import classifier
+
+    path = str(tmp_path / "lr_weights")
+    classifier.save_weights(
+        spark, path, ["x1", "x2"], [0.25, -1.5], 0.125
+    )
+    feats, w, b = classifier.load_weights(spark, path)
+    assert (feats, w, b) == (["x1", "x2"], [0.25, -1.5], 0.125)
+
+    df = spark.range(100).select(
+        (F.col("id") / 10.0).alias("x1"), (F.col("id") % 7 / 7.0).alias("x2")
+    )
+    direct = df.select(
+        classifier.lr_score_expr(["x1", "x2"], [0.25, -1.5], 0.125).alias("s")
+    ).collect()
+    loaded = df.select(classifier.lr_score_expr(feats, w, b).alias("s")).collect()
+    assert [r["s"] for r in direct] == [r["s"] for r in loaded]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="feature cols"):
+        classifier.save_weights(spark, path, ["x1"], [1.0, 2.0], 0.0)

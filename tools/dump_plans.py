@@ -25,6 +25,9 @@ NOTES = {
     "pipe8_incremental_prep": "incremental daily-ingest shape (r7): the ONLY documents scans carry the batch predicate (doc_id % 3 = 0 in PushedFilters) — history enters solely as three artifact parquet scans (digest set, band index, shards-sized pack_state); per-batch cost is batch + index probe, never a history scan",
     "s5_global_shuffle": "training-order shuffle (r7): ONE exchange on the shard key feeding a per-shard WindowExec rank — no global sort, no single-partition window; shard count is layout so 1000 executors each sort shard-sized runs",
     "s7_training_shards": "training-corpus sink manifest (r7): the write ran before this plan (repartition-by-shard + in-task sort + partitionBy, its one shuffle); the manifest scan reads ONLY tokens+bin (payloads pruned, ReadSchema) + the shard partition column, two-phase distinct aggregate, all codegen",
+    "t23_quality_classifier": "classifier distillation serve plan (r7 continuation): training ran before this plan (L-BFGS treeAggregate passes over the cached feature vectors); what remains is ONE documents scan with the learned weights as literals inside codegen — no Python node, no MLlib, no join, no shuffle",
+    "t24_ridge_length_model": "normal-equations serve plan (r7 continuation): the one-pass 9-moment training aggregate ran before this plan; serving is a single scan + projection with the Cramer-solved coefficients as literals — the whole fit cost one corpus pass",
+    "pipe9_chunk_retrieval": "RAG ingest+serve (r7 continuation): corpus CDC chunking + trigram embedding in ONE shuffle-free mapInPandas chain; the 3-doc query side re-chunks only its docs (doc_id IN pushed to the scan) and broadcasts (BroadcastNestedLoopJoin); integer dot + norm division in codegen; the only exchange is the per-query top-k window",
 }
 
 HEADER = """# PLANS — executed physical plans of headline queries (sf0.1, AQE final)
