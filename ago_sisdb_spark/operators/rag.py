@@ -85,6 +85,15 @@ def chunk_topk(
     array columns (inner HOF lambdas — the safe kind); ranking is a
     per-query window (WindowGroupLimit under AQE).  The query chunk itself
     is excluded so rank 1 is the nearest OTHER chunk."""
+    if queries.isEmpty():
+        # same failure mode the IVF empty-centroid guard closes: an empty
+        # broadcast side would silently return zero rows instead of
+        # surfacing the misconfigured query set (the check is one action
+        # on the tiny side that broadcasts anyway)
+        raise ValueError(
+            "chunk_topk query set is empty — no chunk survived the query "
+            "filter (min_len drop? wrong doc ids?)"
+        )
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("q_doc"),

@@ -94,3 +94,15 @@ def test_serve_plan_broadcasts_queries(spark):
     )
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_empty_query_set_refuses(spark):
+    import pytest
+
+    from ago_sisdb_spark.inventory import _t
+    from ago_sisdb_spark.operators import dedup, rag
+
+    docs = _t(spark, SF, "documents").limit(20)
+    emb = rag.embed_chunks_trigram(dedup.cdc_chunk_docs(docs, "doc_id", "text"))
+    with pytest.raises(ValueError, match="query set is empty"):
+        rag.chunk_topk(emb, emb.where(F.col("doc_id") == -1))
