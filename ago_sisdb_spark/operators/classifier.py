@@ -37,7 +37,10 @@ def quality_features(
     and the serving expression never see NULL features."""
     t = F.col(text_col)
     return (
-        docs.withColumn("f_loglen", F.log10(F.length(t) + F.lit(1.0)))
+        docs.withColumn(
+            "f_loglen",
+            F.coalesce(F.log10(F.length(t) + F.lit(1.0)), F.lit(0.0)),
+        )
         .withColumn(
             "f_wordlen", F.coalesce(text_ops.mean_word_len(t), F.lit(0.0))
         )
@@ -278,13 +281,30 @@ def train_quality_classifier(
     applied to the full corpus.  The weak-label rule is an AND of
     thresholds, which a linear model can only approximate — that gap is
     the realistic part (pytest pins accuracy and agreement with an
-    independent plain-numpy trainer instead of an exact oracle)."""
-    feats = quality_features(docs, text_col).select(
+    independent plain-numpy trainer instead of an exact oracle).
+
+    The label is derived from the COALESCED feature columns, not by
+    re-invoking ``quality_score`` (whose HOF aggregates would re-evaluate
+    per row beside the identical feature expressions, and whose NULL on
+    empty/token-less docs would reach the fit as a NULL label — MLlib
+    refuses NULL labels).  On every document with tokens the rule is
+    identical to ``quality_score >= label_threshold``; degenerate docs
+    get label 0 instead of a crash."""
+    import math
+
+    base = quality_features(docs, text_col)
+    rule_hits = (
+        (F.col("f_loglen") >= F.lit(math.log10(51.0))).cast("double")
+        + ((F.col("f_wordlen") >= 2.0) & (F.col("f_wordlen") <= 12.0)).cast(
+            "double"
+        )
+        + (F.col("f_stopratio") >= 0.05).cast("double")
+        + (F.col("f_punctratio") <= 0.2).cast("double")
+    ) / 4.0
+    feats = base.select(
         id_col,
         *QUALITY_FEATURES,
-        (text_ops.quality_score(F.col(text_col)) >= F.lit(label_threshold))
-        .cast("int")
-        .alias("__y"),
+        (rule_hits >= F.lit(label_threshold)).cast("int").alias("__y"),
     )
     feats = feats.cache()
     try:

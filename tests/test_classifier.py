@@ -208,3 +208,24 @@ def test_weights_artifact_roundtrip(spark, tmp_path):
 
     with pytest.raises(ValueError, match="feature cols"):
         classifier.save_weights(spark, path, ["x1"], [1.0, 2.0], 0.0)
+
+
+def test_degenerate_docs_do_not_crash_training(spark):
+    """Empty and NULL texts used to reach the fit as NULL labels (MLlib
+    refuses) / NULL f_loglen (VectorAssembler refuses); they must train
+    fine and score as label 0."""
+    from ago_sisdb_spark.inventory import _t
+    from ago_sisdb_spark.operators import classifier
+
+    docs = _t(spark, SF, "documents").limit(60).unionByName(
+        spark.createDataFrame(
+            [(9000001, ""), (9000002, None), (9000003, "   ")],
+            "doc_id bigint, text string",
+        ).withColumn("lang", F.lit(None).cast("string"))
+        .withColumn("source", F.lit(None).cast("string"))
+        .withColumn("n_chars", F.length("text").cast("bigint"))
+    )
+    scored = classifier.train_quality_classifier(docs, "doc_id", "text")
+    got = {r["doc_id"]: r["pred_label"] for r in scored.collect()}
+    assert len(got) == 63
+    assert got[9000001] == 0 and got[9000002] == 0 and got[9000003] == 0
