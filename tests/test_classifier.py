@@ -229,3 +229,26 @@ def test_degenerate_docs_do_not_crash_training(spark):
     got = {r["doc_id"]: r["pred_label"] for r in scored.collect()}
     assert len(got) == 63
     assert got[9000001] == 0 and got[9000002] == 0 and got[9000003] == 0
+
+
+def test_ridge_shift_invariance_property(spark):
+    """Normal-equations sanity: with lam=0, adding a constant C to y must
+    shift ONLY the intercept by C (slopes unchanged) — a closed-form
+    property an implementation bug in the moment wiring would break."""
+    from ago_sisdb_spark.operators import classifier
+
+    df = spark.range(200).select(
+        (F.col("id") % 13).cast("double").alias("x1"),
+        (F.col("id") % 7).cast("double").alias("x2"),
+        ((F.col("id") % 13) * 3 + (F.col("id") % 7) * 2 + 5).cast(
+            "double"
+        ).alias("y"),
+    )
+    b0, b1, b2 = classifier.ridge_fit(df, "x1", "x2", "y", lam=0.0)
+    s0, s1, s2 = classifier.ridge_fit(
+        df.withColumn("y", F.col("y") + 100.0), "x1", "x2", "y", lam=0.0
+    )
+    assert abs(b1 - s1) < 1e-9 and abs(b2 - s2) < 1e-9
+    assert abs((s0 - b0) - 100.0) < 1e-6
+    # and the noiseless-linear fit recovers the generating coefficients
+    assert abs(b1 - 3.0) < 1e-8 and abs(b2 - 2.0) < 1e-8 and abs(b0 - 5.0) < 1e-6

@@ -106,3 +106,22 @@ def test_empty_query_set_refuses(spark):
     emb = rag.embed_chunks_trigram(dedup.cdc_chunk_docs(docs, "doc_id", "text"))
     with pytest.raises(ValueError, match="query set is empty"):
         rag.chunk_topk(emb, emb.where(F.col("doc_id") == -1))
+
+
+def test_embedding_mass_properties(spark):
+    """Structural invariants of the trigram embedding: sum(vec) equals the
+    trigram count (len-2) and norm^2 equals the exact integer sum of
+    squares — for every chunk, not a sampled few."""
+    from ago_sisdb_spark.inventory import _t
+    from ago_sisdb_spark.operators import dedup, rag
+
+    docs = _t(spark, SF, "documents").limit(100)
+    chunks = dedup.cdc_chunk_docs(docs, "doc_id", "text")
+    lens = {
+        (r["doc_id"], r["chunk_idx"]): len(r["chunk"])
+        for r in chunks.collect()
+    }
+    for r in rag.embed_chunks_trigram(chunks).collect():
+        v = list(r["vec"])
+        assert sum(v) == lens[(r["doc_id"], r["chunk_idx"])] - 2
+        assert abs(r["norm"] ** 2 - float(sum(x * x for x in v))) < 1e-9
