@@ -72,6 +72,73 @@ def embed_chunks_trigram(
     return chunks.select(id_col, idx_col, chunk_col).mapInPandas(gen, out_schema)
 
 
+def chunk_index_path(warehouse_dir: str, tag: str) -> str:
+    """Canonical location of a persisted chunk-embedding index, beside the
+    other serve-time artifacts (MinHash band index, PQ codebooks, LR
+    weights)."""
+    import os
+
+    return os.path.join(
+        warehouse_dir, "chunk_index", tag.strip("/").replace("/", "_")
+    )
+
+
+def build_chunk_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = EMBED_DIM,
+    min_len: int = 8,
+) -> None:
+    """Materialize the embedded chunk corpus once: CDC chunking + trigram
+    embedding (both shuffle-free map work) written as parquet.  At 100 TB
+    this is the one-time ingest job; every retrieval afterwards scans the
+    index, never the raw corpus.  Idempotent overwrite."""
+    from ago_sisdb_spark.operators import dedup
+
+    embed_chunks_trigram(
+        dedup.cdc_chunk_docs(docs, id_col, text_col),
+        id_col=id_col, dim=dim, min_len=min_len,
+    ).write.mode("overwrite").parquet(path)
+
+
+def append_chunk_index(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = EMBED_DIM,
+    min_len: int = 8,
+) -> None:
+    """Advance the index with a new document batch — append-only, no
+    history re-chunking (the same daily-ingest shape as the d12 MinHash
+    band-index append and pipe8's digest advance).  The caller owns batch
+    exactly-once (d12's ledger pattern); duplicate appends would duplicate
+    serve hits."""
+    from ago_sisdb_spark.operators import dedup
+
+    embed_chunks_trigram(
+        dedup.cdc_chunk_docs(batch, id_col, text_col),
+        id_col=id_col, dim=dim, min_len=min_len,
+    ).write.mode("append").parquet(path)
+
+
+def chunk_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+) -> DataFrame:
+    """Serve top-k from the persisted index: one parquet scan + broadcast
+    queries + per-query window — the raw corpus is never touched."""
+    return chunk_topk(
+        spark.read.parquet(path), queries, k=k, id_col=id_col, idx_col=idx_col
+    )
+
+
 def chunk_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -252,3 +252,33 @@ def test_ridge_shift_invariance_property(spark):
     assert abs((s0 - b0) - 100.0) < 1e-6
     # and the noiseless-linear fit recovers the generating coefficients
     assert abs(b1 - 3.0) < 1e-8 and abs(b2 - 2.0) < 1e-8 and abs(b0 - 5.0) < 1e-6
+
+
+def test_streaming_scoring_matches_batch(spark, tmp_path):
+    """The trained-weights serve expression is trigger-agnostic: scoring a
+    stream micro-batch produces byte-identical scores to the batch path —
+    model-based filtering drops into the ingest loop unchanged."""
+    from ago_sisdb_spark.operators import classifier
+
+    src = str(tmp_path / "src")
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 9 / 9.0).alias("x1"),
+        (F.col("id") % 5 / 5.0).alias("x2"),
+    )
+    df.write.parquet(src)
+    score = classifier.lr_score_expr(["x1", "x2"], [1.5, -0.7], 0.2)
+
+    out = []
+    q = (
+        spark.readStream.schema(df.schema)
+        .parquet(src)
+        .select("doc_id", score.alias("s"))
+        .writeStream.foreachBatch(lambda b, _i: out.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    batch = {r["doc_id"]: r["s"] for r in df.select("doc_id", score.alias("s")).collect()}
+    assert {r["doc_id"]: r["s"] for r in out} == batch

@@ -125,3 +125,50 @@ def test_embedding_mass_properties(spark):
         v = list(r["vec"])
         assert sum(v) == lens[(r["doc_id"], r["chunk_idx"])] - 2
         assert abs(r["norm"] ** 2 - float(sum(x * x for x in v))) < 1e-9
+
+
+def test_indexed_serve_matches_direct_and_never_scans_corpus(spark, tmp_path):
+    """The persisted-index story: build on history, append a batch (no
+    history re-chunking), serve from the index — results identical to the
+    direct pipeline over the union, and the serve plan reads ONLY the
+    index parquet (no documents scan)."""
+    from ago_sisdb_spark.inventory import _t
+    from ago_sisdb_spark.operators import dedup, rag
+
+    docs = _t(spark, SF, "documents")
+    hist = docs.where(F.col("doc_id") < 60)
+    batch = docs.where((F.col("doc_id") >= 60) & (F.col("doc_id") < 90))
+    path = str(tmp_path / "chunk_index")
+
+    rag.build_chunk_index(hist, path)
+    rag.append_chunk_index(batch, path)
+
+    queries = rag.embed_chunks_trigram(
+        dedup.cdc_chunk_docs(docs.where(F.col("doc_id") == 1), "doc_id", "text")
+    ).where(F.col("chunk_idx") == 0)
+
+    served = rag.chunk_topk_indexed(spark, path, queries, k=5)
+    direct = rag.chunk_topk(
+        rag.embed_chunks_trigram(
+            dedup.cdc_chunk_docs(
+                docs.where(F.col("doc_id") < 90), "doc_id", "text"
+            )
+        ),
+        queries,
+        k=5,
+    )
+    assert sorted(map(tuple, served.collect()), key=lambda t: (t[0], t[4])) == sorted(
+        map(tuple, direct.collect()), key=lambda t: (t[0], t[4])
+    )
+
+    # the serve plan scans documents exactly ONCE (the 1-doc query side);
+    # the corpus side is a parquet scan whose ReadSchema carries the
+    # embedded columns — i.e. the index, never re-chunked history
+    # (FileScan's toString truncates the location path, so match the
+    # schema, not the directory name)
+    # (AdaptiveSparkPlan's toString appends an "== Initial Plan ==" copy —
+    # count scans in the final section only)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "vec:array<bigint>" in final
+    assert final.count("documents.parquet") == 1
