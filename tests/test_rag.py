@@ -172,3 +172,40 @@ def test_indexed_serve_matches_direct_and_never_scans_corpus(spark, tmp_path):
     final = plan.split("== Initial Plan ==")[0]
     assert "vec:array<bigint>" in final
     assert final.count("documents.parquet") == 1
+
+
+def test_embedding_fuzz_unicode_vs_python_impl(spark):
+    """Hypothesis-style fuzz (fixed seed corpus for determinism): arbitrary
+    unicode chunks — CJK, emoji, combining marks, whitespace runs — must
+    embed identically to the plain-Python twin (ord() and DuckDB ascii()
+    both speak code points; a bytes-based implementation would diverge
+    here)."""
+    from ago_sisdb_spark.operators import rag
+
+    import random
+
+    rng = random.Random(20260815)
+    alphabets = [
+        "abcdefgh ijklmnop",
+        "αβγδεζηθ ικλμνξοπ",
+        "一二三四五六七八九十",
+        "🙂🙃😀😁😂🤣",
+        "áêĩ",  # combining marks
+        "\t\n  mixed \t ws",
+    ]
+    rows = []
+    for i in range(200):
+        alpha = alphabets[i % len(alphabets)]
+        n = rng.randint(8, 40)
+        rows.append((i, 0, "".join(rng.choice(alpha) for _ in range(n))))
+    chunks = spark.createDataFrame(
+        rows, "doc_id bigint, chunk_idx bigint, chunk string"
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (list(r["vec"]), r["norm"])
+        for r in rag.embed_chunks_trigram(chunks).collect()
+    }
+    assert len(got) == 200
+    for did, ci, c in rows:
+        v, n = _py_embed(c)
+        assert got[(did, ci)] == (v, n), (did, c)

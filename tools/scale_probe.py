@@ -341,6 +341,28 @@ def main() -> None:
             probe("s7_shard_write", mk_s7)
             _sh.rmtree(tmp7, ignore_errors=True)
             del packed7, mk_s7
+        if want("pipe9_indexed_serve"):
+            # recurring-cost isolation for the chunk index: the one-time
+            # build (charged to pipe9_embed_serve above) runs OUTSIDE the
+            # timer; the probe times serving a fixed 3-query set from the
+            # ×N persisted index — the path that must stay flat-per-scan
+            import shutil as _sh9
+            import tempfile as _tf9
+
+            tmp9 = _tf9.mkdtemp(prefix=f"probe_pipe9idx_x{n}_")
+            idx9 = os.path.join(tmp9, "chunk_index")
+            rag.build_chunk_index(dc, idx9)
+            q9 = rag.embed_chunks_trigram(
+                dedup.cdc_chunk_docs(
+                    docs.where(F.col("doc_id").isin(1, 11, 21)),
+                    "doc_id", "text",
+                )
+            ).where(F.col("chunk_idx") == 0).localCheckpoint()
+            probe("pipe9_indexed_serve",
+                lambda: rag.chunk_topk_indexed(spark, idx9, q9, k=5)
+            )
+            _sh9.rmtree(tmp9, ignore_errors=True)
+            del q9
         # release this scale's localCheckpoint blocks before the next
         # multiplier: without it the ×32 pass runs on top of ×1+×4's
         # cached copies and every sample carries eviction/GC noise.
