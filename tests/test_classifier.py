@@ -282,3 +282,25 @@ def test_streaming_scoring_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     batch = {r["doc_id"]: r["s"] for r in df.select("doc_id", score.alias("s")).collect()}
     assert {r["doc_id"]: r["s"] for r in out} == batch
+
+
+def test_planted_fit_decision_margin_is_wide(spark):
+    """t22's only nondeterminism exposure is MLlib's distributed float
+    reductions; the gate is safe because the learned separator keeps every
+    training point FAR from the 0.5 boundary (measured min |logit| ~ 14 at
+    all SFs vs reduction noise ~ 1e-9).  Pin a conservative floor so a
+    future config change that erodes the margin fails here, not in the
+    driver's hash gate."""
+    from ago_sisdb_spark.operators import classifier
+
+    planted = _planted(spark).cache()
+    w, b = classifier.train_lr(planted, ["x1", "x2", "x3"], "y")
+    z = (
+        F.lit(b)
+        + F.col("x1") * F.lit(w[0])
+        + F.col("x2") * F.lit(w[1])
+        + F.col("x3") * F.lit(w[2])
+    )
+    min_z = planted.select(F.min(F.abs(z)).alias("m")).collect()[0]["m"]
+    planted.unpersist()
+    assert min_z > 5.0, f"learned decision margin too thin: min|logit|={min_z}"
