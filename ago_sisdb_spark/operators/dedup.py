@@ -661,6 +661,113 @@ def duplicated_spans(
     )
 
 
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 16,
+    stride: int = 8,
+    min_docs: int = 2,
+    portable: bool = False,
+) -> DataFrame:
+    """The transform half of ``duplicated_spans`` (Lee et al. 2021 CUT the
+    duplicated substrings from the training text, they didn't just report
+    them — the same relationship t8's redact has to t9's PII audit): drop
+    every token covered by at least one flagged window and reassemble the
+    document.  Returns (id, clean_text, n_removed bigint) for EVERY input
+    doc (clean docs pass through with n_removed = 0).
+
+    Scale shape: the flag report shuffles (span_hash, doc, start) only;
+    per-doc start lists come back as ONE collect_set row per flagged doc
+    (span-occurrence bounded) joined to the corpus; the cut itself is an
+    index-filter over the materialized token array — both the token array
+    and the start array are columns, so the nested HOF lambdas are the
+    safe inner kind (no per-element re-evaluation)."""
+    spans = duplicated_spans(
+        df, id_col, text_col, span_tokens, stride, min_docs, portable
+    )
+    flagged = spans.groupBy("doc").agg(
+        F.collect_set("start_tok").alias("__starts")
+    )
+    wdf = df.select(
+        F.col(id_col).alias("doc"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__w"),
+    )
+    j = wdf.join(flagged, "doc", "left").withColumn(
+        "__s", F.coalesce(F.col("__starts"), F.array().cast("array<bigint>"))
+    )
+    kept = F.filter(
+        F.col("__w"),
+        lambda t, i: ~F.exists(
+            F.col("__s"),
+            lambda s: (i.cast("bigint") >= s)
+            & (i.cast("bigint") < s + F.lit(span_tokens)),
+        ),
+    )
+    return j.select(
+        F.col("doc").alias(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size("__w") - F.size(kept)).cast("bigint").alias("n_removed"),
+    )
+
+
+def remove_duplicated_spans_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 16,
+    stride: int = 8,
+    min_docs: int = 2,
+) -> str:
+    """DuckDB twin of ``remove_duplicated_spans(..., portable=True)``:
+    same flag derivation as ``duplicated_spans_oracle_sql``, then the same
+    index-filter cut (range is 1-based here, starts are 0-based — the
+    i-1 aligns them exactly as Spark's 0-based filter index does)."""
+    span_expr = PORTABLE_HASH_SQL.format(
+        col=(
+            "array_to_string(list_slice(words, s + 1, "
+            f"s + {span_tokens}), ' ')"
+        )
+    )
+    return rf"""
+    WITH w AS (
+        SELECT {id_col} AS doc,
+               string_split_regex(trim({text_col}), '\s+') AS words
+        FROM {table}),
+    sp AS (
+        SELECT doc, CAST(s AS BIGINT) AS start_tok, {span_expr} AS span_hash
+        FROM (
+            SELECT doc, words,
+                   unnest(range(0, len(words) - {span_tokens} + 1, {stride}))
+                       AS s
+            FROM w WHERE len(words) >= {span_tokens})),
+    freq AS (
+        SELECT span_hash FROM sp GROUP BY span_hash
+        HAVING count(DISTINCT doc) >= {min_docs}),
+    flags AS (
+        SELECT doc, list(DISTINCT start_tok) AS starts
+        FROM sp JOIN freq USING (span_hash) GROUP BY doc),
+    cut AS (
+        SELECT w.doc, w.words,
+               list_filter(
+                   list_transform(range(1, len(w.words) + 1), i ->
+                       CASE WHEN len(list_filter(
+                                coalesce(flags.starts,
+                                         CAST([] AS BIGINT[])),
+                                s -> i - 1 >= s
+                                     AND i - 1 < s + {span_tokens})) > 0
+                            THEN NULL ELSE w.words[i] END),
+                   x -> x IS NOT NULL) AS kept
+        FROM w LEFT JOIN flags ON w.doc = flags.doc)
+    SELECT doc AS {id_col},
+           coalesce(array_to_string(kept, ' '), '') AS clean_text,
+           CAST(len(words) - len(kept) AS BIGINT) AS n_removed
+    FROM cut
+    """
+    # (coalesce: DuckDB array_to_string([]) is NULL where Spark's
+    # array_join([]) is '' — a fully-cut doc must read '' on both sides)
+
+
 def duplicated_spans_oracle_sql(
     table: str,
     id_col: str,

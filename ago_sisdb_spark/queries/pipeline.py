@@ -3025,3 +3025,22 @@ def pipe9_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).where(F.col("chunk_idx") == 0)
     return rag.chunk_topk(emb, queries, k=5)
+
+
+@query(
+    "d13_span_removal",
+    oracle=dedup.remove_duplicated_spans_oracle_sql(
+        "documents", "doc_id", "text"
+    ),
+    extended=True,
+)
+def d13_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transform half of d10 (operators/dedup.remove_duplicated_spans):
+    cut every token covered by a cross-document duplicated span and
+    reassemble the text — Lee et al. 2021 remove the duplicated
+    substrings, they don't just report them (same report→transform
+    relationship as t9's URL audit → t14's blocklist and t8's PII
+    redact).  Every doc comes back (clean ones with n_removed = 0), so the
+    oracle hash-checks the reassembled text verbatim."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.remove_duplicated_spans(docs, "doc_id", "text", portable=True)

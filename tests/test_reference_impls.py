@@ -895,3 +895,58 @@ def test_training_order_vs_reference_impl(spark):
     )
     got_bins = {r.doc_id: r.bin for r in packed.collect()}
     assert got_bins == want_bins
+
+
+def test_remove_duplicated_spans_vs_reference_impl(spark):
+    """Plain-Python twin of d13's full cut: flag windows with py_hash60,
+    mark covered token indices, reassemble — including the fully-cut doc
+    (must come back as '' with n_removed = len) and the untouched doc."""
+    import re as _re
+
+    from ago_sisdb_spark.operators import dedup
+
+    shared = " ".join(f"boiler{i}" for i in range(16))
+    rows = [
+        (1, shared + " unique one two three four five six seven eight"),
+        (2, "alpha beta " + shared + " gamma delta"),
+        (3, shared),  # exactly one window, fully cut
+        (4, "totally original text with no duplication at all here now"),
+        (5, "   "),  # whitespace-only: trim -> '' -> [''] single token
+    ]
+    W, STRIDE, MIN_DOCS = 16, 8, 2
+
+    def py_clean(corpus):
+        spans = {}
+        toks = {i: _re.split(r"\s+", t.strip()) for i, t in corpus}
+        for i, w in toks.items():
+            for s in range(0, len(w) - W + 1, STRIDE):
+                h = py_hash60(" ".join(w[s : s + W]))
+                spans.setdefault(h, set()).add((i, s))
+        flagged = {}
+        for h, occ in spans.items():
+            if len({d for d, _ in occ}) >= MIN_DOCS:
+                for d, s in occ:
+                    flagged.setdefault(d, set()).add(s)
+        out = {}
+        for i, w in toks.items():
+            starts = flagged.get(i, set())
+            kept = [
+                t
+                for j, t in enumerate(w)
+                if not any(s <= j < s + W for s in starts)
+            ]
+            out[i] = (" ".join(kept), len(w) - len(kept))
+        return out
+
+    expected = py_clean(rows)
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in dedup.remove_duplicated_spans(
+            df, "doc_id", "text", W, STRIDE, MIN_DOCS, portable=True
+        ).collect()
+    }
+    assert got == expected
+    assert got[3] == ("", 16)  # the fully-cut doc
+    assert got[4][1] == 0  # untouched passes through verbatim
+    assert got[5] == ("", 0)
