@@ -211,6 +211,60 @@ def paragraph_dedup_stats(
     )
 
 
+def dedup_paragraphs(
+    docs, id_col: str, text_col: str, sep: str = r"\.\s+", joiner: str = ". "
+) -> "DataFrame":
+    """The transform half of ``paragraph_dedup_stats`` (RefinedWeb line
+    dedup REWRITES the documents, the audit only counts): keep each unit's
+    FIRST corpus-wide occurrence (min packed (doc, pos) per digest, same
+    key layout as the audit) and reassemble every doc from its kept units
+    in original order.  Returns (id, clean_text, n_paras, n_kept) for
+    EVERY input doc — a doc whose units were all first-seen elsewhere
+    comes back as ''.
+
+    Reassembly joins trimmed units with ``joiner`` (the split consumed the
+    original separators, so the rewrite is canonical-form — documented,
+    same as the reference's render normalizations).  Scale shape: the
+    explode shuffles (digest, packed key) rows; rebuild is one
+    digest-keyed join + per-doc sort_array over the kept units (unit-count
+    bounded), no window."""
+    units = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).where(F.length(F.trim(F.col("para"))) > 0)
+    hashed = units.select(
+        "doc",
+        "pos",
+        (F.col("doc") * F.lit(1 << 20) + F.col("pos")).alias("__k"),
+        F.md5(F.trim(F.col("para"))).alias("digest"),
+        F.trim(F.col("para")).alias("__p"),
+    )
+    first = hashed.groupBy("digest").agg(F.min("__k").alias("__kmin"))
+    kept = hashed.join(first, "digest").where(F.col("__k") == F.col("__kmin"))
+    totals = hashed.groupBy("doc").agg(F.count(F.lit(1)).alias("n_paras"))
+    rebuilt = kept.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "__p"))),
+                lambda x: x["__p"],
+            ),
+            joiner,
+        ).alias("clean_text"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc"))
+        .join(totals, "doc", "left")
+        .join(rebuilt, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_paras"), F.lit(0)).cast("bigint").alias("n_paras"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+    )
+
+
 def bigram_logprob(
     docs, id_col: str, text_col: str, min_count: int = 2, backoff: float = 0.4,
     broadcast_lp: bool = True,

@@ -3044,3 +3044,45 @@ def d13_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle hash-checks the reassembled text verbatim."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.remove_duplicated_spans(docs, "doc_id", "text", portable=True)
+
+
+@query(
+    "d14_paragraph_rewrite",
+    oracle=r"""
+    WITH units AS (
+        SELECT doc_id AS doc,
+               unnest(range(len(string_split_regex(text, '\.\s+')))) AS pos,
+               unnest(string_split_regex(text, '\.\s+')) AS para
+        FROM documents),
+    hashed AS (
+        SELECT doc, pos, doc * 1048576 + pos AS k,
+               md5(trim(para)) AS digest, trim(para) AS p
+        FROM units WHERE length(trim(para)) > 0),
+    first AS (SELECT digest, min(k) AS kmin FROM hashed GROUP BY digest),
+    kept AS (
+        SELECT h.doc, h.pos, h.p
+        FROM hashed h JOIN first f ON h.digest = f.digest AND h.k = f.kmin),
+    tot AS (SELECT doc, count(*) AS n_paras FROM hashed GROUP BY doc),
+    agg AS (
+        SELECT doc, count(*) AS n_kept, list(p ORDER BY pos) AS ps
+        FROM kept GROUP BY doc)
+    SELECT d.doc_id,
+           coalesce(array_to_string(agg.ps, '. '), '') AS clean_text,
+           CAST(coalesce(tot.n_paras, 0) AS BIGINT) AS n_paras,
+           CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept
+    FROM documents d
+    LEFT JOIN tot ON d.doc_id = tot.doc
+    LEFT JOIN agg ON d.doc_id = agg.doc
+    """,
+    extended=True,
+)
+def d14_paragraph_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transform half of t10 (operators/text.dedup_paragraphs):
+    RefinedWeb line dedup REWRITES each document keeping only the
+    corpus-wide first occurrence of every paragraph unit, reassembled in
+    original order (canonical '. ' joiner — the split consumed the raw
+    separators).  Completes the audit→transform pairs alongside
+    d10→d13 and t9→t14/t8; the oracle hash-checks the rewritten text
+    verbatim for every doc, including fully-emptied ones."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.dedup_paragraphs(docs, "doc_id", "text")

@@ -950,3 +950,48 @@ def test_remove_duplicated_spans_vs_reference_impl(spark):
     assert got[3] == ("", 16)  # the fully-cut doc
     assert got[4][1] == 0  # untouched passes through verbatim
     assert got[5] == ("", 0)
+
+
+def test_dedup_paragraphs_vs_reference_impl(spark):
+    """Plain-Python twin of d14's rewrite: first-corpus-occurrence keep per
+    trimmed-unit digest (plain dict, (doc,pos) order), canonical '. '
+    rejoin — including the doc whose every unit was first seen elsewhere
+    (comes back '') and a unit duplicated WITHIN one doc."""
+    import re as _re
+
+    from ago_sisdb_spark.operators import text as text_ops
+
+    rows = [
+        (1, "alpha beta gamma. shared sentence here. tail one"),
+        (2, "shared sentence here. second doc unique bit"),
+        (3, "shared sentence here"),  # fully duplicate -> ''
+        (4, "repeat me. repeat me. distinct end"),  # intra-doc dup
+        (5, ""),
+    ]
+
+    def py_rewrite(corpus):
+        seen = {}
+        units = {}
+        for d, t in corpus:
+            ps = [p for p in _re.split(r"\.\s+", t)]
+            us = [(i, p.strip()) for i, p in enumerate(ps) if p.strip()]
+            units[d] = us
+            for i, p in us:
+                seen.setdefault(p, (d, i))
+        out = {}
+        for d, _t in corpus:
+            us = units[d]
+            kept = [p for i, p in us if seen[p] == (d, i)]
+            out[d] = (". ".join(kept), len(us), len(kept))
+        return out
+
+    expected = py_rewrite(rows)
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_paras"], r["n_kept"])
+        for r in text_ops.dedup_paragraphs(df, "doc_id", "text").collect()
+    }
+    assert got == expected
+    assert got[3] == ("", 1, 0)
+    assert got[4] == ("repeat me. distinct end", 3, 2)
+    assert got[5] == ("", 0, 0)
