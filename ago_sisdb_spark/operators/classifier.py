@@ -287,20 +287,28 @@ def train_quality_classifier(
     re-invoking ``quality_score`` (whose HOF aggregates would re-evaluate
     per row beside the identical feature expressions, and whose NULL on
     empty/token-less docs would reach the fit as a NULL label — MLlib
-    refuses NULL labels).  On every document with tokens the rule is
-    identical to ``quality_score >= label_threshold``; degenerate docs
-    get label 0 instead of a crash."""
-    import math
-
-    base = quality_features(docs, text_col)
+    refuses NULL labels).  The thresholds come from text.QUALITY_*
+    (single source with quality_score), and the length cut compares
+    f_loglen against a JVM-side log10 of the same boundary so both sides
+    of the knife-edge are computed by the same libm.  On every document
+    with tokens the rule is identical to ``quality_score >=
+    label_threshold``; degenerate docs get label 0 instead of a crash."""
+    wl_lo, wl_hi = text_ops.QUALITY_WORDLEN_RANGE
     rule_hits = (
-        (F.col("f_loglen") >= F.lit(math.log10(51.0))).cast("double")
-        + ((F.col("f_wordlen") >= 2.0) & (F.col("f_wordlen") <= 12.0)).cast(
+        (
+            F.col("f_loglen")
+            >= F.log10(F.lit(float(text_ops.QUALITY_MIN_CHARS + 1)))
+        ).cast("double")
+        + ((F.col("f_wordlen") >= wl_lo) & (F.col("f_wordlen") <= wl_hi)).cast(
             "double"
         )
-        + (F.col("f_stopratio") >= 0.05).cast("double")
-        + (F.col("f_punctratio") <= 0.2).cast("double")
+        + (F.col("f_stopratio") >= text_ops.QUALITY_MIN_STOPRATIO).cast("double")
+        + (F.col("f_punctratio") <= text_ops.QUALITY_MAX_PUNCTRATIO).cast(
+            "double"
+        )
     ) / 4.0
+
+    base = quality_features(docs, text_col)
     feats = base.select(
         id_col,
         *QUALITY_FEATURES,

@@ -689,9 +689,13 @@ def remove_duplicated_spans(
     flagged = spans.groupBy("doc").agg(
         F.collect_set("start_tok").alias("__starts")
     )
+    # NULL text reads as '' (one empty token, nothing to cut) — without the
+    # coalesce the whole row would go NULL while the oracle emits ''
     wdf = df.select(
         F.col(id_col).alias("doc"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("__w"),
+        F.split(
+            F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"
+        ).alias("__w"),
     )
     j = wdf.join(flagged, "doc", "left").withColumn(
         "__s", F.coalesce(F.col("__starts"), F.array().cast("array<bigint>"))
@@ -732,7 +736,8 @@ def remove_duplicated_spans_oracle_sql(
     return rf"""
     WITH w AS (
         SELECT {id_col} AS doc,
-               string_split_regex(trim({text_col}), '\s+') AS words
+               string_split_regex(trim(coalesce({text_col}, '')), '\s+')
+                   AS words
         FROM {table}),
     sp AS (
         SELECT doc, CAST(s AS BIGINT) AS start_tok, {span_expr} AS span_hash

@@ -83,6 +83,20 @@ def chunk_index_path(warehouse_dir: str, tag: str) -> str:
     )
 
 
+def _write_chunk_index(
+    docs: DataFrame, path: str, mode: str,
+    id_col: str, text_col: str, dim: int, min_len: int,
+) -> None:
+    """ONE ingest pipeline for both build and append — a one-sided edit
+    can't make appended rows diverge from built rows."""
+    from ago_sisdb_spark.operators import dedup
+
+    embed_chunks_trigram(
+        dedup.cdc_chunk_docs(docs, id_col, text_col),
+        id_col=id_col, dim=dim, min_len=min_len,
+    ).write.mode(mode).parquet(path)
+
+
 def build_chunk_index(
     docs: DataFrame,
     path: str,
@@ -94,13 +108,13 @@ def build_chunk_index(
     """Materialize the embedded chunk corpus once: CDC chunking + trigram
     embedding (both shuffle-free map work) written as parquet.  At 100 TB
     this is the one-time ingest job; every retrieval afterwards scans the
-    index, never the raw corpus.  Idempotent overwrite."""
-    from ago_sisdb_spark.operators import dedup
-
-    embed_chunks_trigram(
-        dedup.cdc_chunk_docs(docs, id_col, text_col),
-        id_col=id_col, dim=dim, min_len=min_len,
-    ).write.mode("overwrite").parquet(path)
+    index, never the raw corpus.  Idempotent overwrite; the embedding
+    params are recorded beside the index so appends can't silently mix
+    dimensions."""
+    _write_chunk_index(docs, path, "overwrite", id_col, text_col, dim, min_len)
+    docs.sparkSession.createDataFrame(
+        [(int(dim), int(min_len))], "dim int, min_len int"
+    ).write.mode("overwrite").parquet(path + "_meta")
 
 
 def append_chunk_index(
@@ -115,13 +129,22 @@ def append_chunk_index(
     history re-chunking (the same daily-ingest shape as the d12 MinHash
     band-index append and pipe8's digest advance).  The caller owns batch
     exactly-once (d12's ledger pattern); duplicate appends would duplicate
-    serve hits."""
-    from ago_sisdb_spark.operators import dedup
-
-    embed_chunks_trigram(
-        dedup.cdc_chunk_docs(batch, id_col, text_col),
-        id_col=id_col, dim=dim, min_len=min_len,
-    ).write.mode("append").parquet(path)
+    serve hits.  Refuses params that differ from the recorded build params
+    (a mismatched dim would NULL-pad every zip_with dot and silently sink
+    those chunks to the bottom of every top-k)."""
+    try:
+        m = batch.sparkSession.read.parquet(path + "_meta").collect()[0]
+    except Exception as exc:  # noqa: BLE001 — missing/invalid meta
+        raise ValueError(
+            f"chunk index at {path} has no readable _meta — rebuild it "
+            "with build_chunk_index before appending"
+        ) from exc
+    if (m["dim"], m["min_len"]) != (dim, min_len):
+        raise ValueError(
+            f"append params (dim={dim}, min_len={min_len}) differ from the "
+            f"index build params (dim={m['dim']}, min_len={m['min_len']})"
+        )
+    _write_chunk_index(batch, path, "append", id_col, text_col, dim, min_len)
 
 
 def chunk_topk_indexed(
@@ -152,11 +175,13 @@ def chunk_topk(
     array columns (inner HOF lambdas — the safe kind); ranking is a
     per-query window (WindowGroupLimit under AQE).  The query chunk itself
     is excluded so rank 1 is the nearest OTHER chunk."""
+    # materialize the tiny query side ONCE: the emptiness guard (same
+    # failure mode the IVF empty-centroid guard closes — an empty
+    # broadcast side silently returns zero rows) and the broadcast join
+    # then both read the checkpointed blocks instead of re-running the
+    # query-side embedding pipeline
+    queries = queries.localCheckpoint(eager=True)
     if queries.isEmpty():
-        # same failure mode the IVF empty-centroid guard closes: an empty
-        # broadcast side would silently return zero rows instead of
-        # surfacing the misconfigured query set (the check is one action
-        # on the tiny side that broadcasts anyway)
         raise ValueError(
             "chunk_topk query set is empty — no chunk survived the query "
             "filter (min_len drop? wrong doc ids?)"

@@ -52,14 +52,24 @@ def mean_word_len(text: Column) -> Column:
     return total / F.nullif(F.size(toks).cast("double"), F.lit(0.0))
 
 
+# The composite rule's thresholds — shared with the classifier's weak-label
+# derivation (classifier.train_quality_classifier) so tuning the rule can
+# never silently desynchronize the training labels.
+QUALITY_MIN_CHARS = 50
+QUALITY_WORDLEN_RANGE = (2.0, 12.0)
+QUALITY_MIN_STOPRATIO = 0.05
+QUALITY_MAX_PUNCTRATIO = 0.2
+
+
 def quality_score(text: Column) -> Column:
     """Composite [0,1] quality heuristic: long enough, sane word length,
     some stopwords, not punctuation-soup (C4/Gopher-rule flavored)."""
-    len_ok = (F.length(text) >= 50).cast("double")
+    len_ok = (F.length(text) >= QUALITY_MIN_CHARS).cast("double")
     wl = mean_word_len(text)
-    wl_ok = ((wl >= 2.0) & (wl <= 12.0)).cast("double")
-    sw_ok = (stopword_ratio(text) >= 0.05).cast("double")
-    punct_ok = (punct_ratio(text) <= 0.2).cast("double")
+    wl_lo, wl_hi = QUALITY_WORDLEN_RANGE
+    wl_ok = ((wl >= wl_lo) & (wl <= wl_hi)).cast("double")
+    sw_ok = (stopword_ratio(text) >= QUALITY_MIN_STOPRATIO).cast("double")
+    punct_ok = (punct_ratio(text) <= QUALITY_MAX_PUNCTRATIO).cast("double")
     return (len_ok + wl_ok + sw_ok + punct_ok) / 4.0
 
 
@@ -188,19 +198,7 @@ def paragraph_dedup_stats(
     same digest-keyed layout serves actual removal (filter on keep) —
     this operator returns the audit aggregate per doc.
     """
-    units = docs.select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
-    ).where(F.length(F.trim(F.col("para"))) > 0)
-    # (doc, pos) packed into one long keeps the min-agg hash-mutable (the
-    # struct-ordering SortAggregate trap, see rollup.ohlcv); bounds: doc
-    # id < 2^43, < 2^20 paragraphs per doc
-    hashed = units.select(
-        "doc",
-        (F.col("doc") * F.lit(1 << 20) + F.col("pos")).alias("__k"),
-        F.md5(F.trim(F.col("para"))).alias("digest"),
-    )
-    first = hashed.groupBy("digest").agg(F.min("__k").alias("__kmin"))
+    hashed, first = _paragraph_first_occurrence(docs, id_col, text_col, sep)
     marked = hashed.join(first, "digest").select(
         "doc", (F.col("__k") == F.col("__kmin")).cast("int").alias("keep")
     )
@@ -209,6 +207,30 @@ def paragraph_dedup_stats(
         F.sum("keep").alias("n_kept"),
         F.round(1.0 - F.sum("keep") / F.count(F.lit(1)), 6).alias("dup_ratio"),
     )
+
+
+def _paragraph_first_occurrence(docs, id_col: str, text_col: str, sep: str):
+    """Shared core of the t10 audit and the d14 rewrite: explode non-empty
+    units, hash the trimmed unit, find the corpus-wide first occurrence.
+    (doc, pos) packed into one long keeps the min-agg hash-mutable (the
+    struct-ordering SortAggregate trap, see rollup.ohlcv); bounds: doc
+    id < 2^43, < 2^20 paragraphs per doc.  Returns (hashed, first):
+    hashed = (doc, pos, __k, digest, __p trimmed unit), first = the min
+    __k per digest — ONE definition so audit and rewrite can never
+    desynchronize."""
+    units = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).where(F.length(F.trim(F.col("para"))) > 0)
+    hashed = units.select(
+        "doc",
+        "pos",
+        (F.col("doc") * F.lit(1 << 20) + F.col("pos")).alias("__k"),
+        F.md5(F.trim(F.col("para"))).alias("digest"),
+        F.trim(F.col("para")).alias("__p"),
+    )
+    first = hashed.groupBy("digest").agg(F.min("__k").alias("__kmin"))
+    return hashed, first
 
 
 def dedup_paragraphs(
@@ -228,18 +250,7 @@ def dedup_paragraphs(
     explode shuffles (digest, packed key) rows; rebuild is one
     digest-keyed join + per-doc sort_array over the kept units (unit-count
     bounded), no window."""
-    units = docs.select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
-    ).where(F.length(F.trim(F.col("para"))) > 0)
-    hashed = units.select(
-        "doc",
-        "pos",
-        (F.col("doc") * F.lit(1 << 20) + F.col("pos")).alias("__k"),
-        F.md5(F.trim(F.col("para"))).alias("digest"),
-        F.trim(F.col("para")).alias("__p"),
-    )
-    first = hashed.groupBy("digest").agg(F.min("__k").alias("__kmin"))
+    hashed, first = _paragraph_first_occurrence(docs, id_col, text_col, sep)
     kept = hashed.join(first, "digest").where(F.col("__k") == F.col("__kmin"))
     totals = hashed.groupBy("doc").agg(F.count(F.lit(1)).alias("n_paras"))
     rebuilt = kept.groupBy("doc").agg(

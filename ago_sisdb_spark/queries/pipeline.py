@@ -3086,3 +3086,31 @@ def d14_paragraph_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim for every doc, including fully-emptied ones."""
     docs = _t(spark, sf_dir, "documents")
     return text.dedup_paragraphs(docs, "doc_id", "text")
+
+
+@query("pipe10_chunk_index_serve", oracle=_pipe9_oracle(), extended=True)
+def pipe10_chunk_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipe9's serve path over the PERSISTED chunk index (operators/rag.
+    build_chunk_index / chunk_topk_indexed): the index is built once under
+    chunk_index_path(warehouse, sf) and reused across runs — the n7-
+    codebook offline-job shape — so the serve plan scans the index
+    parquet, never re-chunking the corpus.  The oracle is pipe9's
+    verbatim: an index built over exactly the corpus must serve exactly
+    the direct pipeline's results (the hash gate re-proves the
+    build+append ingest produces the same embeddings the inline path
+    does)."""
+    import os
+
+    from ago_sisdb_spark.operators import dedup, rag
+
+    docs = _t(spark, sf_dir, "documents")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    path = rag.chunk_index_path(warehouse, sf_dir)
+    if not os.path.exists(path):
+        rag.build_chunk_index(docs, path)
+    queries = rag.embed_chunks_trigram(
+        dedup.cdc_chunk_docs(
+            docs.where(F.col("doc_id").isin(1, 11, 21)), "doc_id", "text"
+        )
+    ).where(F.col("chunk_idx") == 0)
+    return rag.chunk_topk_indexed(spark, path, queries, k=5)

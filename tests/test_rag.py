@@ -161,17 +161,16 @@ def test_indexed_serve_matches_direct_and_never_scans_corpus(spark, tmp_path):
         map(tuple, direct.collect()), key=lambda t: (t[0], t[4])
     )
 
-    # the serve plan scans documents exactly ONCE (the 1-doc query side);
-    # the corpus side is a parquet scan whose ReadSchema carries the
-    # embedded columns — i.e. the index, never re-chunked history
-    # (FileScan's toString truncates the location path, so match the
-    # schema, not the directory name)
-    # (AdaptiveSparkPlan's toString appends an "== Initial Plan ==" copy —
-    # count scans in the final section only)
+    # the serve plan touches documents ZERO times: the query side is
+    # pre-materialized (chunk_topk checkpoints it) and the corpus side is
+    # a parquet scan whose ReadSchema carries the embedded columns — the
+    # index, never re-chunked history.  (FileScan's toString truncates
+    # location paths, so match the schema; AdaptiveSparkPlan's toString
+    # appends an "== Initial Plan ==" copy — count in the final section)
     plan = served._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert "vec:array<bigint>" in final
-    assert final.count("documents.parquet") == 1
+    assert final.count("documents.parquet") == 0
 
 
 def test_embedding_fuzz_unicode_vs_python_impl(spark):
@@ -209,3 +208,20 @@ def test_embedding_fuzz_unicode_vs_python_impl(spark):
     for did, ci, c in rows:
         v, n = _py_embed(c)
         assert got[(did, ci)] == (v, n), (did, c)
+
+
+def test_append_refuses_mismatched_params(spark, tmp_path):
+    """A dim/min_len mismatch on append would NULL-pad every zip_with dot
+    and silently sink those chunks in every top-k — it must refuse."""
+    import pytest
+
+    from ago_sisdb_spark.inventory import _t
+    from ago_sisdb_spark.operators import rag
+
+    docs = _t(spark, SF, "documents").limit(30)
+    path = str(tmp_path / "idx")
+    rag.build_chunk_index(docs, path)
+    with pytest.raises(ValueError, match="differ from the index build"):
+        rag.append_chunk_index(docs, path, dim=128)
+    with pytest.raises(ValueError, match="no readable _meta"):
+        rag.append_chunk_index(docs, str(tmp_path / "nonexistent"))

@@ -912,10 +912,12 @@ def test_remove_duplicated_spans_vs_reference_impl(spark):
         (3, shared),  # exactly one window, fully cut
         (4, "totally original text with no duplication at all here now"),
         (5, "   "),  # whitespace-only: trim -> '' -> [''] single token
+        (6, None),  # NULL text reads as '' on BOTH sides (r7 review fix)
     ]
     W, STRIDE, MIN_DOCS = 16, 8, 2
 
     def py_clean(corpus):
+        corpus = [(i, t if t is not None else "") for i, t in corpus]
         spans = {}
         toks = {i: _re.split(r"\s+", t.strip()) for i, t in corpus}
         for i, w in toks.items():
@@ -950,6 +952,7 @@ def test_remove_duplicated_spans_vs_reference_impl(spark):
     assert got[3] == ("", 16)  # the fully-cut doc
     assert got[4][1] == 0  # untouched passes through verbatim
     assert got[5] == ("", 0)
+    assert got[6] == ("", 0)
 
 
 def test_dedup_paragraphs_vs_reference_impl(spark):

@@ -27,7 +27,8 @@ NOTES = {
     "s7_training_shards": "training-corpus sink manifest (r7): the write ran before this plan (repartition-by-shard + in-task sort + partitionBy, its one shuffle); the manifest scan reads ONLY tokens+bin (payloads pruned, ReadSchema) + the shard partition column, two-phase distinct aggregate, all codegen",
     "t23_quality_classifier": "classifier distillation serve plan (r7 continuation): training ran before this plan (L-BFGS treeAggregate passes over the cached feature vectors); what remains is ONE documents scan with the learned weights as literals inside codegen — no Python node, no MLlib, no join, no shuffle",
     "t24_ridge_length_model": "normal-equations serve plan (r7 continuation): the one-pass 9-moment training aggregate ran before this plan; serving is a single scan + projection with the Cramer-solved coefficients as literals — the whole fit cost one corpus pass",
-    "pipe9_chunk_retrieval": "RAG ingest+serve (r7 continuation): corpus CDC chunking + trigram embedding in ONE shuffle-free mapInPandas chain; the 3-doc query side re-chunks only its docs (doc_id IN pushed to the scan) and broadcasts (BroadcastNestedLoopJoin); integer dot + norm division in codegen; the only exchange is the per-query top-k window",
+    "pipe9_chunk_retrieval": "RAG ingest+serve (r7 continuation): corpus CDC chunking + trigram embedding in ONE shuffle-free mapInPandas chain; the 3-doc query side pre-materializes (chunk_topk checkpoints the tiny frame once — its re-chunk scan ran before this plan) and broadcasts (BroadcastNestedLoopJoin); integer dot + norm division in codegen; the only exchange is the per-query top-k window",
+    "pipe10_chunk_index_serve": "persisted-index serve (r7 continuation): the corpus side is ONE parquet scan of the chunk index (ReadSchema = ids+vec+norm; built offline like n7's codebooks) — no CDC, no embedding, no documents scan; broadcast queries, codegen dot, per-query top-k window",
 }
 
 HEADER = """# PLANS — executed physical plans of headline queries (sf0.1, AQE final)
