@@ -76,6 +76,9 @@ SECONDARY = [
     # embedding of the whole corpus + 3-query cosine top-k serve in one
     # measured pass (the RAG ingest+serve composite)
     "pipe9_chunk_retrieval",
+    # r7 (continuation): the same serve over the PERSISTED chunk index
+    # (built once and reused, n7-codebook shape) — the recurring cost
+    "pipe10_chunk_index_serve",
 ]
 
 RUNS = 3
