@@ -67,14 +67,28 @@ def bm25_topk(
     return _bm25_rank(tf, dl, stats, qterms, k, k1, b)
 
 
-def _index_tables(docs: DataFrame, id_col: str, text_col: str):
+def _index_tables(
+    docs: DataFrame, id_col: str, text_col: str, materialize: bool = True
+):
     """The three inverted-index tables: postings tf(doc, term), doc
-    lengths, and the 1-row (N, avgdl) stats."""
+    lengths, and the 1-row (N, avgdl) stats.
+
+    The postings aggregate is materialized ONCE (eager localCheckpoint)
+    and dl/stats derive from it (dl = Σ tf per doc — identical to
+    counting tokens): the naive four-branch plan re-tokenized the corpus
+    FOUR times (measured: 4 documents scans, 4 explodes, 0 reused
+    exchanges — the r7 two-consumer trap), because post, dfreq, dl and
+    stats each re-executed the explode.  tf is vocabulary×doc bounded —
+    the same thing ``build_text_index`` persists to parquet — so holding
+    it in block storage for the query's lifetime is the in-session
+    equivalent of the indexed path, and the corpus is now scanned once."""
     toks = docs.select(
         F.col(id_col).alias("doc"), F.explode(tokenize(F.col(text_col))).alias("term")
     )
     tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
+    if materialize:
+        tf = tf.localCheckpoint(eager=True)
+    dl = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
     return tf, dl, stats
 

@@ -152,3 +152,27 @@ def test_tfidf_ranks_rarer_match_higher(spark):
     out = textsearch.tfidf_topk(docs, "doc_id", "text", [(0, ["rare"])], k=5)
     got = [(r.doc, r.rank) for r in out.orderBy("rank").collect()]
     assert [d for d, _ in got] == [3, 1]  # tf(rare)=2 beats tf=1; others absent
+
+
+def test_bm25_tokenizes_corpus_exactly_once(spark, sf_small):
+    """The r7-continuation fix: the naive four-branch plan re-tokenized
+    the corpus FOUR times (4 documents scans, 0 reused exchanges) because
+    post/dfreq/dl/stats each re-executed the explode.  With the postings
+    aggregate materialized once and dl = sum(tf) derived from it, the
+    executed plan contains ZERO corpus scans or explodes — the corpus was
+    read exactly once, at checkpoint time."""
+    import pyspark.sql.functions as F
+
+    from ago_sisdb_spark.operators import textsearch
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    out = textsearch.bm25_topk(
+        docs, "doc_id", "text", [(0, ["data", "value"])], k=5
+    )
+    out.collect()
+    plan = (
+        out._jdf.queryExecution().executedPlan().toString()
+    ).split("== Initial Plan ==")[0]
+    assert plan.count("documents.parquet") == 0
+    assert plan.count("Generate") == 0  # no explode left in the serve plan
+    assert out.count() > 0
