@@ -315,18 +315,25 @@ def dsir_importance(
         )
 
     raw_feats = feats(raw, keep_id=True)
+    # the two bucket tables are MATERIALIZED (≤ n_buckets rows each) and
+    # the totals derive from them as sums — previously tgt_counts/t_tot
+    # and raw_counts/r_tot each re-ran their corpus explode (5 scans for
+    # the documented 3-pass design; audit_plans --dupscans).  The
+    # corpus-occurrence frame itself is never checkpointed — at 100 TB
+    # only the fixed-size bucket tables are worth holding
     tgt_counts = (
         feats(target, keep_id=False)
         .groupBy("feature").agg(F.count(F.lit(1)).alias("tn"))
+        .localCheckpoint(eager=True)
     )
-    raw_counts = raw_feats.groupBy("feature").agg(
-        F.count(F.lit(1)).alias("rn")
+    raw_counts = (
+        raw_feats.groupBy("feature")
+        .agg(F.count(F.lit(1)).alias("rn"))
+        .localCheckpoint(eager=True)
     )
     # totals as 1-row aggregates, cross-joined (broadcast) into the log ratio
-    t_tot = (
-        feats(target, keep_id=False).agg(F.count(F.lit(1)).alias("t_total"))
-    )
-    r_tot = raw_feats.agg(F.count(F.lit(1)).alias("r_total"))
+    t_tot = tgt_counts.agg(F.sum("tn").alias("t_total"))
+    r_tot = raw_counts.agg(F.sum("rn").alias("r_total"))
     lp = (
         raw_counts.join(F.broadcast(tgt_counts), "feature", "left")
         .crossJoin(F.broadcast(t_tot))

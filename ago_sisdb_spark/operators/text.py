@@ -99,7 +99,10 @@ def fingerprint(text: Column) -> Column:
     )
 
 
-def unigram_logprob(docs, id_col: str, text_col: str, min_count: int = 2):
+def unigram_logprob(
+    docs, id_col: str, text_col: str, min_count: int = 2,
+    materialize_vocab: bool = True,
+):
     """Corpus-statistics quality score: mean log10 unigram frequency of a
     doc's tokens under the corpus's own unigram distribution (the KenLM-ish
     stand-in — rare-token-heavy docs score low, natural prose scores high).
@@ -125,12 +128,15 @@ def unigram_logprob(docs, id_col: str, text_col: str, min_count: int = 2):
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
     )
-    vocab = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .where(F.col("tf") >= min_count)
-    )
-    total = toks.agg(F.count(F.lit(1)).alias("n")).select("n")
+    # ONE unfiltered count table (Heaps-bounded), materialized so vocab,
+    # total and the scoring join don't each re-run the corpus explode
+    # (the plan had 3 documents scans before; 2 true passes after —
+    # found by audit_plans --dupscans, same trap as n5/t12)
+    uni_all = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    if materialize_vocab:
+        uni_all = uni_all.localCheckpoint(eager=True)
+    vocab = uni_all.where(F.col("tf") >= min_count)
+    total = uni_all.agg(F.sum("tf").alias("n")).select("n")
     scored = (
         toks.join(F.broadcast(vocab), "tok", "left")
         .crossJoin(F.broadcast(total))
@@ -278,7 +284,7 @@ def dedup_paragraphs(
 
 def bigram_logprob(
     docs, id_col: str, text_col: str, min_count: int = 2, backoff: float = 0.4,
-    broadcast_lp: bool = True,
+    broadcast_lp: bool = True, materialize_vocab: bool = True,
 ):
     """Bigram language-model quality score with stupid backoff — the
     CCNet/KenLM-style perplexity filter one order up from
@@ -326,8 +332,14 @@ def bigram_logprob(
     bgs = wdf.select("doc", F.explode(bg_arr).alias("bg"))
     toks = wdf.select(F.explode(w).alias("tok"))
 
-    # distinct-bigram counts (one corpus pass); c(w1 ·) derived from them
+    # distinct-bigram counts (one corpus pass); c(w1 ·) derived from them.
+    # The vocab tables are MATERIALIZED (Heaps-bounded, tiny): without
+    # this, bg_all and uni each had two plan consumers and the executed
+    # plan re-ran the corpus explode FIVE times where the design says
+    # three (the r7 two-consumer trap, found by audit_plans --dupscans)
     bg_all = bgs.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    if materialize_vocab:
+        bg_all = bg_all.localCheckpoint(eager=True)
     left_counts = (
         bg_all.select(
             F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"), "cnt"
@@ -337,6 +349,8 @@ def bigram_logprob(
     )
     # unigram counts (one corpus pass); total = their sum, not a new pass
     uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tfu"))
+    if materialize_vocab:
+        uni = uni.localCheckpoint(eager=True)
     total = uni.agg(F.sum("tfu").alias("n_total"))
 
     lp_table = (

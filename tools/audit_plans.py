@@ -32,9 +32,19 @@ physical plan (`queryExecution().executedPlan()` before any action) — no
 query is executed, so the sweep is cheap even though some entries run
 driver-side builds (IVF/PQ/BPE training, pipe8 state) while constructing.
 
-Usage: python tools/audit_plans.py [name_prefix ...]
+Usage: python tools/audit_plans.py [name_prefix ...] [--dupscans]
   SPARK_GRAFT_AUDIT_DIR  testdata dir (default /root/testdata/sf0.001)
 Exit 0 = no un-waived violations.
+
+--dupscans additionally reports (informational, never failing) entries
+whose final plan scans the same source table >= 3 times.  Triage guide:
+umbrella/suite entries legitimately union many single-scan probes, and a
+cheap pruned parquet re-scan is often the RIGHT call at 100 TB versus
+materializing a corpus-sized intermediate (t12's documented 3-pass
+design).  The signal to act on is a repeated scan feeding repeated
+EXPENSIVE derived work whose result is small — the r7 BM25 case: four
+explode+tokenize branches all collapsing into one vocabulary-bounded
+postings table, fixed by materializing that table once.
 """
 
 from __future__ import annotations
@@ -115,8 +125,18 @@ def detect(plan: str) -> list[tuple[str, str]]:
     return hits
 
 
+def dup_scans(plan: str, threshold: int = 3) -> dict[str, int]:
+    """Tables scanned >= threshold times in the final plan section."""
+    import collections
+
+    final = plan.split("== Initial Plan ==")[0]
+    counts = collections.Counter(re.findall(r"(\w+)\.parquet", final))
+    return {t: c for t, c in counts.items() if c >= threshold}
+
+
 def main() -> int:
     prefixes = [a for a in sys.argv[1:] if not a.startswith("-")]
+    want_dupscans = "--dupscans" in sys.argv[1:]
 
     from __spark_entry__ import queries
     from ago_sisdb_spark.inventory import extended_queries
@@ -159,6 +179,10 @@ def main() -> int:
         for det in allowed:
             if det not in tripped:
                 stale.append(f"{name} [{det}]")
+        if want_dupscans:
+            d = dup_scans(plan)
+            if d:
+                print(f"dupscan {name} {d}")
 
     for s in stale:
         print(f"stale-waiver {s} — remove from WHITELIST")
