@@ -495,7 +495,13 @@ def ngram_jaccard_pairs(
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
         keep = freq.where(F.col("__df") <= max_doc_freq).select("shingle")
         sh = sh.join(keep, "shingle")
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # sizes feeds BOTH pair sides (sa and sb) — materialize the
+    # doc-cardinality table once or each side re-runs the shingle explode
+    # (audit_plans --dupscans; the a/b self-join itself reuses its
+    # exchange, true self-joins do)
+    sizes = sh.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    ).localCheckpoint(eager=True)
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))

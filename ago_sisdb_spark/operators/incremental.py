@@ -169,6 +169,13 @@ def screen_batch(
         return verdicts.select(
             "id", "status", F.lit(None).cast("boolean").alias("is_dup")
         )
+    # the verify tier consumes verdicts TWICE (the possible_dup slice and
+    # the final join) — without materializing, each consumer re-ran the
+    # whole probe pipeline INCLUDING the bloom build (audit_plans
+    # --dupscans: 5 table scans).  verdicts is batch-sized and narrow
+    # (id, digest, status) — exactly the frame screen_batch exists to
+    # bound — so holding it is the designed cost shape
+    verdicts = verdicts.localCheckpoint(eager=True)
     hist_digests = history.select(
         content_digest(F.col(text_col)).alias("digest")
     ).distinct()
