@@ -106,8 +106,10 @@ def main() -> None:
         similarity,
         sketch,
         text,
+        textsearch,
     )
     from ago_sisdb_spark.operators import embed as embed_ops
+    from ago_sisdb_spark.queries.pipeline import _BM25_QUERIES
 
     args = sys.argv[1:]
     ops_filter = None
@@ -302,6 +304,11 @@ def main() -> None:
         # cost is one corpus pass) and classifier training (L-BFGS over
         # ×N cached feature vectors; iterations ~constant, so the curve
         # should track the per-pass scan cost)
+        probe("n5_bm25_adhoc",
+            lambda: textsearch.bm25_topk(
+                dc, "doc_id", "text", _BM25_QUERIES, k=10
+            )
+        )
         probe("pipe9_embed_serve",
             lambda: rag.chunk_topk(
                 rag.embed_chunks_trigram(
