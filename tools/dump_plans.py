@@ -17,9 +17,9 @@ NOTES = {
     "j4_range_join": "interval predicate rides a broadcast hash join on the user key",
     "d1_dedup_exact": "digest computed in the scan projection; shuffle carries (digest, id) only",
     "d3_minhash_lsh": "explode -> hash once -> 32 affine mins in ONE hash-aggregate -> capped_bucket_pairs: the cap count-window SHARES the bucket exchange (no extra shuffle), collect_list is cap-bounded BEFORE it materializes, local array pair expansion (no self-join); shuffles: bucket + pair aggregates only",
-    "d8_bloom_incremental": "bloom bitmap and verified-dup set both broadcast; the batch shuffles once (per-doc min over probe hits, map-side combined)",
+    "d8_bloom_incremental": "bloom bitmap and verified-dup set both broadcast; the batch shuffles once (per-doc min over probe hits, map-side combined); r7 continuation: the verdicts tier is checkpointed so the verify join no longer re-runs the probe pipeline (was 5 table scans)",
     "t15_cms_counts": "sketch cells partial-aggregate map-side (<= depth*width rows per task shuffle); the depth*width-bounded sketch is broadcast into the probe join",
-    "pipe6_dsir": "two fixed-size (4096-bucket) count aggregates broadcast back into ONE scoring pass; no vocabulary table, no corpus x corpus join",
+    "pipe6_dsir": "two fixed-size (4096-bucket) count aggregates broadcast back into ONE scoring pass; no vocabulary table, no corpus x corpus join; r7 continuation: the bucket tables are materialized and totals derive from them (5 -> 3 corpus passes)",
     "pipe_full_prep": "headline since r6: digest window -> pair-free MinHash drop set (bucket-min window) -> raw-corpus shingle decontam (r7: single-consumer branches, nothing in the keep chain executes twice) -> expression gates -> per-shard packing windows, ONE composed plan; no collect, no cross join, every anti-join side bounded (AQE broadcasts the drop lists)",
     "n4_knn_ivf": "materialized-index serve path (r6 shape): the trained k x dim centroid table is read back and inlined as LITERAL arrays, so list assignment is a projection over the scan — no crossJoin, no min_by aggregation exchange; the only shuffle is the per-probe top-k",
     "pipe8_incremental_prep": "incremental daily-ingest shape (r7): the ONLY documents scans carry the batch predicate (doc_id % 3 = 0 in PushedFilters) — history enters solely as three artifact parquet scans (digest set, band index, shards-sized pack_state); per-batch cost is batch + index probe, never a history scan",
