@@ -73,30 +73,34 @@ def _index_tables(
     """The three inverted-index tables: postings tf(doc, term), doc
     lengths, and the 1-row (N, avgdl) stats.
 
-    The postings aggregate is materialized ONCE (eager localCheckpoint)
-    and dl/stats derive from it (dl = Σ tf per doc — identical to
-    counting tokens): the naive four-branch plan re-tokenized the corpus
-    FOUR times (measured: 4 documents scans, 4 explodes, 0 reused
-    exchanges — the r7 two-consumer trap), because post, dfreq, dl and
-    stats each re-executed the explode.  tf is vocabulary×doc bounded —
-    the same thing ``build_text_index`` persists to parquet — so holding
-    it in block storage for the query's lifetime is the in-session
-    equivalent of the indexed path, and the corpus is now scanned once."""
+    Pass accounting (the naive four-branch plan re-tokenized the corpus
+    FOUR times — 4 documents scans, 0 reused exchanges, the r7
+    two-consumer trap): postings stay LAZY — they are corpus-scale, and
+    block-storing them is not a 100 TB shape (the OFFLINE path persists
+    them to parquet via ``build_text_index`` instead).  The
+    materialization point is the DOC-LENGTH table — one narrow row per
+    doc, derived as Σ tf — so ``stats`` and every dl consumer read blocks
+    instead of re-running the tokenize.  Each downstream consumer of
+    ``tf`` then costs exactly one deliberate corpus pass (bm25: 2 total,
+    tfidf: 4 — documented small-state N-pass designs, like t12)."""
     toks = docs.select(
         F.col(id_col).alias("doc"), F.explode(tokenize(F.col(text_col))).alias("term")
     )
     tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
-    if materialize:
-        tf = tf.localCheckpoint(eager=True)
     dl = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    if materialize:
+        dl = dl.localCheckpoint(eager=True)
     stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
     return tf, dl, stats
 
 
 def _bm25_rank(tf, dl, stats, qterms, k: int, k1: float, b: float) -> DataFrame:
     # broadcast the tiny query-term table; only matching posting lists
-    # survive this join
-    post = tf.join(F.broadcast(qterms), "term")
+    # survive this join.  The MATCHED postings (query-bounded, tiny) are
+    # materialized so dfreq and the scoring join don't each re-run the
+    # corpus tokenize — this is the bm25 path's one deliberate corpus
+    # pass besides the doc-length build
+    post = tf.join(F.broadcast(qterms), "term").localCheckpoint(eager=True)
     # df per term from the filtered postings (one row per (doc, term))
     dfreq = (
         post.select("term", "doc")
@@ -154,14 +158,27 @@ def build_text_index(
     list lands contiguously — the parquet row-group pruning unit a
     term-lookup join wants at 100 TB (bucketed-table DDL is the
     warehouse-managed variant of the same layout).
+
+    The corpus is tokenized exactly ONCE: doc lengths and stats derive by
+    READING BACK the just-written postings parquet (cheap columnar scans
+    of the index, not fresh corpus passes — the r7 dupscans fix applied
+    to the build side).
     """
     import os
 
-    tf, dl, stats = _index_tables(docs, id_col, text_col)
+    tf, _dl, _stats = _index_tables(
+        docs, id_col, text_col, materialize=False
+    )
     tf.repartition(F.col("term")).write.mode("overwrite").parquet(
         os.path.join(path, "postings")
     )
+    post_back = docs.sparkSession.read.parquet(os.path.join(path, "postings"))
+    dl = post_back.groupBy("doc").agg(F.sum("tf").alias("dl"))
     dl.write.mode("overwrite").parquet(os.path.join(path, "doclen"))
+    dl_back = docs.sparkSession.read.parquet(os.path.join(path, "doclen"))
+    stats = dl_back.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
     stats.write.mode("overwrite").parquet(os.path.join(path, "stats"))
 
 
@@ -232,7 +249,14 @@ def tfidf_topk(
     """
     spark = docs.sparkSession
     tf, dl, stats = _index_tables(docs, id_col, text_col)
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # per-term document frequencies (vocabulary-bounded, narrow) are
+    # materialized once; widf stays LAZY (corpus-postings-scale), so the
+    # two widf consumers (norms, query join) are tfidf's two deliberate
+    # corpus passes — plus dfreq's own build and the doc-length build: a
+    # documented 4-pass small-state design
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    ).localCheckpoint(eager=True)
     n_docs = stats.select("n")
     widf = (
         tf.join(dfreq, "term")

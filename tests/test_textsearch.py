@@ -157,10 +157,12 @@ def test_tfidf_ranks_rarer_match_higher(spark):
 def test_bm25_tokenizes_corpus_exactly_once(spark, sf_small):
     """The r7-continuation fix: the naive four-branch plan re-tokenized
     the corpus FOUR times (4 documents scans, 0 reused exchanges) because
-    post/dfreq/dl/stats each re-executed the explode.  With the postings
-    aggregate materialized once and dl = sum(tf) derived from it, the
-    executed plan contains ZERO corpus scans or explodes — the corpus was
-    read exactly once, at checkpoint time."""
+    post/dfreq/dl/stats each re-executed the explode.  Now the two SMALL
+    collapse points materialize (doc lengths; the query-matched postings)
+    and everything downstream reads blocks: the corpus is tokenized
+    exactly twice, at checkpoint time (postings themselves stay lazy —
+    block-storing a corpus-scale table is not a 100 TB shape), and the
+    executed serve plan contains ZERO corpus scans or explodes."""
     import pyspark.sql.functions as F
 
     from ago_sisdb_spark.operators import textsearch
