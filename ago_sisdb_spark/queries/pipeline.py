@@ -3114,3 +3114,84 @@ def pipe10_chunk_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).where(F.col("chunk_idx") == 0)
     return rag.chunk_topk_indexed(spark, path, queries, k=5)
+
+
+@query(
+    "pipe11_model_gated_prep",
+    oracle=r"""
+    WITH p AS (
+        SELECT doc_id,
+               (doc_id * 37 % 97) / CAST(97.0 AS DOUBLE) AS x1,
+               (doc_id * 59 % 89) / CAST(89.0 AS DOUBLE) AS x2,
+               (doc_id * 83 % 79) / CAST(79.0 AS DOUBLE) AS x3
+        FROM documents),
+    m AS (
+        SELECT doc_id,
+               x1 + CAST(0.5 AS DOUBLE) * x2 - CAST(0.8 AS DOUBLE) * x3
+                  - CAST(0.35 AS DOUBLE) AS marg
+        FROM p),
+    kept AS (SELECT doc_id FROM m WHERE marg > CAST(0.15 AS DOUBLE)),
+    t AS (
+        SELECT d.doc_id,
+               len(string_split_regex(trim(d.text), '\s+')) AS tokens,
+               d.doc_id % 8 AS shard
+        FROM documents d JOIN kept USING (doc_id)),
+    c AS (
+        SELECT shard, doc_id, tokens,
+               coalesce(sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        FROM t)
+    SELECT shard, CAST(floor(cum / 512) AS BIGINT) AS bin,
+           count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS total_tokens
+    FROM c GROUP BY 1, 2
+    """,
+    extended=True,
+)
+def pipe11_model_gated_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The model-based quality-filter LOOP closed end-to-end in one
+    hash-checked pipeline: TRAIN a classifier distributed (t22's planted
+    separable concept — pyspark.ml L-BFGS), GATE the corpus with the
+    trained model's own expression-only scores, PACK the survivors into
+    512-token bins per shard (pipe4 semantics).  The oracle states the
+    planted concept and the packing closed-form, so the gate hash-checks
+    that the trained model admits exactly the concept's positive class
+    AND that packing over the gated set is right — the canonical modern
+    prep shape (train → filter → pack) with zero rows-only hand-waving."""
+    from ago_sisdb_spark.operators import classifier, prep
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    planted = (
+        docs.select(
+            "doc_id",
+            ((d * 37 % 97) / F.lit(97.0)).alias("x1"),
+            ((d * 59 % 89) / F.lit(89.0)).alias("x2"),
+            ((d * 83 % 79) / F.lit(79.0)).alias("x3"),
+        )
+        .withColumn(
+            "marg",
+            F.col("x1") + F.lit(0.5) * F.col("x2")
+            - F.lit(0.8) * F.col("x3") - F.lit(0.35),
+        )
+        .where(F.abs("marg") > F.lit(0.15))
+        .withColumn("y", (F.col("marg") > 0).cast("int"))
+    )
+    planted = planted.cache()
+    try:
+        weights, intercept = classifier.train_lr(
+            planted, ["x1", "x2", "x3"], "y"
+        )
+        score = classifier.lr_score_expr(["x1", "x2", "x3"], weights, intercept)
+        kept_ids = planted.where(score > F.lit(0.5)).select("doc_id")
+        gated = docs.join(kept_ids, "doc_id").select(
+            "doc_id", text.token_count(F.col("text")).alias("tokens")
+        )
+        packed = prep.pack_sequences(
+            gated, "doc_id", "tokens", window_tokens=512, n_shards=8
+        )
+        return packed.groupBy("shard", "bin").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").alias("total_tokens"),
+        )
+    finally:
+        planted.unpersist()
