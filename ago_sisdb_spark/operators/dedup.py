@@ -499,9 +499,9 @@ def ngram_jaccard_pairs(
     # doc-cardinality table once or each side re-runs the shingle explode
     # (audit_plans --dupscans; the a/b self-join itself reuses its
     # exchange, true self-joins do)
-    sizes = sh.groupBy("doc").agg(
-        F.count(F.lit(1)).alias("n_shingles")
-    ).localCheckpoint(eager=True)
+    sizes = materialize(
+        sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))

@@ -175,7 +175,7 @@ def screen_batch(
     # --dupscans: 5 table scans).  verdicts is batch-sized and narrow
     # (id, digest, status) — exactly the frame screen_batch exists to
     # bound — so holding it is the designed cost shape
-    verdicts = verdicts.localCheckpoint(eager=True)
+    verdicts = materialize(verdicts)
     hist_digests = history.select(
         content_digest(F.col(text_col)).alias("digest")
     ).distinct()

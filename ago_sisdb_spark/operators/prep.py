@@ -324,12 +324,10 @@ def dsir_importance(
     tgt_counts = (
         feats(target, keep_id=False)
         .groupBy("feature").agg(F.count(F.lit(1)).alias("tn"))
-        .localCheckpoint(eager=True)
     )
-    raw_counts = (
-        raw_feats.groupBy("feature")
-        .agg(F.count(F.lit(1)).alias("rn"))
-        .localCheckpoint(eager=True)
+    tgt_counts = materialize(tgt_counts)
+    raw_counts = materialize(
+        raw_feats.groupBy("feature").agg(F.count(F.lit(1)).alias("rn"))
     )
     # totals as 1-row aggregates, cross-joined (broadcast) into the log ratio
     t_tot = tgt_counts.agg(F.sum("tn").alias("t_total"))

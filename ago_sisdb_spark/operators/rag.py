@@ -180,7 +180,7 @@ def chunk_topk(
     # broadcast side silently returns zero rows) and the broadcast join
     # then both read the checkpointed blocks instead of re-running the
     # query-side embedding pipeline
-    queries = queries.localCheckpoint(eager=True)
+    queries = materialize(queries)
     if queries.isEmpty():
         raise ValueError(
             "chunk_topk query set is empty — no chunk survived the query "

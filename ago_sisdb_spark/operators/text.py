@@ -134,7 +134,7 @@ def unigram_logprob(
     # found by audit_plans --dupscans, same trap as n5/t12)
     uni_all = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
     if materialize_vocab:
-        uni_all = uni_all.localCheckpoint(eager=True)
+        uni_all = materialize(uni_all)
     vocab = uni_all.where(F.col("tf") >= min_count)
     total = uni_all.agg(F.sum("tf").alias("n")).select("n")
     scored = (
@@ -339,7 +339,7 @@ def bigram_logprob(
     # three (the r7 two-consumer trap, found by audit_plans --dupscans)
     bg_all = bgs.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
     if materialize_vocab:
-        bg_all = bg_all.localCheckpoint(eager=True)
+        bg_all = materialize(bg_all)
     left_counts = (
         bg_all.select(
             F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"), "cnt"
@@ -350,7 +350,7 @@ def bigram_logprob(
     # unigram counts (one corpus pass); total = their sum, not a new pass
     uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tfu"))
     if materialize_vocab:
-        uni = uni.localCheckpoint(eager=True)
+        uni = materialize(uni)
     total = uni.agg(F.sum("tfu").alias("n_total"))
 
     lp_table = (

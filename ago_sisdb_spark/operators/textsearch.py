@@ -89,7 +89,7 @@ def _index_tables(
     tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
     dl = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
     if materialize:
-        dl = dl.localCheckpoint(eager=True)
+        dl = _materialize(dl)
     stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
     return tf, dl, stats
 
