@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ago_sisdb_spark.materialize import materialize
+
 # 2^31-1: keeps a*h products inside int64 (Spark 4 runs ANSI mode — long
 # overflow raises instead of wrapping).
 _MERSENNE = (1 << 31) - 1

@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ago_sisdb_spark.materialize import materialize
+
 from ago_sisdb_spark.operators.dedup import (
     PORTABLE_HASH_SQL,
     content_digest,

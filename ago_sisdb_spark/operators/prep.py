@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ago_sisdb_spark.materialize import materialize
+
 from ago_sisdb_spark.operators.dedup import shingle_rows
 
 
@@ -673,10 +675,33 @@ def incremental_prep_batch(
     (shard, n_docs, n_bins, first_bin, total_tokens) — the bins a
     training job must (re)write for this batch.
 
-    Remaining divergence from ``full_prep_pipeline`` over history∪batch:
-    the hist×batch screen applies ``min_shared_bands`` while the full
-    pipeline drops on ANY shared band, and a batch doc can't retro-drop a
-    history doc (history is already packed).
+    Remaining semantic divergences from ``full_prep_pipeline`` over
+    history ∪ batch — each deliberate (history is immutable once packed)
+    and each pinned by a pytest in tests/test_prep_extra.py:
+
+    1. Exact-dup survivor id (``test_divergence_exact_keep_id``): a batch
+       doc whose text equals a HISTORY doc is always dropped by the
+       digest anti-join, even when its id is LOWER; the full pipeline
+       keeps the global lowest id.  Survivor texts agree, survivor ids
+       need not.
+    2. Near-dup direction + threshold
+       (``test_divergence_neardup_direction_and_threshold``): hist×batch
+       near-dups always drop the BATCH side (a batch doc can never
+       retro-drop an already-packed history doc), and only at ≥
+       ``min_shared_bands`` (default 2) shared bands; the full pipeline's
+       in-corpus rule drops the higher id of a capped-bucket pair at ANY
+       shared band.  In-batch pairs follow the full rule exactly
+       (``in_batch_prune``).
+    3. Packing bin offsets (``test_divergence_bin_offsets``): batch docs
+       continue each shard's bins at ``base_tokens`` in batch-id order; a
+       full repack interleaves history and batch ids from bin 0, so bin
+       numbers differ whenever a batch id sorts before a packed history
+       id.  History bins are immutable by design.
+    4. No eval-slice screen (``test_divergence_no_eval_screen``): the
+       batch is neither decontaminated against the id%97 eval slice nor
+       stripped of eval-slice ids — eval membership is a corpus-level
+       decision taken when the history state was built, and re-screening
+       would need the history corpus this operator must not touch.
     """
     keep = screen_prep_batch(
         batch, digests, index, id_col, text_col,

@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ago_sisdb_spark.materialize import materialize
+
 EMBED_DIM = 16
 
 

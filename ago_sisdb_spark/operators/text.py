@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ago_sisdb_spark.materialize import materialize
+
 EN_STOPWORDS = (
     "the a an and or of to in is are was were be been it this that for on with as at by from",
 )

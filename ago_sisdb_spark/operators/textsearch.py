@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ago_sisdb_spark.materialize import materialize as _materialize
+
 __all__ = [
     "tokenize",
     "bm25_topk",

@@ -28,6 +28,43 @@ from ago_sisdb_spark.sources.formats import render
 from ago_sisdb_spark.streaming.pubsub import key_pattern_filter
 
 
+# Method access flags (reference `src/core/sis_method.h:30-38`): a session
+# carries a bitmask; each Engine method declares the access class it needs.
+# NONE on the method side means unrestricted (the reference's ACCESS_NONE).
+ACCESS_NONE = 0
+ACCESS_READ = 1
+ACCESS_WRITE = 2
+ACCESS_DEL = 4
+ACCESS_RDWR = ACCESS_READ | ACCESS_WRITE  # 3
+ACCESS_ADMIN = ACCESS_READ | ACCESS_WRITE | ACCESS_DEL  # 7
+
+
+class AccessDenied(PermissionError):
+    """A session whose access mask lacks the method's required bits."""
+
+
+def _requires(needed: int):
+    """Gate an Engine method on the session access mask — the Spark-side
+    twin of the reference's per-method ``access`` field dispatch check."""
+
+    def deco(fn):
+        import functools
+
+        @functools.wraps(fn)
+        def wrapper(self, *args, **kwargs):
+            if needed and (self.access & needed) != needed:
+                raise AccessDenied(
+                    f"{fn.__name__} requires access bits {needed:#b}; "
+                    f"session mask is {self.access:#b}"
+                )
+            return fn(self, *args, **kwargs)
+
+        wrapper.__access__ = needed
+        return wrapper
+
+    return deco
+
+
 @dataclass
 class TableSpec:
     """Schema contract per sdb: which columns are key / time / tie-break
@@ -45,14 +82,17 @@ class Engine:
         spark: SparkSession,
         root: str,
         table_specs: dict[str, TableSpec],
+        access: int = ACCESS_ADMIN,
     ):
         from ago_sisdb_spark.schema import SchemaRegistry
 
         self.spark = spark
+        self.access = access  # sis_method.h:30-38 session mask
         self.catalog = Catalog(spark, root)
         self.specs = table_specs
         self.schemas = SchemaRegistry()
 
+    @_requires(ACCESS_WRITE)
     def create(self, sdb: str, spec: dict) -> TableSpec:
         """Reference `create` command (`workers/sisdb/sisdb_io.c:8-21`):
         declare a table from a JSON field spec; mindex/solely flags become
@@ -86,6 +126,7 @@ class Engine:
             cols.append(F.col(spec.order_col))
         return cols
 
+    @_requires(ACCESS_READ)
     def get(
         self,
         key_sdb: str,
@@ -138,6 +179,7 @@ class Engine:
             df = df.select(*[c.strip() for c in fields.split(",")])
         return render(df, fmt) if fmt else df
 
+    @_requires(ACCESS_READ)
     def gets(self, key_sdbs: list[str], fields: str | None = None) -> DataFrame:
         """Reference `gets` (P6): latest record for many key.sdb at once.
 
@@ -171,6 +213,7 @@ class Engine:
             merged = merged.select(*[c.strip() for c in fields.split(",")])
         return merged
 
+    @_requires(ACCESS_WRITE)
     def set(
         self,
         key_sdb: str,
@@ -201,6 +244,7 @@ class Engine:
             scale or TimeScale.MILLI,
         )
 
+    @_requires(ACCESS_DEL)
     def delete(self, key_sdb: str, start=None, stop=None, where=None) -> DataFrame:
         """T9 `del`: the surviving DataFrame (caller persists via
         streaming.write.write_partitioned / Delta DELETE in production).
@@ -217,6 +261,7 @@ class Engine:
             pred = pred & compile_search(where)
         return delete_range(df, pred, spec.time_col, start, stop)
 
+    @_requires(ACCESS_READ)
     def show(self) -> dict:
         """`show`: declared sdbs and their schema versions
         (`workers/sisdb/sisdb.c:15`)."""
@@ -229,6 +274,7 @@ class Engine:
             for sdb, spec in self.specs.items()
         }
 
+    @_requires(ACCESS_READ)
     def keys(self, key_sdb: str = "*.*") -> DataFrame:
         """`keys`: distinct keys matching a pattern (`sisdb.c:23`) — an
         aggregation, never a driver-side key dict.  ``*.*`` unions the
@@ -255,10 +301,12 @@ class Engine:
             merged = merged.unionByName(o)
         return merged
 
+    @_requires(ACCESS_DEL)
     def drop(self, sdb: str) -> None:
         """`drop`: remove a declared table (`sisdb.c:21`)."""
         self.specs.pop(sdb, None)
 
+    @_requires(ACCESS_WRITE)
     def bset(self, key_sdb: str, arrow_ipc: bytes, scale=None) -> DataFrame:
         """`bset` (S9, `sisdb.c:286-309`): binary-struct ingest.  The packed
         C-struct wire format maps to Arrow IPC — schema-carrying, columnar,
@@ -282,6 +330,7 @@ class Engine:
             scale or TimeScale.MILLI,
         )
 
+    @_requires(ACCESS_READ)
     def psub(self, key_sdbs: list[str], start=None, stop=None) -> DataFrame:
         """`psub` (T2, `sisdb.c:494-546`): historical replay — all requested
         key.sdb streams merged to one event-time-ordered DataFrame; iterate
@@ -294,6 +343,7 @@ class Engine:
             tables.append((spec.table, df, spec.key_col, spec.time_col))
         return replay_range(self.spark, tables, start=start, stop=stop)
 
+    @_requires(ACCESS_READ)
     def sub(self, key_sdb: str, stream: DataFrame, query_name: str = "subscription"):
         """T1 `sub`: live subscription to a streaming DataFrame filtered by
         the key pattern; returns the StreamingQuery (stop() = `unsub`)."""
@@ -303,6 +353,7 @@ class Engine:
         spec = self.specs[sdb]
         return subscribe(stream, spec.key_col, key or "*", query_name=query_name)
 
+    @_requires(ACCESS_WRITE)
     def save(self, sdb: str, path: str) -> None:
         """S11 `save`: persist the table in the query-optimal layout
         (dt-partitioned, key/time-sorted — sources/ingest)."""
@@ -312,6 +363,7 @@ class Engine:
         df = self.catalog.load(spec.table)
         write_partitioned(df, path, spec.time_col, key_bucket_col=spec.key_col)
 
+    @_requires(ACCESS_WRITE)
     def pack(self, path: str, target_file_mb: int = 256) -> None:
         """S11 `pack`: compact a saved table's files (sources/ingest.compact)."""
         from ago_sisdb_spark.sources.ingest import compact

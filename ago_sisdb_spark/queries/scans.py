@@ -347,3 +347,50 @@ def r1_kway_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         stop=datetime(2024, 1, 20, 23, 59, 59),
     )
     return merged.select("key", "event_time", "source")
+
+
+@query(
+    "sub_match_set_algebra",
+    oracle="""
+    WITH uni AS (SELECT DISTINCT s_name AS key FROM supplier),
+    a AS (SELECT key FROM uni WHERE key LIKE 'Supplier#0000000%'),
+    b AS (SELECT key FROM uni WHERE key LIKE '%1%'),
+    c AS (SELECT key FROM uni
+          WHERE key IN ('Supplier#000000001','Supplier#000000002',
+                        'Supplier#000000010'))
+    SELECT 'union' AS op, key FROM (SELECT key FROM a UNION SELECT key FROM b)
+    UNION ALL
+    SELECT 'intersect' AS op, key
+    FROM (SELECT key FROM a INTERSECT SELECT key FROM b)
+    UNION ALL
+    SELECT 'except' AS op, key
+    FROM (SELECT key FROM a EXCEPT SELECT key FROM c)
+    """,
+    extended=True,
+)
+def sub_match_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-glob subscription algebra (`sis_utils.h:60-82`): match sets of
+    three reference pattern forms (prefix glob, contains glob, comma list)
+    over the supplier key universe, composed with the engine set ops the
+    search service uses to merge/diff client subscriptions.  Each branch's
+    pattern predicate is pushed into its scan; the distinct sets are
+    key-cardinality-bounded."""
+    from ago_sisdb_spark.streaming.pubsub import match_keys
+
+    sup = _t(spark, sf_dir, "supplier")
+    a = match_keys(sup, "s_name", "Supplier#0000000*")
+    b = match_keys(sup, "s_name", "*1*")
+    c = match_keys(
+        sup, "s_name",
+        "Supplier#000000001,Supplier#000000002,Supplier#000000010",
+    )
+    return (
+        a.union(b).distinct().select(F.lit("union").alias("op"), "key")
+        .unionByName(
+            a.intersect(b).select(F.lit("intersect").alias("op"), "key")
+        )
+        .unionByName(
+            a.exceptAll(c).distinct()
+            .select(F.lit("except").alias("op"), "key")
+        )
+    )

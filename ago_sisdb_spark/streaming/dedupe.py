@@ -18,6 +18,51 @@ from pyspark.sql import functions as F
 
 from ago_sisdb_spark.operators.dedup import content_digest
 
+# State-store layout version of ``streaming_minhash_screen``.  v1 stored
+# ``docs array<long>``; v2 (the r6 DEAD-bucket fix) widened it to
+# ``docs array<long>, dead boolean``.  Spark's state store validates the
+# value schema at restart and rejects the widening outright
+# ([STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE]) — reference semantics are
+# that recovery never corrupts (sisdb.h:16-18 WAL replay), so the guard
+# here is (a) version-tagged checkpoint locations so a new schema never
+# lands on an old store, and (b) ``await_screen`` translating Spark's
+# low-level error into the actionable fix when a caller pins a raw path.
+STATE_SCHEMA_VERSION = 2
+
+
+def minhash_screen_checkpoint(base: str) -> str:
+    """Checkpoint location for ``streaming_minhash_screen``, tagged with
+    the state-schema version.  A schema-widening release changes the tag,
+    so restarts land on a fresh store instead of tripping Spark's
+    state-schema validation mid-query; the old versioned directory stays
+    untouched for audit/rollback (never corrupted, WAL-replay semantics).
+    """
+    import os
+
+    return os.path.join(base, f"minhash-screen-state-v{STATE_SCHEMA_VERSION}")
+
+
+def await_screen(query, timeout_secs: float | None = None) -> None:
+    """``awaitTermination`` that converts the state-schema-incompatibility
+    failure (restarting a widened state layout on a pre-widening
+    checkpoint) into an actionable error instead of a JVM stack."""
+    try:
+        if timeout_secs is None:
+            query.awaitTermination()
+        else:
+            query.awaitTermination(timeout_secs)
+    except Exception as exc:
+        if "STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE" in str(exc):
+            raise RuntimeError(
+                "streaming_minhash_screen: this checkpoint was written by "
+                "an older state-schema version (pre-v%d '1-field docs' "
+                "layout). Restart with a fresh checkpoint location — use "
+                "minhash_screen_checkpoint(base), which version-tags the "
+                "path — or keep running the old binary against the old "
+                "store. The old checkpoint is NOT corrupted." % STATE_SCHEMA_VERSION
+            ) from exc
+        raise
+
 
 def streaming_content_dedup(
     stream: DataFrame,

@@ -36,6 +36,23 @@ def key_pattern_filter(key_col: Column, pattern: str) -> Column:
     return out
 
 
+def match_keys(df: DataFrame, key_col: str, pattern: str) -> DataFrame:
+    """The reference's match-set primitive (`sis_utils.h:60-82`
+    ``sis_match_key``: pattern × whole-key universe → matched subset).
+
+    A distinct-key aggregation with the compiled pattern predicate pushed
+    into the scan — the whole-key "dict" the reference keeps in memory is
+    here the table itself, so the match set is computed distributed and
+    the same one-column frame composes under union/intersect/except
+    (the subscription algebra `service_search` builds on these sets).
+    """
+    return (
+        df.select(F.col(key_col).cast("string").alias("key"))
+        .where(key_pattern_filter(F.col("key"), pattern))
+        .distinct()
+    )
+
+
 def subscribe(
     stream: DataFrame,
     key_col: str,

@@ -269,3 +269,70 @@ def test_get_zip_render_roundtrip(eng):
     table = parse_render(data, "zip")
     assert table.num_rows == 10
     assert "ts" in table.column_names
+
+
+# --- Method access flags (sis_method.h:30-38; r7 verdict #7) -------------
+
+def _mk(spark, sf_small, access):
+    from ago_sisdb_spark.plans import engine as E
+
+    return Engine(
+        spark, sf_small,
+        {"events": TableSpec("events", "user_id", "ts", order_col="event_id")},
+        access=access,
+    )
+
+
+def test_access_read_only_session_refuses_writes(spark, sf_small):
+    """A READ-mask session can get/gets/keys/show but every WRITE- or
+    DEL-class method refuses — the reference's per-method access check."""
+    from ago_sisdb_spark.plans.engine import ACCESS_READ, AccessDenied
+
+    eng = _mk(spark, sf_small, ACCESS_READ)
+    assert eng.get("*.events").count() == 1          # read OK
+    assert "events" in eng.show()                    # read OK
+    with pytest.raises(AccessDenied, match="set requires"):
+        eng.set("1.events", [{"x": 1}])
+    with pytest.raises(AccessDenied, match="delete requires"):
+        eng.delete("1.events")
+    with pytest.raises(AccessDenied, match="create requires"):
+        eng.create("t2", {"fields": {}})
+    with pytest.raises(AccessDenied, match="drop requires"):
+        eng.drop("events")
+    with pytest.raises(AccessDenied, match="save requires"):
+        eng.save("events", "/tmp/nope")
+
+
+def test_access_rdwr_session_refuses_delete_only(spark, sf_small):
+    """RDWR (mask 3) writes but cannot delete/drop — DEL is its own bit
+    (reference: ACCESS_ADMIN=7 adds the delete bit on top of RDWR=3)."""
+    from ago_sisdb_spark.plans.engine import ACCESS_RDWR, AccessDenied
+
+    from ago_sisdb_spark.catalog import load_table
+
+    eng = _mk(spark, sf_small, ACCESS_RDWR)
+    first = load_table(spark, sf_small, "events").first()
+    rec = dict(first.asDict(), event_id=10_000_001)
+    assert eng.set("*.events", [rec]) is not None    # write OK
+    with pytest.raises(AccessDenied):
+        eng.delete("1.events")
+    with pytest.raises(AccessDenied):
+        eng.drop("events")
+
+
+def test_access_admin_full_matrix(spark, sf_small):
+    """ADMIN (default) passes every gate; the decorator records each
+    method's declared access bits for audit."""
+    from ago_sisdb_spark.plans.engine import (
+        ACCESS_DEL,
+        ACCESS_READ,
+        ACCESS_WRITE,
+    )
+
+    eng = _mk(spark, sf_small, 7)
+    assert eng.get("*.events").count() == 1
+    assert eng.delete("*.events").count() >= 0
+    assert Engine.get.__access__ == ACCESS_READ
+    assert Engine.set.__access__ == ACCESS_WRITE
+    assert Engine.delete.__access__ == ACCESS_DEL
+    assert Engine.keys.__access__ == ACCESS_READ

@@ -863,3 +863,82 @@ def test_incremental_ingest_mixed_ledger_mode_refused(spark, tmp_path):
         prep.incremental_ingest(
             spark, b2, idx, dig, st, results_path=res, batch_id=1
         )
+
+
+def test_streaming_minhash_state_schema_guard(spark, tmp_path):
+    """r7 verdict #5: restarting the v2 (docs, dead) MinHash screen on a
+    checkpoint written by the pre-r6 v1 layout (docs only) must fail with
+    an ACTIONABLE message, and the version-tagged checkpoint helper must
+    route the restarted query to a fresh store so production restarts
+    never hit the incompatibility at all (reference semantics: WAL replay
+    never corrupts — sisdb.h:16-18)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ago_sisdb_spark.operators.dedup import minhash_band_rows_stateless
+    from ago_sisdb_spark.streaming import dedupe as sd
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "a b c d e f g")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src)
+
+    def make_stream():
+        return (
+            spark.readStream.schema("doc_id long, text string").parquet(src)
+        )
+
+    # synthesize the pre-r6 checkpoint: same key/output shape, 1-field state
+    def screen_v1(key, pdfs, state):
+        members = list(state.get[0]) if state.exists else []
+        for pdf in pdfs:
+            members.extend(int(d) for d in pdf["doc"])
+        state.update((members,))
+        yield pd.DataFrame({"id": [], "hist_id": []})
+
+    legacy_ck = str(tmp_path / "ck-legacy")
+    q = (
+        minhash_band_rows_stateless(make_stream(), "doc_id", "text", 3, 32, 8)
+        .groupBy("band", "bucket")
+        .applyInPandasWithState(
+            screen_v1, "id long, hist_id long", "docs array<long>",
+            "append", GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.format("noop")
+        .option("checkpointLocation", legacy_ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    spark.createDataFrame(
+        [(2, "a b c d e f g")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    # restart on the RAW legacy path: actionable failure, old store intact
+    q2 = (
+        sd.streaming_minhash_screen(make_stream(), "doc_id", "text")
+        .writeStream.format("noop")
+        .option("checkpointLocation", legacy_ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        with pytest.raises(RuntimeError, match="minhash_screen_checkpoint"):
+            sd.await_screen(q2, 120)
+    finally:
+        q2.stop()
+
+    # version-tagged helper: lands on a fresh store, restart just works
+    tagged = sd.minhash_screen_checkpoint(str(tmp_path))
+    assert f"v{sd.STATE_SCHEMA_VERSION}" in tagged and tagged != legacy_ck
+    q3 = (
+        sd.streaming_minhash_screen(make_stream(), "doc_id", "text")
+        .writeStream.format("noop")
+        .option("checkpointLocation", tagged)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sd.await_screen(q3, 120)
+    q3.stop()

@@ -836,3 +836,122 @@ def test_global_shuffle_reseed_is_not_a_rotation(spark):
     assert all(
         doubled[i : i + len(a)] != b for i in range(len(a))
     ), "reseeded order is a rotation of the original"
+
+
+# --- incremental-vs-full divergence pins (r7 verdict #4) -----------------
+# Each test pins one item of incremental_prep_batch's documented
+# divergence list against the ACTUAL full_prep_pipeline.  Shards reveal
+# survivor identity: shard = id % n_shards, and the test ids are chosen
+# to land in distinct shards.
+
+def _state(spark, tmp_path, hist, n_shards=16):
+    from ago_sisdb_spark.operators import dedup
+
+    idx = str(tmp_path / "idx")
+    dig, st = prep.prep_state_paths(str(tmp_path), "corpus")
+    dedup.build_minhash_index(hist, "doc_id", "text", idx, portable=True)
+    prep.build_prep_state(hist, dig, st, n_shards=n_shards)
+    digests, state = prep.load_prep_state(spark, dig, st)
+    from ago_sisdb_spark.operators import dedup as d
+
+    return digests, d.load_minhash_index(spark, idx), state
+
+
+def test_divergence_exact_keep_id(spark, tmp_path):
+    """Divergence 1: same text in history (id 50) and batch (id 10).
+    Incremental drops the batch copy regardless of id order; the full
+    pipeline keeps the global lowest id (10) and drops 50."""
+    T = " ".join(f"dup{i}" for i in range(60))
+    hist = spark.createDataFrame([(50, T)], "doc_id long, text string")
+    batch = spark.createDataFrame([(10, T)], "doc_id long, text string")
+    digests, index, state = _state(spark, tmp_path, hist)
+
+    inc = prep.screen_prep_batch(batch, digests, index)
+    assert inc.count() == 0  # history copy wins, lower batch id or not
+
+    full = {r.shard for r in
+            prep.full_prep_pipeline(hist.unionByName(batch)).collect()}
+    assert full == {10 % 16}  # lowest id survived; history id 50 dropped
+
+
+def test_divergence_neardup_direction_and_threshold(spark, tmp_path):
+    """Divergence 2: history doc 100 vs batch near-dup 3 sharing exactly
+    ONE band (k=10 word swaps of a 70-word doc — pinned by the shared-band
+    probe below).  Incremental keeps the batch doc at the default
+    threshold (1 < min_shared_bands=2) and drops it at threshold 1 —
+    always the BATCH side.  The full pipeline's any-band bucket-min rule
+    instead drops the HIGHER id: history doc 100 dies, batch doc 3 lives."""
+    from ago_sisdb_spark.operators import dedup
+
+    base = [f"w{i}" for i in range(70)]
+    T = " ".join(base)
+    words = list(base)
+    for j in range(10):
+        words[(j * 7) % 70] = f"x{j}"
+    V = " ".join(words)
+    hist = spark.createDataFrame([(100, T)], "doc_id long, text string")
+    batch = spark.createDataFrame([(3, V)], "doc_id long, text string")
+    digests, index, state = _state(spark, tmp_path, hist)
+
+    shared = {r.batch_id: r.n_shared_bands for r in dedup.minhash_screen_batch(
+        batch, index, "doc_id", "text", portable=True).collect()}
+    assert shared == {3: 1}  # the scenario premise, pinned
+
+    assert prep.screen_prep_batch(batch, digests, index).count() == 1
+    assert prep.screen_prep_batch(
+        batch, digests, index, min_shared_bands=1
+    ).count() == 0
+
+    full = {r.shard for r in
+            prep.full_prep_pipeline(hist.unionByName(batch)).collect()}
+    assert full == {3}  # shard 3 = batch doc kept; shard 4 (=100%16) gone
+
+
+def test_divergence_bin_offsets(spark, tmp_path):
+    """Divergence 3: batch id 3 sorts BETWEEN packed history ids 2 and 4.
+    A full repack gives doc 3 bin 0 (cum tokens t < window); incremental
+    continues at base_tokens = 2t and gives it bin 1."""
+    from ago_sisdb_spark.operators import text as tx
+
+    def doc(tag):
+        return " ".join(f"{tag}{i}" for i in range(60))
+
+    hist = spark.createDataFrame(
+        [(2, doc("ha")), (4, doc("hb"))], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame([(3, doc("nb"))], "doc_id long, text string")
+    t = hist.select(tx.token_count(F.col("text")).alias("t")).first().t
+    window = int(1.5 * t)
+    digests, index, state = _state(spark, tmp_path, hist, n_shards=1)
+
+    inc = prep.incremental_prep_batch(
+        batch, digests, index, state, n_shards=1, window_tokens=window
+    ).collect()
+    assert len(inc) == 1 and inc[0].first_bin == 1  # continues after base=2t
+
+    union = hist.unionByName(batch)
+    full_bins = {r.doc_id: r.bin for r in prep.pack_sequences(
+        union.select("doc_id", tx.token_count(F.col("text")).alias("tokens")),
+        "doc_id", "tokens", window_tokens=window, n_shards=1,
+    ).collect()}
+    assert full_bins == {2: 0, 3: 0, 4: 1}  # full repack: doc 3 in bin 0
+
+
+def test_divergence_no_eval_screen(spark, tmp_path):
+    """Divergence 4: batch doc id 194 (194 % 97 == 0) survives the
+    incremental screen; the full pipeline drops it as eval-slice."""
+    hist = spark.createDataFrame(
+        [(16, " ".join(f"h{i}" for i in range(60)))],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(194, " ".join(f"e{i}" for i in range(60)))],
+        "doc_id long, text string",
+    )
+    digests, index, state = _state(spark, tmp_path, hist)
+
+    assert prep.screen_prep_batch(batch, digests, index).count() == 1
+
+    full = {r.shard for r in
+            prep.full_prep_pipeline(hist.unionByName(batch)).collect()}
+    assert full == {0}  # only hist doc 16 (shard 0); 194 (shard 2) dropped

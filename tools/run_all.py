@@ -53,6 +53,15 @@ def coverage_header(gate_tail: str | None) -> str:
 
 
 def main() -> int:
+    # --fast: the pre-commit smoke (import every module + analyze every
+    # registry plan at sf0.001, no execution).  Exists because the r7
+    # snapshot commit shipped a NameError that only full runs caught.
+    if "--fast" in sys.argv:
+        r = subprocess.run(
+            [sys.executable, "tools/smoke_compile.py"], cwd=ROOT
+        )
+        return r.returncode
+
     failed = []
     gate_tail = None
     for name, cmd in STAGES:
