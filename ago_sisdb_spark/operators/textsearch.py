@@ -6,13 +6,16 @@ ranked relevance retrieval — e.g. pulling the documents most relevant to a
 benchmark prompt for decontamination review, or topic-targeted sampling.
 This module provides the classic Okapi BM25 ranking as pure DataFrame ops:
 
-- index build: one explode + two groupBys (postings ``tf(doc, term)`` and
-  doc lengths) — the standard inverted-index layout, partitioned by term;
-- scoring: the query-term table is tiny and BROADCAST, so only postings
-  for the queried terms flow into the score aggregation.  Document
-  frequencies are computed from those filtered postings (a term's posting
-  list already contains every doc that term appears in), so nothing
-  corpus-sized is shuffled after the index build.
+- ad-hoc query (``bm25_topk``): the bounded query-term set folds into the
+  token scan as a literal ``isin`` filter BEFORE any aggregation, so only
+  matching tokens ever reach a shuffle; doc lengths are a narrow map-side
+  ``size(tokenize(text))`` projection with no shuffle at all.  Document
+  frequencies come from the filtered postings (a term's posting list
+  already contains every doc that term appears in).
+- offline index (``build_text_index`` → ``bm25_topk_indexed``): the full
+  ``tf(doc, term)`` postings table is built once (explode + groupBy),
+  repartitioned by term, and persisted; serving joins broadcast query
+  terms against the parquet posting lists — no corpus scan in the plan.
 
 At 100 TB the postings table is materialized once (bucketed by term) and
 each query touches only its terms' posting lists — the same asymmetric
@@ -58,9 +61,35 @@ def bm25_topk(
 
     idf uses the Lucene-style non-negative form
     ``ln(1 + (N - df + 0.5) / (df + 0.5))``.
+
+    Plan shape (r8): the query-term set is bounded, so it is folded into
+    the scan as an ``isin`` literal filter BEFORE the postings aggregation
+    — only matching tokens ever reach a shuffle.  (The r7 form aggregated
+    the FULL corpus-wide tf(doc, term) and broadcast-joined the query
+    terms above it; Catalyst cannot push a join below an aggregation, so
+    the serve pass paid a corpus-scale shuffle for a query-bounded
+    result.)  Doc lengths come from a narrow map-side projection
+    ``size(tokenize(text))`` — no shuffle at all — and are checkpointed as
+    the doc-cardinality collapse table both stats and scoring read.
+    Two sequential corpus scans, zero corpus-scale shuffles.
     """
     spark = docs.sparkSession
-    tf, dl, stats = _index_tables(docs, id_col, text_col)
+    all_terms = sorted({t for _, terms in queries for t in set(terms)})
+    dl = docs.select(
+        F.col(id_col).alias("doc"),
+        F.size(tokenize(F.col(text_col))).cast("bigint").alias("dl"),
+    )
+    dl = _materialize(dl)
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokenize(F.col(text_col))).alias("term"),
+    )
+    tf = (
+        toks.where(F.col("term").isin(all_terms))
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
 
     qterms = spark.createDataFrame(
         [(qid, t) for qid, terms in queries for t in set(terms)],
@@ -83,8 +112,10 @@ def _index_tables(
     materialization point is the DOC-LENGTH table — one narrow row per
     doc, derived as Σ tf — so ``stats`` and every dl consumer read blocks
     instead of re-running the tokenize.  Each downstream consumer of
-    ``tf`` then costs exactly one deliberate corpus pass (bm25: 2 total,
-    tfidf: 4 — documented small-state N-pass designs, like t12)."""
+    ``tf`` then costs exactly one deliberate corpus pass (tfidf: 4 — a
+    documented small-state N-pass design, like t12).  ``bm25_topk`` no
+    longer uses these tables (r8): its query-bounded serve filters terms
+    below the aggregation instead — see its docstring."""
     toks = docs.select(
         F.col(id_col).alias("doc"), F.explode(tokenize(F.col(text_col))).alias("term")
     )
