@@ -78,7 +78,13 @@ def word_shingles(text: Column, k: int) -> Column:
     )
 
 
-def shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+def shingle_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    min_words: int | None = None,
+) -> DataFrame:
     """(doc, shingle) rows: shingles built IN-ARRAY per document (slice +
     array_join over an index sequence), then one explode — zero shuffles.
 
@@ -94,6 +100,11 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame
     Short documents (< k words) contribute one truncated shingle of all
     their words, matching the previous window form exactly (A/B verified
     multiset-identical at sf0.01).
+
+    ``min_words`` drops docs with fewer words INSIDE this pass, reusing
+    the already-split word array — a caller-side ``where(size(split(...))
+    >= n)`` evaluates a SECOND full-text split on the scan (r8: the d3
+    entry paid one extra corpus-wide split per run for exactly this).
     """
     # Map parallelism comes from input splits at scale; a local corpus in
     # one small file would otherwise run the whole shingle+hash pipeline in
@@ -114,6 +125,8 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame
     wdf = df.select(
         F.col(id_col).alias("doc"), F.split(F.col(text_col), r"\s+").alias("__w")
     )
+    if min_words is not None:
+        wdf = wdf.where(F.size("__w") >= min_words)
     w, n = F.col("__w"), F.size("__w")
     arr = F.transform(
         F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
@@ -163,6 +176,7 @@ def _minhash_mins(
     num_hashes: int,
     seed: int = 7,
     portable: bool = False,
+    min_words: int | None = None,
 ) -> DataFrame:
     """One min column per permutation (s0..sN-1) — the wide form both the
     signature array and the band hashes derive from.
@@ -174,7 +188,7 @@ def _minhash_mins(
         if portable
         else F.abs(F.xxhash64("shingle"))
     )
-    base = shingle_rows(df, id_col, text_col, shingle_k).select(
+    base = shingle_rows(df, id_col, text_col, shingle_k, min_words).select(
         "doc", (shingle_hash % F.lit(_MERSENNE)).alias("h")
     )
     return base.groupBy("doc").agg(
@@ -292,12 +306,16 @@ def minhash_band_rows(
     num_hashes: int = 32,
     bands: int = 8,
     portable: bool = False,
+    min_words: int | None = None,
 ) -> DataFrame:
     """(doc, band, bucket) LSH band rows — the shared signature layer of
     the self-join candidates (``minhash_lsh_candidates``) and the
     incremental history index (``build_minhash_index``)."""
     rows = num_hashes // bands
-    mins = _minhash_mins(df, id_col, text_col, shingle_k, num_hashes, portable=portable)
+    mins = _minhash_mins(
+        df, id_col, text_col, shingle_k, num_hashes, portable=portable,
+        min_words=min_words,
+    )
 
     if portable:
         # band bucket = polynomial fold of the band's mins mod p — each
@@ -333,6 +351,7 @@ def minhash_lsh_candidates(
     max_bucket_size: int = 1000,
     log_drops: bool = False,
     portable: bool = False,
+    min_words: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
@@ -363,7 +382,8 @@ def minhash_lsh_candidates(
     trap applies.
     """
     banded = minhash_band_rows(
-        df, id_col, text_col, shingle_k, num_hashes, bands, portable=portable
+        df, id_col, text_col, shingle_k, num_hashes, bands, portable=portable,
+        min_words=min_words,
     )
     pairs = capped_bucket_pairs(
         banded, ["band", "bucket"], F.col("doc"), "x AS id_a, y AS id_b",
@@ -383,6 +403,7 @@ def minhash_lsh_drop_ids(
     bands: int = 8,
     max_bucket_size: int = 1000,
     portable: bool = False,
+    min_words: int | None = None,
 ) -> DataFrame:
     """The ids to DROP under the keep-lowest-id near-dup policy — exactly
     ``minhash_lsh_candidates(...).select(id_b).distinct()``, computed
@@ -404,7 +425,8 @@ def minhash_lsh_drop_ids(
     ``minhash_lsh_candidates``.
     """
     banded = minhash_band_rows(
-        df, id_col, text_col, shingle_k, num_hashes, bands, portable=portable
+        df, id_col, text_col, shingle_k, num_hashes, bands, portable=portable,
+        min_words=min_words,
     )
     return drop_ids_from_band_rows(banded, id_col, max_bucket_size)
 

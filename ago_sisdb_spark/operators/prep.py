@@ -388,12 +388,12 @@ def full_prep_pipeline(docs: DataFrame, id_col: str = "doc_id",
         .where(did == F.col("__keep"))
         .drop("__keep")
     )
-    elig = docs.where(F.size(F.split(F.col(text_col), r"\s+")) >= 3)
-    # set-identical to minhash_lsh_candidates(...).select(id_b).distinct()
-    # but pair-free: per capped bucket, drop everything above the bucket min
+    # the >= 3-word eligibility rides the shingle pass's own split
+    # (min_words) — a separate where(size(split)) would re-split the
+    # whole corpus once more on this branch (r8, same fix as d3)
     nd_drop = dedup.minhash_lsh_drop_ids(
-        elig, id_col, text_col, shingle_k=3, num_hashes=32, bands=8,
-        portable=True,
+        docs, id_col, text_col, shingle_k=3, num_hashes=32, bands=8,
+        portable=True, min_words=3,
     )
     keep = keep.join(nd_drop, id_col, "left_anti")
     keep = keep.where(F.pmod(did, F.lit(97)) != 0)

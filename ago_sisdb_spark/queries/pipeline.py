@@ -70,12 +70,13 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     logic (shingle→min→band→bucket-join→cap) is reproduced by the DuckDB
     oracle (r2 verdict #2).  The xxhash64 production variant is
     ``d3_minhash_lsh_xx`` (extended, rows-only).  Docs need >= 3 words on
-    both sides (the SQL twin's range() expansion has no short-doc rule)."""
-    docs = _t(spark, sf_dir, "documents").where(
-        F.size(F.split(F.col("text"), r"\s+")) >= 3
-    )
+    both sides (the SQL twin's range() expansion has no short-doc rule);
+    the exclusion rides the shingle pass's own split (``min_words``) —
+    a caller-side where(size(split)) paid a second corpus-wide split."""
+    docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_candidates(
-        docs, "doc_id", "text", shingle_k=3, num_hashes=32, bands=8, portable=True
+        docs, "doc_id", "text", shingle_k=3, num_hashes=32, bands=8,
+        portable=True, min_words=3,
     )
 
 
