@@ -25,9 +25,6 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-# Plan analysis only — never execute the eager localCheckpoint sites.
-os.environ["SPARK_GRAFT_NO_MATERIALIZE"] = "1"
-
 SF_DIR = os.environ.get("SPARK_GRAFT_SMOKE_SF", "/root/testdata/sf0.001")
 
 
@@ -62,6 +59,12 @@ def analyze_all(spark) -> list[str]:
 
 
 def main() -> int:
+    # Plan analysis only — never execute the eager localCheckpoint sites.
+    # Set in main(), NOT at import: pytest imports this module, and a
+    # module-level os.environ write would silently disable materialization
+    # for every later test in the same process (plan-shape assertions like
+    # test_bm25_tokenizes_corpus_exactly_once depend on it).
+    os.environ["SPARK_GRAFT_NO_MATERIALIZE"] = "1"
     t0 = time.time()
     imp_fail = import_all()
     for line in imp_fail:
