@@ -1075,6 +1075,13 @@ def cdc_chunk_docs(
             yield pd.DataFrame({id_col: ids, "chunk_idx": idxs, "chunk": chunks})
 
     slim = df.select(F.col(id_col), F.col(text_col))
+    # spread a single-split local input across the executor cores (the
+    # shingle_rows guard): per-byte numpy work on one task otherwise
+    # serializes the whole corpus pass
+    if not slim.isStreaming:
+        target = slim.sparkSession.sparkContext.defaultParallelism
+        if slim.rdd.getNumPartitions() < target:
+            slim = slim.repartition(target, F.col(id_col))
     return slim.mapInPandas(gen, out_schema).withColumn(
         "chunk_len", F.length("chunk").cast("long")
     )

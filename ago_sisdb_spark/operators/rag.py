@@ -67,11 +67,98 @@ def embed_chunks_trigram(
                 idxs.append(cidx)
                 vecs.append(v.tolist())
                 norms.append(float(np.sqrt(float((v * v).sum()))))
+            # dtype-explicit: an EMPTY batch otherwise yields float64
+            # columns and Arrow refuses float64 -> list<int64> (sparse
+            # filters upstream make empty partitions routine at scale)
             yield pd.DataFrame(
-                {id_col: ids, idx_col: idxs, "vec": vecs, "norm": norms}
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    idx_col: pd.Series(idxs, dtype="int64"),
+                    "vec": pd.Series(vecs, dtype="object"),
+                    "norm": pd.Series(norms, dtype="float64"),
+                }
             )
 
     return chunks.select(id_col, idx_col, chunk_col).mapInPandas(gen, out_schema)
+
+
+def chunk_embed_trigram(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    divisor: int = 64,
+    dim: int = EMBED_DIM,
+    min_len: int = 8,
+) -> DataFrame:
+    """FUSED CDC chunking + trigram embedding in ONE mapInPandas pass —
+    result-identical to ``embed_chunks_trigram(dedup.cdc_chunk_docs(docs))``
+    (pinned by tests/test_rag.py), but the chunk strings never cross the
+    Arrow boundary: the two-stage form pays JVM→Python→JVM→Python→JVM
+    with the full chunk text serialized in the middle hop.  This is the
+    ingest hot path (index build + pipe9 direct retrieval); keep the
+    two-stage operators for callers that need the chunk TEXT itself
+    (duplicate-span reports, rewrite)."""
+    import numpy as np
+    import pandas as pd
+
+    globals()["pd"] = pd  # pandas_udf/mapInPandas + future-annotations gotcha
+    w, d = window, divisor
+    weights = np.array([31**j for j in range(w)][::-1], dtype=np.int64)
+    out_schema = f"`{id_col}` long, chunk_idx long, vec array<long>, norm double"
+
+    def gen(batches):
+        for pdf in batches:
+            ids, idxs, vecs, norms = [], [], [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None:
+                    continue
+                t = txt.strip(" ").lower()  # parity with SQL trim/lower
+                n = len(t)
+                if n == 0:
+                    continue
+                codes = None
+                ends = [n]
+                if n >= w:
+                    codes = np.fromiter(map(ord, t), dtype=np.int64, count=n)
+                    h = (
+                        np.lib.stride_tricks.sliding_window_view(codes, w)
+                        @ weights
+                    )
+                    hits = (np.nonzero(h % d == 0)[0] + w).tolist()
+                    ends = sorted(set(hits + [n]))
+                if codes is None:
+                    codes = np.fromiter(map(ord, t), dtype=np.int64, count=n)
+                prev = 0
+                for k, e in enumerate(ends):
+                    clen = e - prev
+                    if clen >= min_len:
+                        c = codes[prev:e]
+                        trig = (c[:-2] * 961 + c[1:-1] * 31 + c[2:]) % dim
+                        v = np.bincount(trig, minlength=dim)
+                        ids.append(did)
+                        idxs.append(k)
+                        vecs.append(v.tolist())
+                        norms.append(float(np.sqrt(float((v * v).sum()))))
+                    prev = e
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "chunk_idx": pd.Series(idxs, dtype="int64"),
+                    "vec": pd.Series(vecs, dtype="object"),
+                    "norm": pd.Series(norms, dtype="float64"),
+                }
+            )
+
+    slim = docs.select(F.col(id_col), F.col(text_col))
+    # Map parallelism comes from input splits at scale; a local corpus in
+    # one small file would otherwise chunk+embed on a single task (the
+    # shingle_rows guard, same rationale).  Skip for streaming inputs.
+    if not slim.isStreaming:
+        target = slim.sparkSession.sparkContext.defaultParallelism
+        if slim.rdd.getNumPartitions() < target:
+            slim = slim.repartition(target, F.col(id_col))
+    return slim.mapInPandas(gen, out_schema)
 
 
 def chunk_index_path(warehouse_dir: str, tag: str) -> str:
@@ -90,12 +177,11 @@ def _write_chunk_index(
     id_col: str, text_col: str, dim: int, min_len: int,
 ) -> None:
     """ONE ingest pipeline for both build and append — a one-sided edit
-    can't make appended rows diverge from built rows."""
-    from ago_sisdb_spark.operators import dedup
-
-    embed_chunks_trigram(
-        dedup.cdc_chunk_docs(docs, id_col, text_col),
-        id_col=id_col, dim=dim, min_len=min_len,
+    can't make appended rows diverge from built rows.  Uses the fused
+    single-pass ``chunk_embed_trigram`` (two-stage parity pinned in
+    tests/test_rag.py)."""
+    chunk_embed_trigram(
+        docs, id_col=id_col, text_col=text_col, dim=dim, min_len=min_len
     ).write.mode(mode).parquet(path)
 
 

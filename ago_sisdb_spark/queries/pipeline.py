@@ -3014,16 +3014,14 @@ def pipe9_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole encoder for 3 rows), then broadcasts.  Integer count vectors
     make dot/norm² exact on both engines, so the DuckDB twin restates the
     entire retrieval and the gate hash-checks scores AND ranking."""
-    from ago_sisdb_spark.operators import dedup, rag
+    from ago_sisdb_spark.operators import rag
 
     docs = _t(spark, sf_dir, "documents")
-    emb = rag.embed_chunks_trigram(
-        dedup.cdc_chunk_docs(docs, "doc_id", "text")
-    )
-    queries = rag.embed_chunks_trigram(
-        dedup.cdc_chunk_docs(
-            docs.where(F.col("doc_id").isin(1, 11, 21)), "doc_id", "text"
-        )
+    # fused single-pass chunk+embed (one Arrow round-trip, not two;
+    # two-stage parity pinned in tests/test_rag.py)
+    emb = rag.chunk_embed_trigram(docs, "doc_id", "text")
+    queries = rag.chunk_embed_trigram(
+        docs.where(F.col("doc_id").isin(1, 11, 21)), "doc_id", "text"
     ).where(F.col("chunk_idx") == 0)
     return rag.chunk_topk(emb, queries, k=5)
 
@@ -3102,17 +3100,15 @@ def pipe10_chunk_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     does)."""
     import os
 
-    from ago_sisdb_spark.operators import dedup, rag
+    from ago_sisdb_spark.operators import rag
 
     docs = _t(spark, sf_dir, "documents")
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     path = rag.chunk_index_path(warehouse, sf_dir)
     if not os.path.exists(path):
         rag.build_chunk_index(docs, path)
-    queries = rag.embed_chunks_trigram(
-        dedup.cdc_chunk_docs(
-            docs.where(F.col("doc_id").isin(1, 11, 21)), "doc_id", "text"
-        )
+    queries = rag.chunk_embed_trigram(
+        docs.where(F.col("doc_id").isin(1, 11, 21)), "doc_id", "text"
     ).where(F.col("chunk_idx") == 0)
     return rag.chunk_topk_indexed(spark, path, queries, k=5)
 

@@ -225,3 +225,31 @@ def test_append_refuses_mismatched_params(spark, tmp_path):
         rag.append_chunk_index(docs, path, dim=128)
     with pytest.raises(ValueError, match="no readable _meta"):
         rag.append_chunk_index(docs, str(tmp_path / "nonexistent"))
+
+
+def test_fused_chunk_embed_matches_two_stage(spark):
+    """chunk_embed_trigram (one mapInPandas pass, r8 ingest hot path) must
+    be row-identical to embed_chunks_trigram(cdc_chunk_docs(...)) — ids,
+    chunk indices, vectors, norms."""
+    from ago_sisdb_spark.operators import dedup, rag
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 20),
+        (2, "short"),                       # < min_len once chunked
+        (3, None),                          # null text dropped
+        (4, "ABC def GHI jkl " * 40),       # case-folding parity
+        (5, "x" * 7),                       # boundary: len 7 < min_len 8
+        (6, "y" * 8),                       # boundary: exactly min_len
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    two = {
+        (r.doc_id, r.chunk_idx): (tuple(r.vec), r.norm)
+        for r in rag.embed_chunks_trigram(
+            dedup.cdc_chunk_docs(docs, "doc_id", "text")
+        ).collect()
+    }
+    one = {
+        (r.doc_id, r.chunk_idx): (tuple(r.vec), r.norm)
+        for r in rag.chunk_embed_trigram(docs, "doc_id", "text").collect()
+    }
+    assert one == two and len(one) > 0
