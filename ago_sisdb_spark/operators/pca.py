@@ -39,6 +39,8 @@ def fit_pca(df: DataFrame, vec_col: str, dim: int, k: int):
 
     def partials(it):
         for pdf in it:
+            if len(pdf) == 0:  # spread inputs can leave empty partitions
+                continue
             x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             yield pd.DataFrame(
                 [
@@ -50,8 +52,16 @@ def fit_pca(df: DataFrame, vec_col: str, dim: int, k: int):
                 ]
             )
 
+    slim = df.select(vec_col)
+    # spread a single-split local input across executor cores (the
+    # shingle_rows guard) — the Gram-matrix pass otherwise runs as ONE
+    # task on a one-file corpus; at scale parallelism comes from splits
+    if not slim.isStreaming:
+        target = slim.sparkSession.sparkContext.defaultParallelism
+        if slim.rdd.getNumPartitions() < target:
+            slim = slim.repartition(target)
     rows = (
-        df.select(vec_col)
+        slim
         .mapInPandas(partials, "cnt long, s array<double>, g array<double>")
         .collect()
     )

@@ -80,6 +80,18 @@ def _decode_image_stub(buf: bytes) -> tuple[list[float] | None, str | None]:
         return None, f"decode-error: {e}"
 
 
+def _spread(slim: DataFrame) -> DataFrame:
+    """Spread a single-split local input across executor cores (the
+    shingle_rows guard): decode/transcode on one task otherwise serializes
+    the whole media pass; at scale parallelism comes from input splits."""
+    if slim.isStreaming:
+        return slim
+    target = slim.sparkSession.sparkContext.defaultParallelism
+    if slim.rdd.getNumPartitions() < target:
+        return slim.repartition(target)
+    return slim
+
+
 def extract_features(df: DataFrame, batch_limit: int = 1024) -> DataFrame:
     """Decode + featurize media rows via Arrow-batched mapInPandas.
 
@@ -92,6 +104,8 @@ def extract_features(df: DataFrame, batch_limit: int = 1024) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if len(pdf) == 0:  # empty partitions: dtype-less frames break Arrow
+                continue
             decoded = [
                 _decode_image_stub(b if b is None or isinstance(b, bytes) else bytes(b))
                 for b in pdf["content"]
@@ -110,7 +124,7 @@ def extract_features(df: DataFrame, batch_limit: int = 1024) -> DataFrame:
                 }
             )
 
-    return df.select("media_id", "modality", "content").mapInPandas(
+    return _spread(df.select("media_id", "modality", "content")).mapInPandas(
         run, FEATURE_SCHEMA
     )
 
@@ -140,6 +154,8 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             out = [
                 _resize_stub(
                     b if b is None or isinstance(b, bytes) else bytes(b),
@@ -158,7 +174,7 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
                 }
             )
 
-    return df.select("media_id", "content").mapInPandas(run, RESIZE_SCHEMA)
+    return _spread(df.select("media_id", "content")).mapInPandas(run, RESIZE_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_n_seconds: int = 5) -> DataFrame:
