@@ -375,15 +375,24 @@ def sub_match_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     search service uses to merge/diff client subscriptions.  Each branch's
     pattern predicate is pushed into its scan; the distinct sets are
     key-cardinality-bounded."""
-    from ago_sisdb_spark.streaming.pubsub import match_keys
+    from ago_sisdb_spark.materialize import materialize
+    from ago_sisdb_spark.streaming.pubsub import key_pattern_filter
 
-    sup = _t(spark, sf_dir, "supplier")
-    a = match_keys(sup, "s_name", "Supplier#0000000*")
-    b = match_keys(sup, "s_name", "*1*")
-    c = match_keys(
-        sup, "s_name",
-        "Supplier#000000001,Supplier#000000002,Supplier#000000010",
+    # ONE distinct pass over the key universe (key-cardinality-bounded
+    # collapse table, materialized) — the three pattern sets and the six
+    # set-op consumers all filter it, instead of six table scans
+    uni = materialize(
+        _t(spark, sf_dir, "supplier")
+        .select(F.col("s_name").cast("string").alias("key"))
+        .distinct()
     )
+
+    def mset(pattern: str):
+        return uni.where(key_pattern_filter(F.col("key"), pattern))
+
+    a = mset("Supplier#0000000*")
+    b = mset("*1*")
+    c = mset("Supplier#000000001,Supplier#000000002,Supplier#000000010")
     return (
         a.union(b).distinct().select(F.lit("union").alias("op"), "key")
         .unionByName(

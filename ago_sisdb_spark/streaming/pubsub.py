@@ -27,7 +27,17 @@ def key_pattern_filter(key_col: Column, pattern: str) -> Column:
     preds: list[Column] = []
     for t in terms:
         if "*" in t:
-            preds.append(key_col.like(t.replace("*", "%")))
+            # escape LIKE metacharacters FIRST: the reference glob knows
+            # only `*`, so a literal `_` or `%` in a key pattern (keys
+            # like `stk_day` are routine) must match itself, not act as
+            # a single-char/any wildcard
+            esc = (
+                t.replace("\\", "\\\\")
+                .replace("%", "\\%")
+                .replace("_", "\\_")
+                .replace("*", "%")
+            )
+            preds.append(key_col.like(esc))
         else:
             preds.append(key_col == t)
     out = preds[0]

@@ -53,6 +53,26 @@ def test_key_pattern_filter_forms(spark):
     assert keys("*0075*") == ["SZ300750"]
 
 
+def test_key_pattern_filter_literal_like_metachars(spark):
+    """The reference glob knows only `*` — a literal `_` or `%` in a
+    pattern must match ITSELF, not become a LIKE wildcard (keys like
+    `stk_day` are routine; r8 fix)."""
+    df = spark.createDataFrame(
+        [("stk_day",), ("stkXday",), ("pct%01",), ("pctA01",)], "sym string"
+    )
+    c = F.col("sym")
+
+    def keys(pat):
+        return sorted(
+            r.sym for r in df.where(key_pattern_filter(c, pat)).collect()
+        )
+
+    assert keys("stk_*") == ["stk_day"]          # underscore is literal
+    assert keys("pct%*") == ["pct%01"]           # percent is literal
+    assert keys("stk_day") == ["stk_day"]        # exact branch unaffected
+    assert keys("*_day") == ["stk_day"]
+
+
 def test_subscribe_availablenow_backfill(spark, tick_dir):
     path, schema = tick_dir
     stream = (
