@@ -300,17 +300,18 @@ def bigram_logprob(
     Plan shape (r4 rewrite — the r3 form re-scanned the corpus ~5×, once
     per frequency table, and joined them against per-OCCURRENCE rows):
 
-    - ONE bigram explode + groupBy gives the distinct-bigram count table;
-    - left-context counts c(w1 ·) derive from THAT table (sum of bigram
-      counts grouped by left word) — no second corpus pass;
-    - unigram counts come from one token explode; the corpus total is the
-      sum of unigram counts — no separate count pass;
+    - ONE tagged-union explode + groupBy gives BOTH count tables (r8:
+      bigrams and tokens in a single exploded stream — the key itself is
+      the tag, since a whitespace token can't contain a space and a
+      bigram has exactly one);
+    - left-context counts c(w1 ·) and the corpus total derive from that
+      one materialized table — no further corpus passes;
     - the stupid-backoff log-prob is computed once per DISTINCT bigram
       (vocab-bounded joins), and only that (bg → lp) table is broadcast
       into the final per-occurrence explode → per-doc mean.
 
-    Corpus passes: 3 (was ~5); the heavy joins run at vocabulary
-    cardinality, not corpus cardinality.  At 100 TB the (bg → lp) table
+    Corpus passes: 2 (r4: ~5 → 3; r8: 3 → 2); the heavy joins run at
+    vocabulary cardinality, not corpus cardinality.  At 100 TB the (bg → lp) table
     (Heaps-bounded, shrinkable via ``min_count``) outgrows broadcast —
     pass ``broadcast_lp=False`` to run the final per-occurrence join as a
     shuffle join on bg (result-identical; parity pinned in
@@ -332,16 +333,27 @@ def bigram_logprob(
         ),
     ).otherwise(F.array().cast("array<string>"))
     bgs = wdf.select("doc", F.explode(bg_arr).alias("bg"))
-    toks = wdf.select(F.explode(w).alias("tok"))
 
-    # distinct-bigram counts (one corpus pass); c(w1 ·) derived from them.
-    # The vocab tables are MATERIALIZED (Heaps-bounded, tiny): without
-    # this, bg_all and uni each had two plan consumers and the executed
-    # plan re-ran the corpus explode FIVE times where the design says
-    # three (the r7 two-consumer trap, found by audit_plans --dupscans)
-    bg_all = bgs.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    # ONE corpus explode builds BOTH vocab tables (r8; was one pass each):
+    # bigrams and tokens union into a single exploded stream, and the key
+    # itself is the tag — whitespace-split tokens cannot contain a space,
+    # a bigram contains exactly one — so the count table splits cleanly
+    # after the (single) corpus→vocab shuffle.  Materialized once
+    # (Heaps-bounded): bg_all, uni, left_counts and total all read blocks
+    # (the r7 two-consumer trap, found by audit_plans --dupscans).
+    all_counts = (
+        wdf.select(F.explode(F.concat(bg_arr, w)).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     if materialize_vocab:
-        bg_all = materialize(bg_all)
+        all_counts = materialize(all_counts)
+    bg_all = all_counts.where(F.col("t").contains(" ")).select(
+        F.col("t").alias("bg"), "cnt"
+    )
+    uni = all_counts.where(~F.col("t").contains(" ")).select(
+        F.col("t").alias("tok"), F.col("cnt").alias("tfu")
+    )
     left_counts = (
         bg_all.select(
             F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"), "cnt"
@@ -349,10 +361,6 @@ def bigram_logprob(
         .groupBy("w1")
         .agg(F.sum("cnt").alias("c1"))
     )
-    # unigram counts (one corpus pass); total = their sum, not a new pass
-    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tfu"))
-    if materialize_vocab:
-        uni = materialize(uni)
     total = uni.agg(F.sum("tfu").alias("n_total"))
 
     lp_table = (

@@ -1491,8 +1491,10 @@ _BM25_QUERIES = [
 )
 def n5_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranked full-text retrieval: Okapi BM25 top-10 per benchmark query
-    (operators/textsearch.bm25_topk — explode+groupBy inverted index,
-    broadcast query terms, only matching posting lists shuffled).  The
+    (operators/textsearch.bm25_topk — query terms folded into the token
+    scan as an isin filter BELOW the aggregation, so only matching tokens
+    ever reach a shuffle; doc lengths from a narrow no-shuffle
+    projection).  The
     relevance-retrieval counterpart of the substring search DSL
     (sisdb_fmap_get.c) for corpus curation workflows."""
     from ago_sisdb_spark.operators import textsearch
