@@ -499,3 +499,57 @@ def test_subscribe_processing_time_live_arrival(spark, tick_dir, tmp_path):
         assert got == 1
     finally:
         q.stop()
+
+
+def test_key_pattern_filter_property_vs_reference_glob(spark):
+    """Property check of the r8 escape fix: for random keys (alphabet
+    includes LIKE metachars '_' and '%') and random '*'-glob comma
+    patterns, the Spark predicate must match a pure-Python reference
+    matcher implementing the reference's semantics (only '*' is magic;
+    comma = OR; everything else literal)."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = "ab_%*"
+    keys = [
+        "".join(c)
+        for n in range(0, 4)
+        for c in __import__("itertools").product("ab_%", repeat=n)
+    ]
+    kdf = spark.createDataFrame([(k,) for k in keys], "sym string").cache()
+    kdf.count()
+
+    def ref_match(key: str, pattern: str) -> bool:
+        for term in (t.strip() for t in pattern.split(",") if t.strip()):
+            if "*" in term:
+                rx = "^" + ".*".join(re.escape(p) for p in term.split("*")) + "$"
+                if re.match(rx, key):
+                    return True
+            elif key == term:
+                return True
+        return False
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet=alphabet, min_size=1, max_size=4),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    def check(terms):
+        pattern = ",".join(terms)
+        if pattern == "*":  # match-all shortcut is trivially correct
+            return
+        got = sorted(
+            r.sym
+            for r in kdf.where(
+                key_pattern_filter(F.col("sym"), pattern)
+            ).collect()
+        )
+        want = sorted(k for k in keys if ref_match(k, pattern))
+        assert got == want, (pattern, got, want)
+
+    check()
