@@ -51,9 +51,20 @@ def decontaminate(
     tr = shingle_rows(train, id_col, text_col, ngram).distinct()
     ev = shingle_rows(eval_df, id_col, text_col, ngram).select("shingle").distinct()
     if max_doc_freq is not None:
-        freq = tr.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-        keep = freq.where(F.col("__df") <= max_doc_freq).select("shingle")
-        tr = tr.join(keep, "shingle")
+        # stop-shingle cap as a count window, not groupBy + join-back:
+        # the aggregate form made tr (a corpus-scale shingle distinct,
+        # too big to checkpoint) a two-consumer subplan that executed
+        # twice (r8; the drop_ids_from_band_rows pattern).  The window's
+        # shingle hash partitioning is exactly what the eval equi-join
+        # needs, so the cap adds no extra exchange.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("shingle")
+        tr = (
+            tr.withColumn("__df", F.count(F.lit(1)).over(w))
+            .where(F.col("__df") <= max_doc_freq)
+            .drop("__df")
+        )
     hits = tr.alias("t").join(ev.alias("e"), "shingle")
     # tr is (doc, shingle)-unique and ev shingle-unique, so the joined rows
     # stay unique per (doc, shingle): plain count == count(DISTINCT shingle)
