@@ -516,9 +516,18 @@ def ngram_jaccard_pairs(
     """
     sh = shingle_rows(df, id_col, text_col, n).distinct()
     if max_doc_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-        keep = freq.where(F.col("__df") <= max_doc_freq).select("shingle")
-        sh = sh.join(keep, "shingle")
+        # count window, not groupBy + join-back: the aggregate form made
+        # the corpus-scale shingle distinct a two-consumer subplan that
+        # executed twice (r8, same fix as decontaminate); the window's
+        # shingle partitioning is what the pair self-join needs anyway
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(w))
+            .where(F.col("__df") <= max_doc_freq)
+            .drop("__df")
+        )
     # sizes feeds BOTH pair sides (sa and sb) — materialize the
     # doc-cardinality table once or each side re-runs the shingle explode
     # (audit_plans --dupscans; the a/b self-join itself reuses its
