@@ -690,13 +690,24 @@ def duplicated_spans(
         F.col("start_tok").cast("bigint").alias("start_tok"),
         span_hash.alias("span_hash"),
     )
-    freq = (
-        spans.groupBy("span_hash")
-        .agg(F.countDistinct("doc").alias("n_docs_sharing"))
+    # distinct-doc count per span WITHOUT the aggregate + join-back (which
+    # made the corpus-scale occurrence frame a two-consumer subplan that
+    # executed twice — r8, same family as the stop-shingle fix):
+    # dense_rank over (span_hash ordered by doc), then max over the
+    # partition = countDistinct, one shuffle, occurrence rows kept.  The
+    # two windows share the span_hash exchange and sort; memory stays
+    # bounded (no collect_set of a boilerplate span's million docs).
+    from pyspark.sql import Window
+
+    w_ord = Window.partitionBy("span_hash").orderBy("doc")
+    w_all = Window.partitionBy("span_hash")
+    return (
+        spans.withColumn("__dr", F.dense_rank().over(w_ord))
+        .withColumn(
+            "n_docs_sharing", F.max("__dr").over(w_all).cast("bigint")
+        )
         .where(F.col("n_docs_sharing") >= min_docs)
-    )
-    return spans.join(freq, "span_hash").select(
-        "doc", "start_tok", "span_hash", "n_docs_sharing"
+        .select("doc", "start_tok", "span_hash", "n_docs_sharing")
     )
 
 
