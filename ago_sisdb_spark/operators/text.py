@@ -202,12 +202,13 @@ def paragraph_dedup_stats(
     digest), and report per-doc kept/total counts + the dup ratio.
 
     Scale shape: explode → one shuffle keyed by the unit digest (never the
-    unit text beyond the digest row), min-agg + join back on digest.  The
-    same digest-keyed layout serves actual removal (filter on keep) —
-    this operator returns the audit aggregate per doc.
+    unit text beyond the digest row) with the first-occurrence key
+    attached by a min window — no join-back, one corpus pass.  The same
+    digest-keyed layout serves actual removal (filter on keep) — this
+    operator returns the audit aggregate per doc.
     """
-    hashed, first = _paragraph_first_occurrence(docs, id_col, text_col, sep)
-    marked = hashed.join(first, "digest").select(
+    hashed = _paragraph_first_occurrence(docs, id_col, text_col, sep)
+    marked = hashed.select(
         "doc", (F.col("__k") == F.col("__kmin")).cast("int").alias("keep")
     )
     return marked.groupBy("doc").agg(
@@ -225,7 +226,10 @@ def _paragraph_first_occurrence(docs, id_col: str, text_col: str, sep: str):
     id < 2^43, < 2^20 paragraphs per doc.  Returns (hashed, first):
     hashed = (doc, pos, __k, digest, __p trimmed unit), first = the min
     __k per digest — ONE definition so audit and rewrite can never
-    desynchronize."""
+    desynchronize.  Returns ONE frame: hashed rows with their digest's
+    corpus-wide ``__kmin`` attached by a window (r8; the old
+    (hashed, first) pair forced a join-back that executed the corpus
+    explode twice)."""
     units = docs.select(
         F.col(id_col).alias("doc"),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
@@ -237,8 +241,14 @@ def _paragraph_first_occurrence(docs, id_col: str, text_col: str, sep: str):
         F.md5(F.trim(F.col("para"))).alias("digest"),
         F.trim(F.col("para")).alias("__p"),
     )
-    first = hashed.groupBy("digest").agg(F.min("__k").alias("__kmin"))
-    return hashed, first
+    # min over a digest window, not groupBy + join-back: the aggregate
+    # form made the corpus-scale unit frame a two-consumer subplan that
+    # executed twice (r8, the stop-shingle-fix family)
+    from pyspark.sql import Window
+
+    return hashed.withColumn(
+        "__kmin", F.min("__k").over(Window.partitionBy("digest"))
+    )
 
 
 def dedup_paragraphs(
@@ -255,17 +265,20 @@ def dedup_paragraphs(
     Reassembly joins trimmed units with ``joiner`` (the split consumed the
     original separators, so the rewrite is canonical-form — documented,
     same as the reference's render normalizations).  Scale shape: the
-    explode shuffles (digest, packed key) rows; rebuild is one
-    digest-keyed join + per-doc sort_array over the kept units (unit-count
-    bounded), no window."""
-    hashed, first = _paragraph_first_occurrence(docs, id_col, text_col, sep)
-    kept = hashed.join(first, "digest").where(F.col("__k") == F.col("__kmin"))
-    totals = hashed.groupBy("doc").agg(F.count(F.lit(1)).alias("n_paras"))
-    rebuilt = kept.groupBy("doc").agg(
-        F.count(F.lit(1)).alias("n_kept"),
+    explode shuffles (digest, packed key) rows through the min window,
+    then ONE per-doc aggregation computes totals, kept count, and the
+    reassembly together (collect_list skips the NULLs the keep-filter
+    leaves) — no join-back, no second corpus pass (r8)."""
+    hashed = _paragraph_first_occurrence(docs, id_col, text_col, sep)
+    is_first = F.col("__k") == F.col("__kmin")
+    per_doc = hashed.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.count(F.when(is_first, F.lit(1))).alias("n_kept"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "__p"))),
+                F.array_sort(
+                    F.collect_list(F.when(is_first, F.struct("pos", "__p")))
+                ),
                 lambda x: x["__p"],
             ),
             joiner,
@@ -273,8 +286,7 @@ def dedup_paragraphs(
     )
     return (
         docs.select(F.col(id_col).alias("doc"))
-        .join(totals, "doc", "left")
-        .join(rebuilt, "doc", "left")
+        .join(per_doc, "doc", "left")
         .select(
             F.col("doc").alias(id_col),
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
