@@ -1227,6 +1227,7 @@ def minhash_screen_batch(
     bands: int = 8,
     portable: bool = False,
     band_rows: DataFrame | None = None,
+    min_words: int | None = None,
 ) -> DataFrame:
     """Near-duplicate screen of a new batch against a materialized history
     index: the batch's band rows equi-join the persisted buckets — shuffle
@@ -1241,7 +1242,8 @@ def minhash_screen_batch(
     the index pass one persisted frame so the shingle hashing runs once
     per batch, not once per consumer."""
     brows = band_rows if band_rows is not None else minhash_band_rows(
-        batch, id_col, text_col, shingle_k, num_hashes, bands, portable=portable
+        batch, id_col, text_col, shingle_k, num_hashes, bands,
+        portable=portable, min_words=min_words,
     )
     j = brows.alias("n").join(
         index.alias("h"),

@@ -613,10 +613,11 @@ def screen_prep_batch(
     # screen the RAW batch (not the exact-survivors): hits for docs the
     # exact stage already dropped are no-ops in the anti-join, and the
     # unconditioned form is what the oracle twin restates
-    w3 = F.size(F.split(F.col(text_col), r"\s+")) >= 3
+    # >= 3-word eligibility rides the shingle pass's split (min_words) —
+    # the old where(size(split)) pre-filter re-split the batch (r8)
     hits = dedup.minhash_screen_batch(
-        batch.where(w3), index, id_col, text_col, portable=True,
-        band_rows=band_rows,
+        batch, index, id_col, text_col, portable=True,
+        band_rows=band_rows, min_words=3,
     )
     nd = (
         hits.where(F.col("n_shared_bands") >= min_shared_bands)
@@ -629,8 +630,8 @@ def screen_prep_batch(
             inb = dedup.drop_ids_from_band_rows(band_rows, id_col)
         else:
             inb = dedup.minhash_lsh_drop_ids(
-                batch.where(w3), id_col, text_col, shingle_k=3,
-                num_hashes=32, bands=8, portable=True,
+                batch, id_col, text_col, shingle_k=3,
+                num_hashes=32, bands=8, portable=True, min_words=3,
             )
         keep = keep.join(inb, id_col, "left_anti")
     return keep.where(
