@@ -902,9 +902,8 @@ def incremental_ingest(
     # index append are three consumers of the same (doc, band, bucket)
     # rows — without the persisted frame each consumer re-runs the
     # shingle-hash subplan (no exchange reuse across separate aggregates)
-    w3 = F.size(F.split(F.col(text_col), r"\s+")) >= 3
     brows = dedup.minhash_band_rows(
-        batch.where(w3), id_col, text_col, 3, 32, 8, portable=True
+        batch, id_col, text_col, 3, 32, 8, portable=True, min_words=3
     ).persist()
     accepted = screen_prep_batch(
         batch, digests, index, id_col, text_col,
@@ -930,8 +929,10 @@ def incremental_ingest(
         advance_prep_state(
             spark, batch, stable, digest_path, pack_state_path, text_col
         )
+        # band rows were built with min_words=3, so semi-joining on ALL
+        # accepted ids appends exactly the >=3-word rows — no re-split
         dedup.append_minhash_index(
-            accepted.where(w3), id_col, text_col, index_path, portable=True,
+            accepted, id_col, text_col, index_path, portable=True,
             band_rows=brows,
         )
         # the ledger/results row is written LAST: its presence means the
