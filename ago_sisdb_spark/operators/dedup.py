@@ -62,6 +62,26 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def exact_dup_drop_ids(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Ids to DROP under keep-lowest-id exact dedup, computed on a NARROW
+    (digest, id) projection — the shuffle carries ~24-byte rows, never the
+    documents (the d1 layout).  Consumers anti-join by id; with a low dup
+    rate (the common corpus case) AQE turns that into a broadcast anti
+    join and the corpus itself never shuffles at all — the digest-window
+    form this replaces (r8) exchanged FULL text rows to decide the same
+    drop set.  When the drop set outgrows broadcast, the sort-merge
+    fallback shuffles the same volume the window did — never worse."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("digest")
+    return (
+        df.select(content_digest(F.col(text_col)).alias("digest"), F.col(id_col))
+        .withColumn("__min", F.min(id_col).over(w))
+        .where(F.col(id_col) != F.col("__min"))
+        .select(id_col)
+    )
+
+
 def word_shingles(text: Column, k: int) -> Column:
     """Distinct k-word shingles as an array column (expression form).
 

@@ -392,12 +392,11 @@ def full_prep_pipeline(docs: DataFrame, id_col: str = "doc_id",
     from ago_sisdb_spark.operators import dedup, text
 
     did = F.col(id_col)
-    keep = (
-        docs.withColumn(
-            "__keep", F.min(id_col).over(Window.partitionBy(F.md5(text_col)))
-        )
-        .where(did == F.col("__keep"))
-        .drop("__keep")
+    # exact dedup by anti-joining the NARROW drop-id set (d1's
+    # shuffle-ids-not-bodies layout) — the old digest window exchanged
+    # full text rows to decide the same drops (r8)
+    keep = docs.join(
+        dedup.exact_dup_drop_ids(docs, id_col, text_col), id_col, "left_anti"
     )
     # the >= 3-word eligibility rides the shingle pass's own split
     # (min_words) — a separate where(size(split)) would re-split the
@@ -484,15 +483,13 @@ def build_prep_state(
     hist.select(F.md5(text_col).alias("digest")).distinct().write.mode(
         "overwrite"
     ).parquet(digest_path)
-    hkeep = (
-        hist.withColumn(
-            "__k", F.min(id_col).over(Window.partitionBy(F.md5(text_col)))
-        )
-        .where(F.col(id_col) == F.col("__k"))
-        .where(
-            (F.length(text_col) >= 50)
-            & (text.punct_ratio(F.col(text_col)) < 0.10)
-        )
+    from ago_sisdb_spark.operators import dedup
+
+    hkeep = hist.join(
+        dedup.exact_dup_drop_ids(hist, id_col, text_col), id_col, "left_anti"
+    ).where(
+        (F.length(text_col) >= 50)
+        & (text.punct_ratio(F.col(text_col)) < 0.10)
     )
     (
         hkeep.groupBy(
@@ -594,13 +591,8 @@ def screen_prep_batch(
 
     from ago_sisdb_spark.operators import dedup, text
 
-    did = F.col(id_col)
-    keep = (
-        batch.withColumn(
-            "__keep", F.min(id_col).over(Window.partitionBy(F.md5(text_col)))
-        )
-        .where(did == F.col("__keep"))
-        .drop("__keep")
+    keep = batch.join(
+        dedup.exact_dup_drop_ids(batch, id_col, text_col), id_col, "left_anti"
     )
     # no distinct on the digest side: left_anti is existence-only, so the
     # duplicates an append-only artifact accumulates are harmless and a
