@@ -594,13 +594,26 @@ def screen_prep_batch(
     keep = batch.join(
         dedup.exact_dup_drop_ids(batch, id_col, text_col), id_col, "left_anti"
     )
-    # no distinct on the digest side: left_anti is existence-only, so the
-    # duplicates an append-only artifact accumulates are harmless and a
-    # dedup shuffle here would be pure cost
+    # History-digest screen WITHOUT shuffling the history (r8): a plain
+    # anti-join against the corpus-scale digest artifact would exchange
+    # BOTH sides by digest — at 100 TB that is terabytes of history
+    # digests per arriving batch.  Instead the batch's own digest set
+    # (batch-bounded) broadcasts into a left_semi over the artifact —
+    # a map-side scan of the digest parquet, no exchange — and the
+    # matched subset (≤ |batch|) broadcasts back into the anti-join.
+    # Duplicates the append-only artifact accumulates are harmless
+    # (semi/anti are existence-only); distinct() keeps both broadcast
+    # sides batch-bounded.
+    batch_digests = (
+        batch.select(F.md5(text_col).alias("__digest")).distinct()
+    )
+    matched = (
+        digests.select(F.col("digest").alias("__digest"))
+        .join(F.broadcast(batch_digests), "__digest", "left_semi")
+        .distinct()
+    )
     keep = keep.withColumn("__digest", F.md5(text_col)).join(
-        digests.select(F.col("digest").alias("__digest")),
-        "__digest",
-        "left_anti",
+        F.broadcast(matched), "__digest", "left_anti"
     ).drop("__digest")
     # screen the RAW batch (not the exact-survivors): hits for docs the
     # exact stage already dropped are no-ops in the anti-join, and the
