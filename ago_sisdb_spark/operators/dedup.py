@@ -1260,12 +1260,20 @@ def minhash_screen_batch(
     ``band_rows`` (optional): precomputed ``minhash_band_rows`` of the
     SAME batch/parameters — callers that also prune in-batch or append to
     the index pass one persisted frame so the shingle hashing runs once
-    per batch, not once per consumer."""
+    per batch, not once per consumer.
+
+    The BATCH side carries the broadcast hint (r8): left unhinted, the
+    planner happily builds the smaller-looking side — locally that is
+    the index, and broadcasting a CORPUS-scale band index is exactly
+    backwards at 100 TB (it also disables the map-side streaming of the
+    index parquet).  Batch band rows are batch-bounded by construction,
+    so the hint makes the probe a single index scan with no exchange on
+    the history side at any scale."""
     brows = band_rows if band_rows is not None else minhash_band_rows(
         batch, id_col, text_col, shingle_k, num_hashes, bands,
         portable=portable, min_words=min_words,
     )
-    j = brows.alias("n").join(
+    j = F.broadcast(brows.alias("n")).join(
         index.alias("h"),
         (F.col("n.band") == F.col("h.band"))
         & (F.col("n.bucket") == F.col("h.bucket"))
