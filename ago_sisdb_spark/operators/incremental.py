@@ -178,11 +178,22 @@ def screen_batch(
     # (id, digest, status) — exactly the frame screen_batch exists to
     # bound — so holding it is the designed cost shape
     verdicts = materialize(verdicts)
-    hist_digests = history.select(
-        content_digest(F.col(text_col)).alias("digest")
-    ).distinct()
+    # verify WITHOUT shuffling the history (r8, same shape as the prep
+    # digest screen): the possible_dup digest set is batch-bounded (and
+    # Bloom-FP-small), so it broadcasts into a left_semi over the raw
+    # history digests — a map-side scan, no corpus-wide distinct, no
+    # exchange of history — and the matched subset broadcasts back.
     maybe = verdicts.where(F.col("status") == "possible_dup")
-    verified = maybe.join(hist_digests, "digest", "left_semi").select(
+    matched = (
+        history.select(content_digest(F.col(text_col)).alias("digest"))
+        .join(
+            F.broadcast(maybe.select("digest").distinct()),
+            "digest",
+            "left_semi",
+        )
+        .distinct()
+    )
+    verified = maybe.join(F.broadcast(matched), "digest", "left_semi").select(
         "id", F.lit(True).alias("is_dup")
     )
     return (
