@@ -141,8 +141,11 @@ def _bm25_rank(tf, dl, stats, qterms, k: int, k1: float, b: float) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
     )
+    # the matched-postings side is query-bounded — broadcast IT into the
+    # doc-length join (r8): unhinted, the planner may build the locally
+    # smaller doc-length table, which is corpus-scale in production
     scored = (
-        post.join(F.broadcast(dfreq), "term")
+        F.broadcast(post.join(F.broadcast(dfreq), "term"))
         .join(dl, "doc")
         .crossJoin(F.broadcast(stats))
         .select(
@@ -308,9 +311,13 @@ def tfidf_topk(
         "query_id long, term string",
     )
     post = widf.join(F.broadcast(qterms), "term")
+    # query-bounded dot products broadcast into the corpus-scale norms
+    # join (r8, same build-side rule as _bm25_rank)
     scored = (
-        post.groupBy("query_id", "doc")
-        .agg(F.sum(F.col("w") * F.col("idf")).alias("dp"))
+        F.broadcast(
+            post.groupBy("query_id", "doc")
+            .agg(F.sum(F.col("w") * F.col("idf")).alias("dp"))
+        )
         .join(norms, "doc")
         .select(
             "query_id", "doc",
