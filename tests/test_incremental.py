@@ -942,3 +942,31 @@ def test_streaming_minhash_state_schema_guard(spark, tmp_path):
     )
     sd.await_screen(q3, 120)
     q3.stop()
+
+
+def test_minhash_screen_broadcasts_batch_side(spark, tmp_path):
+    """r8 build-side pin: the index probe must broadcast the BATCH band
+    rows (BuildLeft), never the corpus-scale band index — unhinted, the
+    planner picks whichever side looks smaller locally, i.e. the index."""
+    from ago_sisdb_spark.operators import dedup
+
+    hist = spark.createDataFrame(
+        [(1, " ".join(f"h{i}" for i in range(60)))],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    dedup.build_minhash_index(hist, "doc_id", "text", idx, portable=True)
+    index = dedup.load_minhash_index(spark, idx)
+    batch = spark.createDataFrame(
+        [(2, " ".join(f"h{i}" for i in range(60)))],
+        "doc_id long, text string",
+    )
+    out = dedup.minhash_screen_batch(batch, index, "doc_id", "text",
+                                     portable=True)
+    out.collect()
+    plan = (
+        out._jdf.queryExecution().executedPlan().toString()
+    ).split("== Initial Plan ==")[0]
+    probe = [ln for ln in plan.splitlines()
+             if "BroadcastHashJoin" in ln and "band" in ln]
+    assert probe and all("BuildLeft" in ln for ln in probe), probe
