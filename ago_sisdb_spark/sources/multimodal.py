@@ -95,10 +95,12 @@ def _spread(slim: DataFrame) -> DataFrame:
 def extract_features(df: DataFrame, batch_limit: int = 1024) -> DataFrame:
     """Decode + featurize media rows via Arrow-batched mapInPandas.
 
-    Batch shape: the iterator yields pandas frames capped upstream by
-    ``spark.sql.execution.arrow.maxRecordsPerBatch`` — set it so
-    (records × avg blob size) fits executor memory; re-yield per chunk to
-    keep peak memory at one batch.
+    Batch shape: Arrow caps the frames the iterator yields at
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` (records), but blob
+    SIZES vary wildly — ``batch_limit`` additionally slices each frame
+    before decoding, so peak executor memory is bounded by
+    batch_limit × max blob size regardless of the Arrow record cap
+    (r8: the parameter previously existed but was never applied).
     """
     import pandas as pd
 
@@ -106,23 +108,29 @@ def extract_features(df: DataFrame, batch_limit: int = 1024) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:  # empty partitions: dtype-less frames break Arrow
                 continue
-            decoded = [
-                _decode_image_stub(b if b is None or isinstance(b, bytes) else bytes(b))
-                for b in pdf["content"]
-            ]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "modality": pdf["modality"],
-                    "n_bytes": [len(b) if b is not None else 0 for b in pdf["content"]],
-                    "magic": [
-                        bytes(b)[:2].hex() if b is not None else ""
-                        for b in pdf["content"]
-                    ],
-                    "feature": [f for f, _ in decoded],
-                    "error": [e for _, e in decoded],
-                }
-            )
+            for lo in range(0, len(pdf), batch_limit):
+                sl = pdf.iloc[lo:lo + batch_limit]
+                decoded = [
+                    _decode_image_stub(
+                        b if b is None or isinstance(b, bytes) else bytes(b)
+                    )
+                    for b in sl["content"]
+                ]
+                yield pd.DataFrame(
+                    {
+                        "media_id": sl["media_id"],
+                        "modality": sl["modality"],
+                        "n_bytes": [
+                            len(b) if b is not None else 0 for b in sl["content"]
+                        ],
+                        "magic": [
+                            bytes(b)[:2].hex() if b is not None else ""
+                            for b in sl["content"]
+                        ],
+                        "feature": [f for f, _ in decoded],
+                        "error": [e for _, e in decoded],
+                    }
+                )
 
     return _spread(df.select("media_id", "modality", "content")).mapInPandas(
         run, FEATURE_SCHEMA

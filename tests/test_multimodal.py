@@ -89,3 +89,15 @@ def test_resize_media_shrinks_bytes(media):
     # deterministic
     again = {r.media_id: bytes(r.content) for r in resize_media(media, 32, 32).collect()}
     assert {m: bytes(r.content) for m, r in out.items()} == again
+
+
+def test_extract_features_batch_limit_slices(spark):
+    """r8: batch_limit actually bounds per-yield size (it was a dead
+    parameter).  A tiny limit must still produce every row exactly once."""
+    from ago_sisdb_spark.sources import multimodal as mm
+
+    rows = [(i, "image", bytes([i % 251]) * (8 + i)) for i in range(37)]
+    df = spark.createDataFrame(rows, "media_id long, modality string, content binary")
+    out = mm.extract_features(df, batch_limit=5).collect()
+    assert sorted(r.media_id for r in out) == list(range(37))
+    assert all(r.n_bytes == 8 + r.media_id for r in out)
