@@ -847,3 +847,149 @@ def bpe_encode_counts(docs, id_col: str, text_col: str, merges):
         .agg(F.sum("n_sym").cast("long").alias("n_bpe_tokens"))
         .select(F.col("__id").alias(id_col), "n_bpe_tokens")
     )
+
+
+# Gopher rule thresholds (Rae et al. 2021, appendix A1) in e6 fixed point.
+# Integer fixed-point keeps the keep-flag hash-portable across engines:
+# (1e6 * a) // b is exact integer arithmetic on both sides, immune to the
+# float round-at-.5 trap (r5 t18).
+GOPHER_WORDS_RANGE = (50, 100_000)
+GOPHER_MWL_RANGE_E6 = (3_000_000, 10_000_000)
+GOPHER_MAX_SYMBOL_E6 = 100_000       # '#' + '...' per word <= 0.1
+GOPHER_MIN_ALPHA_E6 = 800_000        # >= 80% words contain a letter
+GOPHER_MIN_STOP_HITS = 2             # of the 8 canonical stopwords
+GOPHER_MAX_TOP2_E6 = 200_000         # top 2-gram char fraction <= 0.20
+GOPHER_MAX_TOP3_E6 = 180_000
+GOPHER_MAX_TOP4_E6 = 160_000
+GOPHER_MAX_DUP5_E6 = 150_000         # chars in duplicated 5-grams <= 0.15
+GOPHER_MAX_DUP10_E6 = 100_000
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_stats(docs, id_col: str, text_col: str) -> "DataFrame":
+    """Gopher-style repetition + quality rule suite, one row per document
+    (Rae et al. 2021 Table A1; the same rule family the reference's quality
+    gate sketches as scalar filters — here the full per-doc audit).
+
+    Columns (all ratios as exact e6 fixed-point bigints):
+      n_words, mwl_e6 (mean word length), top{2,3,4}_e6 (chars of the most
+      frequent n-gram / total chars; tie -> lexicographically smallest
+      gram), dup{5,10}_e6 (chars inside n-grams occurring >= 2x, summed
+      over occurrences), symbol_e6 ('#' + non-overlapping '...' per word),
+      alpha_e6 (words containing a letter), stop_hits (distinct canonical
+      stopwords present), gopher_keep (the composite gate).
+
+    Scale shape: embarrassingly row-parallel — ONE corpus scan, no shuffle,
+    Arrow-batched ``mapInPandas``.  Per-gram mode/frequency counting is the
+    textbook case where interpreted relational HOFs lose (the d11/t12
+    re-evaluation trap: a nested ``filter`` per distinct gram is O(n^2)
+    interpreted); a Counter pass is O(n) per doc and the whole batch rides
+    one Arrow transfer.  The DuckDB oracle twin restates the spec via
+    unnest + group-by + QUALIFY windows (t25_gopher_rules).
+    """
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    globals()["pd"] = pd  # pandas_udf/mapInPandas + future-annotations gotcha
+
+    stop_set = set(GOPHER_STOPWORDS)
+    out_schema = (
+        f"`{id_col}` long, n_words long, mwl_e6 long, top2_e6 long, "
+        "top3_e6 long, top4_e6 long, dup5_e6 long, dup10_e6 long, "
+        "symbol_e6 long, alpha_e6 long, stop_hits long, gopher_keep boolean"
+    )
+
+    def _top_frac(counts: Counter, n_chars: int) -> int:
+        if not counts or n_chars == 0:
+            return 0
+        best_c = max(counts.values())
+        best_g = min(g for g, c in counts.items() if c == best_c)
+        return (1_000_000 * best_c * len(best_g)) // n_chars
+
+    def _dup_frac(counts: Counter, n_chars: int) -> int:
+        if not counts or n_chars == 0:
+            return 0
+        dup_chars = sum(c * len(g) for g, c in counts.items() if c >= 2)
+        return (1_000_000 * dup_chars) // n_chars
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "id", "nw", "mwl", "t2", "t3", "t4", "d5", "d10",
+                "sym", "al", "st", "keep",
+            )}
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None:
+                    txt = ""
+                # explicit ASCII class: RE2 (Spark/DuckDB) \s is ASCII-only
+                # while Python's is Unicode — zh docs would diverge
+                words = [w for w in re.split("[ \t\n\r\f\v]+", txt) if w != ""]
+                nw = len(words)
+                n_chars = len(txt)
+                grams = {
+                    n: Counter(
+                        " ".join(words[i : i + n]) for i in range(nw - n + 1)
+                    )
+                    if nw >= n
+                    else Counter()
+                    for n in (2, 3, 4, 5, 10)
+                }
+                mwl = (1_000_000 * sum(len(w) for w in words)) // nw if nw else 0
+                t2 = _top_frac(grams[2], n_chars)
+                t3 = _top_frac(grams[3], n_chars)
+                t4 = _top_frac(grams[4], n_chars)
+                d5 = _dup_frac(grams[5], n_chars)
+                d10 = _dup_frac(grams[10], n_chars)
+                n_sym = txt.count("#") + txt.count("...")
+                sym = (1_000_000 * n_sym) // nw if nw else 0
+                al = (
+                    (1_000_000 * sum(1 for w in words if re.search(r"[A-Za-z]", w)))
+                    // nw
+                    if nw
+                    else 0
+                )
+                st = len(stop_set.intersection(words))
+                keep = (
+                    GOPHER_WORDS_RANGE[0] <= nw <= GOPHER_WORDS_RANGE[1]
+                    and GOPHER_MWL_RANGE_E6[0] <= mwl <= GOPHER_MWL_RANGE_E6[1]
+                    and sym <= GOPHER_MAX_SYMBOL_E6
+                    and al >= GOPHER_MIN_ALPHA_E6
+                    and st >= GOPHER_MIN_STOP_HITS
+                    and t2 <= GOPHER_MAX_TOP2_E6
+                    and t3 <= GOPHER_MAX_TOP3_E6
+                    and t4 <= GOPHER_MAX_TOP4_E6
+                    and d5 <= GOPHER_MAX_DUP5_E6
+                    and d10 <= GOPHER_MAX_DUP10_E6
+                )
+                for k, v in zip(
+                    rows, (did, nw, mwl, t2, t3, t4, d5, d10, sym, al, st, keep)
+                ):
+                    rows[k].append(v)
+            yield pd.DataFrame(
+                {
+                    id_col: rows["id"],
+                    "n_words": rows["nw"],
+                    "mwl_e6": rows["mwl"],
+                    "top2_e6": rows["t2"],
+                    "top3_e6": rows["t3"],
+                    "top4_e6": rows["t4"],
+                    "dup5_e6": rows["d5"],
+                    "dup10_e6": rows["d10"],
+                    "symbol_e6": rows["sym"],
+                    "alpha_e6": rows["al"],
+                    "stop_hits": rows["st"],
+                    "gopher_keep": rows["keep"],
+                }
+            )
+
+    slim = docs.select(F.col(id_col), F.col(text_col))
+    # spread single-split local inputs across cores (the shingle_rows /
+    # cdc_chunks guard): per-gram Counter work on one task serializes the
+    # corpus pass
+    if not slim.isStreaming:
+        target = slim.sparkSession.sparkContext.defaultParallelism
+        if slim.rdd.getNumPartitions() < target:
+            slim = slim.repartition(target, F.col(id_col))
+    return slim.mapInPandas(gen, out_schema)

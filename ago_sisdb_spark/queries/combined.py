@@ -330,7 +330,8 @@ def n2_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.doc_id, b.n_ws_tokens, b.n_bpe_tokens, a.n_chars_actual,
            a.n_chars, c.lang, c.pred_lang, d.fingerprint, e.n_grams,
            e.rep_ratio, p.n_email, p.n_phone, p.n_ipv4, p.redacted_len,
-           u.n_urls, u.n_hosts, h.score_e6 AS cls_score_e6, h.keep AS cls_keep
+           u.n_urls, u.n_hosts, h.score_e6 AS cls_score_e6, h.keep AS cls_keep,
+           g.top2_e6, g.dup5_e6, g.gopher_keep
     FROM ({_O['t1_token_count']}) a
     JOIN ({_O['t5_bpe_token_count']}) b ON a.doc_id = b.doc_id
     JOIN ({_O['t3_lang_id']}) c ON a.doc_id = c.doc_id
@@ -339,6 +340,7 @@ def n2_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN ({_O['t8_pii_redact']}) p ON a.doc_id = p.doc_id
     JOIN ({_O['t9_url_stats']}) u ON a.doc_id = u.doc_id
     JOIN ({_O['t18_hash_classifier']}) h ON a.doc_id = h.doc_id
+    JOIN ({_O['t25_gopher_rules']}) g ON a.doc_id = g.doc_id
     """,
 )
 def t_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -346,8 +348,9 @@ def t_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle): whitespace + BPE-ish token counts (T1/T5), char counts,
     heuristic language-ID (T3), rolling-hash fingerprint (T4), the
     Gopher-style 3-gram repetition ratio (T6), PII redaction audit counts
-    (t8), and URL-filter stats (t9).  The oracle joins the locally-gated
-    per-metric oracles on doc_id."""
+    (t8), URL-filter stats (t9), and the full Gopher rule-gate columns
+    (t25: top-2-gram/dup-5-gram char fractions + composite keep).  The
+    oracle joins the locally-gated per-metric oracles on doc_id."""
     from ago_sisdb_spark.operators import text
 
     docs = _t(spark, sf_dir, "documents")
@@ -397,6 +400,13 @@ def t_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("score_e6").alias("cls_score_e6"),
             F.col("keep").alias("cls_keep"),
+        ),
+        "doc_id",
+    ).join(
+        # r9: Gopher repetition-rule gate columns (Counter mapInPandas pass,
+        # operators/text.gopher_stats — extended twin t25_gopher_rules)
+        text.gopher_stats(docs, "doc_id", "text").select(
+            "doc_id", "top2_e6", "dup5_e6", "gopher_keep"
         ),
         "doc_id",
     )

@@ -3194,3 +3194,91 @@ def pipe11_model_gated_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         planted.unpersist()
+
+
+@query(
+    "t25_gopher_rules",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, text, length(text) AS n_chars,
+               list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS words
+        FROM documents),
+    w AS (SELECT *, len(words) AS nw FROM base),
+    grams AS (
+        SELECT doc_id, n, gram, count(*) AS c, length(gram) AS lg
+        FROM (
+            SELECT t.doc_id, ns.n AS n,
+                   unnest(list_transform(range(1, t.nw - ns.n + 2),
+                          i -> array_to_string(t.words[i : i + ns.n - 1], ' '))) AS gram
+            FROM w t, (VALUES (2),(3),(4),(5),(10)) AS ns(n))
+        GROUP BY 1, 2, 3),
+    tops AS (
+        SELECT doc_id, n, c, lg FROM grams
+        QUALIFY row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, gram ASC) = 1),
+    topp AS (
+        SELECT doc_id,
+               max(CASE WHEN n = 2 THEN 1000000 * c * lg END) AS t2n,
+               max(CASE WHEN n = 3 THEN 1000000 * c * lg END) AS t3n,
+               max(CASE WHEN n = 4 THEN 1000000 * c * lg END) AS t4n
+        FROM tops GROUP BY doc_id),
+    dups AS (
+        SELECT doc_id,
+               CAST(coalesce(sum(CASE WHEN n = 5 AND c >= 2 THEN c * lg END), 0) AS BIGINT) AS d5c,
+               CAST(coalesce(sum(CASE WHEN n = 10 AND c >= 2 THEN c * lg END), 0) AS BIGINT) AS d10c
+        FROM grams GROUP BY doc_id),
+    scal AS (
+        SELECT doc_id, n_chars, nw,
+               CAST(CASE WHEN nw = 0 THEN 0 ELSE
+                   (1000000 * list_sum(list_transform(words, x -> length(x)))) // nw
+               END AS BIGINT) AS mwl_e6,
+               CASE WHEN nw = 0 THEN 0 ELSE
+                   (1000000 * (length(text) - length(replace(text, '#', ''))
+                               + len(string_split(text, '...')) - 1)) // nw
+               END AS symbol_e6,
+               CASE WHEN nw = 0 THEN 0 ELSE
+                   (1000000 * len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))) // nw
+               END AS alpha_e6,
+               len(list_filter(['the','be','to','of','and','that','have','with'],
+                               s -> list_contains(words, s))) AS stop_hits
+        FROM w)
+    SELECT s.doc_id,
+           s.nw AS n_words, s.mwl_e6,
+           coalesce(t.t2n // s.n_chars, 0) AS top2_e6,
+           coalesce(t.t3n // s.n_chars, 0) AS top3_e6,
+           coalesce(t.t4n // s.n_chars, 0) AS top4_e6,
+           CASE WHEN s.n_chars = 0 THEN 0
+                ELSE (1000000 * coalesce(d.d5c, 0)) // s.n_chars END AS dup5_e6,
+           CASE WHEN s.n_chars = 0 THEN 0
+                ELSE (1000000 * coalesce(d.d10c, 0)) // s.n_chars END AS dup10_e6,
+           s.symbol_e6, s.alpha_e6, s.stop_hits,
+           (s.nw BETWEEN 50 AND 100000
+            AND s.mwl_e6 BETWEEN 3000000 AND 10000000
+            AND s.symbol_e6 <= 100000 AND s.alpha_e6 >= 800000
+            AND s.stop_hits >= 2
+            AND coalesce(t.t2n // s.n_chars, 0) <= 200000
+            AND coalesce(t.t3n // s.n_chars, 0) <= 180000
+            AND coalesce(t.t4n // s.n_chars, 0) <= 160000
+            AND CASE WHEN s.n_chars = 0 THEN 0
+                     ELSE (1000000 * coalesce(d.d5c, 0)) // s.n_chars END <= 150000
+            AND CASE WHEN s.n_chars = 0 THEN 0
+                     ELSE (1000000 * coalesce(d.d10c, 0)) // s.n_chars END <= 100000
+           ) AS gopher_keep
+    FROM scal s
+    LEFT JOIN topp t USING (doc_id)
+    LEFT JOIN dups d USING (doc_id)
+    """,
+    extended=True,
+)
+def t25_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher repetition + quality rule suite (Rae et al. 2021
+    Table A1) per document: mean word length, top-{2,3,4}-gram char
+    fractions, duplicated-{5,10}-gram char fractions, symbol-to-word
+    ratio, alpha-word fraction, canonical-stopword hits, and the composite
+    keep gate — all ratios as exact e6 fixed-point integers so the flag is
+    hash-portable (no float round-at-boundary trap).  One corpus scan, no
+    shuffle: ``text.gopher_stats`` (vectorized mapInPandas Counter pass).
+    Reference parity: the scalar quality filters the reference sketches in
+    its method tables (sis_method.h) generalized to the published Gopher
+    rule set."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.gopher_stats(docs, "doc_id", "text")

@@ -998,3 +998,87 @@ def test_dedup_paragraphs_vs_reference_impl(spark):
     assert got[3] == ("", 1, 0)
     assert got[4] == ("repeat me. distinct end", 3, 2)
     assert got[5] == ("", 0, 0)
+
+
+def test_gopher_stats_vs_reference_impl(spark):
+    """Plain-Python Gopher rule suite (Counter re-implementation, written
+    independently of the operator's internals) vs text.gopher_stats on a
+    corpus exercising the edges: empty doc, 1-word doc, heavy n-gram
+    repetition, tie-broken modes, '#'/'...' symbols, unicode whitespace,
+    and a clean passing doc."""
+    import re
+    from collections import Counter
+
+    from ago_sisdb_spark.operators import text as text_ops
+
+    # every word distinct -> every n-gram unique -> repetition rules pass
+    passing = "the and " + " ".join(f"word{i:02d}x" for i in range(60))
+    docs = [
+        (0, ""),
+        (1, "word"),
+        (2, "spam spam spam spam spam spam ham"),
+        (3, "b a b a b a b a"),  # 2-gram tie: 'a b' vs 'b a' counts tie
+        (4, "### ... ...... #no words here"),
+        (5, "the　ideographic　space stays inside one word"),
+        (6, passing),
+        (7, "one two three four five " * 12),  # dup 5/10-grams everywhere
+    ]
+
+    def expect(txt):
+        words = [w for w in re.split("[ \t\n\r\f\v]+", txt) if w]
+        nw, nc = len(words), len(txt)
+        out = {"n_words": nw}
+        out["mwl_e6"] = (10**6 * sum(map(len, words))) // nw if nw else 0
+        cnt = {
+            n: Counter(" ".join(words[i:i + n]) for i in range(nw - n + 1))
+            for n in (2, 3, 4, 5, 10)
+        }
+        for n in (2, 3, 4):
+            c = cnt[n]
+            if not c or nc == 0:
+                out[f"top{n}_e6"] = 0
+            else:
+                m = max(c.values())
+                g = min(k for k, v in c.items() if v == m)
+                out[f"top{n}_e6"] = (10**6 * m * len(g)) // nc
+        for n in (5, 10):
+            dup = sum(v * len(k) for k, v in cnt[n].items() if v >= 2)
+            out[f"dup{n}_e6"] = (10**6 * dup) // nc if nc else 0
+        out["symbol_e6"] = (
+            (10**6 * (txt.count("#") + txt.count("..."))) // nw if nw else 0
+        )
+        out["alpha_e6"] = (
+            (10**6 * sum(1 for w in words if re.search("[A-Za-z]", w))) // nw
+            if nw
+            else 0
+        )
+        out["stop_hits"] = len(
+            {"the", "be", "to", "of", "and", "that", "have", "with"} & set(words)
+        )
+        out["gopher_keep"] = (
+            50 <= nw <= 100000
+            and 3_000_000 <= out["mwl_e6"] <= 10_000_000
+            and out["symbol_e6"] <= 100_000
+            and out["alpha_e6"] >= 800_000
+            and out["stop_hits"] >= 2
+            and out["top2_e6"] <= 200_000
+            and out["top3_e6"] <= 180_000
+            and out["top4_e6"] <= 160_000
+            and out["dup5_e6"] <= 150_000
+            and out["dup10_e6"] <= 100_000
+        )
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in text_ops.gopher_stats(df, "doc_id", "text").collect()
+    }
+    assert set(got) == {d for d, _ in docs}
+    for did, txt in docs:
+        want = expect(txt)
+        have = {k: got[did][k] for k in want}
+        assert have == want, f"doc {did}: {have} != {want}"
+    # sanity: the engineered docs land on both sides of the gate
+    assert got[6]["gopher_keep"] is True
+    assert got[7]["gopher_keep"] is False and got[7]["dup10_e6"] > 100_000
