@@ -729,3 +729,71 @@ def ann_recall(truth: DataFrame, approx: DataFrame, k: int) -> DataFrame:
         )
     )
     return per_probe
+
+
+def truncation_audit(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe_id_col: str,
+    dims: tuple[int, ...] = (8, 16, 32, 64),
+    k: int = 5,
+) -> DataFrame:
+    """Matryoshka/prefix-truncation audit (Kusupati et al. 2022): for each
+    truncation width ``d`` in ``dims``, the exact cosine top-k per probe
+    over the FIRST ``d`` components, plus ``hit_full`` — whether the
+    neighbor also appears in the full-width top-k.  This is the standard
+    check before shipping truncated embeddings (storage/ANN cost ÷ 8 if
+    the 8-dim prefix preserves the neighborhood).
+
+    Scale shape: ONE corpus pass — the broadcast-probe cross join scores
+    all widths from the same row (per-width sequential fold over the
+    prefix slice, so the double arithmetic matches the DuckDB twin's
+    ``list_cosine_similarity`` term order), a 4-way in-row explode stacks
+    (dim, score), and one window ranks per (dim, probe).  ``hit_full``
+    comes from a second window over the ALREADY top-k-filtered rows
+    (|dims|·|probes|·k rows, trivially small) — never a join back through
+    the corpus-scale subplan."""
+    p = probes.select(
+        F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("__pvec")
+    )
+    scored = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+        .crossJoin(F.broadcast(p))
+        .where(F.col("neighbor_id") != F.col("probe_id"))
+    )
+    full_d = max(dims)
+    variants = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("long").alias("dim"),
+                cosine(
+                    F.slice(F.col("__cvec"), 1, d), F.slice(F.col("__pvec"), 1, d)
+                ).alias("score"),
+            )
+            for d in dims
+        ]
+    )
+    stacked = scored.select(
+        "probe_id", "neighbor_id", F.explode(variants).alias("s")
+    ).select("probe_id", "neighbor_id", F.col("s.dim").alias("dim"), F.col("s.score").alias("score"))
+    w = Window.partitionBy("dim", "probe_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    top = (
+        stacked.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    hit_w = Window.partitionBy("probe_id", "neighbor_id")
+    return top.select(
+        "dim",
+        "probe_id",
+        "neighbor_id",
+        F.round("score", 6).alias("score"),
+        F.max(F.when(F.col("dim") == full_d, 1).otherwise(0))
+        .over(hit_w)
+        .cast("long")
+        .alias("hit_full"),
+    )

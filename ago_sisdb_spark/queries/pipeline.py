@@ -3282,3 +3282,45 @@ def t25_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule set."""
     docs = _t(spark, sf_dir, "documents")
     return text.gopher_stats(docs, "doc_id", "text")
+
+
+@query(
+    "e6_matryoshka_truncation",
+    oracle="""
+    WITH p AS (
+        SELECT vec_id AS probe_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pvec
+        FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+    c AS (
+        SELECT vec_id AS neighbor_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+        FROM embeddings),
+    scored AS (
+        SELECT CAST(d.dim AS BIGINT) AS dim, p.probe_id, c.neighbor_id,
+               list_cosine_similarity(c.cvec[1:d.dim], p.pvec[1:d.dim]) AS score
+        FROM c, p, (VALUES (8), (16), (32), (64)) AS d(dim)
+        WHERE c.neighbor_id <> p.probe_id),
+    top AS (
+        SELECT * FROM scored
+        QUALIFY row_number() OVER (PARTITION BY dim, probe_id
+                                   ORDER BY score DESC, neighbor_id) <= 5)
+    SELECT dim, probe_id, neighbor_id, round(score, 6) AS score,
+           CAST(max(CASE WHEN dim = 64 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY probe_id, neighbor_id) AS BIGINT) AS hit_full
+    FROM top
+    """,
+    extended=True,
+)
+def e6_matryoshka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix-truncation audit (Kusupati et al. 2022): exact
+    cosine top-5 per probe at widths 8/16/32/64, with ``hit_full`` marking
+    neighbors that survive from the full-width top-5 — the go/no-go check
+    before serving truncated embeddings.  One corpus pass: all widths are
+    scored from the same broadcast-probe row, stacked by an in-row explode,
+    ranked by one (dim, probe) window; the full-width overlap is a second
+    window over the already-top-k rows (|dims|x|probes|x5 = 100 rows)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
+    return similarity.truncation_audit(
+        emb, probes, "vec_id", "embedding", "vec_id", dims=(8, 16, 32, 64), k=5
+    )

@@ -378,3 +378,48 @@ def test_cosine_lsh_duplicate_ids_no_self_pairs(spark):
     ).collect()
     assert all(r.id_a != r.id_b for r in got)
     assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}
+
+
+def test_truncation_audit_vs_numpy(spark):
+    """Independent numpy model of the matryoshka audit: exact cosine top-k
+    per width over prefix slices, hit_full = membership in the full-width
+    top-k.  Seeded vectors engineered so the 4-dim prefix REORDERS the
+    neighborhood (degradation is visible, not vacuous)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n, dim = 40, 16
+    vecs = rng.normal(size=(n, dim))
+    # make the tail dominate for half the vectors so short prefixes mislead
+    vecs[::2, 8:] *= 4.0
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = df.where(F.col("vec_id").isin(0, 1))
+
+    got = similarity.truncation_audit(
+        df, probes, "vec_id", "embedding", "vec_id", dims=(4, 8, 16), k=3
+    ).collect()
+
+    # numpy model over the SAME float32-rounded values Spark read
+    v32 = np.array([r[1] for r in rows], dtype=np.float32).astype(np.float64)
+
+    def topk(pid, d, k=3):
+        scores = []
+        for j in range(n):
+            if j == pid:
+                continue
+            a, b = v32[j, :d], v32[pid, :d]
+            s = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            scores.append((-s, j))
+        return [j for _, j in sorted(scores)[:k]]
+
+    expect = {}
+    for pid in (0, 1):
+        full = set(topk(pid, 16))
+        for d in (4, 8, 16):
+            for nb in topk(pid, d):
+                expect[(d, pid, nb)] = 1 if nb in full else 0
+    have = {(r.dim, r.probe_id, r.neighbor_id): r.hit_full for r in got}
+    assert have == expect
+    # the engineered tail makes at least one short-prefix neighbor a miss
+    assert 0 in {v for (d, _, _), v in have.items() if d == 4}
