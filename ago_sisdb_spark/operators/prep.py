@@ -1160,3 +1160,84 @@ def training_manifest(
             F.max(bin_col).cast("bigint").alias("last_bin"),
         )
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    domain_col: str,
+    target_frac_e6: int = 500_000,
+) -> DataFrame:
+    """Temperature-based domain reweighting (the multilingual-LM sampling
+    rule, alpha = 0.5): per-domain mass m_d -> weight sqrt(m_d / M), then
+    per-domain keep quotas against a corpus budget of
+    ``target_frac_e6``/1e6 of all rows.
+
+    Returns one row per domain: (domain, n_docs, weight, share_e6, quota,
+    rate_e6) — the sampling plan, NOT the sampled rows (``apply_mix_gate``
+    applies it).  Upsampling is clamped at rate 1e6 (this engine's mixes
+    never replicate rows; raise the budget instead).
+
+    Cross-engine exactness: the ONLY float ops are one correctly-rounded
+    IEEE chain per domain (count/total -> sqrt -> *1e6 -> floor), which
+    every engine reproduces bit-for-bit; everything downstream (share,
+    quota, rate) is pure integer arithmetic, and the cross-domain
+    reduction sums INTEGER weights — order-free, unlike a float
+    normalization sum (the r5 round-at-boundary family).  alpha = 0.5 is
+    the one exponent with a correctly-rounded primitive (sqrt); generic
+    alpha swaps in pow() at the cost of that guarantee.
+
+    Scale shape: one domains-sized aggregate (map-side combine, output
+    rows = #domains) is the only corpus pass; it is checkpointed (small
+    collapse point) so the totals pass and the final plan never re-scan
+    the corpus.
+    """
+    counts = materialize(
+        df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = counts.agg(F.sum("n_docs").cast("long").alias("n_total"))
+    w = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "weight",
+        F.floor(
+            F.lit(1000000.0) * F.sqrt(F.col("n_docs") / F.col("n_total"))
+        ).cast("long"),
+    )
+    wtot = w.agg(F.sum("weight").cast("long").alias("w_total"))
+    return (
+        w.crossJoin(F.broadcast(wtot))
+        .select(
+            domain_col,
+            "n_docs",
+            "weight",
+            F.expr("(1000000 * weight) div w_total").alias("share_e6"),
+            F.expr(
+                f"(((n_total * {int(target_frac_e6)}) div 1000000) * weight)"
+                " div w_total"
+            ).alias("quota"),
+        )
+        .withColumn(
+            "rate_e6",
+            F.least(
+                F.lit(1000000).cast("long"),
+                F.expr("(1000000 * quota) div n_docs"),
+            ),
+        )
+    )
+
+
+def apply_mix_gate(
+    df: DataFrame, id_col: str, domain_col: str, rates: DataFrame
+) -> DataFrame:
+    """Apply a ``temperature_rates`` plan: deterministic portable-hash gate
+    (md5-based, engine-portable, no RNG state) — keep a row iff
+    hash('mix:' || id) mod 1e6 < its domain's rate_e6.  The rates side is
+    #domains rows -> broadcast; the gate is a filter in the scan stage."""
+    from ago_sisdb_spark.operators.dedup import portable_hash60
+
+    gate = portable_hash60(
+        F.concat(F.lit("mix:"), F.col(id_col).cast("string"))
+    ) % 1000000
+    return (
+        df.join(F.broadcast(rates.select(domain_col, "rate_e6")), domain_col)
+        .where(gate < F.col("rate_e6"))
+        .drop("rate_e6")
+    )

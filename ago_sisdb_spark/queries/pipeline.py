@@ -3324,3 +3324,60 @@ def e6_matryoshka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.truncation_audit(
         emb, probes, "vec_id", "embedding", "vec_id", dims=(8, 16, 32, 64), k=5
     )
+
+
+def _pipe12_oracle() -> str:
+    ph = dedup.PORTABLE_HASH_SQL.format(
+        col="'mix:' || CAST(d.doc_id AS VARCHAR)"
+    )
+    return f"""
+    WITH cnt AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM cnt),
+    w AS (SELECT source, n_docs, n_total,
+                 CAST(floor(1000000.0 * sqrt(n_docs / n_total)) AS BIGINT) AS weight
+          FROM cnt, tot),
+    wt AS (SELECT CAST(sum(weight) AS BIGINT) AS w_total FROM w),
+    r2 AS (SELECT source, n_docs, weight,
+                  (1000000 * weight) // w_total AS share_e6,
+                  (((n_total * 500000) // 1000000) * weight) // w_total AS quota,
+                  least(CAST(1000000 AS BIGINT),
+                        (1000000 * ((((n_total * 500000) // 1000000) * weight) // w_total)) // n_docs) AS rate_e6
+           FROM w, wt),
+    kept AS (SELECT d.source, count(*) AS n_kept
+             FROM documents d JOIN r2 ON d.source = r2.source
+             WHERE {ph} % 1000000 < r2.rate_e6
+             GROUP BY d.source)
+    SELECT r2.source, r2.n_docs, r2.weight, r2.share_e6, r2.quota, r2.rate_e6,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM r2 LEFT JOIN kept k USING (source)
+    """
+
+
+@query("pipe12_domain_mix", oracle=_pipe12_oracle(), extended=True)
+def pipe12_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixing (alpha = 0.5, the multilingual-LM
+    sampling rule): per-source doc mass -> sqrt-flattened weights ->
+    integer keep quotas against a 50% corpus budget, applied through the
+    deterministic portable-hash gate; one audit row per source with the
+    achieved kept count.  Two corpus passes by construction (the mass
+    aggregate must complete before rates exist); the domains-sized plan
+    table broadcasts into the gate pass — no corpus-wide shuffle.
+    prep.temperature_rates + prep.apply_mix_gate."""
+    from ago_sisdb_spark.operators import prep
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = prep.temperature_rates(docs, "source", target_frac_e6=500_000)
+    kept = (
+        prep.apply_mix_gate(docs.select("doc_id", "source"), "doc_id", "source", rates)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        "weight",
+        "share_e6",
+        "quota",
+        "rate_e6",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )

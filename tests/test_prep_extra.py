@@ -955,3 +955,60 @@ def test_divergence_no_eval_screen(spark, tmp_path):
     full = {r.shard for r in
             prep.full_prep_pipeline(hist.unionByName(batch)).collect()}
     assert full == {0}  # only hist doc 16 (shard 0); 194 (shard 2) dropped
+
+
+def test_temperature_mix_flattens_skew(spark):
+    """alpha=0.5 temperature mixing vs an independent integer model on a
+    heavily skewed corpus: the dominant domain's achieved share must drop
+    toward sqrt-flattened, the tail domain's must rise, and every plan
+    column must match the Python model exactly (integer arithmetic, one
+    IEEE sqrt per domain)."""
+    import hashlib
+    import math
+
+    sizes = {"big": 900, "mid": 90, "tiny": 10}
+    rows, i = [], 0
+    for dom, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, dom))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    rates = prep.temperature_rates(df, "source", target_frac_e6=500_000)
+    got = {r["source"]: r.asDict() for r in rates.collect()}
+
+    n_total = sum(sizes.values())
+    weights = {
+        d: math.floor(1000000.0 * math.sqrt(n / n_total))
+        for d, n in sizes.items()
+    }
+    w_total = sum(weights.values())
+    target = (n_total * 500_000) // 1_000_000
+    for d, n in sizes.items():
+        quota = (target * weights[d]) // w_total
+        assert got[d]["weight"] == weights[d]
+        assert got[d]["share_e6"] == (1_000_000 * weights[d]) // w_total
+        assert got[d]["quota"] == quota
+        assert got[d]["rate_e6"] == min(1_000_000, (1_000_000 * quota) // n)
+    # temperature flattening: raw big share 0.9 -> sqrt share ~0.70;
+    # tiny 0.01 -> ~0.07 (upweighted ~7x, clamped at keep-all)
+    assert got["big"]["share_e6"] < 750_000
+    assert got["tiny"]["share_e6"] > 60_000
+    assert got["tiny"]["rate_e6"] == 1_000_000  # quota 35 > 10 docs -> clamp
+
+    kept = prep.apply_mix_gate(df, "doc_id", "source", rates)
+    kc = {r["source"]: r["n"] for r in kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # gate model: md5-based 60-bit hash mod 1e6 < rate
+    def py_keep(did, rate):
+        h = int(hashlib.md5(f"mix:{did}".encode()).hexdigest()[:15], 16)
+        return h % 1_000_000 < rate
+
+    exp = {d: 0 for d in sizes}
+    for did, dom in rows:
+        if py_keep(did, got[dom]["rate_e6"]):
+            exp[dom] += 1
+    assert kc == {d: n for d, n in exp.items() if n > 0}
+    # tiny is fully kept; big is cut roughly in proportion to its rate
+    assert kc["tiny"] == 10
+    assert abs(kc["big"] - sizes["big"] * got["big"]["rate_e6"] / 1e6) < 60
