@@ -797,3 +797,87 @@ def truncation_audit(
         .cast("long")
         .alias("hit_full"),
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe_id_col: str,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversity rerank (Carbonell & Goldstein
+    1998): per probe, greedily select ``k`` of the top-``pool`` relevant
+    candidates maximizing ``lam*rel(c) - (1-lam)*max_{s in S} cos(c, s)``
+    (empty-S max = 0, so rank 1 is the plain relevance argmax).  Ties:
+    score desc, then neighbor_id asc — fully deterministic.
+
+    Returns (probe_id, rank, neighbor_id, mmr_score).
+
+    Scale shape: stage 1 is the brute-force scan (broadcast probes, one
+    corpus pass) keeping only the top-``pool`` rows per probe — the
+    ONLY corpus-scale work.  Stage 2 is the inherently sequential greedy
+    loop, but over ≤ ``pool`` candidates per probe: an ``applyInPandas``
+    per probe group with O(pool²) numpy work and bounded state — the
+    selection never sees the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    globals()["pd"] = pd  # future-annotations + pandas-UDF gotcha
+    globals()["np"] = np
+
+    p = probes.select(
+        F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("__pvec")
+    )
+    scored = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+        .crossJoin(F.broadcast(p))
+        .where(F.col("neighbor_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            "__cvec",
+            cosine(F.col("__cvec"), F.col("__pvec")).alias("rel"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("rel").desc(), F.col("neighbor_id")
+    )
+    pooled = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= pool)
+        .drop("__rn")
+    )
+
+    out_schema = "probe_id long, rank long, neighbor_id long, mmr_score double"
+
+    def select_group(pdf):
+        ids = pdf["neighbor_id"].to_numpy()
+        rel = pdf["rel"].to_numpy(dtype=np.float64)
+        vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__cvec"]])
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = vecs / norms[:, None]
+        n = len(ids)
+        chosen: list[int] = []
+        simmax = np.zeros(n)
+        rows = []
+        for rank in range(1, min(k, n) + 1):
+            score = lam * rel - (1.0 - lam) * simmax
+            score[chosen] = -np.inf
+            best = score.max()
+            cand = np.nonzero(score == best)[0]
+            pick = cand[np.argmin(ids[cand])]
+            rows.append(
+                (int(pdf["probe_id"].iloc[0]), rank, int(ids[pick]), float(score[pick]))
+            )
+            chosen.append(int(pick))
+            simmax = np.maximum(simmax, unit @ unit[pick])
+        return pd.DataFrame(
+            rows, columns=["probe_id", "rank", "neighbor_id", "mmr_score"]
+        )
+
+    return pooled.groupBy("probe_id").applyInPandas(select_group, out_schema)

@@ -3381,3 +3381,49 @@ def pipe12_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rate_e6",
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
     )
+
+
+@query(
+    "n9_mmr_rerank",
+    oracle="""
+    SELECT CAST(probe_id AS BIGINT) AS probe_id, CAST(rank AS BIGINT) AS rank,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           CAST(mmr_score AS DOUBLE) AS mmr_score
+    FROM (VALUES
+        (100, 1, 1,  0.4), (100, 2, 4,  0.26), (100, 3, 2,  0.06),
+        (200, 1, 2,  0.4), (200, 2, 3,  0.06), (200, 3, 1, -0.24)
+    ) AS t(probe_id, rank, neighbor_id, mmr_score)
+    """,
+    extended=True,
+)
+def n9_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity rerank, hash-checked by the planted-oracle trick
+    (the a8/t22/e1 pattern): integer 3-4-5 vectors give EXACT rational
+    cosines (all norms are exact integers), so every greedy step's score
+    is an exact multiple of 1/50 and the oracle states the full selection
+    closed-form — including a rank-3 score tie (ids 1 vs 4 at -0.24 for
+    probe 200) that pins the id-asc tie-break.  The REAL distributed
+    operator runs end-to-end: broadcast-probe scan, top-pool window,
+    per-probe bounded numpy greedy (similarity.mmr_rerank); random-data
+    correctness vs an independent numpy model is pinned in
+    tests/test_similarity.py."""
+    cand = spark.createDataFrame(
+        [
+            (1, [4.0, 3.0, 0.0]),
+            (2, [3.0, 0.0, 4.0]),
+            (3, [0.0, 4.0, 3.0]),
+            (4, [4.0, -3.0, 0.0]),
+            (5, [0.0, 5.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    probes = spark.createDataFrame(
+        [(100, [5.0, 0.0, 0.0]), (200, [0.0, 0.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.mmr_rerank(
+        cand, probes, "vec_id", "embedding", "vec_id", k=3, pool=5, lam=0.5
+    )
+    return out.select(
+        "probe_id", "rank", "neighbor_id", F.round("mmr_score", 6).alias("mmr_score")
+    )

@@ -423,3 +423,56 @@ def test_truncation_audit_vs_numpy(spark):
     assert have == expect
     # the engineered tail makes at least one short-prefix neighbor a miss
     assert 0 in {v for (d, _, _), v in have.items() if d == 4}
+
+
+def test_mmr_rerank_vs_numpy(spark):
+    """Independent numpy MMR (same published greedy, reimplemented) vs the
+    distributed operator on seeded random vectors; also pins that MMR
+    actually diversifies — the two near-duplicate top-relevance vectors
+    must not BOTH survive into the first two picks."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n, dim = 30, 8
+    vecs = rng.normal(size=(n, dim))
+    vecs[1] = vecs[0] * 1.001 + rng.normal(size=dim) * 1e-2  # near-dup pair
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    unit = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+    # a mix keeps margins between candidate scores ~1e-2 (far above the
+    # Spark-fold vs numpy-SIMD summation noise) and away from the probe==v0
+    # degeneracy where every rank-2 MMR score collapses to ~0
+    probe_vec = 0.8 * unit[0] + 0.2 * unit[17]
+    probes = spark.createDataFrame(
+        [(999, [float(x) for x in probe_vec])],
+        "vec_id long, embedding array<double>",
+    )
+    k, pool, lam = 5, 12, 0.5
+    got = (
+        similarity.mmr_rerank(
+            df, probes, "vec_id", "embedding", "vec_id", k=k, pool=pool, lam=lam
+        )
+        .orderBy("rank")
+        .collect()
+    )
+
+    pu = probe_vec / np.linalg.norm(probe_vec)
+    rel = unit @ pu
+    order = sorted(range(n), key=lambda j: (-rel[j], j))[:pool]
+    chosen, simmax, expect = [], {j: 0.0 for j in order}, []
+    for rank in range(1, k + 1):
+        best = max(
+            (j for j in order if j not in chosen),
+            key=lambda j: (lam * rel[j] - (1 - lam) * simmax[j], -j),
+        )
+        expect.append((rank, best))
+        chosen.append(best)
+        for j in order:
+            simmax[j] = max(simmax[j], float(unit[j] @ unit[best]))
+
+    assert [(r.rank, r.neighbor_id) for r in got] == expect
+    # diversity: by relevance alone the near-dups 0 and 1 are the top two;
+    # MMR must break the pair up
+    top_rel = set(sorted(range(n), key=lambda j: (-rel[j], j))[:2])
+    assert top_rel == {0, 1}
+    assert {expect[0][1], expect[1][1]} != top_rel
