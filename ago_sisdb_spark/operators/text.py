@@ -866,7 +866,9 @@ GOPHER_MAX_DUP10_E6 = 100_000
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
-def gopher_stats(docs, id_col: str, text_col: str) -> "DataFrame":
+def gopher_stats(
+    docs, id_col: str, text_col: str, passthrough: tuple[str, ...] = ()
+) -> "DataFrame":
     """Gopher-style repetition + quality rule suite, one row per document
     (Rae et al. 2021 Table A1; the same rule family the reference's quality
     gate sketches as scalar filters — here the full per-doc audit).
@@ -886,6 +888,12 @@ def gopher_stats(docs, id_col: str, text_col: str) -> "DataFrame":
     interpreted); a Counter pass is O(n) per doc and the whole batch rides
     one Arrow transfer.  The DuckDB oracle twin restates the spec via
     unnest + group-by + QUALIFY windows (t25_gopher_rules).
+
+    ``passthrough``: extra input columns copied 1:1 onto the output rows
+    inside the SAME Arrow pass — composite projections (t_text_suite) ride
+    along instead of shuffle-joining a second corpus-scale frame on the id
+    (the r8 artifact-join lesson applied to a per-row op: a join exchanges
+    the whole corpus twice for columns the pass already holds).
     """
     import re
     from collections import Counter
@@ -900,6 +908,9 @@ def gopher_stats(docs, id_col: str, text_col: str) -> "DataFrame":
         "top3_e6 long, top4_e6 long, dup5_e6 long, dup10_e6 long, "
         "symbol_e6 long, alpha_e6 long, stop_hits long, gopher_keep boolean"
     )
+    by_name = {f.name: f for f in docs.schema.fields}
+    for c in passthrough:
+        out_schema += f", `{c}` {by_name[c].dataType.simpleString()}"
 
     def _top_frac(counts: Counter, n_chars: int) -> int:
         if not counts or n_chars == 0:
@@ -967,7 +978,7 @@ def gopher_stats(docs, id_col: str, text_col: str) -> "DataFrame":
                     rows, (did, nw, mwl, t2, t3, t4, d5, d10, sym, al, st, keep)
                 ):
                     rows[k].append(v)
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     id_col: rows["id"],
                     "n_words": rows["nw"],
@@ -983,8 +994,13 @@ def gopher_stats(docs, id_col: str, text_col: str) -> "DataFrame":
                     "gopher_keep": rows["keep"],
                 }
             )
+            # the per-doc loop emits exactly one row per input row, in
+            # order, so passthrough columns copy positionally
+            for c in passthrough:
+                out[c] = pdf[c].values
+            yield out
 
-    slim = docs.select(F.col(id_col), F.col(text_col))
+    slim = docs.select(F.col(id_col), F.col(text_col), *passthrough)
     # spread single-split local inputs across cores (the shingle_rows /
     # cdc_chunks guard): per-gram Counter work on one task serializes the
     # corpus pass

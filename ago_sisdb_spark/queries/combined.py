@@ -368,8 +368,9 @@ def t_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with(g12, F.slice(w, 3, ln), lambda ab, c: F.concat_ws(" ", ab, c)),
     ).otherwise(F.array())
     with_grams = with_w.withColumn("__grams", grams)
-    return with_grams.select(
+    proj = with_grams.select(
         "doc_id",
+        "text",
         text.token_count(F.col("text")).cast("bigint").alias("n_ws_tokens"),
         text.regex_token_count(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
         F.length("text").cast("bigint").alias("n_chars_actual"),
@@ -393,20 +394,24 @@ def t_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(text.redact_pii(F.col("text"))).cast("bigint").alias("redacted_len"),
         text.url_stats(F.col("text"))["n_urls"].cast("bigint").alias("n_urls"),
         F.size(text.url_stats(F.col("text"))["hosts"]).cast("bigint").alias("n_hosts"),
-    ).join(
+    )
+    # r9: Gopher repetition-rule gate columns ride the SAME Arrow pass as
+    # the expression projection (gopher_stats passthrough) — a shuffle
+    # join of two corpus-scale frames on doc_id would exchange the whole
+    # corpus twice for columns the per-row pass already holds
+    ride = [c for c in proj.columns if c not in ("doc_id", "text")]
+    gophered = text.gopher_stats(
+        proj, "doc_id", "text", passthrough=tuple(ride)
+    ).select("doc_id", *ride, "top2_e6", "dup5_e6", "gopher_keep")
+    return gophered.join(
         # r5: model-based quality gate columns (hashing-trick classifier,
-        # operators/text.hashed_linear_score — extended twin t18)
+        # operators/text.hashed_linear_score — extended twin t18); this
+        # join is inherent — the classifier is an explode + groupBy, its
+        # shuffle carries (id, feature) rows, never document bodies
         text.hashed_linear_score(docs, "doc_id", "text").select(
             "doc_id",
             F.col("score_e6").alias("cls_score_e6"),
             F.col("keep").alias("cls_keep"),
-        ),
-        "doc_id",
-    ).join(
-        # r9: Gopher repetition-rule gate columns (Counter mapInPandas pass,
-        # operators/text.gopher_stats — extended twin t25_gopher_rules)
-        text.gopher_stats(docs, "doc_id", "text").select(
-            "doc_id", "top2_e6", "dup5_e6", "gopher_keep"
         ),
         "doc_id",
     )
