@@ -141,3 +141,19 @@ def parse_render(data: bytes, fmt: str):
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S6 sink: distributed CSV export (the large-result path)."""
     df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Columnar ORC sink (Spark-native, zlib default) — interchange with
+    Hive/Trino warehouses; same distributed-sink contract as write_csv.
+    The reference's columnar store is its own SDB block format
+    (`src/core/disk/sis_disk.io.h:108-114`); here the warehouse formats
+    are Parquet (primary, TESTDATA) and ORC (interchange)."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — schema comes from the file footer (self-describing,
+    like Parquet); predicate pushdown and column pruning work through the
+    native reader, pinned in tests/test_formats.py."""
+    return spark.read.orc(path)

@@ -154,3 +154,28 @@ def test_write_dbf_executor_side_large(spark, tmp_path):
     assert back.count() == 2000
     rows = {r.k: r for r in back.collect()}
     assert rows[7].nm == "name_7" and abs(rows[7].x - 10.5) < 1e-9
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC sink/source parity: values survive a roundtrip, and both column
+    pruning (ReadSchema) and predicate pushdown (PushedFilters) reach the
+    native ORC scan — the S3-family contract parquet already pins."""
+    from ago_sisdb_spark.sources import formats
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("s"),
+    )
+    path = str(tmp_path / "orc_t")
+    formats.write_orc(df, path)
+    back = formats.read_orc(spark, path)
+    assert back.count() == 100
+    assert {tuple(r) for r in back.collect()} == {
+        (i, 2 * i, f"s{i}") for i in range(100)
+    }
+    pruned = back.where(F.col("k") > 90).select("k", "v")
+    pruned.collect()
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(k), GreaterThan(k,90)]" in plan
+    assert "s:" not in plan.split("ReadSchema")[1].split("\n")[0]
