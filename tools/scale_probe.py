@@ -370,13 +370,41 @@ def main() -> None:
             )
             _sh9.rmtree(tmp9, ignore_errors=True)
             del q9
+        # r9 family: gopher rules (map-only Arrow pass — must stay flat
+        # per row), temperature mix (two corpus passes + domains-sized
+        # plan), matryoshka audit (one corpus pass × 4 widths, bounded
+        # probes), MMR rerank (corpus relevance pass + pool-bounded greedy)
+        probe("t25_gopher",
+            lambda: text.gopher_stats(dc, "doc_id", "text")
+        )
+        mixed12 = dc.select(
+            "doc_id",
+            F.concat(F.lit("s"), (F.col("doc_id") % 7).cast("string")).alias("src"),
+        )
+        probe("pipe12_temp_mix",
+            lambda: prep.apply_mix_gate(
+                mixed12, "doc_id", "src",
+                prep.temperature_rates(mixed12, "src"),
+            )
+        )
+        em_probes = emb.where(F.col("vec_id") < 5)
+        probe("e6_truncation",
+            lambda: similarity.truncation_audit(
+                em, em_probes, "vec_id", "embedding", "vec_id",
+            )
+        )
+        probe("n9_mmr",
+            lambda: similarity.mmr_rerank(
+                em, em_probes, "vec_id", "embedding", "vec_id", k=5, pool=20,
+            )
+        )
         # release this scale's localCheckpoint blocks before the next
         # multiplier: without it the ×32 pass runs on top of ×1+×4's
         # cached copies and every sample carries eviction/GC noise.
         # The DERIVED frames must go too — their plans reference the
         # checkpointed RDDs, and ContextCleaner can only unpersist a
         # block once nothing reachable points at it
-        del ev, dc, em, mixed, spread, sdf, skew, toks, toks2
+        del ev, dc, em, mixed, mixed12, spread, sdf, skew, toks, toks2
         spark.sparkContext._jvm.System.gc()
         time.sleep(0.5)
     lo, hi = muls[0], muls[-1]
