@@ -197,3 +197,92 @@ def quantize_int8_report(
         F.expr("aggregate(__q, CAST(0 AS BIGINT), (a, x) -> a + x)").alias("code_sum"),
         F.round(err, 6).alias("max_abs_err"),
     )
+
+
+def sign_words(vec, dim: int = 64):
+    """Pack the sign bits of a ``dim``-wide embedding into two unsigned
+    32-bit halves carried as BIGINTs (lo = dims 1..32, hi = 33..64) —
+    engine-portable (no sign-bit games with a single 64-bit word) and
+    exact: bit i is 1 iff v[i] > 0.  Returns (lo_col, hi_col)."""
+    assert dim == 64, "sign sketch is fixed at 64 dims (two 32-bit words)"
+    bits = F.transform(vec, lambda x: F.when(x > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")))
+    pows = F.array(*[F.lit(1 << i).cast("long") for i in range(32)])
+    lo = F.aggregate(
+        F.zip_with(F.slice(bits, 1, 32), pows, lambda b, p: b * p),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    hi = F.aggregate(
+        F.zip_with(F.slice(bits, 33, 32), pows, lambda b, p: b * p),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return lo, hi
+
+
+def hamming_vs_cosine_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe_id_col: str,
+    k: int = 5,
+    dim: int = 64,
+) -> DataFrame:
+    """Binary sign-sketch ANN audit (Charikar SimHash applied to stored
+    embeddings): 1 bit per dimension (32x smaller than float32), Hamming
+    distance as the search metric, ranked side-by-side with the exact
+    cosine over the SAME pairs.  Returns the union of both top-k sets per
+    probe with both ranks, so recall@k of the binary sketch reads directly
+    off the rows (rank_h <= k AND rank_c <= k).
+
+    Scale shape: one corpus pass (broadcast probes); the packed words are
+    computed in the scan projection; BOTH rankings share one
+    hash-partitioning on the probe id (two sorts, one exchange — Spark
+    reuses the window exchange); output is <= 2k rows per probe.  At
+    serving scale only the two BIGINT words need storing; this operator is
+    the go/no-go audit, same role as the matryoshka audit (e6)."""
+    plo, phi = sign_words(F.col("__pvec"), dim)
+    clo, chi = sign_words(F.col("__cvec"), dim)
+    from ago_sisdb_spark.operators.similarity import cosine
+
+    p = probes.select(
+        F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("__pvec")
+    ).select("probe_id", "__pvec", plo.alias("__plo"), phi.alias("__phi"))
+    scored = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+        .crossJoin(F.broadcast(p))
+        .where(F.col("neighbor_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            cosine(F.col("__cvec"), F.col("__pvec")).alias("__cos"),
+            clo.alias("__clo"),
+            chi.alias("__chi"),
+            F.col("__plo"),
+            F.col("__phi"),
+        )
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.expr("bit_count(__plo ^ __clo) + bit_count(__phi ^ __chi)")
+            .cast("long")
+            .alias("hamming"),
+            F.col("__cos"),
+        )
+    )
+    wh = Window.partitionBy("probe_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id")
+    )
+    wc = Window.partitionBy("probe_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id")
+    )
+    ranked = scored.select(
+        "probe_id",
+        "neighbor_id",
+        "hamming",
+        F.round("__cos", 6).alias("cos_score"),
+        F.row_number().over(wh).cast("long").alias("rank_h"),
+        F.row_number().over(wc).cast("long").alias("rank_c"),
+    )
+    return ranked.where((F.col("rank_h") <= k) | (F.col("rank_c") <= k))

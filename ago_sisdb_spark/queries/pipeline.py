@@ -3427,3 +3427,54 @@ def n9_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "probe_id", "rank", "neighbor_id", F.round("mmr_score", 6).alias("mmr_score")
     )
+
+
+@query(
+    "e7_sign_sketch_ann",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               CAST(list_sum(list_transform(range(1, 33),
+                    i -> CASE WHEN embedding[i] > 0
+                              THEN (CAST(1 AS BIGINT) << (i - 1))
+                              ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS lo,
+               CAST(list_sum(list_transform(range(1, 33),
+                    i -> CASE WHEN embedding[i + 32] > 0
+                              THEN (CAST(1 AS BIGINT) << (i - 1))
+                              ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS hi
+        FROM embeddings),
+    p AS (SELECT vec_id AS probe_id, v AS pv, lo AS plo, hi AS phi
+          FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
+    scored AS (
+        SELECT p.probe_id, e.vec_id AS neighbor_id,
+               CAST(bit_count(xor(p.plo, e.lo))
+                    + bit_count(xor(p.phi, e.hi)) AS BIGINT) AS hamming,
+               list_cosine_similarity(e.v, p.pv) AS cos
+        FROM e, p WHERE e.vec_id <> p.probe_id)
+    SELECT probe_id, neighbor_id, hamming, round(cos, 6) AS cos_score,
+           CAST(row_number() OVER (PARTITION BY probe_id
+                ORDER BY hamming, neighbor_id) AS BIGINT) AS rank_h,
+           CAST(row_number() OVER (PARTITION BY probe_id
+                ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank_c
+    FROM scored
+    QUALIFY rank_h <= 5 OR rank_c <= 5
+    """,
+    extended=True,
+)
+def e7_sign_sketch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary sign-sketch ANN audit (SimHash on stored embeddings): pack
+    1 bit per dimension into two 32-bit words (32x smaller than float32),
+    rank by Hamming distance beside the exact cosine over the SAME pairs,
+    and emit the union of both top-5 sets per probe — recall@5 of the
+    sketch reads directly off the rows.  One corpus pass, both rankings
+    share one probe-keyed exchange; Hamming ties (integers 0..64) are
+    pinned by the id-asc tie-break so the hash check is exact.
+    operators/embed.hamming_vs_cosine_topk."""
+    from ago_sisdb_spark.operators import embed as embed_ops
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
+    return embed_ops.hamming_vs_cosine_topk(
+        emb, probes, "vec_id", "embedding", "vec_id", k=5, dim=64
+    )

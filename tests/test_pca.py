@@ -94,3 +94,45 @@ def test_project_matches_numpy(spark, emb, fitted):
         want = (np.asarray(r.embedding, dtype=float) - mu) @ w.T
         got = np.asarray(out[r.vec_id])
         assert np.allclose(got, want, atol=1e-9)
+
+
+def test_sign_sketch_hamming_vs_numpy(spark):
+    """Independent numpy model of the sign-sketch audit: bit packing,
+    Hamming distances, and both rank ladders must match exactly; a probe's
+    own duplicate vector must land at hamming 0 / cosine rank 1."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ago_sisdb_spark.operators import embed as embed_ops
+
+    rng = np.random.default_rng(3)
+    n, dim = 25, 64
+    vecs = rng.normal(size=(n, dim))
+    vecs[7] = vecs[0]  # exact duplicate of probe 0
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = df.where(F.col("vec_id") == 0)
+    got = embed_ops.hamming_vs_cosine_topk(
+        df, probes, "vec_id", "embedding", "vec_id", k=5, dim=64
+    ).collect()
+
+    bits = (vecs > 0).astype(np.int64)
+    ham = {j: int(np.sum(bits[j] != bits[0])) for j in range(n) if j != 0}
+    unit = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+    cos = {j: float(unit[j] @ unit[0]) for j in range(n) if j != 0}
+    hrank = {
+        j: r + 1
+        for r, j in enumerate(sorted(ham, key=lambda j: (ham[j], j)))
+    }
+    crank = {
+        j: r + 1
+        for r, j in enumerate(sorted(cos, key=lambda j: (-cos[j], j)))
+    }
+    expect = {
+        j: (ham[j], hrank[j], crank[j])
+        for j in ham
+        if hrank[j] <= 5 or crank[j] <= 5
+    }
+    have = {r.neighbor_id: (r.hamming, r.rank_h, r.rank_c) for r in got}
+    assert have == expect
+    assert have[7] == (0, 1, 1)  # the planted duplicate
