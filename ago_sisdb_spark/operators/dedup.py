@@ -1404,3 +1404,26 @@ def minhash_band_rows_stateless(
             "band", "bucket"
         ),
     )
+
+
+def soft_dedup_weights(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Soft dedup (the keep-but-downweight alternative to dropping exact
+    duplicates, cf. SoftDeDup / SlimPajama-DC ablations): every document
+    survives, carrying weight 1/c where c is its byte-identical
+    multiplicity — the training loss then sees each unique text with unit
+    total mass.  Returns (id, n_dups, weight_e6) with the weight in exact
+    integer millionths (1e6 div c), so the table is hash-portable.
+
+    Scale shape: the d1 narrow layout — one count window over a
+    (digest, id) projection; the shuffle carries ~24-byte rows, never
+    document bodies, and consumers join the weight back by id."""
+    from pyspark.sql import Window
+
+    narrow = df.select(F.col(id_col), content_digest(F.col(text_col)).alias("__dg"))
+    return narrow.withColumn(
+        "n_dups", F.count(F.lit(1)).over(Window.partitionBy("__dg"))
+    ).select(
+        id_col,
+        F.col("n_dups").cast("long").alias("n_dups"),
+        F.expr("CAST(1000000 div n_dups AS BIGINT)").alias("weight_e6"),
+    )

@@ -3478,3 +3478,24 @@ def e7_sign_sketch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embed_ops.hamming_vs_cosine_topk(
         emb, probes, "vec_id", "embedding", "vec_id", k=5, dim=64
     )
+
+
+@query(
+    "d15_soft_dedup",
+    oracle="""
+    SELECT doc_id,
+           count(*) OVER (PARTITION BY md5(text)) AS n_dups,
+           CAST(1000000 // count(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+               AS weight_e6
+    FROM documents
+    """,
+    extended=True,
+)
+def d15_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: every doc kept, downweighted by 1/multiplicity so each
+    unique text carries unit total training mass (the published
+    alternative to hard exact dedup when duplication correlates with
+    quality).  One count window over the narrow (digest, id) projection —
+    the d1 shuffle layout, bodies never move.  dedup.soft_dedup_weights."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.soft_dedup_weights(docs, "doc_id", "text")

@@ -631,3 +631,20 @@ def test_stateless_band_rows_match_grouped_form(spark):
         b = {tuple(r) for r in dedup.minhash_band_rows_stateless(
             df, "doc_id", "text", portable=portable).collect()}
         assert a == b, portable
+
+
+def test_soft_dedup_weights_mass_conservation(spark):
+    """Each unique text's weights must sum to ~1e6 (unit mass in exact
+    millionths — floor division loses < c millionths per group), singletons
+    get exactly 1e6, and every input row survives."""
+    docs = [(i, "dup" if i < 6 else ("pair" if i < 8 else f"u{i}")) for i in range(12)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.soft_dedup_weights(df, "doc_id", "text").collect()}
+    assert len(got) == 12
+    for i in range(6):
+        assert (got[i].n_dups, got[i].weight_e6) == (6, 166666)
+    for i in (6, 7):
+        assert (got[i].n_dups, got[i].weight_e6) == (2, 500000)
+    for i in range(8, 12):
+        assert (got[i].n_dups, got[i].weight_e6) == (1, 1000000)
+    assert sum(r.weight_e6 for r in got.values() if r.n_dups == 6) == 999996
