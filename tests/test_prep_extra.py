@@ -1012,3 +1012,38 @@ def test_temperature_mix_flattens_skew(spark):
     # tiny is fully kept; big is cut roughly in proportion to its rate
     assert kc["tiny"] == 10
     assert abs(kc["big"] - sizes["big"] * got["big"]["rate_e6"] / 1e6) < 60
+
+
+def test_mixture_sample_targets_and_gate(spark):
+    """mixture_sample (share-dict domain downsampling) vs a plain-Python
+    model: per-domain keep decisions reproduce the Knuth gate exactly,
+    keep_rate = min(1, share*budget/domain_tokens), absent domains get
+    default_share=0 (dropped entirely), over-budget shares clamp to 1."""
+    rows = []
+    for i in range(300):
+        dom = "web" if i < 200 else ("code" if i < 280 else "books")
+        rows.append((i, dom, 10))
+    df = spark.createDataFrame(rows, "doc_id long, domain string, toks int")
+    shares = {"web": 0.25, "code": 0.9}  # books absent -> default 0
+    budget = 2000
+    kept = prep.mixture_sample(
+        df, "doc_id", "domain", "toks", shares, budget
+    ).collect()
+
+    dom_toks = {"web": 2000, "code": 800, "books": 200}
+    exp_rate = {
+        "web": min(1.0, 0.25 * budget / dom_toks["web"]),
+        "code": min(1.0, 0.9 * budget / dom_toks["code"]),  # 2.25 -> 1.0
+        "books": 0.0,
+    }
+    exp_ids = {
+        i
+        for i, dom, _ in rows
+        if (i % 1000003) * 2654435761 % 1000003 < exp_rate[dom] * 1000003
+    }
+    assert {r.doc_id for r in kept} == exp_ids
+    assert all(abs(r.keep_rate - exp_rate[r.domain]) < 1e-12 for r in kept)
+    by_dom = {d: sum(1 for r in kept if r.domain == d) for d in dom_toks}
+    assert by_dom["books"] == 0          # default_share drops the domain
+    assert by_dom["code"] == 80          # clamped rate 1.0 keeps all
+    assert 35 <= by_dom["web"] <= 65     # ~25% of 200 docs via the gate
