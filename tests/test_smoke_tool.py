@@ -79,3 +79,27 @@ def test_pre_commit_hook_installed():
     assert os.path.isfile(hook) and os.access(hook, os.X_OK)
     with open(hook) as f:
         assert "smoke_compile" in f.read()
+
+
+def test_install_hooks_self_heals(tmp_path):
+    """ensure_hooks must (re)create the pre-commit hook in a fresh .git
+    dir, be idempotent, and overwrite a stale/foreign hook body — the
+    hook is untracked and vanished on the round-8→9 reset, so the
+    installer is what makes the guarantee durable."""
+    import subprocess
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from install_hooks import ensure_hooks
+
+    repo = tmp_path / "r"
+    repo.mkdir()
+    subprocess.run(["git", "init", "-q", str(repo)], check=True)
+    assert ensure_hooks(str(repo)) is True
+    hook = repo / ".git" / "hooks" / "pre-commit"
+    assert hook.is_file() and os.access(hook, os.X_OK)
+    assert "smoke_compile" in hook.read_text()
+    assert ensure_hooks(str(repo)) is False  # idempotent
+    hook.write_text("#!/bin/sh\nexit 0\n")
+    assert ensure_hooks(str(repo)) is True  # stale body replaced
+    assert "smoke_compile" in hook.read_text()

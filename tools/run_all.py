@@ -53,6 +53,13 @@ def coverage_header(gate_tail: str | None) -> str:
 
 
 def main() -> int:
+    # self-heal the untracked pre-commit hook (lost on any .git reset —
+    # it vanished between rounds 8 and 9; tools/install_hooks.py)
+    from install_hooks import ensure_hooks
+
+    if ensure_hooks(ROOT):
+        print("reinstalled .git/hooks/pre-commit")
+
     # --fast: the pre-commit smoke (import every module + analyze every
     # registry plan at sf0.001, no execution).  Exists because the r7
     # snapshot commit shipped a NameError that only full runs caught.
