@@ -79,6 +79,12 @@ SECONDARY = [
     # r7 (continuation): the same serve over the PERSISTED chunk index
     # (built once and reused, n7-codebook shape) — the recurring cost
     "pipe10_chunk_index_serve",
+    # r9: the full Gopher rule suite (one mapInPandas Counter pass — the
+    # per-gram-counting cost profile the expression-only t2/t6 rows lack)
+    "t25_gopher_rules",
+    # r9: temperature domain mixing (two corpus passes + domains-sized
+    # plan broadcast; the deterministic-gate filter family's mix variant)
+    "pipe12_domain_mix",
 ]
 
 RUNS = 3
