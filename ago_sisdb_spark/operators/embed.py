@@ -286,3 +286,60 @@ def hamming_vs_cosine_topk(
         F.row_number().over(wc).cast("long").alias("rank_c"),
     )
     return ranked.where((F.col("rank_h") <= k) | (F.col("rank_c") <= k))
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    probe_id_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Contrastive training-pair mining for embedding models: per anchor
+    (probe), the top-k SAME-label neighbors (positives) and the top-k
+    highest-scoring WRONG-label neighbors (hard negatives — the pairs
+    that actually move a contrastive loss, vs easy random negatives).
+
+    Returns (probe_id, kind 'pos'|'neg', rank, neighbor_id, label, score).
+
+    Scale shape: the n1 broadcast-probe corpus scan; ONE window partitioned
+    by (probe, kind) ranks both sets — no second pass, no label-side
+    shuffle (labels ride the scan projection)."""
+    from ago_sisdb_spark.operators.similarity import cosine
+
+    p = probes.select(
+        F.col(probe_id_col).alias("probe_id"),
+        F.col(label_col).alias("__plabel"),
+        F.col(vec_col).alias("__pvec"),
+    )
+    scored = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("__clabel"),
+            F.col(vec_col).alias("__cvec"),
+        )
+        .crossJoin(F.broadcast(p))
+        .where(F.col("neighbor_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.when(F.col("__clabel") == F.col("__plabel"), "pos")
+            .otherwise("neg")
+            .alias("kind"),
+            "neighbor_id",
+            F.col("__clabel").cast("long").alias("label"),
+            cosine(F.col("__cvec"), F.col("__pvec")).alias("__score"),
+        )
+    )
+    w = Window.partitionBy("probe_id", "kind").orderBy(
+        F.col("__score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "probe_id", "kind", "rank", "neighbor_id", "label",
+            F.round("__score", 6).alias("score"),
+        )
+    )

@@ -3499,3 +3499,41 @@ def d15_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the d1 shuffle layout, bodies never move.  dedup.soft_dedup_weights."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.soft_dedup_weights(docs, "doc_id", "text")
+
+
+@query(
+    "e8_hard_negatives",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+    p AS (SELECT vec_id AS probe_id, label AS plabel, v AS pv
+          FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
+    scored AS (
+        SELECT p.probe_id, e.vec_id AS neighbor_id,
+               CAST(e.label AS BIGINT) AS label,
+               CASE WHEN e.label = p.plabel THEN 'pos' ELSE 'neg' END AS kind,
+               list_cosine_similarity(e.v, p.pv) AS score
+        FROM e, p WHERE e.vec_id <> p.probe_id)
+    SELECT probe_id, kind,
+           CAST(row_number() OVER (PARTITION BY probe_id, kind
+                ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank,
+           neighbor_id, label, round(score, 6) AS score
+    FROM scored QUALIFY rank <= 3
+    """,
+    extended=True,
+)
+def e8_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive pair mining: per anchor, top-3 same-label positives and
+    top-3 highest-cosine WRONG-label hard negatives — the training-pair
+    selection step for embedding-model fine-tuning.  One broadcast-probe
+    corpus pass, one (probe, kind) rank window; labels ride the scan
+    projection.  operators/embed.hard_negative_mining."""
+    from ago_sisdb_spark.operators import embed as embed_ops
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
+    return embed_ops.hard_negative_mining(
+        emb, probes, "vec_id", "embedding", "label", "vec_id", k=3
+    )

@@ -136,3 +136,49 @@ def test_sign_sketch_hamming_vs_numpy(spark):
     have = {r.neighbor_id: (r.hamming, r.rank_h, r.rank_c) for r in got}
     assert have == expect
     assert have[7] == (0, 1, 1)  # the planted duplicate
+
+
+def test_hard_negative_mining_vs_numpy(spark):
+    """Planted two-cluster geometry: positives must come from the anchor's
+    own label, hard negatives must be the highest-cosine wrong-label
+    vectors (the planted boundary vector, not a random far one); full
+    output matched against an independent numpy model."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ago_sisdb_spark.operators import embed as embed_ops
+
+    rng = np.random.default_rng(5)
+    rows = []
+    # label 0 around +e1, label 1 around -e1; vec 10 = label-1 vector
+    # placed NEAR +e1 (the hard negative by construction)
+    for i in range(10):
+        v = np.array([3.0, 0, 0, 0]) + rng.normal(0, 0.2, 4)
+        rows.append((i, 0, [float(x) for x in v]))
+    for i in range(10, 20):
+        v = np.array([-3.0, 0, 0, 0]) + rng.normal(0, 0.2, 4)
+        rows.append((i, 1, [float(x) for x in v]))
+    rows[10] = (10, 1, [2.8, 0.1, 0.0, 0.0])  # planted hard negative
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    probes = df.where(F.col("vec_id") == 0)
+    got = embed_ops.hard_negative_mining(
+        df, probes, "vec_id", "embedding", "label", "vec_id", k=3
+    ).collect()
+
+    vecs = {i: np.array(v) for i, _, v in rows}
+    labels = {i: l for i, l, _ in rows}
+    cos = {
+        j: float(vecs[j] @ vecs[0] / (np.linalg.norm(vecs[j]) * np.linalg.norm(vecs[0])))
+        for j in vecs if j != 0
+    }
+    expect = {}
+    for kind, members in (
+        ("pos", [j for j in cos if labels[j] == 0]),
+        ("neg", [j for j in cos if labels[j] == 1]),
+    ):
+        ranked = sorted(members, key=lambda j: (-cos[j], j))[:3]
+        for r, j in enumerate(ranked, 1):
+            expect[(kind, r)] = j
+    have = {(r.kind, r.rank): r.neighbor_id for r in got}
+    assert have == expect
+    assert have[("neg", 1)] == 10  # the planted boundary vector is rank-1
