@@ -1427,3 +1427,45 @@ def soft_dedup_weights(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col("n_dups").cast("long").alias("n_dups"),
         F.expr("CAST(1000000 div n_dups AS BIGINT)").alias("weight_e6"),
     )
+
+
+def cluster_representatives(
+    comp: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Representative selection for near-dup clusters: RefinedWeb-style
+    keep-the-best — per connected component, keep the LONGEST member
+    (tie -> lowest id) instead of blindly the lowest id; near-dup groups
+    usually contain one full document and several truncated/boilerplate
+    variants.  Input ``comp`` is ``connected_components`` output
+    (id, component).
+
+    Returns (component, rep_id, rep_len, n_members).
+
+    Scale shape: the component table is near-dup-graph-sized (tiny vs the
+    corpus); lengths join in from a narrow (id, length) projection — a
+    second cheap pruned scan, never a corpus-body shuffle; one window over
+    the component table picks the representative."""
+    from pyspark.sql import Window
+
+    lens = docs.select(
+        F.col(id_col).alias("id"), F.length(text_col).cast("long").alias("tlen")
+    )
+    j = comp.join(lens, "id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("tlen").desc(), F.col("id").asc()
+    )
+    cw = Window.partitionBy("component")
+    return (
+        j.withColumn("n_members", F.count(F.lit(1)).over(cw).cast("long"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "component",
+            F.col("id").alias("rep_id"),
+            F.col("tlen").alias("rep_len"),
+            "n_members",
+        )
+    )

@@ -906,9 +906,9 @@ def s1_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "pipe2_neardup_groups",
-    oracle=r"""
+# shared by pipe2 and d16: 2-gram Jaccard pairs (threshold 0.08, doc_id<60
+# slice) -> recursive-CTE transitive closure -> (id, component)
+_PIPE2_ORACLE = r"""
     WITH RECURSIVE sh AS (
         SELECT DISTINCT doc_id AS doc, unnest(list_distinct(
             list_transform(range(1, greatest(len(string_split_regex(text, '\s+')) - 1, 1) + 1),
@@ -936,8 +936,10 @@ def s1_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT DISTINCT src AS id FROM edges) n
     LEFT JOIN reach r ON r.src = n.id
     GROUP BY n.id
-    """,
-)
+"""
+
+
+@query("pipe2_neardup_groups", oracle=_PIPE2_ORACLE)
 def pipe2_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING (pairs alone can't answer "what do I drop"):
     exact 2-gram Jaccard pairs (threshold 0.08, doc_id<60 slice) →
@@ -3537,3 +3539,32 @@ def e8_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embed_ops.hard_negative_mining(
         emb, probes, "vec_id", "embedding", "label", "vec_id", k=3
     )
+
+
+@query(
+    "d16_cluster_representatives",
+    oracle=f"""
+    WITH comp AS ({_PIPE2_ORACLE}),
+    lens AS (SELECT doc_id, length(text) AS tlen
+             FROM documents WHERE doc_id < 60),
+    j AS (SELECT c.component, c.id, CAST(l.tlen AS BIGINT) AS tlen,
+                 count(*) OVER (PARTITION BY c.component) AS n_members,
+                 row_number() OVER (PARTITION BY c.component
+                                    ORDER BY l.tlen DESC, c.id) AS rn
+          FROM comp c JOIN lens l ON l.doc_id = c.id)
+    SELECT component, id AS rep_id, tlen AS rep_len, n_members
+    FROM j WHERE rn = 1
+    """,
+    extended=True,
+)
+def d16_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster representative selection (keep-the-best, not
+    keep-lowest-id): pipe2's connected components -> per component keep
+    the longest member, tie toward the lower id — the RefinedWeb-style
+    choice when a group holds one full doc plus truncated variants.
+    Component table is graph-sized; lengths join from a narrow pruned
+    projection.  dedup.cluster_representatives."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.08)
+    comp = dedup.connected_components(pairs)
+    return dedup.cluster_representatives(comp, docs, "doc_id", "text")

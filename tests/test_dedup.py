@@ -648,3 +648,31 @@ def test_soft_dedup_weights_mass_conservation(spark):
     for i in range(8, 12):
         assert (got[i].n_dups, got[i].weight_e6) == (1, 1000000)
     assert sum(r.weight_e6 for r in got.values() if r.n_dups == 6) == 999996
+
+
+def test_cluster_representatives_keep_longest(spark):
+    """Planted component {1,2,3} (chain via pairs 1-2, 2-3): the longest
+    member wins regardless of id order; length ties break to the lower id;
+    singleton component {8,9} pair keeps its longer member."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (8, 9)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "short"),
+            (2, "the longest document of the group"),
+            (3, "mid length"),
+            (8, "same size"),
+            (9, "same size"),
+        ],
+        "doc_id long, text string",
+    )
+    comp = dedup.connected_components(pairs)
+    got = {
+        r.component: (r.rep_id, r.rep_len, r.n_members)
+        for r in dedup.cluster_representatives(comp, docs, "doc_id", "text").collect()
+    }
+    assert got == {
+        1: (2, 33, 3),   # longest wins over lower-id 1
+        8: (8, 9, 2),    # tie -> lower id
+    }
