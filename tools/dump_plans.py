@@ -29,6 +29,8 @@ NOTES = {
     "t24_ridge_length_model": "normal-equations serve plan (r7 continuation): the one-pass 9-moment training aggregate ran before this plan; serving is a single scan + projection with the Cramer-solved coefficients as literals — the whole fit cost one corpus pass",
     "pipe9_chunk_retrieval": "RAG ingest+serve (r7 continuation): corpus CDC chunking + trigram embedding in ONE shuffle-free mapInPandas chain; the 3-doc query side pre-materializes (chunk_topk checkpoints the tiny frame once — its re-chunk scan ran before this plan) and broadcasts (BroadcastNestedLoopJoin); integer dot + norm division in codegen; the only exchange is the per-query top-k window",
     "pipe10_chunk_index_serve": "persisted-index serve (r7 continuation): the corpus side is ONE parquet scan of the chunk index (ReadSchema = ids+vec+norm; built offline like n7's codebooks) — no CDC, no embedding, no documents scan; broadcast queries, codegen dot, per-query top-k window",
+    "t_text_suite": "the per-doc text metric suite (r9 shape): the expression projection feeds the gopher Counter pass DIRECTLY (MapInPandas with passthrough — no corpus self-join on doc_id, 3 -> 2 documents scans); the one remaining join is the hash-classifier's inherent explode+groupBy, whose shuffle carries (id, feature) rows",
+    "pipe12_domain_mix": "temperature mix (r9): corpus pass 1 = domains-sized count aggregate (map-side combine, checkpointed); the integer rate plan broadcasts into pass 2's gate filter + kept-count aggregate — no corpus-wide shuffle anywhere",
 }
 
 HEADER = """# PLANS — executed physical plans of headline queries (sf0.1, AQE final)
