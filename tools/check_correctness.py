@@ -4,7 +4,13 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB at sf0.01, compares row count, column names, and an order-insensitive
 value multiset (values canonicalized: floats rounded, timestamps stringified).
 
-Usage: python tools/check_correctness.py [name_prefix ...]
+Usage: python tools/check_correctness.py [--sf DIR] [name_prefix ...]
+
+The scale factor comes from ``--sf`` or the ``SPARK_GRAFT_T2_DIR`` env var
+(default sf0.01).  ``--sf`` exists because a bare ``--sf DIR`` pair used to
+be swallowed as two never-matching name prefixes, silently reporting
+"0 pass, 0 fail" — an invocation that looks like a green all-SF sweep and
+checks nothing (caught r9).  Unknown ``--`` flags now fail loudly.
 """
 
 from __future__ import annotations
@@ -56,7 +62,23 @@ def main() -> int:
     from ago_sisdb_spark.inventory import extended_oracles, extended_queries
     from ago_sisdb_spark.session import get_spark
 
-    prefixes = sys.argv[1:]
+    global SF_DIR
+    args = sys.argv[1:]
+    prefixes = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--sf":
+            if i + 1 >= len(args):
+                sys.exit("--sf requires a directory argument")
+            SF_DIR = args[i + 1]
+            i += 2
+        elif args[i].startswith("--"):
+            sys.exit(f"unknown flag {args[i]!r} (only --sf DIR is supported)")
+        else:
+            prefixes.append(args[i])
+            i += 1
+    if prefixes and not prefixes[0].strip():
+        sys.exit("empty prefix")
     spark = get_spark()
     con = duckdb.connect()
     for t in (
@@ -116,6 +138,9 @@ def main() -> int:
         else:
             print(f"PASS  {name}: {len(srows)} rows ({dt:.1f}s)")
             n_pass += 1
+    if n_pass + n_fail + n_rowsonly == 0:
+        print(f"\nERROR: no registry entry matches prefixes {prefixes!r}")
+        return 2
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
     return 1 if n_fail else 0
 
