@@ -182,3 +182,85 @@ def test_hard_negative_mining_vs_numpy(spark):
     have = {(r.kind, r.rank): r.neighbor_id for r in got}
     assert have == expect
     assert have[("neg", 1)] == 10  # the planted boundary vector is rank-1
+
+
+def test_serving_audits_discriminate_clustered_vs_random(spark):
+    """The embedding-serving audits (matryoshka e6, sign-sketch e7) must
+    DISCRIMINATE: on a clustered corpus whose structure lives in every
+    dim band, truncated/Hamming neighborhoods match full cosine (audit
+    says 'safe to compress'); on isotropic random vectors they cannot
+    (audit says 'do not') — the report is the product, so both directions
+    are pinned."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ago_sisdb_spark.operators import embed as embed_ops
+    from ago_sisdb_spark.operators import similarity
+
+    rng = np.random.default_rng(13)
+    dim, per = 64, 12
+
+    # Walsh sign patterns per cluster, tiled across the 8-dim bands: the
+    # signal occupies EVERY dimension (sign flips are ~impossible at
+    # sigma 1 vs amplitude 4) and any prefix carries the same structure
+    walsh = np.array(
+        [
+            [1, 1, 1, 1, 1, 1, 1, 1],
+            [1, -1, 1, -1, 1, -1, 1, -1],
+            [1, 1, -1, -1, 1, 1, -1, -1],
+            [1, -1, -1, 1, 1, -1, -1, 1],
+        ],
+        dtype=float,
+    )
+
+    def corpus(clustered):
+        vecs = []
+        for c in range(4):
+            center = np.zeros(dim)
+            if clustered:
+                center = 4.0 * np.tile(walsh[c], dim // 8)
+            for _ in range(per):
+                if clustered:
+                    # per-vector noise TILED across the bands: a band-
+                    # structured embedding, so within-cluster ordering is
+                    # band-invariant and survives truncation — the "safe
+                    # to compress" geometry the audit should green-light
+                    eps = np.tile(rng.normal(0, 1.0, 8), dim // 8)
+                else:
+                    eps = rng.normal(0, 1.0, dim)
+                vecs.append(center + eps)
+        return np.array(vecs)
+
+    def recalls(vecs):
+        rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        probes = df.where(F.col("vec_id").isin(0, 12, 24, 36))
+        t = similarity.truncation_audit(
+            df, probes, "vec_id", "embedding", "vec_id", dims=(8, 64), k=5
+        ).collect()
+        mat = [r for r in t if r.dim == 8]
+        ham = embed_ops.hamming_vs_cosine_topk(
+            df, probes, "vec_id", "embedding", "vec_id", k=5
+        ).collect()
+        hid = sum(1 for r in ham if r.rank_h <= 5 and r.rank_c <= 5) / 20
+        # cluster-membership recall: a sign sketch quantizes (Hamming
+        # ties in coarse steps), so its contract is same-CLUSTER
+        # retrieval, not within-cluster identity order
+        hrows = [r for r in ham if r.rank_h <= 5]
+        hmem = sum(
+            1 for r in hrows if r.neighbor_id // per == r.probe_id // per
+        ) / len(hrows)
+        return sum(r.hit_full for r in mat) / len(mat), hid, hmem
+
+    m_clus, _, hmem_clus = recalls(corpus(True))
+    m_rand, hid_rand, hmem_rand = recalls(corpus(False))
+    # clustered band-structured geometry: truncation preserves identity
+    # order; the sign sketch retrieves from the right cluster
+    assert m_clus >= 0.8, m_clus
+    assert hmem_clus >= 0.9, hmem_clus
+    # isotropic random vectors: truncation must NOT report preservation.
+    # (The sign sketch retains moderate agreement even here — Hamming
+    # tracks cosine in expectation on isotropic vectors, the Charikar
+    # property — so its random-side bound is only the loose one.)
+    assert m_rand <= 0.5 and hid_rand <= 0.8, (m_rand, hid_rand)
+    assert m_clus > m_rand and hmem_clus > hmem_rand
