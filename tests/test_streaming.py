@@ -553,3 +553,66 @@ def test_key_pattern_filter_property_vs_reference_glob(spark):
         assert got == want, (pattern, got, want)
 
     check()
+
+
+def test_streaming_quality_mix_gate_matches_batch(spark, tmp_path):
+    """The r9 gate family is stream-safe: gopher_keep + the temperature
+    mix gate applied per micro-batch (foreachBatch, rates computed ONCE
+    from history — the artifact pattern) must accept exactly the same doc
+    set as one batch pass over the full input, regardless of micro-batch
+    boundaries (both gates are stateless per-row decisions)."""
+    from ago_sisdb_spark.operators import prep, text
+
+    # history fixes the rates (the persisted-plan artifact); the stream
+    # is scored against it, never against its own micro-batch counts
+    passing = "the and " + " ".join(f"w{i:03d}x" for i in range(60))
+    rows = [
+        (i, passing if i % 3 else "spam spam spam spam spam spam",
+         f"s{i % 4}")
+        for i in range(60)
+    ]
+    hist = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    rates = prep.temperature_rates(hist, "source", target_frac_e6=500_000)
+    rates_rows = rates.collect()  # domains-sized plan, persisted in prod
+
+    src = str(tmp_path / "in")
+    out_dir = str(tmp_path / "kept")
+    for lo, hi in ((0, 20), (20, 40), (40, 60)):  # 3 micro-batch files
+        spark.createDataFrame(
+            rows[lo:hi], "doc_id long, text string, source string"
+        ).write.mode("append").parquet(src)
+
+    plan = spark.createDataFrame(rates_rows)
+
+    def apply_batch(batch_df, batch_id):
+        gated = text.gopher_stats(
+            batch_df, "doc_id", "text", passthrough=("source",)
+        ).where("gopher_keep")
+        kept = prep.apply_mix_gate(
+            gated.select("doc_id", "source"), "doc_id", "source", plan
+        )
+        kept.write.mode("append").parquet(out_dir)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    streamed = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    batch_gated = text.gopher_stats(
+        hist, "doc_id", "text", passthrough=("source",)
+    ).where("gopher_keep")
+    batch_kept = {
+        r.doc_id
+        for r in prep.apply_mix_gate(
+            batch_gated.select("doc_id", "source"), "doc_id", "source", plan
+        ).collect()
+    }
+    assert streamed == batch_kept
+    assert 0 < len(streamed) < 40  # both gates actually cut something
