@@ -1241,3 +1241,60 @@ def apply_mix_gate(
         .where(gate < F.col("rate_e6"))
         .drop("rate_e6")
     )
+
+
+def prep_funnel(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Pipeline observability for ``full_prep_pipeline``: every document
+    tagged with the FIRST stage that drops it — exact_dup → near_dup →
+    eval_holdout → decontam → quality → kept (the same stage order and
+    the same oracle-proven drop sets as the pipeline itself) — then one
+    count per stage.  The funnel answers "where did my corpus go"
+    without re-running the pipeline once per stage.
+
+    Scale shape: ONE tagged pass — the three drop-id sets are
+    near-dup-graph / contam-sized (AQE broadcasts them into left joins on
+    the id), the two expression gates ride the scan, and the only
+    corpus-keyed work is what the pipeline's own stages already do.
+    """
+    from ago_sisdb_spark.operators import dedup, text as textops
+
+    did = F.col(id_col)
+    xdrop = dedup.exact_dup_drop_ids(docs, id_col, text_col).withColumn(
+        "__x", F.lit(1)
+    )
+    nddrop = dedup.minhash_lsh_drop_ids(
+        docs, id_col, text_col, shingle_k=3, num_hashes=32, bands=8,
+        portable=True, min_words=3,
+    ).withColumn("__n", F.lit(1))
+    w3 = F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= 3
+    contam = (
+        decontaminate(
+            docs.where((F.pmod(did, F.lit(97)) != 0) & w3),
+            docs.where((F.pmod(did, F.lit(97)) == 0) & w3),
+            id_col, text_col, ngram=3, max_doc_freq=50,
+        )
+        .where(F.col("n_shared_shingles") >= 3)
+        .select(F.col("train_id").alias(id_col))
+        .withColumn("__c", F.lit(1))
+    )
+    quality_ok = (F.length(text_col) >= 50) & (
+        textops.punct_ratio(F.col(text_col)) < 0.10
+    )
+    stage = (
+        F.when(F.col("__x").isNotNull(), "exact_dup")
+        .when(F.col("__n").isNotNull(), "near_dup")
+        .when(F.pmod(did, F.lit(97)) == 0, "eval_holdout")
+        .when(F.col("__c").isNotNull(), "decontam")
+        .when(~quality_ok, "quality")
+        .otherwise("kept")
+    )
+    tagged = (
+        docs.select(did, F.col(text_col))
+        .join(xdrop, id_col, "left")
+        .join(nddrop, id_col, "left")
+        .join(contam, id_col, "left")
+        .select(stage.alias("stage"))
+    )
+    return tagged.groupBy("stage").agg(F.count(F.lit(1)).alias("n_docs"))

@@ -3568,3 +3568,61 @@ def d16_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.08)
     comp = dedup.connected_components(pairs)
     return dedup.cluster_representatives(comp, docs, "doc_id", "text")
+
+
+def _pipe13_oracle() -> str:
+    minhash = dedup.minhash_lsh_oracle_sql(
+        "documents", "doc_id", "text", shingle_k=3, num_hashes=32, bands=8
+    )
+    punct_gate = (
+        "length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g'))"
+        " / nullif(length(text), 0) < 0.10"
+    )
+    return rf"""
+    WITH nd_pairs AS ({minhash}),
+    xdrop AS (
+        SELECT doc_id FROM (
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS k
+            FROM documents) WHERE doc_id != k),
+    nddrop AS (SELECT DISTINCT id_b AS doc_id FROM nd_pairs),
+    tr0 AS (
+        SELECT DISTINCT doc_id AS doc, unnest(list_distinct({_SH3})) AS shingle
+        FROM documents
+        WHERE doc_id % 97 != 0
+          AND len(string_split_regex(trim(text), '\s+')) >= 3),
+    keepsh AS (
+        SELECT shingle FROM tr0 GROUP BY shingle HAVING count(*) <= 50),
+    tr AS (SELECT tr0.* FROM tr0 JOIN keepsh USING (shingle)),
+    ev AS (
+        SELECT DISTINCT unnest(list_distinct({_SH3})) AS shingle
+        FROM documents
+        WHERE doc_id % 97 = 0 AND len(string_split_regex(trim(text), '\s+')) >= 3),
+    contam AS (
+        SELECT doc AS doc_id FROM tr JOIN ev USING (shingle)
+        GROUP BY doc HAVING count(DISTINCT shingle) >= 3),
+    tagged AS (
+        SELECT CASE
+            WHEN d.doc_id IN (SELECT doc_id FROM xdrop) THEN 'exact_dup'
+            WHEN d.doc_id IN (SELECT doc_id FROM nddrop) THEN 'near_dup'
+            WHEN d.doc_id % 97 = 0 THEN 'eval_holdout'
+            WHEN d.doc_id IN (SELECT doc_id FROM contam) THEN 'decontam'
+            WHEN NOT (length(text) >= 50 AND {punct_gate}) THEN 'quality'
+            ELSE 'kept' END AS stage
+        FROM documents d)
+    SELECT stage, count(*) AS n_docs FROM tagged GROUP BY stage
+    """
+
+
+@query("pipe13_prep_funnel", oracle=_pipe13_oracle(), extended=True)
+def pipe13_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prep-pipeline funnel: every document tagged with the FIRST stage of
+    full_prep that drops it (exact_dup -> near_dup -> eval_holdout ->
+    decontam -> quality -> kept), one count per stage — "where did my
+    corpus go" in ONE tagged pass instead of re-running the pipeline per
+    stage.  Drop sets are the pipeline's own oracle-proven building
+    blocks; the oracle composes the pipe_full CTEs with a CASE.
+    operators/prep.prep_funnel."""
+    from ago_sisdb_spark.operators import prep
+
+    docs = _t(spark, sf_dir, "documents")
+    return prep.prep_funnel(docs, "doc_id", "text")

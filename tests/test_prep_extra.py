@@ -1047,3 +1047,42 @@ def test_mixture_sample_targets_and_gate(spark):
     assert by_dom["books"] == 0          # default_share drops the domain
     assert by_dom["code"] == 80          # clamped rate 1.0 keeps all
     assert 35 <= by_dom["web"] <= 65     # ~25% of 200 docs via the gate
+
+
+def test_prep_funnel_stage_attribution_and_pipeline_consistency(spark):
+    """Planted docs with one known drop reason each land in their stage
+    (first-match order pinned: an exact dup that would also fail a later
+    gate counts as exact_dup), and the funnel's 'kept' count equals the
+    doc total of full_prep_pipeline on the same corpus — the funnel and
+    the pipeline can never disagree about survivors."""
+
+    def wordy(seed, n=18):
+        return " ".join(f"{seed}{i:02d}word" for i in range(n)) + ", end."
+
+    t1 = wordy("alpha")
+    t_eval = wordy("evalset")
+    # decontam victim: copies a 5-word phrase (3 shingles) from the eval doc
+    phrase = " ".join(t_eval.split()[2:7])
+    t7 = wordy("victim", 12) + " " + phrase
+    rows = [
+        (1, t1),
+        (2, t1),                                  # exact dup of 1
+        (3, t1 + " extra"),                        # near dup of 1 (sim ~0.9)
+        (97 * 2, t_eval),                          # eval holdout slice
+        (5, "........ ,,,,,,,, ;;;; low quality punctuation soup !!!"),
+        (6, wordy("bravo")),                       # clean keeper
+        (7, t7),                                   # decontaminated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {r.stage: r.n_docs for r in prep.prep_funnel(df, "doc_id", "text").collect()}
+    assert got.get("exact_dup") == 1, got          # id 2 (keep-lowest)
+    assert got.get("near_dup") == 1, got           # id 3
+    assert got.get("eval_holdout") == 1, got       # id 194
+    assert got.get("decontam") == 1, got           # id 7
+    assert got.get("quality") == 1, got            # id 5
+    assert got.get("kept") == 2, got               # ids 1, 6
+    assert sum(got.values()) == len(rows)
+
+    packed = prep.full_prep_pipeline(df, "doc_id", "text").collect()
+    assert sum(r.n_docs for r in packed) == got["kept"]
