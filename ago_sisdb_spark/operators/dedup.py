@@ -1469,3 +1469,178 @@ def cluster_representatives(
             "n_members",
         )
     )
+
+
+def minhash_estimator_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Estimator-quality audit for the MinHash family: for every banded
+    candidate pair, the signature-based similarity estimate (matching
+    positions / num_hashes) beside the TRUE shingle Jaccard, plus the
+    absolute error — the check that says whether 32 hashes are enough for
+    this corpus before trusting the prune at scale.  All three ratios are
+    exact integer millionths (matches and set sizes are integers), so the
+    report is hash-portable with no float boundary.
+
+    Returns (id_a, id_b, n_shared_bands, est_e6, jac_e6, err_e6).
+
+    Scale shape: two corpus passes (signature mins; distinct shingles of
+    CANDIDATE docs only — the second pass prunes through a broadcast
+    semi-join on the pair-graph ids).  The candidate table and its sig
+    subset are pair-graph-sized and checkpointed (small collapse points);
+    the true-Jaccard shingle self-join runs over candidate docs only,
+    never the corpus."""
+    from pyspark.sql import functions as F
+
+    from ago_sisdb_spark.materialize import materialize
+
+    cands = materialize(
+        minhash_lsh_candidates(
+            df, id_col, text_col, shingle_k, num_hashes, bands,
+            max_bucket_size, portable=True, min_words=shingle_k,
+        )
+    )
+    ids = (
+        cands.select(F.col("id_a").alias("doc"))
+        .union(cands.select(F.col("id_b").alias("doc")))
+        .distinct()
+    )
+    mins = _minhash_mins(
+        df, id_col, text_col, shingle_k, num_hashes, seed=7,
+        portable=True, min_words=shingle_k,
+    )
+    sigs = materialize(mins.join(F.broadcast(ids), "doc"))
+    a = sigs.select(
+        F.col("doc").alias("id_a"),
+        *[F.col(f"s{i}").alias(f"__a{i}") for i in range(num_hashes)],
+    )
+    b = sigs.select(
+        F.col("doc").alias("id_b"),
+        *[F.col(f"s{i}").alias(f"__b{i}") for i in range(num_hashes)],
+    )
+    nm = sum(
+        (F.col(f"__a{i}") == F.col(f"__b{i}")).cast("long")
+        for i in range(num_hashes)
+    )
+    est = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", "n_shared_bands", nm.alias("__nm"))
+        .withColumn("est_e6", F.expr(f"(1000000 * __nm) div {num_hashes}"))
+        .drop("__nm")
+    )
+    # true Jaccard over candidate docs only
+    cand_docs = df.join(
+        F.broadcast(ids.withColumnRenamed("doc", id_col)), id_col, "left_semi"
+    )
+    sh = materialize(
+        shingle_rows(cand_docs, id_col, text_col, shingle_k, min_words=shingle_k)
+        .distinct()
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("__n"))
+    inter = (
+        sh.select(F.col("doc").alias("id_a"), "shingle")
+        .join(sh.select(F.col("doc").alias("id_b"), "shingle"), "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__ni"))
+    )
+    out = (
+        est.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("doc").alias("id_a"), F.col("__n").alias("__na")), "id_a")
+        .join(sizes.select(F.col("doc").alias("id_b"), F.col("__n").alias("__nb")), "id_b")
+        .withColumn("__ni", F.coalesce("__ni", F.lit(0)))
+        .withColumn(
+            "jac_e6",
+            F.expr("(1000000 * __ni) div (__na + __nb - __ni)"),
+        )
+    )
+    return out.select(
+        "id_a", "id_b", "n_shared_bands", "est_e6", "jac_e6",
+        F.abs(F.col("est_e6") - F.col("jac_e6")).alias("err_e6"),
+    )
+
+
+def minhash_estimator_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 7,
+    max_bucket_size: int = 1000,
+) -> str:
+    """DuckDB twin of ``minhash_estimator_audit``: same shingles / hash /
+    permutations / band buckets as ``minhash_lsh_oracle_sql``, extended
+    with the per-pair signature match count and the true distinct-shingle
+    Jaccard, all in integer millionths."""
+    rows = num_hashes // bands
+    words = rf"string_split_regex({text_col}, '\s+')"
+    shingle = " || ' ' || ".join(
+        f"{words}[i + {j}]" if j else f"{words}[i]" for j in range(shingle_k)
+    )
+    mins = ",\n         ".join(
+        f"min(({a} * h + {b}) % 2147483647) AS s{i}"
+        for i, (a, b) in enumerate(_perm_params(num_hashes, seed))
+    )
+    band_selects = []
+    for b in range(bands):
+        acc = str(b)
+        for j in range(rows):
+            acc = f"(({acc}) * 31 + s{b * rows + j}) % 2147483647"
+        band_selects.append(f"SELECT doc, {b} AS band, {acc} AS bucket FROM mins")
+    bands_sql = "\n      UNION ALL\n      ".join(band_selects)
+    hash_sql = PORTABLE_HASH_SQL.format(col="shingle")
+    match_sum = " + ".join(
+        f"CAST(ma.s{i} = mb.s{i} AS BIGINT)" for i in range(num_hashes)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT {id_col} AS doc,
+               unnest(list_transform(range(1, len({words}) - {shingle_k - 1} + 1),
+                      i -> {shingle})) AS shingle
+        FROM {table} WHERE len({words}) >= {shingle_k}),
+    h AS (SELECT doc, {hash_sql} % 2147483647 AS h FROM sh),
+    mins AS (
+        SELECT doc,
+         {mins}
+        FROM h GROUP BY doc),
+    bands AS (
+      {bands_sql}),
+    capped AS (
+        SELECT * FROM bands
+        QUALIFY count(*) OVER (PARTITION BY band, bucket) <= {max_bucket_size}),
+    pairs AS (
+        SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_shared_bands
+        FROM capped a
+        JOIN capped b ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+        GROUP BY a.doc, b.doc),
+    dsh AS (SELECT DISTINCT doc, shingle FROM sh),
+    sizes AS (SELECT doc, count(*) AS n FROM dsh GROUP BY doc),
+    inter AS (
+        SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS ni
+        FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY 1, 2),
+    est AS (
+        SELECT p.id_a, p.id_b, p.n_shared_bands,
+               (1000000 * ({match_sum})) // {num_hashes} AS est_e6
+        FROM pairs p
+        JOIN mins ma ON ma.doc = p.id_a
+        JOIN mins mb ON mb.doc = p.id_b)
+    SELECT e.id_a, e.id_b, e.n_shared_bands, e.est_e6,
+           (1000000 * coalesce(i.ni, 0))
+               // (sa.n + sb.n - coalesce(i.ni, 0)) AS jac_e6,
+           abs(e.est_e6 - (1000000 * coalesce(i.ni, 0))
+               // (sa.n + sb.n - coalesce(i.ni, 0))) AS err_e6
+    FROM est e
+    LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+    JOIN sizes sa ON sa.doc = e.id_a
+    JOIN sizes sb ON sb.doc = e.id_b
+    """

@@ -3626,3 +3626,22 @@ def pipe13_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return prep.prep_funnel(docs, "doc_id", "text")
+
+
+@query(
+    "d17_minhash_estimator_audit",
+    oracle=dedup.minhash_estimator_oracle_sql(
+        "documents", "doc_id", "text", shingle_k=3, num_hashes=32, bands=8
+    ),
+    extended=True,
+)
+def d17_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit for the MinHash prune: per banded candidate
+    pair, the 32-hash signature estimate of Jaccard beside the TRUE
+    distinct-shingle Jaccard and the absolute error — run before trusting
+    the near-dup prune on a new corpus.  Integer millionths throughout
+    (matches and set sizes are integers; no float boundary).  Two corpus
+    passes; the true-Jaccard self-join runs over candidate docs only.
+    dedup.minhash_estimator_audit."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_estimator_audit(docs, "doc_id", "text")

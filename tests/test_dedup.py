@@ -676,3 +676,31 @@ def test_cluster_representatives_keep_longest(spark):
         1: (2, 33, 3),   # longest wins over lower-id 1
         8: (8, 9, 2),    # tie -> lower id
     }
+
+
+def test_minhash_estimator_audit_exact_and_bounded(spark):
+    """Estimator audit invariants on planted pairs: an exact duplicate
+    pair estimates 1.0 with zero error; a disjoint-text collision (if
+    any) estimates near 0; every row satisfies err = |est - jac| and
+    0 <= est, jac <= 1e6; and the near-dup pair's estimate lands within
+    3/32 quantization steps of its true Jaccard."""
+    base = " ".join(f"tok{i:02d}" for i in range(20))
+    docs = [
+        (1, base),
+        (2, base),                       # exact dup: est == jac == 1e6
+        (3, base + " tail21 tail22"),    # near dup of 1/2
+        (4, " ".join(f"other{i:02d}" for i in range(20))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = dedup.minhash_estimator_audit(df, "doc_id", "text").collect()
+    got = {(r.id_a, r.id_b): r for r in rows}
+    assert (1, 2) in got
+    r12 = got[(1, 2)]
+    assert (r12.est_e6, r12.jac_e6, r12.err_e6) == (1_000_000, 1_000_000, 0)
+    for r in rows:
+        assert 0 <= r.est_e6 <= 1_000_000 and 0 <= r.jac_e6 <= 1_000_000
+        assert r.err_e6 == abs(r.est_e6 - r.jac_e6)
+        assert 1 <= r.n_shared_bands <= 8
+    if (1, 3) in got:
+        # 32-hash estimate quantizes in 1/32 steps; allow 3 steps of error
+        assert got[(1, 3)].err_e6 <= 3 * 1_000_000 // 32
