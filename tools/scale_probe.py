@@ -398,13 +398,34 @@ def main() -> None:
                 em, em_probes, "vec_id", "embedding", "vec_id", k=5, pool=20,
             )
         )
+        probe("e7_sign_sketch",
+            lambda: embed_ops.hamming_vs_cosine_topk(
+                em, em_probes, "vec_id", "embedding", "vec_id", k=5,
+            )
+        )
+        em_lab = em.withColumn("label", (F.col("vec_id") % 4).cast("int"))
+        probe("e8_hard_neg",
+            lambda: embed_ops.hard_negative_mining(
+                em_lab, em_lab.where(F.col("vec_id") < 5),
+                "vec_id", "embedding", "label", "vec_id", k=3,
+            )
+        )
+        probe("d15_soft_dedup",
+            lambda: dedup.soft_dedup_weights(dc, "doc_id", "text")
+        )
+        probe("pipe13_funnel",
+            lambda: prep.prep_funnel(dc, "doc_id", "text")
+        )
+        probe("d17_estimator_audit",
+            lambda: dedup.minhash_estimator_audit(dc, "doc_id", "text")
+        )
         # release this scale's localCheckpoint blocks before the next
         # multiplier: without it the ×32 pass runs on top of ×1+×4's
         # cached copies and every sample carries eviction/GC noise.
         # The DERIVED frames must go too — their plans reference the
         # checkpointed RDDs, and ContextCleaner can only unpersist a
         # block once nothing reachable points at it
-        del ev, dc, em, mixed, mixed12, spread, sdf, skew, toks, toks2
+        del ev, dc, em, em_lab, mixed, mixed12, spread, sdf, skew, toks, toks2
         spark.sparkContext._jvm.System.gc()
         time.sleep(0.5)
     lo, hi = muls[0], muls[-1]
