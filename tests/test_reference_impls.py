@@ -1082,3 +1082,77 @@ def test_gopher_stats_vs_reference_impl(spark):
     # sanity: the engineered docs land on both sides of the gate
     assert got[6]["gopher_keep"] is True
     assert got[7]["gopher_keep"] is False and got[7]["dup10_e6"] > 100_000
+
+
+def test_gopher_stats_randomized_cross_model(spark):
+    """Seeded randomized sweep (120 docs) of gopher_stats vs the
+    independent Python model: random word soups with skewed repetition,
+    unicode words, '#'/'...' runs, and tab/newline whitespace — every
+    column must match on every doc (the deterministic-fuzz complement of
+    the hand-planted edge-case test)."""
+    import random
+    import re
+    from collections import Counter
+
+    from ago_sisdb_spark.operators import text as text_ops
+
+    rnd = random.Random(99)
+    vocab = (
+        ["the", "and", "of", "to", "##", "...", "a#b", "héllo", "wörd",
+         "日本語", "x"] + [f"w{i}" for i in range(25)]
+    )
+    seps = [" ", "  ", "\t", "\n", " \t "]
+
+    def random_doc():
+        n = rnd.randint(0, 120)
+        words = [rnd.choice(vocab) for _ in range(n)]
+        if n and rnd.random() < 0.5:  # inject heavy repetition runs
+            run = [rnd.choice(vocab)] * rnd.randint(5, 30)
+            pos = rnd.randrange(len(words) + 1)
+            words = words[:pos] + run + words[pos:]
+        return rnd.choice(seps).join(words) + (rnd.choice(seps) if words else "")
+
+    docs = [(i, random_doc()) for i in range(120)]
+
+    def expect(txt):
+        words = [w for w in re.split("[ \t\n\r\f\v]+", txt) if w]
+        nw, nc = len(words), len(txt)
+        cnt = {
+            n: Counter(" ".join(words[i:i + n]) for i in range(nw - n + 1))
+            for n in (2, 3, 4, 5, 10)
+        }
+        out = {
+            "n_words": nw,
+            "mwl_e6": (10**6 * sum(map(len, words))) // nw if nw else 0,
+            "symbol_e6": (10**6 * (txt.count("#") + txt.count("..."))) // nw
+            if nw else 0,
+            "alpha_e6": (10**6 * sum(1 for w in words if re.search("[A-Za-z]", w)))
+            // nw if nw else 0,
+            "stop_hits": len(
+                {"the", "be", "to", "of", "and", "that", "have", "with"}
+                & set(words)
+            ),
+        }
+        for n in (2, 3, 4):
+            c = cnt[n]
+            if not c or nc == 0:
+                out[f"top{n}_e6"] = 0
+            else:
+                m = max(c.values())
+                g = min(k for k, v in c.items() if v == m)
+                out[f"top{n}_e6"] = (10**6 * m * len(g)) // nc
+        for n in (5, 10):
+            dup = sum(v * len(k) for k, v in cnt[n].items() if v >= 2)
+            out[f"dup{n}_e6"] = (10**6 * dup) // nc if nc else 0
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in text_ops.gopher_stats(df, "doc_id", "text").collect()
+    }
+    assert len(got) == 120
+    for did, txt in docs:
+        want = expect(txt)
+        have = {k: got[did][k] for k in want}
+        assert have == want, f"doc {did} ({txt[:60]!r}): {have} != {want}"
