@@ -2525,24 +2525,31 @@ def e4_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embed.quantize_int8_report(emb, "vec_id", "embedding")
 
 
-def _bpe_oracle(n_merges: int = 6) -> str:
-    """Unrolled DuckDB twin of the FULL bpe_train loop: each round counts
-    weighted adjacent pairs over the evolving symbol strings, takes the
-    (n DESC, pair) argmax, and applies it with an exact greedy
+def _bpe_chain(n_merges: int = 6, carry_word: bool = False) -> str:
+    """The WITH-chain of the unrolled DuckDB BPE trainer: each round
+    counts weighted adjacent pairs over the evolving symbol strings,
+    takes the (n DESC, pair) argmax, and applies it with an exact greedy
     left-to-right non-overlapping ``list_reduce`` fold over the SYMBOL
     ARRAY (mirror of operators/text._greedy_merge_fold) — substring
     ``replace`` is wrong here: it matches across symbol boundaries and,
-    even space-padded, mis-pairs runs of 4+ identical symbols."""
-    parts = [r"""
+    even space-padded, mis-pairs runs of 4+ identical symbols.
+
+    ``carry_word=True`` threads the source vocabulary word through every
+    round so the final table v{n} maps word -> merged symbol string (the
+    serving join t26's fertility report needs)."""
+    wcol = "w, " if carry_word else ""
+    parts = [rf"""
     WITH w AS (
         SELECT t.w, count(*) AS wt FROM (
             SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
             FROM documents) t
         WHERE t.w != '' GROUP BY t.w),
     v0 AS (
-        SELECT array_to_string(list_transform(range(1, length(w) + 1),
+        SELECT {wcol}array_to_string(list_transform(range(1, length(w) + 1),
                    i -> substring(w, i, 1)), ' ') AS sym, wt
         FROM w)"""]
+    inner_w = f"v{{r}}.w, " if carry_word else ""
+    out_w = "s.w, " if carry_word else ""
     for r in range(n_merges):
         parts.append(f""",
     p{r} AS (
@@ -2553,24 +2560,28 @@ def _bpe_oracle(n_merges: int = 6) -> str:
         GROUP BY u.pair),
     t{r} AS (SELECT pair, n FROM p{r} ORDER BY n DESC, pair LIMIT 1),
     v{r + 1} AS (
-        SELECT list_reduce(s.sp, (acc, x) ->
+        SELECT {out_w}list_reduce(s.sp, (acc, x) ->
                    CASE WHEN regexp_extract(acc, '[^ ]*$') = s.a AND x = s.b
                         THEN left(acc, length(acc)
                                   - length(regexp_extract(acc, '[^ ]*$'))) || s.m
                         ELSE acc || ' ' || x END) AS sym,
                s.wt
-        FROM (SELECT string_split(v{r}.sym, ' ') AS sp, v{r}.wt,
+        FROM (SELECT {inner_w.format(r=r)}string_split(v{r}.sym, ' ') AS sp, v{r}.wt,
                      string_split(t{r}.pair, ' ')[1] AS a,
                      string_split(t{r}.pair, ' ')[2] AS b,
                      replace(t{r}.pair, ' ', '') AS m
               FROM v{r}, t{r}) s)""")
+    return "".join(parts)
+
+
+def _bpe_oracle(n_merges: int = 6) -> str:
     selects = "\n    UNION ALL\n    ".join(
         f"SELECT CAST({r + 1} AS BIGINT) AS merge_rank, pair,"
         f" replace(pair, ' ', '') AS merged, CAST(n AS BIGINT) AS pair_count"
         f" FROM t{r}"
         for r in range(n_merges)
     )
-    return "".join(parts) + "\n    " + selects
+    return _bpe_chain(n_merges) + "\n    " + selects
 
 
 @query("t20_bpe_train", oracle=_bpe_oracle(), extended=True)
@@ -3645,3 +3656,62 @@ def d17_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup.minhash_estimator_audit."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_estimator_audit(docs, "doc_id", "text")
+
+
+def _t26_oracle(n_merges: int = 6) -> str:
+    return _bpe_chain(n_merges, carry_word=True) + rf""",
+    dw AS (
+        SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents),
+    dwn AS (SELECT lang, w FROM dw WHERE w != ''),
+    fert AS (
+        SELECT d.lang, count(*) AS n_words,
+               CAST(sum(len(string_split(v.sym, ' '))) AS BIGINT) AS n_sym
+        FROM dwn d JOIN v{n_merges} v ON v.w = d.w
+        GROUP BY d.lang)
+    SELECT lang, CAST(n_words AS BIGINT) AS n_words, n_sym,
+           (1000000 * n_sym) // n_words AS fertility_e6
+    FROM fert
+    """
+
+
+@query("t26_bpe_fertility", oracle=_t26_oracle(), extended=True)
+def t26_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language (subword tokens per word — the
+    standard multilingual tokenizer-quality metric: high fertility =
+    underserved language): train the 6-merge BPE on the corpus (t20's
+    loop, 1-row driver collect per round), apply the trained merges with
+    the exact greedy fold, and report per-lang word / symbol totals with
+    fertility in integer millionths.  The oracle unrolls the SAME trainer
+    with the vocabulary word carried through, so train AND serve are
+    hash-checked end-to-end.  Scale: the merge application is a
+    vocabulary-join-free expression fold over the corpus scan; only the
+    ≤|vocab| trainer tables shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    merges_df = text.bpe_train(docs, "text", n_merges=6)
+    merges = [
+        (r["pair"], r["merged"])
+        for r in merges_df.orderBy("merge_rank").collect()
+    ]
+    words = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    ).where(F.col("w") != "")
+    sym = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    from ago_sisdb_spark.operators.text import _greedy_merge_fold
+
+    for pair, merged in merges:
+        a, b = pair.split(" ")
+        sym = _greedy_merge_fold(sym, a, b, pair.replace(" ", ""))
+    return (
+        words.select("lang", F.size(sym).alias("n_sym"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_sym"),
+        )
+        .select(
+            "lang", "n_words", "n_sym",
+            F.expr("(1000000 * n_sym) div n_words").alias("fertility_e6"),
+        )
+    )

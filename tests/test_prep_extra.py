@@ -1086,3 +1086,34 @@ def test_prep_funnel_stage_attribution_and_pipeline_consistency(spark):
 
     packed = prep.full_prep_pipeline(df, "doc_id", "text").collect()
     assert sum(r.n_docs for r in packed) == got["kept"]
+
+
+def test_bpe_fertility_closed_form(spark):
+    """Hand-computed 6-round merge ladder on a planted trilingual corpus:
+    'abab' collapses to one token (fertility 1.0), 'xyzq' collapses via
+    three tie-broken rounds (1.0), 'mnopqr' only gets its first merge in
+    round 6 (5 symbols -> fertility 5.0).  Pins training, the exact
+    greedy application, and the per-lang aggregation in one shot."""
+    from ago_sisdb_spark.queries.pipeline import t26_bpe_fertility  # noqa: F401
+    from ago_sisdb_spark.inventory import extended_queries
+
+    docs = (
+        [(i, "abab " * 10, "aa") for i in range(3)]
+        + [(10 + i, "xyzq " * 5, "zz") for i in range(2)]
+        + [(20, "mnopqr " * 7, "cc")]
+    )
+    df = spark.createDataFrame(
+        [(i, t.strip(), l) for i, t, l in docs],
+        "doc_id long, text string, lang string",
+    )
+    import tempfile
+
+    sf = tempfile.mkdtemp(prefix="t26_planted_")
+    df.write.mode("overwrite").parquet(sf + "/documents.parquet")
+    fn = extended_queries()["t26_bpe_fertility"]
+    got = {r.lang: (r.n_words, r.n_sym, r.fertility_e6) for r in fn(spark, sf).collect()}
+    assert got == {
+        "aa": (30, 30, 1_000_000),
+        "zz": (10, 10, 1_000_000),
+        "cc": (7, 35, 5_000_000),
+    }
