@@ -327,3 +327,108 @@ def train_quality_classifier(
         )
     finally:
         feats.unpersist()
+
+
+def eval_binary(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    threshold: int = 0,
+) -> DataFrame:
+    """Exact binary-classifier evaluation: Mann-Whitney ROC-AUC plus the
+    threshold confusion matrix, as ONE summary row of integer-exact
+    aggregates with single-division float ratios.
+
+    The EVAL half of the model-based filter loop (train: ``train_lr``;
+    serve: ``lr_score_expr`` / ``text.hashed_linear_score``): before a
+    quality classifier gates 100 TB of pretraining data you measure how
+    well its score ranks the labels.  The reference has no evaluator (its
+    `sis_ai` tree is dead code, /root/reference/src/core/sis_ai.h); this
+    is the standard public-literature metric set.
+
+    AUC is computed EXACTLY from the tie-aware pair count (the
+    Mann-Whitney U statistic): collapse the corpus to one row per
+    DISTINCT score value with (n_pos, n_neg) counts — the collapse point
+    is bounded by the score codomain (≤ 2e6 rows for a fixed-point e6
+    score in [-1, 1]), never by the corpus — then
+
+        auc_num2 = Σ_s n_pos(s) · (2 · Σ_{s'<s} n_neg(s') + n_neg(s))
+        auc_den2 = 2 · P · N
+        auc      = auc_num2 / auc_den2        (ONE float division)
+
+    which counts each correctly-ordered (pos, neg) pair twice and each
+    tied pair once.  The cumulative-negatives term uses
+    ``lastper.global_prefix_sums`` (range-partitioned spans, no
+    single-partition window).  All counts are int64: exact while
+    P·N < 4.6e18 (~4 billion balanced labeled rows; switch the two
+    pair-count columns to decimal(38,0) beyond that).  The ratios
+    (auc, prec, recall, f1, accuracy) are each ONE correctly-rounded
+    IEEE division of exact integers, so they hash bit-identically
+    cross-engine (see working-notes: float determinism).
+
+    ``scored`` must have one row per example.  ``score_col`` should be an
+    integer (fixed-point) score so tie semantics are exact; ``label_col``
+    is boolean.  ``threshold`` splits predictions as score > threshold.
+    Returns one row:
+      (n_pos, n_neg, auc_num2, auc_den2, auc,
+       tp, fp, fn, tn, prec, recall, f1, accuracy).
+    """
+    from ago_sisdb_spark.operators import lastper
+
+    lab = F.col(label_col)
+    per = scored.groupBy(F.col(score_col).alias("score")).agg(
+        F.sum(F.when(lab, 1).otherwise(0)).cast("long").alias("n_pos"),
+        F.sum(F.when(lab, 0).otherwise(1)).cast("long").alias("n_neg"),
+    )
+    per = lastper.global_prefix_sums(per, [F.col("score")], ["n_neg"])
+    pred = F.col("score") > F.lit(threshold)
+    agg = per.agg(
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        F.sum("n_neg").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("n_pos") * (F.lit(2) * F.col("cum_n_neg") + F.col("n_neg"))
+        )
+        .cast("long")
+        .alias("auc_num2"),
+        F.sum(F.when(pred, F.col("n_pos")).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(pred, F.col("n_neg")).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(~pred, F.col("n_pos")).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when(~pred, F.col("n_neg")).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+    )
+
+    def _ratio(num: Column, den: Column) -> Column:
+        return num.cast("double") / F.nullif(den.cast("double"), F.lit(0.0))
+
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "auc_num2",
+        (F.lit(2) * F.col("n_pos") * F.col("n_neg"))
+        .cast("long")
+        .alias("auc_den2"),
+        _ratio(
+            F.col("auc_num2"), F.lit(2) * F.col("n_pos") * F.col("n_neg")
+        ).alias("auc"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        _ratio(F.col("tp"), F.col("tp") + F.col("fp")).alias("prec"),
+        _ratio(F.col("tp"), F.col("tp") + F.col("fn")).alias("recall"),
+        _ratio(
+            F.lit(2) * F.col("tp"),
+            F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn"),
+        ).alias("f1"),
+        _ratio(
+            F.col("tp") + F.col("tn"),
+            F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn"),
+        ).alias("accuracy"),
+    )

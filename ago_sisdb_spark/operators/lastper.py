@@ -169,3 +169,65 @@ def global_rank(
         .withColumn(rank_col, (F.col("__off") + F.col("__rn")).cast("long"))
         .drop("__pid", "__rn", "__off")
     )
+
+
+def global_prefix_sums(
+    df: DataFrame,
+    order: list[Column],
+    value_cols: list[str],
+    prefix: str = "cum_",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """EXCLUSIVE global prefix sums of ``value_cols`` in total ``order``,
+    without a single-partition window — ``global_rank``'s span trick
+    generalised from row counts to column sums (r9, for exact
+    Mann-Whitney AUC's cumulative-negatives-below-each-score term).
+
+    Same shape and same caveats as ``global_rank``: range-partition on the
+    sort key (each partition owns a contiguous span), per-partition
+    running sums via a window partitioned by the range-partition id, and
+    each span's starting offset from a P²-row triangular self-join of the
+    per-partition totals.  The range-partitioned frame is persist()-ed so
+    both consumers see ONE set of sampled bounds (two instantiations may
+    sample different bounds and silently mis-offset — see global_rank).
+
+    ``order`` must be a total order (unique keys) or the exclusive sums
+    within a tie run are ordering-dependent.  Sums are int64; callers own
+    the overflow bound (Spark 4 ANSI mode throws rather than wraps).
+    """
+    dfr = (
+        df.repartitionByRange(num_partitions, *order)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = dfr.groupBy("__pid").agg(
+        *[F.sum(c).cast("long").alias(f"__t_{c}") for c in value_cols]
+    )
+    a, b = totals.alias("a"), totals.alias("b")
+    offsets = (
+        a.join(b, F.col("b.__pid") < F.col("a.__pid"), "left")
+        .groupBy(F.col("a.__pid").alias("__pid"))
+        .agg(
+            *[
+                F.coalesce(F.sum(f"b.__t_{c}"), F.lit(0))
+                .cast("long")
+                .alias(f"__off_{c}")
+                for c in value_cols
+            ]
+        )
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = dfr.join(F.broadcast(offsets), "__pid")
+    for c in value_cols:
+        out = out.withColumn(
+            f"{prefix}{c}",
+            (
+                F.col(f"__off_{c}")
+                + F.coalesce(F.sum(c).over(w), F.lit(0))
+            ).cast("long"),
+        )
+    return out.drop("__pid", *[f"__off_{c}" for c in value_cols])

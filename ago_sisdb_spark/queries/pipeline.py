@@ -3715,3 +3715,65 @@ def t26_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * n_sym) div n_words").alias("fertility_e6"),
         )
     )
+
+
+def _t27_oracle() -> str:
+    return f"""
+    WITH lab AS (
+        SELECT s.score_e6 AS score, (d.lang = 'en') AS pos
+        FROM ({_t18_oracle()}) s JOIN documents d ON s.doc_id = d.doc_id),
+    per AS (
+        SELECT score,
+               CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+               CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+        FROM lab GROUP BY score),
+    cum AS (
+        SELECT *,
+               CAST(coalesce(sum(n_neg) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_n_neg
+        FROM per),
+    agg AS (
+        SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+               CAST(sum(n_neg) AS BIGINT) AS n_neg,
+               CAST(sum(n_pos * (2 * cum_n_neg + n_neg)) AS BIGINT)
+                   AS auc_num2,
+               CAST(sum(CASE WHEN score > 0 THEN n_pos ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN score > 0 THEN n_neg ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN score <= 0 THEN n_pos ELSE 0 END) AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN score <= 0 THEN n_neg ELSE 0 END) AS BIGINT) AS tn
+        FROM cum)
+    SELECT n_pos, n_neg, auc_num2,
+           CAST(2 * n_pos * n_neg AS BIGINT) AS auc_den2,
+           CAST(auc_num2 AS DOUBLE)
+               / nullif(CAST(2 * n_pos * n_neg AS DOUBLE), 0) AS auc,
+           tp, fp, fn, tn,
+           CAST(tp AS DOUBLE) / nullif(CAST(tp + fp AS DOUBLE), 0) AS prec,
+           CAST(tp AS DOUBLE) / nullif(CAST(tp + fn AS DOUBLE), 0) AS recall,
+           CAST(2 * tp AS DOUBLE)
+               / nullif(CAST(2 * tp + fp + fn AS DOUBLE), 0) AS f1,
+           CAST(tp + tn AS DOUBLE)
+               / nullif(CAST(tp + fp + fn + tn AS DOUBLE), 0) AS accuracy
+    FROM agg
+    """
+
+
+@query("t27_classifier_eval", oracle=_t27_oracle(), extended=True)
+def t27_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier EVAL metrics (operators/classifier.eval_binary): exact
+    tie-aware Mann-Whitney ROC-AUC + threshold confusion matrix for the
+    t18 hash-classifier score against a reference label (lang = 'en'),
+    as one integer-exact summary row.  The per-distinct-score collapse is
+    bounded by the score codomain, not the corpus; the cumulative term
+    uses range-partitioned spans (lastper.global_prefix_sums), never a
+    single-partition window.  Closes the train (t22) → serve (t18) →
+    EVAL loop of the model-based quality-filter family."""
+    from ago_sisdb_spark.operators import classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = text.hashed_linear_score(docs, "doc_id", "text")
+    labeled = scored.join(
+        docs.select("doc_id", (F.col("lang") == F.lit("en")).alias("pos")),
+        "doc_id",
+    )
+    return classifier.eval_binary(labeled, "score_e6", "pos", threshold=0)

@@ -304,3 +304,108 @@ def test_planted_fit_decision_margin_is_wide(spark):
     min_z = planted.select(F.min(F.abs(z)).alias("m")).collect()[0]["m"]
     planted.unpersist()
     assert min_z > 5.0, f"learned decision margin too thin: min|logit|={min_z}"
+
+
+# ---------------------------------------------------------------- eval_binary
+
+
+def _eval_frame(spark, rows):
+    return spark.createDataFrame(rows, "score long, pos boolean")
+
+
+def _py_auc_confusion(rows, threshold=0):
+    """Independent plain-Python Mann-Whitney AUC + confusion — no shared
+    code with the operator (pairwise O(P*N) definition, not rank sums)."""
+    pos = [s for s, p in rows if p]
+    neg = [s for s, p in rows if not p]
+    num2 = sum(2 if sp > sn else (1 if sp == sn else 0) for sp in pos for sn in neg)
+    tp = sum(1 for s in pos if s > threshold)
+    fp = sum(1 for s in neg if s > threshold)
+    return num2, 2 * len(pos) * len(neg), tp, fp, len(pos) - tp, len(neg) - fp
+
+
+def test_eval_binary_perfect_reversed_and_tied(spark):
+    from ago_sisdb_spark.operators import classifier
+
+    perfect = [(10, True), (9, True), (0, False), (-1, False)]
+    r = classifier.eval_binary(
+        _eval_frame(spark, perfect), "score", "pos"
+    ).collect()[0]
+    assert (r["auc_num2"], r["auc_den2"], r["auc"]) == (8, 8, 1.0)
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (2, 0, 0, 2)
+    assert (r["prec"], r["recall"], r["f1"], r["accuracy"]) == (1.0, 1.0, 1.0, 1.0)
+
+    reversed_ = [(s, not p) for s, p in perfect]
+    r = classifier.eval_binary(
+        _eval_frame(spark, reversed_), "score", "pos"
+    ).collect()[0]
+    assert (r["auc_num2"], r["auc"]) == (0, 0.0)
+
+    all_tied = [(5, True), (5, True), (5, False), (5, False)]
+    r = classifier.eval_binary(
+        _eval_frame(spark, all_tied), "score", "pos"
+    ).collect()[0]
+    assert (r["auc_num2"], r["auc_den2"], r["auc"]) == (4, 8, 0.5)
+
+
+def test_eval_binary_hand_computed_ties(spark):
+    """Mixed ties across classes: pos scores {3, 2, 2}, neg {2, 1}.
+    Pairs: (3,2)+2 (3,1)+2 (2,2)+1 (2,1)+2 (2,2)+1 (2,1)+2 → num2=10,
+    den2=12."""
+    from ago_sisdb_spark.operators import classifier
+
+    rows = [(3, True), (2, True), (2, True), (2, False), (1, False)]
+    r = classifier.eval_binary(_eval_frame(spark, rows), "score", "pos").collect()[0]
+    assert (r["auc_num2"], r["auc_den2"]) == (10, 12)
+    assert r["auc"] == 10 / 12
+
+
+def test_eval_binary_matches_independent_model_randomized(spark):
+    import random
+
+    from ago_sisdb_spark.operators import classifier
+
+    rng = random.Random(42)
+    for trial in range(3):
+        rows = [
+            (rng.randint(-5, 5), rng.random() < 0.4) for _ in range(120 + trial)
+        ]
+        num2, den2, tp, fp, fn, tn = _py_auc_confusion(rows)
+        r = classifier.eval_binary(
+            _eval_frame(spark, rows), "score", "pos"
+        ).collect()[0]
+        assert (r["auc_num2"], r["auc_den2"]) == (num2, den2)
+        assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (tp, fp, fn, tn)
+        assert r["auc"] == num2 / den2
+
+
+def test_eval_binary_degenerate_single_class(spark):
+    """All-positive input: AUC undefined (den2=0) → NULL, not a crash or
+    a divide-by-zero ANSI error; confusion row still exact."""
+    from ago_sisdb_spark.operators import classifier
+
+    rows = [(4, True), (1, True)]
+    r = classifier.eval_binary(_eval_frame(spark, rows), "score", "pos").collect()[0]
+    assert r["auc_den2"] == 0 and r["auc"] is None
+    assert (r["tp"], r["fn"]) == (2, 0) and r["recall"] == 1.0
+
+
+def test_global_prefix_sums_matches_python(spark):
+    import random
+
+    from ago_sisdb_spark.operators import lastper
+
+    rng = random.Random(7)
+    rows = [(k, rng.randint(0, 9), rng.randint(0, 9)) for k in range(500)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k long, a long, b long")
+    got = {
+        r["k"]: (r["cum_a"], r["cum_b"])
+        for r in lastper.global_prefix_sums(df, [F.col("k")], ["a", "b"]).collect()
+    }
+    ordered = sorted(rows)
+    ca = cb = 0
+    for k, a, b in ordered:
+        assert got[k] == (ca, cb)
+        ca += a
+        cb += b
