@@ -330,3 +330,62 @@ def tfidf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "doc", "rank", "score")
     )
+
+
+def rrf_fuse(
+    ranked: dict[str, DataFrame],
+    keys: tuple[str, str] = ("query_id", "doc"),
+    rank_col: str = "rank",
+    k0: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of named per-query rankings (Cormack,
+    Clarke & Buettcher, SIGIR 2009): the standard hybrid-retrieval merge
+    used to combine sparse (BM25) and dense/second-stage rankers without
+    score calibration —
+
+        rrf(d) = Σ_r 1 / (k0 + rank_r(d)),   missing from list r → 0.
+
+    Scale shape: the inputs are already per-query TOP-K lists (each
+    bounded by |queries|·k rows however large the corpus), so the fusion
+    is a full-outer join of tiny frames plus one partitioned window —
+    nothing here ever touches corpus-scale data; the heavy lifting
+    stays in the upstream rankers.
+
+    Cross-engine determinism: each 1/(k0+rank) term is one correctly-
+    rounded IEEE division of exact integers, and the fused score folds
+    the named lists' terms in dict order — a FIXED expression tree, so
+    the doubles hash bit-identically against the SQL oracle (see
+    working-notes: float determinism; only order-dependent row
+    reductions diverge).
+
+    Returns (query_id, doc, fused_rank, rrf_score, rank_<name>...),
+    top-``k`` per query by descending score, doc-id ascending tie-break.
+    """
+    assert ranked, "need at least one ranking"
+    qid, doc = keys
+    slim = [
+        df.select(qid, doc, F.col(rank_col).alias(f"rank_{name}"))
+        for name, df in ranked.items()
+    ]
+    fused = slim[0]
+    for nxt in slim[1:]:
+        fused = fused.join(nxt, [qid, doc], "full_outer")
+    score = None
+    for name in ranked:
+        term = F.coalesce(
+            F.lit(1).cast("double")
+            / (F.lit(k0) + F.col(f"rank_{name}")).cast("double"),
+            F.lit(0.0),
+        )
+        score = term if score is None else score + term
+    fused = fused.withColumn("rrf_score", score)
+    w = Window.partitionBy(qid).orderBy(F.desc("rrf_score"), F.asc(doc))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("fused_rank") <= k)
+        .select(
+            qid, doc, "fused_rank", "rrf_score",
+            *[f"rank_{name}" for name in ranked],
+        )
+    )

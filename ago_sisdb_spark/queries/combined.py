@@ -1128,3 +1128,47 @@ def pipe3_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(logp)
         .unionByName(para)
     )
+
+
+@query(
+    "n10_rrf_hybrid",
+    oracle=f"""
+    WITH a AS (SELECT query_id, doc, rank FROM ({_O['n5_bm25_search']})),
+    b AS (SELECT query_id, doc, rank FROM ({_O['n8_tfidf_search']})),
+    fused AS (
+        SELECT coalesce(a.query_id, b.query_id) AS query_id,
+               coalesce(a.doc, b.doc) AS doc,
+               coalesce(CAST(1 AS DOUBLE) / CAST(60 + a.rank AS DOUBLE), 0)
+                 + coalesce(CAST(1 AS DOUBLE) / CAST(60 + b.rank AS DOUBLE), 0)
+                 AS rrf_score,
+               a.rank AS rank_bm25, b.rank AS rank_tfidf
+        FROM a FULL OUTER JOIN b
+          ON a.query_id = b.query_id AND a.doc = b.doc),
+    ranked AS (
+        SELECT query_id, doc,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY rrf_score DESC, doc) AS BIGINT) AS fused_rank,
+               rrf_score, rank_bm25, rank_tfidf
+        FROM fused)
+    SELECT query_id, doc, fused_rank, rrf_score, rank_bm25, rank_tfidf
+    FROM ranked WHERE fused_rank <= 10
+    """,
+    extended=True,
+)
+def n10_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval rank fusion (operators/textsearch.rrf_fuse):
+    reciprocal-rank fusion of the BM25 (n5) and TF-IDF (n8) top-10 lists
+    for the shared benchmark queries — the calibration-free sparse+dense
+    merge step every two-tower retrieval pipeline needs.  The fusion
+    itself only ever sees |queries|·k rows; both input rankers keep their
+    own audited corpus-scale plans."""
+    from ago_sisdb_spark.operators import textsearch
+    from ago_sisdb_spark.queries.pipeline import _BM25_QUERIES
+
+    docs = _t(spark, sf_dir, "documents")
+    return textsearch.rrf_fuse(
+        {
+            "bm25": textsearch.bm25_topk(docs, "doc_id", "text", _BM25_QUERIES, k=10),
+            "tfidf": textsearch.tfidf_topk(docs, "doc_id", "text", _BM25_QUERIES, k=10),
+        }
+    )

@@ -178,3 +178,41 @@ def test_bm25_tokenizes_corpus_exactly_once(spark, sf_small):
     assert plan.count("documents.parquet") == 0
     assert plan.count("Generate") == 0  # no explode left in the serve plan
     assert out.count() > 0
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """Planted two-ranker fusion: overlap, single-list docs, and the
+    exact 1/(60+r) arithmetic.  q0: bm25=[d1,d2,d3], tfidf=[d2,d4].
+    rrf(d2)=1/62+1/61 tops rrf(d1)=1/61; d3 and d4 tie-break by doc id
+    (1/63 vs 1/62 — d4 actually beats d3)."""
+    a = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2), (0, 3, 3)], "query_id long, doc long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(0, 2, 1), (0, 4, 2)], "query_id long, doc long, rank long"
+    )
+    rows = textsearch.rrf_fuse({"bm25": a, "tfidf": b}).collect()
+    got = [(r["doc"], r["fused_rank"], r["rrf_score"]) for r in rows]
+    exp = [
+        (2, 1, 1 / 62 + 1 / 61),
+        (1, 2, 1 / 61),
+        (4, 3, 1 / 62),
+        (3, 4, 1 / 63),
+    ]
+    assert sorted(got, key=lambda t: t[1]) == exp
+    by_doc = {r["doc"]: (r["rank_bm25"], r["rank_tfidf"]) for r in rows}
+    assert by_doc[2] == (2, 1) and by_doc[1] == (1, None) and by_doc[4] == (None, 2)
+
+
+def test_rrf_fuse_multi_query_isolation(spark):
+    """Rankings fuse per query: the same doc in two queries gets
+    independent fused ranks."""
+    a = spark.createDataFrame(
+        [(0, 7, 1), (1, 7, 2), (1, 8, 1)], "query_id long, doc long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(1, 7, 1)], "query_id long, doc long, rank long"
+    )
+    rows = textsearch.rrf_fuse({"x": a, "y": b}, k=2).collect()
+    got = {(r["query_id"], r["doc"]): r["fused_rank"] for r in rows}
+    assert got == {(0, 7): 1, (1, 7): 1, (1, 8): 2}
