@@ -521,12 +521,20 @@ def f_math_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'array', vec_id, dim, first_elem, sq_norm, max_elem, NULL
     FROM ({_O['f_array_funcs']})
+    UNION ALL
+    SELECT 'variant', o_orderkey, v_custkey, v_price, NULL, NULL, v_status
+    FROM ({_O['f_variant']})
+    UNION ALL
+    SELECT 'xml', o_orderkey, x_custkey, NULL, NULL, NULL, x_status
+    FROM ({_O['f_xml']})
     """,
 )
 def f_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 semi-structured families — JSON extraction (sis_json.c), array
-    functions (repeated fields, sis_dynamic.h:155-187), and widening/try
-    cast rules (sis_dynamic.h:110-116) — in one long-form matrix."""
+    functions (repeated fields, sis_dynamic.h:155-187), widening/try
+    cast rules (sis_dynamic.h:110-116), plus the Spark 4 open-schema
+    paths: VARIANT (parse_json/variant_get) and native XML (from_xml/
+    xpath) — in one long-form matrix."""
     j = _scal.f_json_extract(spark, sf_dir).select(
         F.lit("json").alias("family"),
         F.col("event_id").alias("row_id"),
@@ -551,7 +559,22 @@ def f_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_elem").alias("num3"),
         _S().alias("str_val"),
     )
-    return j.unionByName(c).unionByName(a)
+    v = _scal.f_variant(spark, sf_dir).select(
+        F.lit("variant").alias("family"),
+        F.col("o_orderkey").alias("row_id"),
+        F.col("v_custkey").alias("int_val"),
+        F.col("v_price").alias("num1"),
+        _D().alias("num2"), _D().alias("num3"),
+        F.col("v_status").alias("str_val"),
+    )
+    x = _scal.f_xml(spark, sf_dir).select(
+        F.lit("xml").alias("family"),
+        F.col("o_orderkey").alias("row_id"),
+        F.col("x_custkey").alias("int_val"),
+        _D().alias("num1"), _D().alias("num2"), _D().alias("num3"),
+        F.col("x_status").alias("str_val"),
+    )
+    return j.unionByName(c).unionByName(a).unionByName(v).unionByName(x)
 
 
 @query(

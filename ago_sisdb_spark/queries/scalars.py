@@ -334,3 +334,98 @@ def f_next_workday(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         timecodec.next_workday(F.to_date("o_orderdate")).alias("next_wd"),
     )
+
+
+@query(
+    "f_variant",
+    oracle="""
+    WITH j AS (
+        SELECT o_orderkey,
+               to_json(struct_pack(status := o_orderstatus,
+                                   price := o_totalprice,
+                                   keys := [o_orderkey, o_custkey])) AS v
+        FROM orders WHERE o_orderkey < 500)
+    SELECT o_orderkey,
+           json_extract_string(v, '$.status') AS v_status,
+           CAST(json_extract(v, '$.price') AS DOUBLE) AS v_price,
+           CAST(json_extract(v, '$.keys[1]') AS BIGINT) AS v_custkey,
+           CAST(NULL AS INTEGER) AS v_missing,
+           'OBJECT<keys: ARRAY<BIGINT>, status: STRING>' AS v_schema,
+           TRUE AS v_isnull
+    FROM j
+    """,
+    extended=True,
+)
+def f_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT semi-structured type: parse_json → open-schema
+    binary variant, typed path extraction (variant_get), missing-path
+    try_variant_get → NULL, per-value schema introspection
+    (schema_of_variant on a price-free struct — JSON decimal inference
+    makes price's DECIMAL(p,2) width data-dependent), and JSON-null
+    detection.  The engine-native successor to string get_json_object
+    for schema-on-read columns (reference sis_json.c parses into dynamic
+    nodes; VARIANT is the columnar-shreddable equivalent).  The double
+    survives the JSON round-trip bit-exactly on both engines
+    (shortest-repr serialization both ways)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    v = F.parse_json(
+        F.to_json(
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").alias("price"),
+                F.array(F.col("o_orderkey"), F.col("o_custkey")).alias("keys"),
+            )
+        )
+    )
+    v_nop = F.parse_json(
+        F.to_json(
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.array(F.col("o_orderkey"), F.col("o_custkey")).alias("keys"),
+            )
+        )
+    )
+    return o.select(
+        "o_orderkey",
+        F.variant_get(v, "$.status", "string").alias("v_status"),
+        F.variant_get(v, "$.price", "double").alias("v_price"),
+        F.variant_get(v, "$.keys[1]", "bigint").alias("v_custkey"),
+        F.try_variant_get(v, "$.missing", "int").alias("v_missing"),
+        F.schema_of_variant(v_nop).alias("v_schema"),
+        F.is_variant_null(F.parse_json(F.lit("null"))).alias("v_isnull"),
+    )
+
+
+@query(
+    "f_xml",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey   AS x_id,
+           o_orderstatus AS x_status,
+           o_custkey    AS x_custkey,
+           o_orderstatus AS xp_status
+    FROM orders WHERE o_orderkey < 500
+    """,
+    extended=True,
+)
+def f_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 native XML: from_xml struct parsing with attribute
+    extraction (default ``_`` attribute prefix) plus XPath string
+    extraction, over per-row XML built from real columns, so the parse
+    results are restatable closed-form by the oracle (planted-oracle
+    trick — DuckDB has no XML functions).  Only integers/enum strings go
+    through the markup: float→text formatting is engine-specific."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    xml = F.concat(
+        F.lit('<rec id="'), F.col("o_orderkey"), F.lit('"><st>'),
+        F.col("o_orderstatus"), F.lit("</st><pr>"), F.col("o_custkey"),
+        F.lit("</pr></rec>"),
+    )
+    s = F.from_xml(xml, "STRUCT<_id: BIGINT, st: STRING, pr: BIGINT>")
+    return o.select(
+        "o_orderkey",
+        s.getField("_id").alias("x_id"),
+        s.getField("st").alias("x_status"),
+        s.getField("pr").alias("x_custkey"),
+        F.xpath_string(xml, F.lit("/rec/st")).alias("xp_status"),
+    )

@@ -197,3 +197,31 @@ def test_enrich_rejects_misaligned_fetcher(spark):
     df = spark.createDataFrame([(i,) for i in range(10)], ["k"]).coalesce(1)
     with pytest.raises((Py4JJavaError, Exception), match="must be 1:1"):
         enrich(df, short, "score double").collect()
+
+
+def test_variant_and_xml_edge_semantics(spark):
+    """VARIANT: try_variant_get on a missing path → NULL (never throws);
+    variant_get coerces JSON decimal → double.  XML: a field absent from
+    the markup parses to NULL, attributes use the `_` prefix."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1)
+    v = F.parse_json(F.lit('{"a": 1.5, "b": [1, 2]}'))
+    r = df.select(
+        F.try_variant_get(v, "$.missing", "int").alias("miss"),
+        F.variant_get(v, "$.a", "double").alias("a"),
+        F.variant_get(v, "$.b[0]", "bigint").alias("b0"),
+        F.is_variant_null(F.parse_json(F.lit("null"))).alias("isnull"),
+    ).collect()[0]
+    assert (r["miss"], r["a"], r["b0"], r["isnull"]) == (None, 1.5, 1, True)
+
+    x = F.from_xml(
+        F.lit('<r key="7"><s>hi</s></r>'),
+        "STRUCT<_key: BIGINT, s: STRING, absent: BIGINT>",
+    )
+    r = df.select(
+        x.getField("_key").alias("k"),
+        x.getField("s").alias("s"),
+        x.getField("absent").alias("absent"),
+    ).collect()[0]
+    assert (r["k"], r["s"], r["absent"]) == (7, "hi", None)
