@@ -1009,3 +1009,50 @@ def gopher_stats(
         if slim.rdd.getNumPartitions() < target:
             slim = slim.repartition(target, F.col(id_col))
     return slim.mapInPandas(gen, out_schema)
+
+
+# Invisible/zero-width characters stripped by normalize_text_expr; the
+# single source for BOTH the Spark pattern and the DuckDB oracle pattern
+# (raw chars in a character class — Java regex and RE2 read them alike).
+INVISIBLE_CHARS = "​‌‍﻿"
+_WS_RUN = r"[ \t\n\r\f\v]+"
+
+
+def nfc_normalize_udf():
+    """Arrow-batched Unicode NFC normalization (pandas_udf) with an ASCII
+    fast-path: ASCII is NFC-invariant, so only elements containing a
+    non-ASCII byte pay the per-element unicodedata call — on a mostly-
+    ASCII 100 TB corpus the batch cost is one vectorized mask.  Spark has
+    no NFC builtin (as of 4.x); DuckDB's ``nfc_normalize`` is the oracle
+    twin — both sides implement Unicode Standard Annex #15 NFC, stable
+    for the Latin/CJK ranges the corpus uses."""
+    import pandas as pd
+    import unicodedata
+
+    globals()["pd"] = pd  # pandas_udf + future-annotations gotcha
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        mask = s.notna() & s.str.contains("[^\x00-\x7f]", regex=True, na=False)
+        if mask.any():
+            s = s.copy()
+            s[mask] = s[mask].map(lambda t: unicodedata.normalize("NFC", t))
+        return s
+
+    return _nfc
+
+
+def normalize_text_expr(col: Column) -> Column:
+    """Canonical text cleanup for training corpora: strip zero-width/
+    BOM characters, Unicode NFC composition, collapse ASCII whitespace
+    runs to single spaces, trim.  Steps 1 and 3 are JVM regexps (whole-
+    stage codegen); only the NFC step crosses to Python, Arrow-batched
+    with an ASCII fast-path (``nfc_normalize_udf``).  The exact same
+    pipeline is SQL-expressible in DuckDB (regexp_replace → nfc_normalize
+    → regexp_replace → trim), so normalized output hash-checks
+    cross-engine byte-for-byte."""
+    x1 = F.regexp_replace(col, f"[{INVISIBLE_CHARS}]", "")
+    x2 = nfc_normalize_udf()(x1)
+    return F.trim(F.regexp_replace(x2, _WS_RUN, " "))

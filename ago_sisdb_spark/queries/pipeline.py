@@ -3777,3 +3777,51 @@ def t27_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
     )
     return classifier.eval_binary(labeled, "score_e6", "pos", threshold=0)
+
+
+# Planted decomposed-Unicode suffix for the t28 normalization gate: NFC
+# must compose e+COMBINING ACUTE into é (twice), and the zero-width
+# space/joiner must be stripped before whitespace collapsing.  Raw chars so
+# Spark literal and DuckDB literal are byte-identical.
+_T28_PLANT = " Café​  fiancée‍ \tend"
+
+
+def _t28_oracle() -> str:
+    from ago_sisdb_spark.operators.text import INVISIBLE_CHARS, _WS_RUN
+
+    return f"""
+    WITH planted AS (
+        SELECT doc_id, text || '{_T28_PLANT}' AS raw FROM documents),
+    norm AS (
+        SELECT doc_id, raw,
+               trim(regexp_replace(
+                   nfc_normalize(regexp_replace(raw, '[{INVISIBLE_CHARS}]', '', 'g')),
+                   '{_WS_RUN}', ' ', 'g')) AS n
+        FROM planted)
+    SELECT doc_id,
+           CAST(length(raw) AS BIGINT) AS n_chars_raw,
+           CAST(length(n) AS BIGINT) AS n_chars_norm,
+           md5(n) AS norm_md5
+    FROM norm
+    """
+
+
+@query("t28_text_normalize", oracle=_t28_oracle(), extended=True)
+def t28_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode text normalization pass (operators/text.normalize_text_expr):
+    zero-width strip → NFC composition → whitespace-run collapse → trim,
+    hash-checked byte-for-byte against DuckDB's utf8proc NFC on a planted
+    decomposed suffix (the corpus itself is NFC-invariant ASCII, so the
+    plant is what proves the composition actually ran).  JVM regexps
+    around an Arrow-batched ASCII-fast-path NFC UDF — the standard first
+    stage of every LLM ingest pipeline (CCNet/RefinedWeb normalize before
+    dedup so byte-identical-after-normalization docs collide)."""
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(F.col("text"), F.lit(_T28_PLANT))
+    norm = text.normalize_text_expr(raw)
+    return docs.select(
+        "doc_id",
+        F.length(raw).cast("bigint").alias("n_chars_raw"),
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+        F.md5(norm).alias("norm_md5"),
+    )

@@ -216,3 +216,26 @@ def test_rrf_fuse_multi_query_isolation(spark):
     rows = textsearch.rrf_fuse({"x": a, "y": b}, k=2).collect()
     got = {(r["query_id"], r["doc"]): r["fused_rank"] for r in rows}
     assert got == {(0, 7): 1, (1, 7): 1, (1, 8): 2}
+
+
+def test_normalize_text_expr_hand_cases(spark):
+    """NFC composes e+COMBINING ACUTE, zero-widths vanish BEFORE
+    whitespace collapse, runs collapse to single spaces, ends trim;
+    pure-ASCII rows take the fast path unchanged."""
+    from ago_sisdb_spark.operators.text import normalize_text_expr
+
+    rows = [
+        (1, " Cafe\u0301\u200b  x\ty "),
+        (2, "plain ascii  text"),
+        (3, "\u200d\ufeff"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        r["id"]: r["n"]
+        for r in df.select("id", normalize_text_expr(F.col("t")).alias("n")).collect()
+    }
+    assert got[1] == "Café x y"
+    assert got[2] == "plain ascii text"
+    assert got[3] == ""
+    assert got[4] is None
