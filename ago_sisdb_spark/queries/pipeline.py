@@ -3825,3 +3825,47 @@ def t28_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(norm).cast("bigint").alias("n_chars_norm"),
         F.md5(norm).alias("norm_md5"),
     )
+
+
+def _d18_oracle(k: int = 8, w: int = 4) -> str:
+    hash_sum = " + ".join(
+        f"ascii(substring(t, i - {j}, 1)) * CAST({31**j} AS BIGINT)"
+        for j in range(k)
+    )
+    win = f"list_slice(hl, j, j + {w - 1})"
+    return f"""
+    WITH base AS (
+        SELECT doc_id, lower(trim(text)) AS t,
+               length(lower(trim(text))) AS n
+        FROM documents WHERE length(lower(trim(text))) >= {k + w - 1}),
+    h AS (
+        SELECT doc_id,
+               list_transform(range({k}, n + 1), i -> {hash_sum}) AS hl
+        FROM base),
+    sel AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, len(hl) - {w} + 2),
+                   j -> struct_pack(
+                       pos := j + {k - 2}
+                           + ({w + 1} - list_position(list_reverse({win}),
+                                                      list_min({win}))),
+                       fp := list_min({win}))) AS sels
+        FROM h),
+    u AS (SELECT doc_id, unnest(sels) AS s FROM sel)
+    SELECT DISTINCT doc_id, CAST(s.pos AS BIGINT) AS pos,
+           CAST(s.fp AS BIGINT) AS fp
+    FROM u
+    """
+
+
+@query("d18_winnowing", oracle=_d18_oracle(), extended=True)
+def d18_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint selection (operators/dedup.
+    winnow_fingerprints): k-gram rolling hashes → sliding-window minima
+    with rightmost tie-break — the guaranteed-coverage, position-aware
+    near-dup sketch (any shared substring ≥ k+w-1 chars yields a common
+    fingerprint).  Vectorized numpy mapInPandas per the d11/t12 lesson;
+    the DuckDB twin restates the whole selection relationally."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.winnow_fingerprints(docs, "doc_id", "text", k=8, w=4)

@@ -704,3 +704,71 @@ def test_minhash_estimator_audit_exact_and_bounded(spark):
     if (1, 3) in got:
         # 32-hash estimate quantizes in 1/32 steps; allow 3 steps of error
         assert got[(1, 3)].err_e6 <= 3 * 1_000_000 // 32
+
+
+# ----------------------------------------------------------------- winnowing
+
+
+def _py_winnow(t: str, k: int = 8, w: int = 4):
+    """Independent plain-Python winnowing (pairwise definition, no numpy,
+    no shared code with the operator)."""
+    t = t.strip(" ").lower()
+    n = len(t)
+    if n < k + w - 1:
+        return set()
+    hs = [
+        sum(ord(t[i - 1 - j]) * 31**j for j in range(k))
+        for i in range(k, n + 1)
+    ]
+    out = set()
+    for j in range(len(hs) - w + 1):
+        win = hs[j : j + w]
+        m = min(win)
+        idx = max(i for i, v in enumerate(win) if v == m)
+        out.add((j + idx + k, m))
+    return out
+
+
+def test_winnow_matches_independent_python(spark):
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "abcabcabcabcabcabcabcabc"),
+        (3, "aaaaaaaaaaaaaaaaaaaaa"),
+        (4, "short"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in dedup.winnow_fingerprints(df, "doc_id", "text").collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for did, t in texts:
+        exp = _py_winnow(t) if t is not None else set()
+        assert got.get(did, set()) == exp, f"doc {did}"
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """The winnowing theorem: documents sharing a substring of length
+    >= k + w - 1 (= 11) share at least one fingerprint."""
+    shared = "zqxjkvbwpfm"  # 11 chars, appears in both
+    df = spark.createDataFrame(
+        [(1, "prefix one " + shared + " tail a"),
+         (2, "completely different head " + shared)],
+        "doc_id long, text string",
+    )
+    fps = {}
+    for r in dedup.winnow_fingerprints(df, "doc_id", "text").collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2], "guaranteed common fingerprint missing"
+
+
+def test_winnow_rightmost_tie_break(spark):
+    """A constant-character doc makes every k-gram hash equal: each
+    window must select its RIGHTMOST position, so selections advance
+    one position per window (density 1) rather than sticking at the
+    window head."""
+    n = 20
+    df = spark.createDataFrame([(1, "a" * n)], "doc_id long, text string")
+    rows = dedup.winnow_fingerprints(df, "doc_id", "text", k=8, w=4).collect()
+    poss = sorted(r["pos"] for r in rows)
+    # windows j=0..n-k-w+1; rightmost min of window j is position j+w-1+k
+    assert poss == list(range(8 + 3, n + 1))
