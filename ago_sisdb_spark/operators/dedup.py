@@ -19,7 +19,7 @@ explode) — no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ago_sisdb_spark.materialize import materialize
@@ -1711,3 +1711,66 @@ def winnow_fingerprints(
         if slim.rdd.getNumPartitions() < target:
             slim = slim.repartition(target, F.col(id_col))
     return slim.mapInPandas(gen, out_schema)
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+    max_df: int = 8,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Cross-document overlap localization over winnowing fingerprints —
+    the MOSS matching stage: documents pair up through shared selected
+    fingerprints, and each pair reports how MUCH they share and WHERE
+    (the matched-fingerprint position span on each side), which MinHash
+    cannot do.
+
+    Boilerplate control is a document-frequency FILTER, not a cap:
+    fingerprints selected by more than ``max_df`` documents are dropped
+    whole (stop-gram removal, the ``max_doc_freq`` rationale from
+    ngram_jaccard_pairs) — exactly restatable by the SQL oracle, and the
+    hot keys that would melt the pair expansion at 100 TB are precisely
+    the uninformative ones.  The filter runs as a count window BEFORE
+    any collect (spillable row-level, per the capped_bucket_pairs cap
+    lesson), then ``capped_bucket_pairs`` expands each surviving ≤
+    ``max_df``-member bucket in-array — one fp shuffle + one pair
+    shuffle, no self-join, and the shuffles carry (fp, id, span) rows,
+    never text.
+
+    Returns (id_a, id_b, n_shared, span_a_lo, span_a_hi, span_b_lo,
+    span_b_hi) for pairs sharing ≥ ``min_shared`` distinct surviving
+    fingerprints; spans are min/max END positions of MATCHED k-grams."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    g = fps.groupBy("fp", F.col(id_col).alias("id")).agg(
+        F.min("pos").alias("lo"), F.max("pos").alias("hi")
+    )
+    wdf = Window.partitionBy("fp")
+    g = (
+        g.withColumn("__dfc", F.count(F.lit(1)).over(wdf))
+        .where((F.col("__dfc") >= 2) & (F.col("__dfc") <= max_df))
+        .drop("__dfc")
+    )
+    member = F.struct(F.col("id"), F.col("lo"), F.col("hi"))
+    pairs = capped_bucket_pairs(
+        g,
+        ["fp"],
+        member,
+        "x.id AS id_a, x.lo AS __la, x.hi AS __ha, "
+        "y.id AS id_b, y.lo AS __lb, y.hi AS __hb",
+        max_bucket_size=max_df,
+        name="winnow",
+    )
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            F.min("__la").alias("span_a_lo"),
+            F.max("__ha").alias("span_a_hi"),
+            F.min("__lb").alias("span_b_lo"),
+            F.max("__hb").alias("span_b_hi"),
+        )
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -3869,3 +3869,34 @@ def d18_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB twin restates the whole selection relationally."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.winnow_fingerprints(docs, "doc_id", "text", k=8, w=4)
+
+
+def _d19_oracle(max_df: int = 8, min_shared: int = 3) -> str:
+    return f"""
+    WITH d AS ({_d18_oracle()}),
+    g AS (SELECT fp, doc_id AS id, min(pos) AS lo, max(pos) AS hi
+          FROM d GROUP BY fp, doc_id),
+    f AS (SELECT fp, id, lo, hi FROM (
+              SELECT g.*, count(*) OVER (PARTITION BY fp) AS dfc FROM g)
+          WHERE dfc BETWEEN 2 AND {max_df}),
+    m AS (SELECT a.id AS id_a, b.id AS id_b,
+                 a.lo AS la, a.hi AS ha, b.lo AS lb, b.hi AS hb
+          FROM f a JOIN f b ON a.fp = b.fp AND a.id < b.id)
+    SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared,
+           min(la) AS span_a_lo, max(ha) AS span_a_hi,
+           min(lb) AS span_b_lo, max(hb) AS span_b_hi
+    FROM m GROUP BY id_a, id_b HAVING count(*) >= {min_shared}
+    """
+
+
+@query("d19_winnow_pairs", oracle=_d19_oracle(), extended=True)
+def d19_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style overlap localization (operators/dedup.
+    winnow_overlap_pairs): near-dup candidate pairs through shared
+    winnowing fingerprints with matched-span positions on both sides.
+    Boilerplate fingerprints (doc-freq > 8) are FILTERED (stop-gram
+    semantics, exactly restated by the oracle); pair expansion is the
+    capped-bucket in-array pattern — no self-join, shuffles carry
+    (fp, id, span) rows only."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.winnow_overlap_pairs(docs, "doc_id", "text", max_df=8, min_shared=3)

@@ -772,3 +772,31 @@ def test_winnow_rightmost_tie_break(spark):
     poss = sorted(r["pos"] for r in rows)
     # windows j=0..n-k-w+1; rightmost min of window j is position j+w-1+k
     assert poss == list(range(8 + 3, n + 1))
+
+
+def test_winnow_overlap_pairs_planted(spark):
+    """Two docs sharing a long passage pair up with spans covering the
+    shared region; an unrelated doc pairs with nobody; boilerplate
+    shared by ALL docs (df > max_df) cannot by itself create pairs."""
+    shared = "the rain in spain stays mainly on the plain"
+    boiler = " COMMONFOOTERXYZ"
+    rows = [
+        (1, "alpha intro " + shared + boiler),
+        (2, shared + " trailing words" + boiler),
+        (3, "nothing in common here at all really" + boiler),
+        (4, "fourth completely separate corpus entry" + boiler),
+        (5, "zebra quilts jump over wax fjords nightly" + boiler),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in dedup.winnow_overlap_pairs(
+            df, "doc_id", "text", max_df=2, min_shared=3
+        ).collect()
+    }
+    assert set(got) == {(1, 2)}
+    p = got[(1, 2)]
+    # doc1's matched span sits inside the shared passage (offset 12)
+    assert 12 < p["span_a_lo"] <= p["span_a_hi"] <= 12 + len(shared)
+    assert p["span_b_lo"] <= p["span_b_hi"] <= len(shared)
+    assert p["n_shared"] >= 3
