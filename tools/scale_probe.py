@@ -419,6 +419,32 @@ def main() -> None:
         probe("d17_estimator_audit",
             lambda: dedup.minhash_estimator_audit(dc, "doc_id", "text")
         )
+        # r9 continuation batch: classifier eval, normalization, winnowing,
+        # hybrid fusion
+        def mk_t27(dc=dc):
+            scored = text.hashed_linear_score(dc, "doc_id", "text")
+            labeled = scored.withColumn("pos", F.col("doc_id") % 3 == 0)
+            return classifier.eval_binary(labeled, "score_e6", "pos")
+        probe("t27_classifier_eval", mk_t27)
+        probe("t28_normalize",
+            lambda: dc.select(
+                "doc_id",
+                F.md5(text.normalize_text_expr(F.col("text"))).alias("m"),
+            )
+        )
+        probe("d18_winnow_fps",
+            lambda: dedup.winnow_fingerprints(dc, "doc_id", "text")
+        )
+        probe("d19_winnow_pairs",
+            lambda: dedup.winnow_overlap_pairs(dc, "doc_id", "text")
+        )
+        def mk_n10(dc=dc):
+            qs = [(0, ["spark", "join"]), (1, ["hash", "table", "scan"])]
+            return textsearch.rrf_fuse({
+                "bm25": textsearch.bm25_topk(dc, "doc_id", "text", qs, k=10),
+                "tfidf": textsearch.tfidf_topk(dc, "doc_id", "text", qs, k=10),
+            })
+        probe("n10_rrf_hybrid", mk_n10)
         # release this scale's localCheckpoint blocks before the next
         # multiplier: without it the ×32 pass runs on top of ×1+×4's
         # cached copies and every sample carries eviction/GC noise.
