@@ -1298,3 +1298,41 @@ def prep_funnel(
         .select(stage.alias("stage"))
     )
     return tagged.groupBy("stage").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def plan_compaction(
+    files: DataFrame,
+    partition_cols: list[str],
+    size_col: str,
+    order_cols: list[str],
+    target_bytes: int,
+) -> DataFrame:
+    """Small-file compaction planning — the maintenance job behind the
+    reference's explicit ``save``/merge pass (sisdb_disk.c save→pack) and
+    every parquet lake's OPTIMIZE: assign each input file to an output
+    slot so slots approach ``target_bytes``.
+
+    Sequential first-fit in ``order_cols`` order WITHIN each storage
+    partition:  slot(f) = floor(bytes_before_f_in_partition / target) —
+    the same running-sum window shape as ``pack_sequences``, partitioned
+    by the storage partition so 1000 executors plan 1000 partitions
+    independently (no global sort, no driver loop, deterministic at any
+    parallelism).  Ordering by file key keeps row ranges contiguous, so
+    min/max column stats stay selective after the rewrite.
+
+    Input is the file INVENTORY (one row per file: partition cols, sort
+    key, size) — listing-table scale, never data scale.  Returns the
+    inventory plus ``slot`` (bigint); downstream the actual rewrite is
+    one read-shuffle-write per slot.  Integer-exact: oracle-checkable
+    with a window cumsum."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return files.withColumn(
+        "slot", F.floor(before / F.lit(target_bytes)).cast("long")
+    )

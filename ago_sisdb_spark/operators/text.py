@@ -1056,3 +1056,45 @@ def normalize_text_expr(col: Column) -> Column:
     x1 = F.regexp_replace(col, f"[{INVISIBLE_CHARS}]", "")
     x2 = nfc_normalize_udf()(x1)
     return F.trim(F.regexp_replace(x2, _WS_RUN, " "))
+
+
+def domain_kl(
+    docs: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group KL divergence of the group's unigram distribution from
+    the whole-corpus distribution — the mixture-tuning diagnostic behind
+    DoReMi/DSIR-style domain weighting.  One token pass produces
+    (group, tok) counts; every later frame is vocabulary-scale (the
+    corpus totals re-aggregate the COUNT rows, never the corpus), group
+    totals broadcast.  KL(p_g‖q) = Σ_t (c/N_g)·ln(c·N / (N_g·C_t)):
+    exact integer ratios feed one ln per term; the per-group sum is
+    rounded at 6 dp (the BM25/TF-IDF float-rounding convention).
+    Returns (group, n_tokens, vocab, kl)."""
+    toks = docs.select(
+        F.col(group_col).alias("__g"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    cst = toks.groupBy("__g", "tok").agg(F.count(F.lit(1)).alias("c"))
+    ct = cst.groupBy("tok").agg(F.sum("c").cast("long").alias("ctot"))
+    ns = cst.groupBy("__g").agg(
+        F.sum("c").cast("long").alias("n_s"),
+        F.count(F.lit(1)).cast("long").alias("vocab_s"),
+    )
+    tot = cst.agg(F.sum("c").cast("long").alias("n"))
+    term = (F.col("c").cast("double") / F.col("n_s")) * F.log(
+        F.col("c").cast("double") * F.col("n")
+        / (F.col("n_s").cast("double") * F.col("ctot"))
+    )
+    return (
+        cst.join(ct, "tok")
+        .join(F.broadcast(ns), "__g")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.col("__g").alias(group_col),
+            F.col("n_s").alias("n_tokens"),
+            F.col("vocab_s").alias("vocab"),
+        )
+        .agg(F.round(F.sum(term), 6).alias("kl"))
+    )

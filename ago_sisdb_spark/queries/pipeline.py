@@ -3900,3 +3900,75 @@ def d19_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fp, id, span) rows only."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.winnow_overlap_pairs(docs, "doc_id", "text", max_df=8, min_shared=3)
+
+
+@query(
+    "s8_compaction_plan",
+    oracle="""
+    WITH inv AS (
+        SELECT source, lang,
+               CAST(sum(n_chars) AS BIGINT) AS bytes,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source, lang),
+    planned AS (
+        SELECT *,
+               CAST(floor(coalesce(sum(bytes) OVER (PARTITION BY source
+                        ORDER BY lang
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    / 4000) AS BIGINT) AS slot
+        FROM inv)
+    SELECT source, lang, bytes, n_docs, slot FROM planned
+    """,
+    extended=True,
+)
+def s8_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (operators/prep.plan_compaction):
+    first-fit slot assignment toward a target output size, running-sum
+    window per storage partition — inventory-scale input, partition-
+    parallel, deterministic.  Demonstrated over a per-(source, lang)
+    file inventory derived from the documents table."""
+    from ago_sisdb_spark.operators import prep
+
+    docs = _t(spark, sf_dir, "documents")
+    inv = docs.groupBy("source", "lang").agg(
+        F.sum("n_chars").cast("long").alias("bytes"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    return prep.plan_compaction(inv, ["source"], "bytes", ["lang"], 4000)
+
+
+@query(
+    "t29_domain_kl",
+    oracle=r"""
+    WITH toks AS (
+        SELECT source, t.tok FROM (
+            SELECT source,
+                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+            FROM documents) t
+        WHERE t.tok != ''),
+    cst AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok),
+    ct  AS (SELECT tok, CAST(sum(c) AS BIGINT) AS ctot FROM cst GROUP BY tok),
+    ns  AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s,
+                   CAST(count(*) AS BIGINT) AS vocab_s
+            FROM cst GROUP BY source),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cst)
+    SELECT cst.source,
+           ns.n_s AS n_tokens,
+           ns.vocab_s AS vocab,
+           round(sum((CAST(c AS DOUBLE) / n_s)
+                 * ln(CAST(c AS DOUBLE) * n / (CAST(n_s AS DOUBLE) * ctot))), 6)
+               AS kl
+    FROM cst JOIN ct USING (tok) JOIN ns USING (source), tot
+    GROUP BY cst.source, ns.n_s, ns.vocab_s
+    """,
+    extended=True,
+)
+def t29_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain KL divergence of the source's unigram distribution from
+    the corpus distribution (operators/text.domain_kl) — the
+    mixture-tuning diagnostic behind DoReMi/DSIR-style domain weighting.
+    One token pass; everything downstream is vocabulary-scale; the KL
+    terms are exact integer ratios into one ln each, per-source sum
+    rounded at 6 dp (BM25/TF-IDF convention)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.domain_kl(docs, "source")

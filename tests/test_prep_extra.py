@@ -1117,3 +1117,51 @@ def test_bpe_fertility_closed_form(spark):
         "zz": (10, 10, 1_000_000),
         "cc": (7, 35, 5_000_000),
     }
+
+
+def test_plan_compaction_first_fit_and_partition_isolation(spark):
+    """Hand-computed slots: running sum BEFORE each file, floor-divided
+    by target.  An oversized file consumes its slot alone without
+    displacing later files' arithmetic; partitions plan independently."""
+    from ago_sisdb_spark.operators import prep
+
+    rows = [
+        ("p1", "a", 300), ("p1", "b", 300), ("p1", "c", 300),  # 0,0,0? cum 0,300,600
+        ("p1", "d", 2500),                                     # cum 900 -> slot 0
+        ("p1", "e", 100),                                      # cum 3400 -> slot 3
+        ("p2", "a", 999),                                      # fresh partition
+        ("p2", "b", 999),
+    ]
+    df = spark.createDataFrame(rows, "part string, k string, bytes long")
+    got = {
+        (r["part"], r["k"]): r["slot"]
+        for r in prep.plan_compaction(df, ["part"], "bytes", ["k"], 1000).collect()
+    }
+    assert got == {
+        ("p1", "a"): 0, ("p1", "b"): 0, ("p1", "c"): 0,
+        ("p1", "d"): 0, ("p1", "e"): 3,
+        ("p2", "a"): 0, ("p2", "b"): 0,
+    }
+
+
+def test_domain_kl_closed_form_and_properties(spark):
+    """Planted corpora with hand-computable KL through the SHARED
+    operator (text.domain_kl): a source that matches the blend exactly
+    scores 0; a known diverging source matches the closed form."""
+    import math
+
+    from ago_sisdb_spark.operators import text as text_ops
+
+    def kl(rows):
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        return {
+            r["source"]: r["kl"]
+            for r in text_ops.domain_kl(df, "source").collect()
+        }
+
+    assert kl([(1, "A", "x x y"), (2, "B", "x x y")]) == {"A": 0.0, "B": 0.0}
+
+    got = kl([(1, "A", "x x x y"), (2, "B", "y y y x")])
+    # corpus: x:4 y:4 (q = 1/2, 1/2); A: p = (3/4, 1/4) — symmetric plant
+    exp = round(0.75 * math.log(0.75 / 0.5) + 0.25 * math.log(0.25 / 0.5), 6)
+    assert got == {"A": exp, "B": exp} and exp > 0
