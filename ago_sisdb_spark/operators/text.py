@@ -1098,3 +1098,41 @@ def domain_kl(
         )
         .agg(F.round(F.sum(term), 6).alias("kl"))
     )
+
+
+def domain_quantile_gate(
+    docs: DataFrame,
+    group_col: str,
+    score_col,
+    id_col: str,
+    keep_from_pct_e6: int = 200_000,
+) -> DataFrame:
+    """Per-domain quantile normalization + gate: rank each document's
+    score WITHIN its domain and keep those at or above a percentile cut
+    — the FineWeb-style per-domain thresholding that stops one verbose
+    domain from monopolising an absolute-score cut (each domain
+    contributes its own top (1-q) slice).
+
+    Percentile is integer-exact fixed point:
+        pct_e6 = (rank - 1) * 1e6 div (n_domain - 1)
+    (0 for the domain minimum, 1e6 for the maximum; a single-doc domain
+    is defined as 1e6 — its only doc is its own maximum).  Rank is a
+    row_number over (score, id) so ties resolve deterministically.  Both
+    windows partition by the domain — bounded spans at any corpus size,
+    never a single-partition window.  Returns the input ids plus
+    (rank, n_domain, pct_e6, keep)."""
+    from pyspark.sql import Window
+
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    wr = Window.partitionBy(group_col).orderBy(score, F.col(id_col))
+    wc = Window.partitionBy(group_col)
+    out = (
+        docs.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .withColumn("n_domain", F.count(F.lit(1)).over(wc).cast("long"))
+    )
+    pct = F.when(F.col("n_domain") == 1, F.lit(1_000_000).cast("long")).otherwise(
+        F.expr("((rank - 1) * 1000000) div (n_domain - 1)")
+    )
+    return out.withColumn("pct_e6", pct).withColumn(
+        "keep", F.col("pct_e6") >= F.lit(keep_from_pct_e6)
+    )

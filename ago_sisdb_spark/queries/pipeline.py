@@ -3972,3 +3972,37 @@ def t29_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded at 6 dp (BM25/TF-IDF convention)."""
     docs = _t(spark, sf_dir, "documents")
     return text.domain_kl(docs, "source")
+
+
+@query(
+    "t30_domain_quantile_gate",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY n_chars, doc_id) AS BIGINT) AS rank,
+               CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_domain
+        FROM documents),
+    pct AS (
+        SELECT *,
+               CASE WHEN n_domain = 1 THEN CAST(1000000 AS BIGINT)
+                    ELSE ((rank - 1) * 1000000) // (n_domain - 1)
+               END AS pct_e6
+        FROM ranked)
+    SELECT doc_id, source, n_chars, rank, n_domain, pct_e6,
+           pct_e6 >= 200000 AS keep
+    FROM pct
+    """,
+    extended=True,
+)
+def t30_domain_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quantile gate (operators/text.domain_quantile_gate):
+    rank-normalize a quality signal WITHIN each source and keep the top
+    80% per domain — the FineWeb-style per-domain cut that an absolute
+    threshold can't express.  Integer-exact fixed-point percentiles;
+    both windows partition by the domain (bounded spans at 100 TB)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.domain_quantile_gate(
+        docs.select("doc_id", "source", "n_chars"),
+        "source", "n_chars", "doc_id",
+    )

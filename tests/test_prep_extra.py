@@ -1165,3 +1165,37 @@ def test_domain_kl_closed_form_and_properties(spark):
     # corpus: x:4 y:4 (q = 1/2, 1/2); A: p = (3/4, 1/4) — symmetric plant
     exp = round(0.75 * math.log(0.75 / 0.5) + 0.25 * math.log(0.25 / 0.5), 6)
     assert got == {"A": exp, "B": exp} and exp > 0
+
+
+def test_domain_quantile_gate_exact(spark):
+    """Hand-computed per-domain percentiles: min -> 0, max -> 1e6,
+    singleton domain -> 1e6; the 20% cut drops exactly each domain's
+    bottom slice regardless of absolute scale."""
+    from ago_sisdb_spark.operators import text as text_ops
+
+    rows = [
+        (1, "A", 10), (2, "A", 20), (3, "A", 30), (4, "A", 40), (5, "A", 50),
+        (6, "B", 1000), (7, "B", 2000),
+        (8, "C", 7),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score long")
+    got = {
+        r["doc_id"]: (r["pct_e6"], r["keep"])
+        for r in text_ops.domain_quantile_gate(
+            df, "source", "score", "doc_id"
+        ).collect()
+    }
+    assert got[1] == (0, False)          # domain A minimum
+    assert got[2] == (250_000, True)
+    assert got[5] == (1_000_000, True)   # domain A maximum
+    assert got[6] == (0, False) and got[7] == (1_000_000, True)
+    assert got[8] == (1_000_000, True)   # singleton domain defined as max
+    # ties resolve by id: equal scores get distinct ranks deterministically
+    df2 = spark.createDataFrame(
+        [(1, "D", 5), (2, "D", 5), (3, "D", 5)], "doc_id long, source string, score long"
+    )
+    got2 = {
+        r["doc_id"]: r["pct_e6"]
+        for r in text_ops.domain_quantile_gate(df2, "source", "score", "doc_id").collect()
+    }
+    assert got2 == {1: 0, 2: 500_000, 3: 1_000_000}

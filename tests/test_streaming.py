@@ -616,3 +616,52 @@ def test_streaming_quality_mix_gate_matches_batch(spark, tmp_path):
     }
     assert streamed == batch_kept
     assert 0 < len(streamed) < 40  # both gates actually cut something
+
+
+def test_normalize_gate_stream_batch_parity(spark, tmp_path):
+    """t28's normalization pass is stateless per row, so applying it per
+    micro-batch (foreachBatch) must produce byte-identical normalized
+    output to one batch pass — including the Arrow NFC UDF path — no
+    matter where the micro-batch boundaries fall."""
+    from pyspark.sql import functions as F
+
+    from ago_sisdb_spark.operators.text import normalize_text_expr
+
+    rows = [
+        (i, f"doc {i} Café​  body\ttext {'x' * (i % 5)}")
+        for i in range(30)
+    ]
+    src = str(tmp_path / "in")
+    out_dir = str(tmp_path / "norm")
+    for lo, hi in ((0, 10), (10, 20), (20, 30)):
+        spark.createDataFrame(
+            rows[lo:hi], "doc_id long, text string"
+        ).write.mode("append").parquet(src)
+
+    def apply_batch(batch_df, batch_id):
+        batch_df.select(
+            "doc_id", normalize_text_expr(F.col("text")).alias("norm")
+        ).write.mode("append").parquet(out_dir)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        r["doc_id"]: r["norm"] for r in spark.read.parquet(out_dir).collect()
+    }
+    batch_df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = {
+        r["doc_id"]: r["norm"]
+        for r in batch_df.select(
+            "doc_id", normalize_text_expr(F.col("text")).alias("norm")
+        ).collect()
+    }
+    assert streamed == batch and len(batch) == 30
+    assert all("Café" in v for v in batch.values())  # NFC actually ran
