@@ -41,6 +41,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     In,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -198,9 +199,57 @@ class SdbBarDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         return SdbBarWriter(self.options, overwrite)
 
+    def simpleStreamReader(self, schema: StructType):
+        return SdbBarStreamReader(self.options)
+
 
 def register(spark) -> None:
     # a pushFilters reader is refused outright when the flag is off, so
     # registration owns the config (dynamic SQLConf, safe at runtime)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SdbBarDataSource)
+
+
+class SdbBarStreamReader(SimpleDataSourceStreamReader):
+    """Streaming ingest of the key-addressed directory — the reference's
+    live-feed shape (`sisdb_wsdb` convert service tails incoming key
+    files) on the Spark 4 ``SimpleDataSourceStreamReader`` API.
+
+    Offsets are the consumed FILE SET ({"files": sorted names}): .sdb
+    files are immutable once written (the writer never appends to a
+    committed file), so `read(start)` returns exactly the files that
+    appeared since `start`, and `readBetweenOffsets` replays a committed
+    range deterministically after restart — exactly-once per file.
+    Directory-listing offsets suit feed-drop directories (thousands of
+    files); for millions of files per batch use a manifest log instead."""
+
+    def __init__(self, options):
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError("sdb_bars: path option required")
+
+    def _list(self) -> list[str]:
+        return sorted(
+            n for n in os.listdir(self._dir) if n.endswith(".sdb")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def read(self, start: dict):
+        seen = set(start["files"])
+        now = self._list()
+        new = [n for n in now if n not in seen]
+        # materialized list, not a generator: the prefetcher PICKLES the
+        # returned rows alongside the offset
+        rows = [
+            rec
+            for n in new
+            for rec in read_sdb_file(os.path.join(self._dir, n))
+        ]
+        return rows, {"files": sorted(set(now) | seen)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        replay = sorted(set(end["files"]) - set(start["files"]))
+        for n in replay:
+            yield from read_sdb_file(os.path.join(self._dir, n))

@@ -264,3 +264,42 @@ def test_sdb_bars_bad_magic_rejected(tmp_path):
         f.write(b"JUNKdata")
     with _pytest.raises(ValueError, match="bad magic"):
         list(sdbfmt.read_sdb_file(p))
+
+
+def test_sdb_bars_stream_exactly_once_across_restarts(spark, tmp_path):
+    """readStream over the sdb_bars directory: run 1 (availableNow)
+    ingests file A; file B arrives; run 2 with the SAME checkpoint
+    ingests ONLY B — file-set offsets give exactly-once per file across
+    restarts."""
+    from ago_sisdb_spark.sources import sdbfmt
+
+    sdbfmt.register(spark)
+    d = tmp_path / "feed"
+    d.mkdir()
+    out = tmp_path / "out"
+    ck = str(tmp_path / "ck")
+
+    a = [("AAA", 1000 + i, 1.0, 2.0, 0.5, 1.5, 100 + i) for i in range(4)]
+    b = [("BBB", 2000 + i, 9.0, 9.5, 8.5, 9.1, 50 + i) for i in range(2)]
+    sdbfmt.write_sdb_file(str(d / "AAA.sdb"), a)
+
+    def run():
+        q = (
+            spark.readStream.format("sdb_bars")
+            .load(str(d))
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    got1 = sorted(map(tuple, spark.read.parquet(str(out)).collect()))
+    assert got1 == sorted(a)
+
+    sdbfmt.write_sdb_file(str(d / "BBB.sdb"), b)
+    run()
+    got2 = sorted(map(tuple, spark.read.parquet(str(out)).collect()))
+    assert got2 == sorted(a + b)  # B ingested once, A not duplicated
