@@ -322,3 +322,63 @@ def cusum_changepoint(
         "peak_at",
         F.coalesce(F.col("changed"), F.lit(False)).alias("changed"),
     )
+
+
+def mannwhitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test (the non-parametric twin of the a21
+    Welch t-test): does ``value`` stochastically dominate between two
+    groups?  The standard A/B significance check when values are skewed
+    or ordinal and means mislead.
+
+    Exactly the tie-aware pair-count machinery of classifier.eval_binary:
+    collapse to one row per DISTINCT value with (n_a, n_b) counts, take
+    exclusive prefix sums of n_b in value order via
+    ``lastper.global_prefix_sums`` (range-partitioned spans — the
+    distinct-value table of a continuous measure can be corpus-scale, so
+    no single-partition window), then
+
+        u1_x2 = Σ_v n_a(v) · (2·Σ_{v'<v} n_b(v') + n_b(v))   (= 2·U1)
+        T     = Σ_v (t_v³ − t_v),  t_v = n_a(v) + n_b(v)     (tie term)
+        z     = (u1_x2 − n_a·n_b)
+                / (2·sqrt(n_a·n_b/12 · ((n+1) − T/(n·(n−1)))))
+
+    u1_x2 and T are exact int64; z is a FIXED tree of correctly-rounded
+    IEEE ops (/, *, sqrt) on those integers, so it hash-checks
+    bit-identically cross-engine (working-notes: float determinism —
+    only order-dependent row reductions diverge).  Returns one row:
+    (n_a, n_b, u1_x2, tie_term, z)."""
+    from ago_sisdb_spark.operators import lastper
+
+    g = F.col(group_col)
+    per = (
+        df.where(g.isin([group_a, group_b]))
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("n_a"),
+            F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("n_b"),
+        )
+    )
+    per = lastper.global_prefix_sums(per, [F.col("v")], ["n_b"])
+    t = F.col("n_a") + F.col("n_b")
+    agg = per.agg(
+        F.sum("n_a").cast("long").alias("n_a"),
+        F.sum("n_b").cast("long").alias("n_b"),
+        F.sum(F.col("n_a") * (F.lit(2) * F.col("cum_n_b") + F.col("n_b")))
+        .cast("long")
+        .alias("u1_x2"),
+        F.sum(t * t * t - t).cast("long").alias("tie_term"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n = na + nb
+    sigma = F.sqrt(
+        na * nb / F.lit(12.0)
+        * ((n + F.lit(1.0)) - F.col("tie_term").cast("double") / (n * (n - F.lit(1.0))))
+    )
+    z = (F.col("u1_x2").cast("double") - na * nb) / (F.lit(2.0) * sigma)
+    return agg.select("n_a", "n_b", "u1_x2", "tie_term", z.alias("z"))

@@ -389,3 +389,65 @@ def rrf_fuse(
             *[f"rank_{name}" for name in ranked],
         )
     )
+
+
+def prf_bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, list[str]]],
+    k: int = 10,
+    feedback_k: int = 5,
+    expand_terms: int = 3,
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (RM3-lite, Lavrenko &
+    Croft's relevance-model family as used by Anserini's RM3 default):
+    run BM25, assume the top ``feedback_k`` docs per query are relevant,
+    mine their ``expand_terms`` most frequent NEW terms, append them to
+    the query, and re-run BM25 with the expanded term set.
+
+    Scale shape: stage 1 is the audited query-bounded bm25_topk plan;
+    the feedback set (|queries|·feedback_k ids) joins back to fetch only
+    its own texts (tiny side broadcast into the corpus scan — the
+    batch-vs-corpus artifact rule), so term mining tokenizes
+    feedback_k·|queries| documents, not the corpus.  The mined terms are
+    then COLLECTED: a deliberately driver-sized, query-bounded artifact
+    — stage 2 must fold its term set into the token scan as an ``isin``
+    literal BELOW the aggregation (the r8 n5 lesson; Catalyst cannot
+    push a data-dependent join below a groupBy, so a join-driven term
+    set would re-pay a corpus-wide shuffle).
+
+    Expansion terms rank by (feedback tf desc, term asc) — integer
+    counts, deterministic cross-engine.  Returns stage-2's
+    (query_id, doc, rank, score)."""
+    spark = docs.sparkSession
+    fb = bm25_topk(docs, id_col, text_col, queries, k=feedback_k)
+    fb_ids = fb.select("query_id", "doc")
+    fb_docs = docs.select(
+        F.col(id_col).alias("doc"), F.col(text_col).alias("__t")
+    ).join(F.broadcast(fb_ids), "doc")
+    fb_counts = (
+        fb_docs.select("query_id", F.explode(tokenize(F.col("__t"))).alias("term"))
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in queries for t in set(terms)],
+        "query_id long, term string",
+    )
+    fresh = fb_counts.join(F.broadcast(qterms), ["query_id", "term"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cnt"), F.asc("term"))
+    picked = (
+        fresh.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= expand_terms)
+        .select("query_id", "term")
+        .collect()  # query-bounded artifact (≤ |queries|·expand_terms rows)
+    )
+    expansion: dict[int, list[str]] = {}
+    for r in picked:
+        expansion.setdefault(r["query_id"], []).append(r["term"])
+    expanded = [
+        (qid, sorted(set(terms) | set(expansion.get(qid, []))))
+        for qid, terms in queries
+    ]
+    return bm25_topk(docs, id_col, text_col, expanded, k=k)

@@ -4006,3 +4006,127 @@ def t30_domain_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "source", "n_chars"),
         "source", "n_chars", "doc_id",
     )
+
+
+def _n11_oracle(feedback_k: int = 5, expand_terms: int = 3, k: int = 10) -> str:
+    def chain(qname: str, sfx: str) -> str:
+        return f"""
+    post{sfx} AS (SELECT q.query_id, q.term, tf.doc, tf.tf
+             FROM {qname} q JOIN tf USING (term)),
+    dfreq{sfx} AS (SELECT term, count(*) AS df
+              FROM (SELECT DISTINCT term, doc FROM post{sfx}) GROUP BY term),
+    scored{sfx} AS (
+        SELECT query_id, doc,
+               round(sum(ln(1 + (stats.n - df + 0.5) / (df + 0.5))
+                     * (tf * 2.2)
+                     / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score
+        FROM post{sfx} JOIN dfreq{sfx} USING (term) JOIN dl USING (doc), stats
+        GROUP BY query_id, doc),
+    ranked{sfx} AS (
+        SELECT CAST(query_id AS BIGINT) AS query_id, doc,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, doc) AS BIGINT) AS rank, score
+        FROM scored{sfx})"""
+
+    values = "(0,'spark'),(0,'join'),(1,'hash'),(1,'table'),(1,'scan'),(2,'window'),(2,'agg')"
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id AS doc,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+    tf AS (SELECT doc, term, count(*) AS tf FROM toks GROUP BY doc, term),
+    dl AS (SELECT doc, count(*) AS dl FROM toks GROUP BY doc),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    q0(query_id, term) AS (VALUES {values}),
+    {chain('q0', '0')},
+    fb AS (SELECT query_id, doc FROM ranked0 WHERE rank <= {feedback_k}),
+    fbc AS (SELECT fb.query_id, toks.term, count(*) AS cnt
+            FROM toks JOIN fb USING (doc)
+            GROUP BY fb.query_id, toks.term),
+    fresh AS (
+        SELECT fbc.* FROM fbc
+        LEFT JOIN q0 ON q0.query_id = fbc.query_id AND q0.term = fbc.term
+        WHERE q0.term IS NULL),
+    exp AS (
+        SELECT query_id, term FROM (
+            SELECT query_id, term,
+                   row_number() OVER (PARTITION BY query_id
+                        ORDER BY cnt DESC, term) AS r
+            FROM fresh)
+        WHERE r <= {expand_terms}),
+    qx AS (SELECT query_id, term FROM q0
+           UNION SELECT query_id, term FROM exp),
+    {chain('qx', '1')}
+    SELECT query_id, doc, rank, score FROM ranked1 WHERE rank <= {k}
+    """
+
+
+@query("n11_prf_expansion", oracle=_n11_oracle(), extended=True)
+def n11_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (operators/textsearch.
+    prf_bm25_topk, RM3-lite): BM25 → mine the top feedback docs' most
+    frequent new terms → re-run BM25 with the expanded queries.  Term
+    mining tokenizes only the |queries|·feedback_k matched docs (tiny
+    broadcast into the corpus scan); the mined term set is a collected
+    query-bounded artifact so stage 2 keeps the isin-below-aggregation
+    plan (the r8 n5 lesson).  Whole two-stage pipeline restated in ONE
+    SQL statement by the oracle."""
+    from ago_sisdb_spark.operators import textsearch
+
+    docs = _t(spark, sf_dir, "documents")
+    return textsearch.prf_bm25_topk(
+        docs, "doc_id", "text", _BM25_QUERIES,
+        k=10, feedback_k=5, expand_terms=3,
+    )
+
+
+@query(
+    "t31_vocab_drift",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang, t.tok FROM (
+            SELECT doc_id, lang,
+                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+            FROM documents) t
+        WHERE t.tok != ''),
+    vocab AS (
+        SELECT DISTINCT lang, tok FROM toks WHERE doc_id % 3 != 0),
+    batch AS (SELECT lang, tok FROM toks WHERE doc_id % 3 = 0),
+    j AS (
+        SELECT batch.lang,
+               CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END AS oov
+        FROM batch LEFT JOIN vocab
+          ON vocab.lang = batch.lang AND vocab.tok = batch.tok)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           CAST((1000000 * sum(oov)) // count(*) AS BIGINT) AS oov_e6
+    FROM j GROUP BY lang
+    """,
+    extended=True,
+)
+def t31_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot vocabulary drift: the new batch's out-of-vocabulary
+    token rate per language against the history snapshot's vocabulary —
+    the cheap distribution-shift alarm an incremental ingest pipeline
+    watches before retraining tokenizers or LID models (companion to the
+    d8/d12/pipe8 incremental family; history = doc_id%3!=0, batch = the
+    rest, same split convention as pipe3).  One token pass feeds both
+    sides; the membership check is a vocabulary-keyed (lang, tok) join —
+    vocab-scale shuffle, never document bodies; OOV rate in exact
+    fixed-point millionths."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    vocab = toks.where(F.col("doc_id") % 3 != 0).select("lang", "tok").distinct()
+    batch = toks.where(F.col("doc_id") % 3 == 0).select("lang", "tok")
+    j = batch.join(
+        vocab.withColumn("__in", F.lit(1)), ["lang", "tok"], "left"
+    ).select("lang", F.when(F.col("__in").isNull(), 1).otherwise(0).alias("oov"))
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("oov").cast("long").alias("n_oov"),
+        F.expr("(1000000 * sum(oov)) div count(*)").alias("oov_e6"),
+    )

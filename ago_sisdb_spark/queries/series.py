@@ -931,3 +931,53 @@ def a22_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("event_type", "rank", "event_id", F.round("resid", 6).alias("resid"))
     )
+
+
+@query(
+    "a23_mannwhitney",
+    oracle="""
+    WITH per AS (
+        SELECT value AS v,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_b
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY value),
+    cum AS (
+        SELECT *, CAST(coalesce(sum(n_b) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS cum_n_b
+        FROM per),
+    agg AS (
+        SELECT CAST(sum(n_a) AS BIGINT) AS n_a,
+               CAST(sum(n_b) AS BIGINT) AS n_b,
+               CAST(sum(n_a * (2 * cum_n_b + n_b)) AS BIGINT) AS u1_x2,
+               CAST(sum((n_a + n_b) * (n_a + n_b) * (n_a + n_b)
+                   - (n_a + n_b)) AS BIGINT) AS tie_term
+        FROM cum)
+    SELECT n_a, n_b, u1_x2, tie_term,
+           (CAST(u1_x2 AS DOUBLE)
+              - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+           / (CAST(2 AS DOUBLE) * sqrt(
+               CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(12 AS DOUBLE)
+               * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + CAST(1 AS DOUBLE))
+                  - CAST(tie_term AS DOUBLE)
+                    / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                       * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+                          - CAST(1 AS DOUBLE)))))) AS z
+    FROM agg
+    """,
+    extended=True,
+)
+def a23_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (operators/series.mannwhitney_u):
+    tie-aware nonparametric A/B comparison of event values between the
+    click and purchase streams.  Integer-exact pair counts over the
+    distinct-value collapse (range-partitioned prefix sums — the helper
+    scales to corpus-cardinality value domains); z is one fixed tree of
+    correctly-rounded IEEE ops, bit-portable cross-engine."""
+    from ago_sisdb_spark.operators import series as series_ops
+
+    ev = _t(spark, sf_dir, "events")
+    return series_ops.mannwhitney_u(ev, "value", "event_type", "click", "purchase")

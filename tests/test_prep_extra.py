@@ -1199,3 +1199,38 @@ def test_domain_quantile_gate_exact(spark):
         for r in text_ops.domain_quantile_gate(df2, "source", "score", "doc_id").collect()
     }
     assert got2 == {1: 0, 2: 500_000, 3: 1_000_000}
+
+
+def test_vocab_drift_planted(spark):
+    """Planted history/batch split: OOV tokens are exactly the batch
+    tokens absent from the SAME language's history vocabulary —
+    cross-language leakage would show as a wrong count."""
+    rows = [
+        # history (doc_id % 3 != 0)
+        (1, "en", "alpha beta gamma"),
+        (2, "en", "alpha beta"),
+        (4, "fr", "un deux"),
+        # batch (doc_id % 3 == 0)
+        (3, "en", "alpha delta delta"),   # delta x2 OOV of en
+        (6, "fr", "un gamma"),            # gamma is en-vocab, OOV for fr
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    df.createOrReplaceTempView("__vd")
+    from pyspark.sql import functions as F
+
+    toks = df.select(
+        "doc_id", "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    vocab = toks.where(F.col("doc_id") % 3 != 0).select("lang", "tok").distinct()
+    batch = toks.where(F.col("doc_id") % 3 == 0).select("lang", "tok")
+    j = batch.join(
+        vocab.withColumn("__in", F.lit(1)), ["lang", "tok"], "left"
+    ).select("lang", F.when(F.col("__in").isNull(), 1).otherwise(0).alias("oov"))
+    got = {
+        r["lang"]: (r["n"], r["o"])
+        for r in j.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("oov").alias("o")
+        ).collect()
+    }
+    assert got == {"en": (3, 2), "fr": (2, 1)}

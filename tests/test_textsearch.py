@@ -239,3 +239,28 @@ def test_normalize_text_expr_hand_cases(spark):
     assert got[2] == "plain ascii text"
     assert got[3] == ""
     assert got[4] is None
+
+
+def test_prf_expansion_retrieves_unmatched_doc(spark):
+    """The RM3 point: a doc sharing NO original query term but rich in
+    the feedback docs' companion vocabulary is invisible to plain BM25
+    and retrieved after expansion."""
+    rows = [
+        (1, "alpha engine alpha engine turbine"),     # matches 'alpha'
+        (2, "alpha engine turbine rotor"),            # matches 'alpha'
+        (3, "engine turbine rotor blades spinning"),  # no 'alpha'!
+        (4, "unrelated words about cooking pasta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = [(0, ["alpha"])]
+
+    plain = {r["doc"] for r in textsearch.bm25_topk(
+        df, "doc_id", "text", queries, k=4).collect()}
+    assert plain == {1, 2}
+
+    expanded = {r["doc"] for r in textsearch.prf_bm25_topk(
+        df, "doc_id", "text", queries, k=4, feedback_k=2, expand_terms=2
+    ).collect()}
+    # feedback docs {1,2} vote 'engine' (3x) and 'turbine' (2x) in;
+    # doc 3 now matches, pasta doc still doesn't
+    assert 3 in expanded and 4 not in expanded and {1, 2} <= expanded
