@@ -1072,11 +1072,19 @@ def domain_kl(
     exact integer ratios feed one ln per term; the per-group sum is
     rounded at 6 dp (the BM25/TF-IDF float-rounding convention).
     Returns (group, n_tokens, vocab, kl)."""
+    from ago_sisdb_spark.materialize import materialize
+
     toks = docs.select(
         F.col(group_col).alias("__g"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
     ).where(F.col("tok") != "")
-    cst = toks.groupBy("__g", "tok").agg(F.count(F.lit(1)).alias("c"))
+    # (group, tok) counts are the vocabulary×groups collapse point with
+    # FOUR consumers (corpus totals, group totals, grand total, the KL
+    # join) — materialize once or each consumer re-runs the token pass
+    # (exchange reuse does not span consumers; the r7 dupscan lesson)
+    cst = materialize(
+        toks.groupBy("__g", "tok").agg(F.count(F.lit(1)).alias("c"))
+    )
     ct = cst.groupBy("tok").agg(F.sum("c").cast("long").alias("ctot"))
     ns = cst.groupBy("__g").agg(
         F.sum("c").cast("long").alias("n_s"),

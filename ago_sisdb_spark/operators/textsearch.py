@@ -421,7 +421,35 @@ def prf_bm25_topk(
     counts, deterministic cross-engine.  Returns stage-2's
     (query_id, doc, rank, score)."""
     spark = docs.sparkSession
-    fb = bm25_topk(docs, id_col, text_col, queries, k=feedback_k)
+    # doc lengths and (N, avgdl) are TERM-INDEPENDENT — build them once
+    # and share across both stages (a second bm25_topk call would re-run
+    # the corpus doc-length pass; the r7 dupscan lesson)
+    dl = _materialize(
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.size(tokenize(F.col(text_col))).cast("bigint").alias("dl"),
+        )
+    )
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokenize(F.col(text_col))).alias("term"),
+    )
+
+    def stage(qs: list[tuple[int, list[str]]], topk: int) -> DataFrame:
+        terms = sorted({t for _, ts in qs for t in set(ts)})
+        tf = (
+            toks.where(F.col("term").isin(terms))
+            .groupBy("doc", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        qt = spark.createDataFrame(
+            [(qid, t) for qid, ts in qs for t in set(ts)],
+            "query_id long, term string",
+        )
+        return _bm25_rank(tf, dl, stats, qt, topk, 1.2, 0.75)
+
+    fb = stage(queries, feedback_k)
     fb_ids = fb.select("query_id", "doc")
     fb_docs = docs.select(
         F.col(id_col).alias("doc"), F.col(text_col).alias("__t")
@@ -450,4 +478,4 @@ def prf_bm25_topk(
         (qid, sorted(set(terms) | set(expansion.get(qid, []))))
         for qid, terms in queries
     ]
-    return bm25_topk(docs, id_col, text_col, expanded, k=k)
+    return stage(expanded, k)
