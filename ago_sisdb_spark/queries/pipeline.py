@@ -4130,3 +4130,50 @@ def t31_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("oov").cast("long").alias("n_oov"),
         F.expr("(1000000 * sum(oov)) div count(*)").alias("oov_e6"),
     )
+
+
+@query(
+    "s9_leakage_safe_split",
+    oracle=f"""
+    WITH comp AS ({_PIPE2_ORACLE}),
+    lab AS (
+        SELECT d.doc_id,
+               CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+    SELECT doc_id, component,
+           CASE WHEN component % 10 < 8 THEN 'train'
+                WHEN component % 10 = 8 THEN 'val' ELSE 'test' END AS split
+    FROM lab
+    """,
+    extended=True,
+)
+def s9_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate GROUPS land on
+    one side (split keyed by the connected COMPONENT, not the doc — the
+    standard guard against eval contamination by near-dups of training
+    docs; splitting s1-style by doc id leaks).  Composes pipe2's
+    components (doc_id<60 pair slice, same convention); docs outside any
+    pair are their own singleton component.  The component table is
+    pair-bounded and broadcasts onto the corpus id scan — no
+    corpus-scale shuffle; the split itself is the deterministic modulo
+    gate (no RNG state, reproducible)."""
+    docs = _t(spark, sf_dir, "documents")
+    docs60 = docs.where(F.col("doc_id") < 60)
+    pairs = dedup.ngram_jaccard_pairs(docs60, "doc_id", "text", n=2, threshold=0.08)
+    comp = dedup.connected_components(pairs)
+    lab = (
+        docs.select("doc_id")
+        .join(F.broadcast(comp), F.col("doc_id") == F.col("id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id"))
+            .cast("long")
+            .alias("component"),
+        )
+    )
+    split = (
+        F.when(F.col("component") % 10 < 8, "train")
+        .when(F.col("component") % 10 == 8, "val")
+        .otherwise("test")
+    )
+    return lab.select("doc_id", "component", split.alias("split"))

@@ -1234,3 +1234,47 @@ def test_vocab_drift_planted(spark):
         ).collect()
     }
     assert got == {"en": (3, 2), "fr": (2, 1)}
+
+
+def test_leakage_safe_split_invariant(spark):
+    """The split's defining invariant: no near-dup component spans two
+    splits (while the s1-style doc-id split demonstrably WOULD put the
+    planted near-dup pair on opposite sides)."""
+    from pyspark.sql import functions as F
+
+    from ago_sisdb_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (8, base),            # doc 8 -> train under id split (8%10==8 -> val!)
+        (19, base + " x"),    # near-dup of 8; id split puts it in test
+        (21, "alpha beta gamma delta epsilon"),
+        (33, "zeta eta theta iota kappa"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.5)
+    assert {(r.id_a, r.id_b) for r in pairs.collect()} == {(8, 19)}
+    comp = dedup.connected_components(pairs)
+    lab = (
+        docs.select("doc_id")
+        .join(F.broadcast(comp), F.col("doc_id") == F.col("id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        )
+    )
+    split = (
+        F.when(F.col("component") % 10 < 8, "train")
+        .when(F.col("component") % 10 == 8, "val")
+        .otherwise("test")
+    )
+    got = {
+        r["doc_id"]: (r["component"], r["s"])
+        for r in lab.select("doc_id", "component", split.alias("s")).collect()
+    }
+    # both members of the near-dup component (min id 8) share one split
+    assert got[8] == (8, "val") and got[19] == (8, "val")
+    # singletons split by their own id
+    assert got[21] == (21, "train") and got[33] == (33, "train")
+    # the doc-id split would have separated them (8 -> val, 19 -> test)
+    assert (19 % 10) > 8
