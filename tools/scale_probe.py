@@ -445,13 +445,69 @@ def main() -> None:
                 "tfidf": textsearch.tfidf_topk(dc, "doc_id", "text", qs, k=10),
             })
         probe("n10_rrf_hybrid", mk_n10)
+        # second continuation batch: KL, quantile gate, rank-sum, drift,
+        # PRF, leakage split
+        dc_src = dc.withColumn(
+            "source",
+            F.concat(F.lit("s"), (F.col("doc_id") % 20).cast("string")),
+        )
+        probe("t29_domain_kl", lambda: text.domain_kl(dc_src, "source"))
+        probe("t30_quantile_gate",
+            lambda: text.domain_quantile_gate(
+                dc_src.select("doc_id", "source", F.length("text").alias("L")),
+                "source", "L", "doc_id",
+            )
+        )
+        ev_ab = ev.select("event_type", "value")
+        def mk_a23(ev_ab=ev_ab):
+            from ago_sisdb_spark.operators import series as series_ops
+            return series_ops.mannwhitney_u(
+                ev_ab, "value", "event_type", "click", "purchase"
+            )
+        probe("a23_mannwhitney", mk_a23)
+        dc_lang = dc.withColumn(
+            "lang", F.concat(F.lit("l"), (F.col("doc_id") % 5).cast("string"))
+        )
+        def mk_t31(dc_lang=dc_lang):
+            toks31 = dc_lang.select(
+                "doc_id", "lang",
+                F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+            ).where(F.col("tok") != "")
+            vocab = toks31.where(F.col("doc_id") % 3 != 0).select("lang", "tok").distinct()
+            batch = toks31.where(F.col("doc_id") % 3 == 0).select("lang", "tok")
+            j = batch.join(
+                vocab.withColumn("__in", F.lit(1)), ["lang", "tok"], "left"
+            ).select("lang", F.when(F.col("__in").isNull(), 1).otherwise(0).alias("oov"))
+            return j.groupBy("lang").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("oov").alias("o")
+            )
+        probe("t31_vocab_drift", mk_t31)
+        probe("n11_prf_expansion",
+            lambda: textsearch.prf_bm25_topk(
+                dc, "doc_id", "text",
+                [(0, ["spark", "join"]), (1, ["hash", "table", "scan"])],
+                k=10, feedback_k=5, expand_terms=3,
+            )
+        )
+        def mk_s9(dc=dc):
+            d60 = dc.where(F.col("doc_id") < 60)
+            pairs = dedup.ngram_jaccard_pairs(d60, "doc_id", "text", 2, 0.08)
+            comp = dedup.connected_components(pairs)
+            lab = dc.select("doc_id").join(
+                F.broadcast(comp), F.col("doc_id") == F.col("id"), "left"
+            ).select(
+                "doc_id",
+                F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+            )
+            return lab.withColumn("s", F.col("component") % 10)
+        probe("s9_leakage_split", mk_s9)
         # release this scale's localCheckpoint blocks before the next
         # multiplier: without it the ×32 pass runs on top of ×1+×4's
         # cached copies and every sample carries eviction/GC noise.
         # The DERIVED frames must go too — their plans reference the
         # checkpointed RDDs, and ContextCleaner can only unpersist a
         # block once nothing reachable points at it
-        del ev, dc, em, em_lab, mixed, mixed12, spread, sdf, skew, toks, toks2
+        del ev, dc, em, em_lab, mixed, mixed12, spread, sdf, skew, toks, toks2, dc_src, ev_ab, dc_lang
         spark.sparkContext._jvm.System.gc()
         time.sleep(0.5)
     lo, hi = muls[0], muls[-1]
