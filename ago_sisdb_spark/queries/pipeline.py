@@ -4177,3 +4177,68 @@ def s9_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
     )
     return lab.select("doc_id", "component", split.alias("split"))
+
+
+def _t32_oracle() -> str:
+    return f"""
+    WITH scored AS ({_t18_oracle()}),
+    lab AS (
+        SELECT s.score_e6, (d.lang = 'en') AS pos,
+               CAST(1 AS DOUBLE)
+                 / (CAST(1 AS DOUBLE) + exp(-(CAST(s.score_e6 AS DOUBLE)
+                     / CAST(1000000 AS DOUBLE)))) AS p
+        FROM ({_t18_oracle()}) s JOIN documents d ON s.doc_id = d.doc_id),
+    binned AS (
+        SELECT CAST(least(greatest((score_e6 + 1000000) // 200000, 0), 9)
+                   AS BIGINT) AS bin,
+               pos, p
+        FROM lab)
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS acc,
+           round(avg(p), 6) AS conf
+    FROM binned GROUP BY bin
+    """
+
+
+@query("t32_calibration_bins", oracle=_t32_oracle(), extended=True)
+def t32_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration / reliability table (the ECE companion to
+    t27's AUC): bucket the t18 hash-classifier score into 10 EXACT
+    integer fixed-point bins over its [-1, 1] codomain, and report each
+    bin's observed positive rate (one exact division) beside its mean
+    sigmoid confidence (round-6 like the BM25 family — the binning
+    itself never touches a float, so no boundary can flip a row's
+    bucket cross-engine).  Per-bin rows, not a summed ECE scalar: the
+    cross-bin weighted sum is one driver-side fold away and a 10-term
+    float reduction has no stable cross-engine order."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = text.hashed_linear_score(docs, "doc_id", "text")
+    lab = scored.join(
+        docs.select("doc_id", (F.col("lang") == F.lit("en")).alias("pos")),
+        "doc_id",
+    ).select(
+        "score_e6", "pos",
+        (
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-(F.col("score_e6").cast("double") / F.lit(1000000.0))))
+        ).alias("p"),
+    )
+    binned = lab.select(
+        F.least(
+            F.greatest(F.expr("(score_e6 + 1000000) div 200000"), F.lit(0)),
+            F.lit(9),
+        ).cast("long").alias("bin"),
+        "pos", "p",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("long").alias("n_pos"),
+        (
+            F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("acc"),
+        F.round(F.avg("p"), 6).alias("conf"),
+    )

@@ -1278,3 +1278,23 @@ def test_leakage_safe_split_invariant(spark):
     assert got[21] == (21, "train") and got[33] == (33, "train")
     # the doc-id split would have separated them (8 -> val, 19 -> test)
     assert (19 % 10) > 8
+
+
+def test_calibration_bin_boundaries(spark):
+    """The t32 binning is exact integer arithmetic over the [-1e6, 1e6]
+    fixed-point codomain: boundaries land deterministically (no float
+    bucket flip is possible), and the top edge clamps into bin 9."""
+    from pyspark.sql import functions as F
+
+    cases = [(-1_000_000, 0), (-800_001, 0), (-800_000, 1), (-1, 4),
+             (0, 5), (199_999, 5), (200_000, 6), (999_999, 9), (1_000_000, 9)]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "score_e6 long")
+    got = [
+        r["bin"] for r in df.select(
+            F.least(
+                F.greatest(F.expr("(score_e6 + 1000000) div 200000"), F.lit(0)),
+                F.lit(9),
+            ).cast("long").alias("bin")
+        ).collect()
+    ]
+    assert got == [b for _, b in cases]
