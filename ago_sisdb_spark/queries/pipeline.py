@@ -4242,3 +4242,56 @@ def t32_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("acc"),
         F.round(F.avg("p"), 6).alias("conf"),
     )
+
+
+@query(
+    "t33_ngram_novelty",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id AS doc, unnest(list_distinct(
+            list_transform(range(1, len(ws) - 3),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                     || ' ' || ws[i+3] || ' ' || ws[i+4]))) AS shingle
+        FROM w WHERE len(ws) >= 5),
+    dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+    per AS (
+        SELECT doc, count(*) AS n_grams,
+               sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_unique
+        FROM sh JOIN dfreq USING (shingle) GROUP BY doc)
+    SELECT doc AS doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_unique AS BIGINT) AS n_unique,
+           CAST((1000000 * n_unique) // n_grams AS BIGINT) AS novelty_e6
+    FROM per
+    """,
+    extended=True,
+)
+def t33_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — the memorization-risk audit of Lee
+    et al.'s dedup paper, per doc instead of per span: the fraction of a
+    doc's DISTINCT word 5-grams that occur in no other document.  Docs
+    scoring low are restatements of corpus boilerplate (memorization
+    amplifiers); the per-doc score drives doc-level downweighting where
+    d10's span report drives surgical removal.  One shingle pass
+    (dedup.shingle_rows, min_words fused into the pass), gram-keyed
+    df aggregation + join — shuffles carry grams, never text; exact
+    fixed-point millionths."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.shingle_rows(docs, "doc_id", "text", k=5, min_words=5).distinct()
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    per = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+        )
+    )
+    return per.select(
+        F.col("doc").alias("doc_id"), "n_grams", "n_unique",
+        F.expr("(1000000 * n_unique) div n_grams").alias("novelty_e6"),
+    )

@@ -800,3 +800,35 @@ def test_winnow_overlap_pairs_planted(spark):
     assert 12 < p["span_a_lo"] <= p["span_a_hi"] <= 12 + len(shared)
     assert p["span_b_lo"] <= p["span_b_hi"] <= len(shared)
     assert p["n_shared"] >= 3
+
+
+def test_ngram_novelty_planted(spark):
+    """A doc wholly plagiarized from another scores 0 novelty; a doc of
+    fresh vocabulary scores 1e6; a half-copied doc lands in between with
+    exact counts."""
+    from pyspark.sql import functions as F
+
+    src = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, src),                                   # all grams shared w/ 2
+        (2, src),                                   # exact copy
+        (3, "one two three four five six seven"),   # fresh vocab
+        (4, src + " nine ten eleven twelve thirteen"),  # prefix copied
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup.shingle_rows(docs, "doc_id", "text", k=5, min_words=5).distinct()
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    got = {
+        r["doc"]: (r["g"], r["u"])
+        for r in sh.join(dfreq, "shingle").groupBy("doc").agg(
+            F.count(F.lit(1)).alias("g"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("u"),
+        ).collect()
+    }
+    # docs 1/2: 4 grams each, every one shared by >= 2 docs -> 0 unique
+    assert got[1] == (4, 0) and got[2] == (4, 0)
+    # doc 3: 3 grams, all unique
+    assert got[3] == (3, 3)
+    # doc 4: 13 words -> 9 grams; the 4 pure-src grams are shared with
+    # docs 1/2, the 5 straddling/new ones are unique
+    assert got[4] == (9, 5)
