@@ -832,3 +832,25 @@ def test_ngram_novelty_planted(spark):
     # doc 4: 13 words -> 9 grams; the 4 pure-src grams are shared with
     # docs 1/2, the 5 straddling/new ones are unique
     assert got[4] == (9, 5)
+
+
+def test_winnow_property_random_batch(spark):
+    """Property check, batched (one Spark call per hypothesis-style
+    batch, seeds fixed — a session per example is prohibitive): on
+    random lowercase strings the operator agrees with the independent
+    pairwise-Python winnow everywhere, including tie-heavy low-alphabet
+    strings."""
+    import random
+
+    rng = random.Random(1234)
+    texts = []
+    for i in range(40):
+        alpha = "ab" if i % 3 == 0 else "abcdefg "  # tie-heavy vs mixed
+        n = rng.randint(0, 40)
+        texts.append((i, "".join(rng.choice(alpha) for _ in range(n))))
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in dedup.winnow_fingerprints(df, "doc_id", "text").collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for did, t in texts:
+        assert got.get(did, set()) == _py_winnow(t), f"doc {did}: {t!r}"

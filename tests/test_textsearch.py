@@ -264,3 +264,38 @@ def test_prf_expansion_retrieves_unmatched_doc(spark):
     # feedback docs {1,2} vote 'engine' (3x) and 'turbine' (2x) in;
     # doc 3 now matches, pasta doc still doesn't
     assert 3 in expanded and 4 not in expanded and {1, 2} <= expanded
+
+
+def test_normalize_property_random_batch(spark):
+    """Batched property test: on random unicode strings (combining marks,
+    zero-widths, whitespace runs) the expression pipeline is IDEMPOTENT
+    and agrees with the independent Python reference (re + unicodedata —
+    no shared code with the operator)."""
+    import random
+    import re
+    import unicodedata
+
+    from ago_sisdb_spark.operators.text import normalize_text_expr
+
+    def py_ref(t):
+        x = re.sub("[​‌‍﻿]", "", t)
+        x = unicodedata.normalize("NFC", x)
+        return re.sub("[ \t\n\r\f\v]+", " ", x).strip(" ")
+
+    pool = list("abc XY19\t\n") + ["́", "̀", "​", "‍",
+                                   "﻿", "é", "ü", "中", "文"]
+    rng = random.Random(99)
+    texts = [
+        (i, "".join(rng.choice(pool) for _ in range(rng.randint(0, 30))))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(texts, "id long, t string")
+    once = normalize_text_expr(F.col("t"))
+    rows = df.select(
+        "id", once.alias("n1"), normalize_text_expr(once).alias("n2")
+    ).collect()
+    by_id = {r["id"]: (r["n1"], r["n2"]) for r in rows}
+    for i, t in texts:
+        n1, n2 = by_id[i]
+        assert n1 == py_ref(t), f"{t!r}"
+        assert n2 == n1, f"not idempotent on {t!r}"
