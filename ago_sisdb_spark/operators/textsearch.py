@@ -479,3 +479,57 @@ def prf_bm25_topk(
         for qid, terms in queries
     ]
     return stage(expanded, k)
+
+
+def blend_fuse(
+    ranked: dict[str, DataFrame],
+    alpha: float = 0.5,
+    keys: tuple[str, str] = ("query_id", "doc"),
+    score_col: str = "score",
+    k: int = 10,
+) -> DataFrame:
+    """Convex score-interpolation fusion of TWO named rankings — the
+    calibrated alternative to rrf_fuse when raw scores are worth
+    trusting: min-max normalize each ranker's scores WITHIN each query
+    (so BM25's unbounded scale and cosine's [0,1] become comparable),
+    then blend  s = α·norm_first + (1-α)·norm_second,  docs absent from
+    a list contributing 0 from it.
+
+    Same scale shape as rrf_fuse: inputs are per-query top-k lists
+    (query-bounded however large the corpus), so normalization windows
+    partition by query over ≤k rows and the join is tiny.  Determinism:
+    upstream scores are round-6 (identical cross-engine), min/max over
+    them are exact selections, and the normalized blend is a FIXED tree
+    of correctly-rounded IEEE ops — hash-identical vs the SQL twin.  A
+    single-document list normalizes to 1.0 (max==min guard).
+
+    Returns (query_id, doc, fused_rank, blend_score, score_<name>...),
+    top-``k`` per query, doc-ascending tie-break."""
+    assert len(ranked) == 2, "blend_fuse is a two-ranker fusion"
+    qid, doc = keys
+    (na, a), (nb, b) = ranked.items()
+
+    def norm(df: DataFrame, name: str) -> DataFrame:
+        w = Window.partitionBy(qid)
+        s = F.col(score_col)
+        lo, hi = F.min(s).over(w), F.max(s).over(w)
+        nrm = F.when(hi == lo, F.lit(1.0)).otherwise((s - lo) / (hi - lo))
+        return df.select(
+            qid, doc,
+            s.alias(f"score_{name}"),
+            nrm.alias(f"__n_{name}"),
+        )
+
+    j = norm(a, na).join(norm(b, nb), [qid, doc], "full_outer")
+    blend = (
+        F.lit(alpha) * F.coalesce(F.col(f"__n_{na}"), F.lit(0.0))
+        + F.lit(1.0 - alpha) * F.coalesce(F.col(f"__n_{nb}"), F.lit(0.0))
+    )
+    j = j.withColumn("blend_score", blend)
+    w = Window.partitionBy(qid).orderBy(F.desc("blend_score"), F.asc(doc))
+    return (
+        j.withColumn("fused_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("fused_rank") <= k)
+        .select(qid, doc, "fused_rank", "blend_score",
+                f"score_{na}", f"score_{nb}")
+    )

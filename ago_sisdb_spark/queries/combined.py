@@ -1195,3 +1195,62 @@ def n10_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tfidf": textsearch.tfidf_topk(docs, "doc_id", "text", _BM25_QUERIES, k=10),
         }
     )
+
+
+def _n12_norm_cte(src: str, name: str) -> str:
+    return f"""
+    {name}n AS (
+        SELECT query_id, doc, score AS score_{name},
+               CASE WHEN max(score) OVER (PARTITION BY query_id)
+                         = min(score) OVER (PARTITION BY query_id)
+                    THEN CAST(1 AS DOUBLE)
+                    ELSE (score - min(score) OVER (PARTITION BY query_id))
+                         / (max(score) OVER (PARTITION BY query_id)
+                            - min(score) OVER (PARTITION BY query_id))
+               END AS n
+        FROM {src})"""
+
+
+@query(
+    "n12_blend_hybrid",
+    oracle=f"""
+    WITH a AS (SELECT query_id, doc, score FROM ({_O['n5_bm25_search']})),
+    b AS (SELECT query_id, doc, score FROM ({_O['n8_tfidf_search']})),
+    {_n12_norm_cte('a', 'bm25')},
+    {_n12_norm_cte('b', 'tfidf')},
+    f AS (
+        SELECT coalesce(bm25n.query_id, tfidfn.query_id) AS query_id,
+               coalesce(bm25n.doc, tfidfn.doc) AS doc,
+               CAST(0.5 AS DOUBLE) * coalesce(bm25n.n, 0)
+                 + CAST(0.5 AS DOUBLE) * coalesce(tfidfn.n, 0) AS blend_score,
+               bm25n.score_bm25, tfidfn.score_tfidf
+        FROM bm25n FULL OUTER JOIN tfidfn
+          ON bm25n.query_id = tfidfn.query_id AND bm25n.doc = tfidfn.doc),
+    ranked AS (
+        SELECT query_id, doc,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY blend_score DESC, doc) AS BIGINT) AS fused_rank,
+               blend_score, score_bm25, score_tfidf
+        FROM f)
+    SELECT query_id, doc, fused_rank, blend_score, score_bm25, score_tfidf
+    FROM ranked WHERE fused_rank <= 10
+    """,
+    extended=True,
+)
+def n12_blend_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convex score-interpolation hybrid (operators/textsearch.
+    blend_fuse): per-query min-max normalized BM25 and TF-IDF scores
+    blended at alpha=0.5 — the calibrated fusion beside n10's
+    rank-only RRF.  Fusion sees only the query-bounded top-k lists;
+    normalization windows partition by query."""
+    from ago_sisdb_spark.operators import textsearch
+    from ago_sisdb_spark.queries.pipeline import _BM25_QUERIES
+
+    docs = _t(spark, sf_dir, "documents")
+    return textsearch.blend_fuse(
+        {
+            "bm25": textsearch.bm25_topk(docs, "doc_id", "text", _BM25_QUERIES, k=10),
+            "tfidf": textsearch.tfidf_topk(docs, "doc_id", "text", _BM25_QUERIES, k=10),
+        },
+        alpha=0.5,
+    )

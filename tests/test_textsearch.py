@@ -299,3 +299,24 @@ def test_normalize_property_random_batch(spark):
         n1, n2 = by_id[i]
         assert n1 == py_ref(t), f"{t!r}"
         assert n2 == n1, f"not idempotent on {t!r}"
+
+
+def test_blend_fuse_normalization_and_missing(spark):
+    """Min-max normalization per query (max==min list -> 1.0); a doc
+    absent from one list takes 0 from it; exact fixed-tree arithmetic."""
+    a = spark.createDataFrame(
+        [(0, 1, 10.0), (0, 2, 6.0), (0, 3, 2.0)],
+        "query_id long, doc long, score double",
+    )
+    b = spark.createDataFrame(
+        [(0, 2, 7.0), (0, 9, 7.0)], "query_id long, doc long, score double"
+    )
+    rows = textsearch.blend_fuse({"x": a, "y": b}, alpha=0.5).collect()
+    got = {r["doc"]: r["blend_score"] for r in rows}
+    # a-norms: d1=1.0, d2=0.5, d3=0.0 ; b max==min -> both 1.0
+    assert got[2] == 0.5 * 0.5 + 0.5 * 1.0
+    assert got[1] == 0.5 * 1.0
+    assert got[9] == 0.5 * 1.0
+    assert got[3] == 0.0
+    order = [r["doc"] for r in sorted(rows, key=lambda r: r["fused_rank"])]
+    assert order == [2, 1, 9, 3]  # 1 beats 9 on doc-id tie at 0.5
