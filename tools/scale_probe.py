@@ -489,6 +489,35 @@ def main() -> None:
                 k=10, feedback_k=5, expand_terms=3,
             )
         )
+        def mk_t33(dc=dc):
+            sh = dedup.shingle_rows(dc, "doc_id", "text", k=5, min_words=5).distinct()
+            dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+            return sh.join(dfreq, "shingle").groupBy("doc").agg(
+                F.count(F.lit(1)).alias("g"),
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("u"),
+            )
+        probe("t33_ngram_novelty", mk_t33)
+        def mk_n12(dc=dc):
+            qs = [(0, ["spark", "join"]), (1, ["hash", "table", "scan"])]
+            return textsearch.blend_fuse({
+                "bm25": textsearch.bm25_topk(dc, "doc_id", "text", qs, k=10),
+                "tfidf": textsearch.tfidf_topk(dc, "doc_id", "text", qs, k=10),
+            })
+        probe("n12_blend_hybrid", mk_n12)
+        def mk_t32(dc=dc):
+            scored = text.hashed_linear_score(dc, "doc_id", "text")
+            binned = scored.select(
+                F.least(
+                    F.greatest(F.expr("(score_e6 + 1000000) div 200000"), F.lit(0)),
+                    F.lit(9),
+                ).alias("bin"),
+                (F.col("score_e6") % 2 == 0).alias("pos"),
+            )
+            return binned.groupBy("bin").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("n_pos"),
+            )
+        probe("t32_calibration", mk_t32)
         def mk_s9(dc=dc):
             d60 = dc.where(F.col("doc_id") < 60)
             pairs = dedup.ngram_jaccard_pairs(d60, "doc_id", "text", 2, 0.08)
