@@ -85,6 +85,14 @@ SECONDARY = [
     # r9: temperature domain mixing (two corpus passes + domains-sized
     # plan broadcast; the deterministic-gate filter family's mix variant)
     "pipe12_domain_mix",
+    # r9 continuation: two-stage PRF retrieval (BM25 -> feedback-term
+    # mining -> expanded BM25; driver-coordinated stage boundary — the
+    # cost profile the single-pass n5 row lacks)
+    "n11_prf_expansion",
+    # r9 continuation: per-document n-gram novelty (gram-keyed
+    # document-frequency join over a shingle pass — the memorization
+    # audit's corpus-gram shuffle shape)
+    "t33_ngram_novelty",
 ]
 
 RUNS = 3
