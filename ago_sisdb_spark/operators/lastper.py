@@ -17,6 +17,37 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# ---- bounded pin-cache for range-partitioned span frames -------------------
+#
+# global_rank / global_prefix_sums persist() their range-partitioned frame so
+# BOTH consumers (per-span totals and the ranked branch) see ONE set of
+# sampled range bounds. Left unbounded, every invocation leaked one cached
+# frame for the session lifetime (bench loops, scale probes). The FIFO below
+# holds the newest few pins and unpersists the oldest beyond that — safe for
+# correctness even if an old frame is still mid-query: once the exchange has
+# executed, its shuffle files pin the sampled bounds, so a recompute after
+# unpersist re-reads the SAME spans (only the caching is lost, the r7
+# eviction argument). `release_span_cache()` drops everything eagerly.
+
+_SPAN_CACHE: list[DataFrame] = []
+_SPAN_CACHE_MAX = 4
+
+
+def _pin_spans(dfr: DataFrame) -> DataFrame:
+    dfr = dfr.persist()
+    _SPAN_CACHE.append(dfr)
+    while len(_SPAN_CACHE) > _SPAN_CACHE_MAX:
+        _SPAN_CACHE.pop(0).unpersist(False)
+    return dfr
+
+
+def release_span_cache() -> int:
+    """Unpersist every pinned span frame; returns how many were released."""
+    n = len(_SPAN_CACHE)
+    while _SPAN_CACHE:
+        _SPAN_CACHE.pop().unpersist(False)
+    return n
+
 
 def last_per_key(
     df: DataFrame,
@@ -149,11 +180,11 @@ def global_rank(
     DIFFERENT bounds — ``__pid`` would then disagree between the
     branches and ranks would silently duplicate/skip.  The cached copy
     pins one set of bounds (evicted blocks re-read the same shuffle
-    files, so consistency survives eviction)."""
-    dfr = (
+    files, so consistency survives eviction); the pin lives in the
+    bounded ``_SPAN_CACHE`` so repeated invocations don't accumulate."""
+    dfr = _pin_spans(
         df.repartitionByRange(num_partitions, *order)
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
     )
     counts = dfr.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
     a, b = counts.alias("a"), counts.alias("b")
@@ -189,16 +220,17 @@ def global_prefix_sums(
     each span's starting offset from a P²-row triangular self-join of the
     per-partition totals.  The range-partitioned frame is persist()-ed so
     both consumers see ONE set of sampled bounds (two instantiations may
-    sample different bounds and silently mis-offset — see global_rank).
+    sample different bounds and silently mis-offset — see global_rank;
+    pinned via the bounded ``_SPAN_CACHE``, not a raw session-lifetime
+    persist).
 
     ``order`` must be a total order (unique keys) or the exclusive sums
     within a tie run are ordering-dependent.  Sums are int64; callers own
     the overflow bound (Spark 4 ANSI mode throws rather than wraps).
     """
-    dfr = (
+    dfr = _pin_spans(
         df.repartitionByRange(num_partitions, *order)
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
     )
     totals = dfr.groupBy("__pid").agg(
         *[F.sum(c).cast("long").alias(f"__t_{c}") for c in value_cols]

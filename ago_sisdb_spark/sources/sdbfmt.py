@@ -31,8 +31,10 @@ DataFrame with pushdown, not to replace columnar storage.
 from __future__ import annotations
 
 import os
+import re
 import struct
-from dataclasses import dataclass
+import uuid
+from dataclasses import dataclass, field
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -57,11 +59,23 @@ _REC_TAIL = struct.Struct("<qddddq")  # ts_us, o, h, l, c, volume
 def write_sdb_file(path: str, rows) -> int:
     """Write one .sdb file from (symbol, ts_us, o, h, l, c, v) tuples.
     Pure-Python encoder shared by the DataSourceWriter (executor-side)
-    and tests."""
+    and tests.
+
+    The format is KEY-ADDRESSED: when the file name encodes a symbol
+    (``<symbol>[.part*].sdb``), every row must carry that symbol — the
+    same contract as a Hive partition directory, and what makes reader-
+    side file pruning sound. Mismatched rows raise instead of silently
+    producing a file whose name lies about its contents."""
+    key = _file_symbol(path)
     n = 0
     with open(path, "wb") as f:
         f.write(MAGIC)
         for symbol, ts_us, o, h, lo, c, v in rows:
+            if key is not None and symbol != key:
+                raise ValueError(
+                    f"{path}: row symbol {symbol!r} does not match the "
+                    f"file-name key {key!r} (key-addressed format)"
+                )
             sb = symbol.encode("utf-8")
             f.write(struct.pack("<H", len(sb)))
             f.write(sb)
@@ -87,17 +101,21 @@ def read_sdb_file(path: str):
         yield (symbol, *vals)
 
 
+_PART_SUFFIX = re.compile(r"\.part[^.]*$")
+
+
 def _file_symbol(path: str) -> str | None:
-    """Symbol encoded in the file name (``<symbol>[.partN].sdb``), the
-    pruning key; None when the name doesn't follow the convention (the
-    file is then always read — pruning is an optimization, never a
-    correctness dependence)."""
+    """Symbol encoded in the file name (``<symbol>[.part*].sdb``), the
+    pruning key; None when the name doesn't follow the convention. Only
+    the TRAILING ``.part*`` segment is stripped, so dotted symbols
+    (``BRK.A.part0.sdb`` → ``BRK.A``) survive. Pruning is an
+    optimization on top of the key-addressed write contract; the reader
+    additionally re-applies consumed symbol filters row-level, so a
+    name that lies about its contents can never return WRONG rows."""
     base = os.path.basename(path)
     if not base.endswith(".sdb"):
         return None
-    stem = base[: -len(".sdb")]
-    if "." in stem:  # strip .partN
-        stem = stem.split(".", 1)[0]
+    stem = _PART_SUFFIX.sub("", base[: -len(".sdb")])
     return stem or None
 
 
@@ -114,23 +132,30 @@ class SdbBarReader(DataSourceReader):
         self._symbols: set[str] | None = None  # None → no pruning filter
 
     def pushFilters(self, filters):
-        """Accept symbol-equality filters (file-name pruning); everything
-        else goes back to Spark for post-scan evaluation."""
+        """Accept symbol-equality filters; everything else goes back to
+        Spark for post-scan evaluation. Consumed filters are enforced
+        TWICE: whole-file pruning in partitions() (the fast path) and a
+        row-level check in read() (the correctness path) — Spark will
+        not re-evaluate a consumed filter, so the reader must. Multiple
+        accepted filters AND together, i.e. the symbol sets intersect."""
         for f in filters:
+            s: set[str] | None = None
             if (
                 isinstance(f, EqualTo)
                 and f.attribute == ("symbol",)
                 and isinstance(f.value, str)
             ):
-                self._symbols = {f.value}
+                s = {f.value}
             elif (
                 isinstance(f, In)
                 and f.attribute == ("symbol",)
                 and all(isinstance(v, str) for v in f.value)
             ):
-                self._symbols = set(f.value)
-            else:
+                s = set(f.value)
+            if s is None:
                 yield f  # unsupported → Spark keeps it
+            else:
+                self._symbols = s if self._symbols is None else self._symbols & s
 
     def partitions(self):
         parts = []
@@ -147,26 +172,46 @@ class SdbBarReader(DataSourceReader):
         return parts
 
     def read(self, partition):
-        yield from read_sdb_file(partition.path)
+        # pyspark 4.1 substitutes [None] when partitions() returns [] —
+        # a fully-pruned scan must yield zero rows, not crash
+        if partition is None:
+            return
+        for rec in read_sdb_file(partition.path):
+            # row-level enforcement of the consumed symbol filters (file
+            # pruning alone is not sufficient: unnamed/mixed files)
+            if self._symbols is not None and rec[0] not in self._symbols:
+                continue
+            yield rec
 
 
 @dataclass
 class _SdbCommit(WriterCommitMessage):
-    files: int
+    # tmp-name → final-name pairs this task staged (renamed at commit)
+    staged: list = field(default_factory=list)
 
 
 class SdbBarWriter(DataSourceWriter):
+    """Job-transactional writer: tasks stage ``*.sdb.tmp-<token>`` files
+    (invisible to readers and the stream source, which list ``*.sdb``
+    only); the driver-side commit() renames them into place — and, in
+    overwrite mode, first clears every pre-existing ``*.sdb`` so
+    ``mode("overwrite")`` cannot leave stale files behind. abort()
+    removes the staged tmps. The per-job token also keeps final names
+    unique across append jobs (two appends with the same task pid no
+    longer clobber each other)."""
+
     def __init__(self, options, overwrite: bool):
         self._dir = options.get("path")
         if not self._dir:
             raise ValueError("sdb_bars: path option required")
         self._overwrite = overwrite
+        self._token = uuid.uuid4().hex[:8]
 
     def write(self, iterator):
-        """One task → one ``<symbol>.partN.sdb`` file per symbol seen in
-        the task's rows (rows pre-partitioned by symbol upstream give the
-        clean one-file-per-symbol layout; mixed tasks still produce
-        prunable per-symbol files)."""
+        """One task → one ``<symbol>.part{pid}-{token}.sdb`` file per
+        symbol seen in the task's rows (rows pre-partitioned by symbol
+        upstream give the clean one-file-per-symbol layout; mixed tasks
+        still produce prunable per-symbol files)."""
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
@@ -174,11 +219,33 @@ class SdbBarWriter(DataSourceWriter):
         by_symbol: dict[str, list] = {}
         for row in iterator:
             by_symbol.setdefault(row[0], []).append(tuple(row))
+        staged = []
         for sym, rows in by_symbol.items():
-            write_sdb_file(
-                os.path.join(self._dir, f"{sym}.part{pid}.sdb"), rows
-            )
-        return _SdbCommit(files=len(by_symbol))
+            final = f"{sym}.part{pid}-{self._token}.sdb"
+            tmp = f"{final}.tmp-{self._token}"
+            write_sdb_file(os.path.join(self._dir, tmp), rows)
+            staged.append((tmp, final))
+        return _SdbCommit(staged=staged)
+
+    def commit(self, messages):
+        if self._overwrite:
+            for name in os.listdir(self._dir):
+                if name.endswith(".sdb"):
+                    os.remove(os.path.join(self._dir, name))
+        for m in messages:
+            for tmp, final in m.staged:
+                os.replace(
+                    os.path.join(self._dir, tmp),
+                    os.path.join(self._dir, final),
+                )
+
+    def abort(self, messages):
+        for m in messages:
+            for tmp, _final in getattr(m, "staged", []) or []:
+                try:
+                    os.remove(os.path.join(self._dir, tmp))
+                except FileNotFoundError:
+                    pass
 
 
 class SdbBarDataSource(DataSource):

@@ -303,3 +303,96 @@ def test_sdb_bars_stream_exactly_once_across_restarts(spark, tmp_path):
     run()
     got2 = sorted(map(tuple, spark.read.parquet(str(out)).collect()))
     assert got2 == sorted(a + b)  # B ingested once, A not duplicated
+
+
+def test_sdb_bars_consumed_filters_enforced_row_level(spark, tmp_path):
+    """pushFilters CONSUMES symbol filters, so Spark never re-evaluates
+    them — the reader must enforce them itself. Pinned here via files
+    the name-pruner cannot help with: (a) a filter naming a symbol with
+    no file returns 0 rows (pyspark substitutes read(None) for an empty
+    partition list — must not crash), (b) dotted symbols survive
+    ('BRK.A.part0.sdb' is keyed BRK.A, not BRK), (c) two stacked symbol
+    filters intersect rather than last-one-wins."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import EqualTo, In
+
+    from ago_sisdb_spark.sources import sdbfmt
+
+    sdbfmt.register(spark)
+    d = tmp_path / "bars"
+    d.mkdir()
+    brka = [("BRK.A", 1000 + i, 1.0, 2.0, 0.5, 1.5, 10 + i) for i in range(3)]
+    aaa = [("AAA", 2000, 9.0, 9.5, 8.5, 9.1, 50)]
+    sdbfmt.write_sdb_file(str(d / "BRK.A.part0.sdb"), brka)
+    sdbfmt.write_sdb_file(str(d / "AAA.sdb"), aaa)
+
+    load = lambda: spark.read.format("sdb_bars").load(str(d))
+    # (a) fully-pruned scan: zero rows, no AttributeError on read(None)
+    assert load().where(F.col("symbol") == "ZZZ").count() == 0
+    # (b) dotted symbol: exact key matches, truncated key does not
+    assert load().where(F.col("symbol") == "BRK.A").count() == 3
+    assert load().where(F.col("symbol") == "BRK").count() == 0
+
+    # (c) stacked consumed filters AND together (unit level: the
+    # DataFrame API collapses them before pushdown, so drive the reader)
+    r = sdbfmt.SdbBarReader({"path": str(d)})
+    rest = list(
+        r.pushFilters(
+            [EqualTo(("symbol",), "AAA"), In(("symbol",), ("BBB", "CCC"))]
+        )
+    )
+    assert rest == [] and r._symbols == set()
+    assert r.partitions() == []
+    assert list(r.read(None)) == []
+
+
+def test_sdb_bars_key_addressed_write_contract(tmp_path):
+    """write_sdb_file rejects rows whose symbol contradicts the
+    file-name key — the invariant that makes reader-side file pruning
+    sound (a .sdb file's name cannot lie about its contents)."""
+    import pytest as _pytest
+
+    from ago_sisdb_spark.sources import sdbfmt
+
+    p = str(tmp_path / "AAA.sdb")
+    with _pytest.raises(ValueError, match="file-name key"):
+        sdbfmt.write_sdb_file(
+            p, [("AAA", 1, 1.0, 1.0, 1.0, 1.0, 1), ("BBB", 2, 1.0, 1.0, 1.0, 1.0, 1)]
+        )
+
+
+def test_sdb_bars_overwrite_clears_stale_and_append_accumulates(
+    spark, tmp_path
+):
+    """mode('overwrite') must not union with previous saves: stale .sdb
+    files (other symbols, other jobs) are cleared at COMMIT time, while
+    staged tmp files are invisible to readers. mode('append') twice must
+    accumulate both jobs' rows (per-job tokens keep same-pid file names
+    from clobbering)."""
+    import os
+
+    from ago_sisdb_spark.sources import sdbfmt
+
+    sdbfmt.register(spark)
+    d = str(tmp_path / "bars")
+
+    first = [("AAA", 1000, 1.0, 2.0, 0.5, 1.5, 100)]
+    second = [("BBB", 2000, 9.0, 9.5, 8.5, 9.1, 50)]
+    mk = lambda rows: spark.createDataFrame(rows, sdbfmt.SCHEMA_DDL)
+
+    mk(first).write.format("sdb_bars").mode("append").save(d)
+    mk(second).write.format("sdb_bars").mode("append").save(d)
+    both = spark.read.format("sdb_bars").load(d)
+    assert sorted(map(tuple, both.collect())) == sorted(first + second)
+
+    # same-symbol append must ALSO accumulate (the pre-fix layout reused
+    # <sym>.part{pid}.sdb and silently clobbered the earlier job's file)
+    mk(first).write.format("sdb_bars").mode("append").save(d)
+    assert spark.read.format("sdb_bars").load(d).count() == 3
+
+    mk(second).write.format("sdb_bars").mode("overwrite").save(d)
+    after = spark.read.format("sdb_bars").load(d)
+    assert sorted(map(tuple, after.collect())) == sorted(second)
+    names = os.listdir(d)
+    assert all(n.endswith(".sdb") for n in names)  # no tmp litter
+    assert not any("AAA" in n for n in names)

@@ -74,3 +74,30 @@ def test_global_rank_matches_single_partition_row_number(spark):
         )
         got = {r.term: r.rank for r in out.collect()}
         assert got == want, f"num_partitions={p}"
+
+
+def test_span_cache_bounded_and_releasable(spark):
+    """global_rank/global_prefix_sums pin their range-partitioned frame in
+    a bounded FIFO: repeated invocations hold at most _SPAN_CACHE_MAX
+    cached frames (no session-lifetime leak), and release_span_cache()
+    drops them all."""
+    lastper.release_span_cache()
+    df = spark.createDataFrame(
+        [(f"k{i:02d}", i) for i in range(40)], "term string, n long"
+    )
+    for _ in range(lastper._SPAN_CACHE_MAX + 3):
+        lastper.global_rank(df, [F.col("term")], num_partitions=4).count()
+    assert len(lastper._SPAN_CACHE) == lastper._SPAN_CACHE_MAX
+    lastper.global_prefix_sums(
+        df, [F.col("term")], ["n"], num_partitions=4
+    ).count()
+    assert len(lastper._SPAN_CACHE) == lastper._SPAN_CACHE_MAX
+    assert lastper.release_span_cache() == lastper._SPAN_CACHE_MAX
+    assert lastper._SPAN_CACHE == []
+
+    # correctness unaffected by an eviction mid-stream: rank again after
+    # the cache was fully released
+    out = lastper.global_rank(df, [F.col("term")], num_partitions=4)
+    got = {r.term: r.rank for r in out.collect()}
+    assert got == {f"k{i:02d}": i + 1 for i in range(40)}
+    lastper.release_span_cache()
