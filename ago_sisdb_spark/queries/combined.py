@@ -265,21 +265,56 @@ def j1_join_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "d4_simhash_pairs",
-    oracle=_dedup_ops.simhash_pairs_oracle_sql(
+    oracle=f"""
+    SELECT 'simhash' AS method, id_a, id_b, CAST(hamming AS BIGINT) AS n,
+           CAST(NULL AS BIGINT) AS sa_lo, CAST(NULL AS BIGINT) AS sa_hi,
+           CAST(NULL AS BIGINT) AS sb_lo, CAST(NULL AS BIGINT) AS sb_hi
+    FROM ({_dedup_ops.simhash_pairs_oracle_sql(
         "documents", "doc_id", "text", max_hamming=6, bands=4
-    ),
+    )})
+    UNION ALL
+    SELECT 'winnow', id_a, id_b, n_shared,
+           span_a_lo, span_a_hi, span_b_lo, span_b_hi
+    FROM ({_O['d19_winnow_pairs']})
+    """,
 )
 def d4_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash surface (D4+D7): fingerprints with pigeonhole band blocking
-    feeding Hamming<=6 near-dup pairs (re-check via bit_count(xor)) — on the
-    engine-portable 60-bit md5 token hash, so votes, sign packing, band
-    blocking, and the Hamming re-check are ALL reproduced by the DuckDB
-    oracle (r2 verdict #2).  The xxhash64/64-bit production variant is
-    ``d7_simhash_pairs`` (extended, rows-only)."""
+    """Position-aware near-dup PAIRS suite (D4+D7 + the r9 winnowing
+    family), one tagged matrix:
+
+    - ``simhash`` — fingerprints with pigeonhole band blocking feeding
+      Hamming<=6 pairs (re-check via bit_count(xor)) on the
+      engine-portable 60-bit md5 token hash, so votes, sign packing,
+      band blocking, and the Hamming re-check are ALL reproduced by the
+      DuckDB oracle (r2 verdict #2).  The xxhash64/64-bit production
+      variant is ``d7_simhash_pairs`` (extended, rows-only).
+    - ``winnow`` — MOSS overlap localization (r10 driver rotation, r9
+      verdict #2): pairs through shared winnowing fingerprints with
+      matched-span positions, composing the extended d18/d19 oracles
+      verbatim (the whole k-gram rolling-hash → window-min selection is
+      inside the hash check)."""
     docs = _t(spark, sf_dir, "documents")
-    return _dedup_ops.simhash_neardup_pairs(
+    sim = _dedup_ops.simhash_neardup_pairs(
         docs, "doc_id", "text", max_hamming=6, bands=4, portable=True
+    ).select(
+        F.lit("simhash").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("bigint").alias("n"),
+        _L().alias("sa_lo"), _L().alias("sa_hi"),
+        _L().alias("sb_lo"), _L().alias("sb_hi"),
     )
+    win = _dedup_ops.winnow_overlap_pairs(
+        docs, "doc_id", "text", max_df=8, min_shared=3
+    ).select(
+        F.lit("winnow").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("n_shared").alias("n"),
+        F.col("span_a_lo").alias("sa_lo"), F.col("span_a_hi").alias("sa_hi"),
+        F.col("span_b_lo").alias("sb_lo"), F.col("span_b_hi").alias("sb_hi"),
+    )
+    return sim.unionByName(win)
 
 
 # The n2 twin builder moved to pipeline.py in r6 (beside its plane
@@ -288,7 +323,103 @@ def d4_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _n2_oracle = _pipe._n2_oracle
 
 
-@query("n2_knn_ann", oracle=_n2_oracle())
+# Hybrid-retrieval fusion oracles, hoisted to module constants so BOTH the
+# extended registrations (n10/n12, local gate) and the n2 driver umbrella's
+# rrf/blend branches compose the SAME strings (r10 driver rotation).
+_N10_ORACLE = f"""
+    WITH a AS (SELECT query_id, doc, rank FROM ({_O['n5_bm25_search']})),
+    b AS (SELECT query_id, doc, rank FROM ({_O['n8_tfidf_search']})),
+    fused AS (
+        SELECT coalesce(a.query_id, b.query_id) AS query_id,
+               coalesce(a.doc, b.doc) AS doc,
+               coalesce(CAST(1 AS DOUBLE) / CAST(60 + a.rank AS DOUBLE), 0)
+                 + coalesce(CAST(1 AS DOUBLE) / CAST(60 + b.rank AS DOUBLE), 0)
+                 AS rrf_score,
+               a.rank AS rank_bm25, b.rank AS rank_tfidf
+        FROM a FULL OUTER JOIN b
+          ON a.query_id = b.query_id AND a.doc = b.doc),
+    ranked AS (
+        SELECT query_id, doc,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY rrf_score DESC, doc) AS BIGINT) AS fused_rank,
+               rrf_score, rank_bm25, rank_tfidf
+        FROM fused)
+    SELECT query_id, doc, fused_rank, rrf_score, rank_bm25, rank_tfidf
+    FROM ranked WHERE fused_rank <= 10
+    """
+
+
+def _n12_norm_cte(src: str, name: str) -> str:
+    return f"""
+    {name}n AS (
+        SELECT query_id, doc, score AS score_{name},
+               CASE WHEN max(score) OVER (PARTITION BY query_id)
+                         = min(score) OVER (PARTITION BY query_id)
+                    THEN CAST(1 AS DOUBLE)
+                    ELSE (score - min(score) OVER (PARTITION BY query_id))
+                         / (max(score) OVER (PARTITION BY query_id)
+                            - min(score) OVER (PARTITION BY query_id))
+               END AS n
+        FROM {src})"""
+
+
+_N12_ORACLE = f"""
+    WITH a AS (SELECT query_id, doc, score FROM ({_O['n5_bm25_search']})),
+    b AS (SELECT query_id, doc, score FROM ({_O['n8_tfidf_search']})),
+    {_n12_norm_cte('a', 'bm25')},
+    {_n12_norm_cte('b', 'tfidf')},
+    f AS (
+        SELECT coalesce(bm25n.query_id, tfidfn.query_id) AS query_id,
+               coalesce(bm25n.doc, tfidfn.doc) AS doc,
+               CAST(0.5 AS DOUBLE) * coalesce(bm25n.n, 0)
+                 + CAST(0.5 AS DOUBLE) * coalesce(tfidfn.n, 0) AS blend_score,
+               bm25n.score_bm25, tfidfn.score_tfidf
+        FROM bm25n FULL OUTER JOIN tfidfn
+          ON bm25n.query_id = tfidfn.query_id AND bm25n.doc = tfidfn.doc),
+    ranked AS (
+        SELECT query_id, doc,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY blend_score DESC, doc) AS BIGINT) AS fused_rank,
+               blend_score, score_bm25, score_tfidf
+        FROM f)
+    SELECT query_id, doc, fused_rank, blend_score, score_bm25, score_tfidf
+    FROM ranked WHERE fused_rank <= 10
+    """
+
+
+def _fused_builders(spark: SparkSession, sf_dir: str):
+    """The two ranker top-k lists shared by the rrf and blend branches —
+    built ONCE per invocation so the umbrella doesn't run the BM25/TF-IDF
+    corpus passes twice per fusion method."""
+    from ago_sisdb_spark.operators import textsearch
+    from ago_sisdb_spark.queries.pipeline import _BM25_QUERIES
+
+    docs = _t(spark, sf_dir, "documents")
+    return {
+        "bm25": textsearch.bm25_topk(docs, "doc_id", "text", _BM25_QUERIES, k=10),
+        "tfidf": textsearch.tfidf_topk(docs, "doc_id", "text", _BM25_QUERIES, k=10),
+    }
+
+
+@query(
+    "n2_knn_ann",
+    oracle=f"""
+    SELECT method, CAST(probe_id AS BIGINT) AS probe_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           CAST(NULL AS BIGINT) AS rank, score,
+           CAST(NULL AS DOUBLE) AS aux1, CAST(NULL AS DOUBLE) AS aux2
+    FROM ({_n2_oracle()})
+    UNION ALL
+    SELECT 'rrf', CAST(query_id AS BIGINT), CAST(doc AS BIGINT),
+           fused_rank, rrf_score,
+           CAST(rank_bm25 AS DOUBLE), CAST(rank_tfidf AS DOUBLE)
+    FROM ({_N10_ORACLE})
+    UNION ALL
+    SELECT 'blend', CAST(query_id AS BIGINT), CAST(doc AS BIGINT),
+           fused_rank, blend_score, score_bm25, score_tfidf
+    FROM ({_N12_ORACLE})
+    """,
+)
 def n2_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate kNN scale paths in one matrix for probes 0-4:
     hyperplane-LSH bucketed top-5 (8 bits × 6 tables, radius-2 multi-probe
@@ -301,8 +432,18 @@ def n2_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed-centroid IVF branch is window SQL end-to-end.  The production
     variants stay locally gated: gaussian planes in ``n2_knn_lsh``
     (extended), the materialized Lloyd-index serve path in ``n4_knn_ivf``
-    (extended, train/serve split pinned in tests/test_similarity.py)."""
-    from ago_sisdb_spark.operators import similarity
+    (extended, train/serve split pinned in tests/test_similarity.py).
+
+    r10 (r9 verdict #2): the hybrid-retrieval fusion branches join the
+    matrix — ``rrf`` (reciprocal-rank fusion of the BM25/TF-IDF top-10
+    lists, n10's operator) and ``blend`` (per-query min-max normalized
+    convex interpolation at alpha=0.5, n12's operator) — so the
+    sparse+dense merge the reference's search surface lacks is
+    hash-certified in the driver window.  Both fusion branches share ONE
+    pair of ranker top-k frames; each 1/(k0+rank) term and the min-max
+    normalization are fixed trees of correctly-rounded IEEE ops on
+    query-bounded lists, hence bit-portable unrounded."""
+    from ago_sisdb_spark.operators import similarity, textsearch
 
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
@@ -315,9 +456,34 @@ def n2_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, probes, "vec_id", "embedding", "vec_id", k=5,
         n_centroids=16, nprobe=4,
     ).select(F.lit("ivf").alias("method"), "probe_id", "neighbor_id", "score")
-    return lsh.unionByName(ivf).select(
-        "method", "probe_id", "neighbor_id", F.round("score", 6).alias("score")
+    ann = lsh.unionByName(ivf).select(
+        "method",
+        F.col("probe_id").cast("bigint").alias("probe_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        _L().alias("rank"),
+        F.round("score", 6).alias("score"),
+        _D().alias("aux1"), _D().alias("aux2"),
     )
+    lists = _fused_builders(spark, sf_dir)
+    rrf = textsearch.rrf_fuse(lists).select(
+        F.lit("rrf").alias("method"),
+        F.col("query_id").cast("bigint").alias("probe_id"),
+        F.col("doc").cast("bigint").alias("neighbor_id"),
+        F.col("fused_rank").alias("rank"),
+        F.col("rrf_score").alias("score"),
+        F.col("rank_bm25").cast("double").alias("aux1"),
+        F.col("rank_tfidf").cast("double").alias("aux2"),
+    )
+    blend = textsearch.blend_fuse(lists, alpha=0.5).select(
+        F.lit("blend").alias("method"),
+        F.col("query_id").cast("bigint").alias("probe_id"),
+        F.col("doc").cast("bigint").alias("neighbor_id"),
+        F.col("fused_rank").alias("rank"),
+        F.col("blend_score").alias("score"),
+        F.col("score_bm25").alias("aux1"),
+        F.col("score_tfidf").alias("aux2"),
+    )
+    return ann.unionByName(rrf).unionByName(blend)
 
 
 # --------------------------------------------------------------------------
@@ -825,20 +991,31 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / sqrt(2 * pi() * var_samp(value)), 6) AS chance_at_50
         FROM events GROUP BY event_type)
     SELECT base.*, m.mad, m.n_outliers,
-           p50.est AS p50_hist, p99.est AS p99_hist
+           p50.est AS p50_hist, p99.est AS p99_hist,
+           t.auc_num2 AS cls_auc_num2, t.auc AS cls_auc,
+           t.f1 AS cls_f1, t.accuracy AS cls_accuracy
     FROM base
     JOIN ({_O['a18_mad_outliers']}) m ON base.event_type = m.event_type
     JOIN (SELECT event_type, est FROM ({_O['a19_hist_quantiles']})
           WHERE q = 0.5) p50 ON base.event_type = p50.event_type
     JOIN (SELECT event_type, est FROM ({_O['a19_hist_quantiles']})
           WHERE q = 0.99) p99 ON base.event_type = p99.event_type
+    CROSS JOIN ({_O['t27_classifier_eval']}) t
     """,
 )
 def a3_stat_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3+A4+A5 per-series statistics in ONE aggregation: mean, exact
     interpolated median (approx_percentile at 100 TB), sample variance and
     stddev, and the A5 normal-density 'chance' at x=50 derived from the same
-    (mu, var) — one shuffle total (sis_ai.h:45,138,140)."""
+    (mu, var) — one shuffle total (sis_ai.h:45,138,140).
+
+    r10 (r9 verdict #2): the exact-rank-statistics row rides along as
+    four cross-joined columns from the t27 classifier-eval summary —
+    integer-exact tie-aware Mann-Whitney ROC-AUC numerator (auc_num2),
+    the AUC itself, F1, and accuracy — so the range-partitioned
+    prefix-sum machinery (lastper.global_prefix_sums) is hash-certified
+    in the driver window.  The t27 summary is ONE row; the cross join is
+    a broadcast of a single row onto five."""
     from ago_sisdb_spark.operators import series
 
     g = (
@@ -873,7 +1050,18 @@ def a3_stat_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     hq = sketch.hist_quantiles(ev, "event_type", "value")
     p50 = hq.where(F.col("q") == 0.5).select("event_type", F.col("est").alias("p50_hist"))
     p99 = hq.where(F.col("q") == 0.99).select("event_type", F.col("est").alias("p99_hist"))
-    return base.join(mad, "event_type").join(p50, "event_type").join(p99, "event_type")
+    cls = _pipe.t27_classifier_eval(spark, sf_dir).select(
+        F.col("auc_num2").alias("cls_auc_num2"),
+        F.col("auc").alias("cls_auc"),
+        F.col("f1").alias("cls_f1"),
+        F.col("accuracy").alias("cls_accuracy"),
+    )
+    return (
+        base.join(mad, "event_type")
+        .join(p50, "event_type")
+        .join(p99, "event_type")
+        .crossJoin(F.broadcast(cls))
+    )
 
 
 @query(
@@ -1153,104 +1341,28 @@ def pipe3_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "n10_rrf_hybrid",
-    oracle=f"""
-    WITH a AS (SELECT query_id, doc, rank FROM ({_O['n5_bm25_search']})),
-    b AS (SELECT query_id, doc, rank FROM ({_O['n8_tfidf_search']})),
-    fused AS (
-        SELECT coalesce(a.query_id, b.query_id) AS query_id,
-               coalesce(a.doc, b.doc) AS doc,
-               coalesce(CAST(1 AS DOUBLE) / CAST(60 + a.rank AS DOUBLE), 0)
-                 + coalesce(CAST(1 AS DOUBLE) / CAST(60 + b.rank AS DOUBLE), 0)
-                 AS rrf_score,
-               a.rank AS rank_bm25, b.rank AS rank_tfidf
-        FROM a FULL OUTER JOIN b
-          ON a.query_id = b.query_id AND a.doc = b.doc),
-    ranked AS (
-        SELECT query_id, doc,
-               CAST(row_number() OVER (PARTITION BY query_id
-                    ORDER BY rrf_score DESC, doc) AS BIGINT) AS fused_rank,
-               rrf_score, rank_bm25, rank_tfidf
-        FROM fused)
-    SELECT query_id, doc, fused_rank, rrf_score, rank_bm25, rank_tfidf
-    FROM ranked WHERE fused_rank <= 10
-    """,
-    extended=True,
-)
+@query("n10_rrf_hybrid", oracle=_N10_ORACLE, extended=True)
 def n10_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid-retrieval rank fusion (operators/textsearch.rrf_fuse):
     reciprocal-rank fusion of the BM25 (n5) and TF-IDF (n8) top-10 lists
     for the shared benchmark queries — the calibration-free sparse+dense
     merge step every two-tower retrieval pipeline needs.  The fusion
     itself only ever sees |queries|·k rows; both input rankers keep their
-    own audited corpus-scale plans."""
+    own audited corpus-scale plans.  Driver-certified since r10 as the
+    ``rrf`` branch of the n2 matrix (same oracle string, ``_N10_ORACLE``)."""
     from ago_sisdb_spark.operators import textsearch
-    from ago_sisdb_spark.queries.pipeline import _BM25_QUERIES
 
-    docs = _t(spark, sf_dir, "documents")
-    return textsearch.rrf_fuse(
-        {
-            "bm25": textsearch.bm25_topk(docs, "doc_id", "text", _BM25_QUERIES, k=10),
-            "tfidf": textsearch.tfidf_topk(docs, "doc_id", "text", _BM25_QUERIES, k=10),
-        }
-    )
+    return textsearch.rrf_fuse(_fused_builders(spark, sf_dir))
 
 
-def _n12_norm_cte(src: str, name: str) -> str:
-    return f"""
-    {name}n AS (
-        SELECT query_id, doc, score AS score_{name},
-               CASE WHEN max(score) OVER (PARTITION BY query_id)
-                         = min(score) OVER (PARTITION BY query_id)
-                    THEN CAST(1 AS DOUBLE)
-                    ELSE (score - min(score) OVER (PARTITION BY query_id))
-                         / (max(score) OVER (PARTITION BY query_id)
-                            - min(score) OVER (PARTITION BY query_id))
-               END AS n
-        FROM {src})"""
-
-
-@query(
-    "n12_blend_hybrid",
-    oracle=f"""
-    WITH a AS (SELECT query_id, doc, score FROM ({_O['n5_bm25_search']})),
-    b AS (SELECT query_id, doc, score FROM ({_O['n8_tfidf_search']})),
-    {_n12_norm_cte('a', 'bm25')},
-    {_n12_norm_cte('b', 'tfidf')},
-    f AS (
-        SELECT coalesce(bm25n.query_id, tfidfn.query_id) AS query_id,
-               coalesce(bm25n.doc, tfidfn.doc) AS doc,
-               CAST(0.5 AS DOUBLE) * coalesce(bm25n.n, 0)
-                 + CAST(0.5 AS DOUBLE) * coalesce(tfidfn.n, 0) AS blend_score,
-               bm25n.score_bm25, tfidfn.score_tfidf
-        FROM bm25n FULL OUTER JOIN tfidfn
-          ON bm25n.query_id = tfidfn.query_id AND bm25n.doc = tfidfn.doc),
-    ranked AS (
-        SELECT query_id, doc,
-               CAST(row_number() OVER (PARTITION BY query_id
-                    ORDER BY blend_score DESC, doc) AS BIGINT) AS fused_rank,
-               blend_score, score_bm25, score_tfidf
-        FROM f)
-    SELECT query_id, doc, fused_rank, blend_score, score_bm25, score_tfidf
-    FROM ranked WHERE fused_rank <= 10
-    """,
-    extended=True,
-)
+@query("n12_blend_hybrid", oracle=_N12_ORACLE, extended=True)
 def n12_blend_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Convex score-interpolation hybrid (operators/textsearch.
     blend_fuse): per-query min-max normalized BM25 and TF-IDF scores
     blended at alpha=0.5 — the calibrated fusion beside n10's
     rank-only RRF.  Fusion sees only the query-bounded top-k lists;
-    normalization windows partition by query."""
+    normalization windows partition by query.  Driver-certified since
+    r10 as the ``blend`` branch of the n2 matrix (``_N12_ORACLE``)."""
     from ago_sisdb_spark.operators import textsearch
-    from ago_sisdb_spark.queries.pipeline import _BM25_QUERIES
 
-    docs = _t(spark, sf_dir, "documents")
-    return textsearch.blend_fuse(
-        {
-            "bm25": textsearch.bm25_topk(docs, "doc_id", "text", _BM25_QUERIES, k=10),
-            "tfidf": textsearch.tfidf_topk(docs, "doc_id", "text", _BM25_QUERIES, k=10),
-        },
-        alpha=0.5,
-    )
+    return textsearch.blend_fuse(_fused_builders(spark, sf_dir), alpha=0.5)
