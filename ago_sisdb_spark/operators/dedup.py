@@ -578,30 +578,110 @@ def ngram_jaccard_pairs(
     )
 
 
+def _star_contract(
+    edges: DataFrame, max_iter: int = 30
+) -> tuple[DataFrame, int]:
+    """Two-rule star contraction (Kiveris, Lattanzi, Mirrokni, Rastogi
+    & Vassilvitskii, "Connected Components in MapReduce and Beyond",
+    SoCC 2014): alternate
+
+    - **large-star** — every node links each STRICTLY LARGER neighbor to
+      the minimum of its closed neighborhood, and
+    - **small-star** — every node links itself and all SMALLER neighbors
+      to the smallest of them
+
+    until the edge set is stable, at which point it is a star forest
+    (child → component-minimum root).  Converges in O(log n) rounds on
+    ANY topology — including the boilerplate-chain corpora where plain
+    min-label propagation degrades to O(diameter) sequential joins.
+
+    Input ``edges`` must be symmetric-closed and self-loop-free (the
+    caller builds it); returns the star edge set (child, root) plus the
+    number of (large+small) rounds executed.  Each round is a fixed
+    number of node-keyed shuffles; per-round eager localCheckpoint cuts
+    the iterative lineage exactly like the propagation loop did."""
+    rounds = 0
+    for _ in range(max_iter):
+        # large-star over the symmetric closure of the current edge set
+        sym = edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("__m")
+        )
+        large = (
+            sym.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
+            .distinct()
+        )
+        # small-star over (hi, lo)-canonicalized edges
+        canon = large.select(
+            F.greatest("src", "dst").alias("hi"), F.least("src", "dst").alias("lo")
+        ).where(F.col("hi") != F.col("lo"))
+        smins = canon.groupBy("hi").agg(F.min("lo").alias("__m"))
+        small = (
+            canon.join(smins, "hi")
+            .select(F.col("lo").alias("src"), F.col("__m").alias("dst"))
+            .union(smins.select(F.col("hi").alias("src"), F.col("__m").alias("dst")))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        # stable ⟺ same edge SET: both are distinct, so subset + equal
+        # count suffices; isEmpty is a limit-1 probe, not a full count
+        if small.count() == edges.count() and small.exceptAll(edges).isEmpty():
+            edges = small
+            break
+        edges = small
+    return edges, rounds
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    method: str = "star",
 ) -> DataFrame:
     """Near-dup clustering: connected components over a pair graph →
     (id, component) with component = min id in the group.
 
     Pairs alone don't answer "which docs do I drop": A~B and B~C must
-    collapse to one group even when A~C was never emitted.  Distributed
-    min-label propagation: every node starts labeled with itself; each
-    round every node takes the min label in its neighborhood; converges in
-    O(graph diameter) rounds (near-dup clusters are shallow — usually ≤3).
-    All joins are on the node id; no driver-side union-find, no O(V) state
-    on any single machine.  Iterations stop early when a round changes no
-    labels (checked with one count per round — small aggregates, and near-
-    dup graphs are tiny relative to the corpus).
+    collapse to one group even when A~C was never emitted.  Two
+    distributed strategies behind one API — no driver-side union-find,
+    no O(V) state on any single machine, identical output labels:
+
+    - ``method="star"`` (default since r10, r9 verdict #5): large-star /
+      small-star contraction (``_star_contract``), O(log n) rounds on
+      any topology.  A 1000-node boilerplate chain (A~B~C~… through
+      shared template text) converges in ~⌈log₂ n⌉ rounds instead of
+      hitting ``max_iter`` sequential joins — and unlike propagation it
+      cannot silently return half-merged labels on a deep graph.
+    - ``method="propagate"``: min-label propagation — every node starts
+      labeled with itself and takes its neighborhood minimum each round;
+      O(diameter) rounds with an early stop when nothing changes.  Kept
+      for shallow graphs (near-dup clusters are usually ≤3 deep, where
+      its per-round cost is slightly lower) and as the property-test
+      cross-check for the star path.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .where(F.col("src") != F.col("dst"))
         .distinct()
     )
+    if method == "star":
+        nodes = edges.select(F.col("src").alias("id")).distinct()
+        stars, _rounds = _star_contract(edges, max_iter=max(max_iter, 30))
+        return nodes.join(
+            stars.select(F.col("src").alias("id"), F.col("dst").alias("__root")),
+            "id",
+            "left",
+        ).select("id", F.coalesce("__root", "id").alias("component"))
+    if method != "propagate":
+        raise ValueError(f"connected_components: unknown method {method!r}")
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

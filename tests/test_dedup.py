@@ -71,8 +71,78 @@ def test_connected_components_chain_and_clique(spark):
         [(1, 2), (2, 3), (7, 8), (10, 11), (11, 12), (10, 12)],
         "id_a long, id_b long",
     )
-    comp = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
-    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 10: 10, 11: 10, 12: 10}
+    want = {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 10: 10, 11: 10, 12: 10}
+    for method in ("star", "propagate"):
+        comp = {
+            r.id: r.component
+            for r in dedup.connected_components(pairs, method=method).collect()
+        }
+        assert comp == want, method
+
+
+def test_connected_components_star_vs_propagate_random_graphs(spark):
+    """Property check (r9 verdict #5): the large-star/small-star
+    contraction and min-label propagation produce IDENTICAL labels on
+    random graphs — including shuffled ids (so min is never the first
+    node seen), multi-component forests, and duplicate/reversed pairs."""
+    import random
+
+    rng = random.Random(0xC0C0)
+    for trial in range(4):
+        n = rng.randrange(20, 80)
+        ids = rng.sample(range(10_000), n)
+        edges = [
+            (rng.choice(ids), rng.choice(ids))
+            for _ in range(rng.randrange(n // 2, 2 * n))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        edges += [(b, a) for a, b in edges[::3]]  # reversed duplicates
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        star = {
+            r.id: r.component
+            for r in dedup.connected_components(pairs, method="star").collect()
+        }
+        prop = {
+            r.id: r.component
+            for r in dedup.connected_components(pairs, method="propagate").collect()
+        }
+        assert star == prop, f"trial {trial}"
+
+
+def test_connected_components_chain_logarithmic_rounds(spark):
+    """A planted 1000-node chain (the boilerplate-template shape that
+    degrades min-label propagation to O(diameter) sequential joins)
+    converges under star contraction in ≤ ⌈log2(n)⌉ rounds, with every
+    node labeled by the chain minimum."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    n = 1000
+    ids = [(i * 7919) % 104_729 for i in range(n)]  # non-monotone ids
+    pairs = spark.createDataFrame(
+        list(zip(ids, ids[1:])), "id_a long, id_b long"
+    )
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    stars, rounds = dedup._star_contract(edges)
+    assert rounds <= math.ceil(math.log2(n))
+    root = min(ids)
+    got = {r.src: r.dst for r in stars.collect()}
+    assert set(got.values()) == {root}
+    assert set(got) == set(ids) - {root}
+
+    # and the propagation path on the same chain hits its iteration cap
+    # WITHOUT converging — the failure mode the star default removes
+    prop = dedup.connected_components(pairs, method="propagate", max_iter=5)
+    labels = {r.component for r in prop.collect()}
+    assert len(labels) > 1
 
 
 def test_neardup_groups_end_to_end(spark, corpus):
