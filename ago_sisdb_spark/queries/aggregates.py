@@ -16,9 +16,10 @@ from ago_sisdb_spark.inventory import _t, query
 from ago_sisdb_spark.operators import rollup
 
 
-@query(
-    "q1_pricing_summary",
-    oracle="""
+# Engine-portable ANSI SQL: the DuckDB oracle for q1 AND the exact text the
+# sql_surface parity entry replays through spark.sql over registered views
+# (queries/sqlsurface.py) — one string, three engines' consumers.
+Q1_SQL = """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                    AS sum_qty,
            round(sum(l_extendedprice), 2)                               AS sum_base_price,
@@ -31,8 +32,10 @@ from ago_sisdb_spark.operators import rollup
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
-    """,
-)
+    """
+
+
+@query("q1_pricing_summary", oracle=Q1_SQL)
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: TPC-H Q1-style pricing summary — the full scan+agg path the
     reference serves via per-key reads + client math; here one partial-agg

@@ -396,3 +396,82 @@ def test_sdb_bars_overwrite_clears_stale_and_append_accumulates(
     names = os.listdir(d)
     assert all(n.endswith(".sdb") for n in names)  # no tmp litter
     assert not any("AAA" in n for n in names)
+
+
+def test_sdb_bars_stream_crash_midbatch_redelivery(spark, tmp_path):
+    """S14 failure soak (r9 verdict #8): the first run CRASHES after the
+    source has produced batch 0 but before the sink commits it (a
+    foreachBatch that writes, then raises — the crash point between
+    offset fetch and sink commit).  The restart with the same checkpoint
+    must REDELIVER the same rows via readBetweenOffsets, and the
+    batchId-keyed idempotent sink must land them exactly once."""
+    import json
+    import os
+
+    from ago_sisdb_spark.sources import sdbfmt
+
+    sdbfmt.register(spark)
+    d = tmp_path / "feed"
+    d.mkdir()
+    out = tmp_path / "out"
+    out.mkdir()
+    ck = str(tmp_path / "ck")
+    crashed_marker = tmp_path / "crashed"
+    deliveries = tmp_path / "deliveries.jsonl"
+
+    a = [("AAA", 1000 + i, 1.0, 2.0, 0.5, 1.5, 100 + i) for i in range(4)]
+    sdbfmt.write_sdb_file(str(d / "AAA.sdb"), a)
+
+    def sink(batch_df, batch_id):
+        rows = sorted(map(tuple, batch_df.collect()))
+        with open(deliveries, "a") as f:
+            f.write(json.dumps({"batch": batch_id, "n": len(rows)}) + "\n")
+        # idempotent by batchId: a redelivered batch overwrites its own
+        # directory instead of appending a duplicate
+        batch_df.write.mode("overwrite").format("parquet").save(
+            str(out / f"batch={batch_id}")
+        )
+        if not crashed_marker.exists():
+            crashed_marker.write_text("x")
+            raise RuntimeError("injected crash before sink commit")
+
+    def run():
+        q = (
+            spark.readStream.format("sdb_bars")
+            .load(str(d))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="injected crash"):
+        run()
+    run()  # restart with the same checkpoint: must redeliver batch 0
+
+    log = [json.loads(line) for line in deliveries.read_text().splitlines()]
+    batch0 = [e for e in log if e["batch"] == 0]
+    assert len(batch0) == 2 and all(e["n"] == 4 for e in batch0)  # redelivered
+
+    got = sorted(
+        map(tuple, spark.read.parquet(str(out / "batch=0")).collect())
+    )
+    assert got == sorted(a)  # exactly once, no duplicates
+
+    # and the stream keeps going after recovery: a new file lands in a
+    # NEW batch, old batches untouched
+    b = [("BBB", 2000, 9.0, 9.5, 8.5, 9.1, 50)]
+    sdbfmt.write_sdb_file(str(d / "BBB.sdb"), b)
+    run()
+    dirs = sorted(os.listdir(out))
+    assert len(dirs) >= 2
+    allrows = sorted(
+        map(
+            tuple,
+            spark.read.parquet(*[str(out / x) for x in dirs]).collect(),
+        )
+    )
+    assert allrows == sorted(a + b)

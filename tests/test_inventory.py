@@ -77,3 +77,17 @@ def test_driver_result_has_no_complex_columns(name, spark, sf_small):
         if isinstance(f.dataType, (ArrayType, MapType, StructType))
     ]
     assert not bad, f"{name}: complex-typed driver columns {bad}"
+
+
+def test_sql_surface_matches_dataframe_path(spark):
+    """The spark.sql text path over registered views returns exactly the
+    DataFrame builder's rows — one physical plan, two public surfaces."""
+    from ago_sisdb_spark.queries import aggregates, sqlsurface
+
+    sf = "/root/testdata/sf0.001"
+    via_sql = sqlsurface.sql_surface_q1(spark, sf)
+    via_df = aggregates.q1_pricing_summary(spark, sf)
+    assert via_sql.columns == via_df.columns
+    assert sorted(map(tuple, via_sql.collect()), key=lambda t: t[:2]) == sorted(
+        map(tuple, via_df.collect()), key=lambda t: t[:2]
+    )
