@@ -380,6 +380,15 @@ def eval_binary(
         F.sum(F.when(lab, 1).otherwise(0)).cast("long").alias("n_pos"),
         F.sum(F.when(lab, 0).otherwise(1)).cast("long").alias("n_neg"),
     )
+    # Eager-materialize the collapse (r7 convention: checkpoint the SMALL
+    # collapse point only): global_prefix_sums fans `per` out to three plan
+    # consumers (span counts ×2 via the triangular offset self-join + the
+    # ranked branch), so a lazy `per` re-embeds the whole upstream scoring
+    # pipeline — 6 corpus scans in t27's plan — while the checkpointed
+    # frame is codomain-bounded (≤ 2e6 rows for an e6 fixed-point score),
+    # never corpus-scale.  mannwhitney_u deliberately does NOT do this:
+    # its distinct-value table of a continuous measure can be corpus-scale.
+    per = per.localCheckpoint()
     per = lastper.global_prefix_sums(per, [F.col("score")], ["n_neg"])
     pred = F.col("score") > F.lit(threshold)
     agg = per.agg(
