@@ -343,3 +343,64 @@ def hard_negative_mining(
             F.round("__score", 6).alias("score"),
         )
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    vec_col: str,
+    eval_id_col: str,
+    threshold_e6: int = 900_000,
+) -> DataFrame:
+    """Embedding-space decontamination — the semantic companion to the
+    n-gram overlap check (operators/prep.decontaminate): a training
+    example whose embedding is near-identical to an eval example leaks
+    the benchmark even when no 13-gram matches (paraphrases,
+    translations, format-shuffled copies).  Published recipe: GPT-4 /
+    Phi report cosine-similarity screens against eval sets beside the
+    n-gram screens.
+
+    Per corpus vector: the maximum cosine against ANY eval vector, the
+    arg-max eval id (ties -> lowest eval id), and the contamination flag
+    ``max_cos_e6 >= threshold_e6``.  The comparison score is EXACT
+    fixed-point millionths of the cosine (floor), so the flag never sits
+    on a float-rounding boundary (working-notes: round(x, 6) trap).
+
+    Scale shape: eval sets are bounded (thousands of rows), so the eval
+    side broadcasts into ONE corpus scan — no corpus-side shuffle at
+    all; the per-vector max is a map-side aggregate over |eval|
+    candidate rows.  At 100 TB this is the only admissible shape: the
+    corpus never exchanges, and the broadcast is eval-sized.
+
+    Returns (id, matched_eval_id, max_cos_e6, contaminated)."""
+    from ago_sisdb_spark.operators.similarity import cosine
+
+    ev = eval_set.select(
+        F.col(eval_id_col).alias("__eid"), F.col(vec_col).alias("__evec")
+    )
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec"))
+        .crossJoin(F.broadcast(ev))
+        .select(
+            id_col,
+            "__eid",
+            F.floor(
+                cosine(F.col("__cvec"), F.col("__evec")) * F.lit(1_000_000)
+            )
+            .cast("long")
+            .alias("__cos_e6"),
+        )
+    )
+    per = scored.groupBy(id_col).agg(
+        F.max("__cos_e6").alias("max_cos_e6"),
+        F.min_by("__eid", F.struct(-F.col("__cos_e6"), F.col("__eid")))
+        .cast("long")
+        .alias("matched_eval_id"),
+    )
+    return per.select(
+        id_col,
+        "matched_eval_id",
+        "max_cos_e6",
+        (F.col("max_cos_e6") >= F.lit(threshold_e6)).alias("contaminated"),
+    )

@@ -1144,3 +1144,194 @@ def domain_quantile_gate(
     return out.withColumn("pct_e6", pct).withColumn(
         "keep", F.col("pct_e6") >= F.lit(keep_from_pct_e6)
     )
+
+
+# --- C4-style line-level page filters (Raffel et al. 2020, §2.2) -----------
+
+C4_MIN_KEPT_LINES = 3
+C4_MIN_LINE_WORDS = 5
+_C4_END_PUNCT = r'[.!?"]$'
+
+
+def c4_line_stats(docs, id_col: str, text_col: str):
+    """C4's line-level page heuristics as one expression pass: split the
+    page into lines, keep a line iff it ends in terminal punctuation AND
+    has >= 5 words (the C4 line rule), and keep the PAGE iff >= 3 lines
+    survive and it contains neither 'lorem ipsum' nor '{' (the C4 page
+    rules — '{' catches leaked code/JSON).  'javascript' lines are
+    counted (C4 drops them) but reported rather than silently folded in,
+    so the datacard can show the reason mix.
+
+    Returns per doc: (id, n_lines, n_end_punct, n_short, n_js_lines,
+    n_kept_lines, end_punct_e6, has_lorem, has_brace, c4_keep).
+    Counts are exact integers; the ratio is fixed-point millionths.
+
+    Scale shape: the line array is materialized ONCE as a column and
+    every count is a lambda over that array's own elements (the
+    interpreted-HOF re-evaluation trap only bites lambdas that reference
+    NON-element expressions) — one corpus scan, zero shuffles, all
+    codegen-adjacent expression work.
+
+    Reference: no equivalent (the reference has no text pipeline);
+    public-recipe surface (C4 / FineWeb line filters)."""
+    lines = F.expr(
+        f"transform(split({text_col}, '\\n'), l -> trim(l))"
+    )
+    d = docs.select(F.col(id_col), lines.alias("__ls"))
+    nonempty = F.expr("filter(__ls, l -> l != '')")
+    d = d.select(id_col, nonempty.alias("__ls"))
+    end_punct = F.expr(f"size(filter(__ls, l -> l rlike '{_C4_END_PUNCT}'))")
+    short = F.expr(
+        f"size(filter(__ls, l -> size(split(l, '\\\\s+')) < {C4_MIN_LINE_WORDS}))"
+    )
+    js = F.expr("size(filter(__ls, l -> lower(l) like '%javascript%'))")
+    kept = F.expr(
+        f"size(filter(__ls, l -> l rlike '{_C4_END_PUNCT}'"
+        f" and size(split(l, '\\\\s+')) >= {C4_MIN_LINE_WORDS}))"
+    )
+    n_lines = F.size("__ls")
+    full = F.array_join("__ls", "\n")
+    has_lorem = F.lower(full).contains("lorem ipsum")
+    has_brace = full.contains("{")
+    counted = d.select(
+        id_col,
+        n_lines.cast("long").alias("n_lines"),
+        end_punct.cast("long").alias("n_end_punct"),
+        short.cast("long").alias("n_short"),
+        js.cast("long").alias("n_js_lines"),
+        kept.cast("long").alias("n_kept_lines"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+    )
+    return counted.select(
+        id_col,
+        "n_lines",
+        "n_end_punct",
+        "n_short",
+        "n_js_lines",
+        "n_kept_lines",
+        F.expr("(1000000 * n_kept_lines) div nullif(n_lines, 0)").alias(
+            "kept_e6"
+        ),
+        "has_lorem",
+        "has_brace",
+        (
+            (F.col("n_kept_lines") >= F.lit(C4_MIN_KEPT_LINES))
+            & ~F.col("has_lorem")
+            & ~F.col("has_brace")
+        ).alias("c4_keep"),
+    )
+
+
+# --- Unicode script profiling (multilingual corpus health) ------------------
+
+# BMP codepoint ranges per script, spelled as explicit \uXXXX escapes (the
+# r9 t28 lesson: never smuggle raw non-ASCII chars through a heredoc).
+# Latin counts ASCII letters plus Latin-1/Extended-A/B letters; CJK counts
+# the unified ideographs plus the two kana blocks.
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "A-Za-z\u00C0-\u024F",
+    "cyrillic": "\u0400-\u04FF",
+    "greek": "\u0370-\u03FF",
+    "arabic": "\u0600-\u06FF",
+    "cjk": "\u4E00-\u9FFF\u3040-\u30FF",
+    "hangul": "\uAC00-\uD7AF",
+}
+
+# The same ranges in RE2 syntax for the DuckDB oracle twin (\x{...}).
+SCRIPT_RANGES_RE2: dict[str, str] = {
+    "latin": r"A-Za-z\x{00C0}-\x{024F}",
+    "cyrillic": r"\x{0400}-\x{04FF}",
+    "greek": r"\x{0370}-\x{03FF}",
+    "arabic": r"\x{0600}-\x{06FF}",
+    "cjk": r"\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}",
+    "hangul": r"\x{AC00}-\x{D7AF}",
+}
+
+
+def script_profile(docs, id_col: str, text_col: str):
+    """Per-document Unicode script profile — the multilingual corpus-health
+    check that a stopword language-ID can't give: per-script letter
+    counts, the dominant script (priority order on exact ties), its share
+    in exact millionths, and a mixed-script flag (>= 2 scripts each
+    holding >= 10% of the letters — the classic spoofing / boilerplate-
+    concatenation signal, cf. UTS #39 mixed-script confusables).
+
+    All counts are length(regexp_replace(text, '[^range]', '')) over BMP
+    codepoint ranges — pure codegen expressions, one corpus scan, no
+    shuffle, and byte-identical in the DuckDB twin (SCRIPT_RANGES_RE2
+    spells the same ranges in RE2 syntax).  Integer-exact throughout:
+    the 10% test is ``10*n_s >= n_letters`` (no float), the share is
+    fixed-point ``div``.
+
+    Returns (id, n_latin, n_cyrillic, n_greek, n_arabic, n_cjk,
+    n_hangul, n_letters, dominant, dominant_e6, mixed)."""
+    counts = {
+        name: F.length(
+            F.regexp_replace(F.col(text_col), f"[^{rng}]", "")
+        ).cast("long")
+        for name, rng in SCRIPT_RANGES.items()
+    }
+    d = docs.select(
+        F.col(id_col),
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+    )
+    names = list(SCRIPT_RANGES)
+    total = sum((F.col(f"n_{n}") for n in names[1:]), F.col(f"n_{names[0]}"))
+    d = d.withColumn("n_letters", total.cast("long"))
+    m = F.greatest(*[F.col(f"n_{n}") for n in names])
+    dominant = F.when(F.col("n_letters") == 0, "none")
+    for n in names:
+        dominant = dominant.when(F.col(f"n_{n}") == m, n)
+    ten_pct = sum(
+        (
+            ((F.col(f"n_{n}") > 0) & (F.col(f"n_{n}") * 10 >= F.col("n_letters")))
+            .cast("int")
+            for n in names
+        ),
+        F.lit(0),
+    )
+    return d.select(
+        id_col,
+        *[f"n_{n}" for n in names],
+        "n_letters",
+        dominant.alias("dominant"),
+        F.expr(
+            "(1000000 * greatest(n_latin, n_cyrillic, n_greek, n_arabic,"
+            " n_cjk, n_hangul)) div nullif(n_letters, 0)"
+        ).alias("dominant_e6"),
+        (ten_pct >= F.lit(2)).alias("mixed"),
+    )
+
+
+# --- URL canonicalization (web-corpus dedup/blocklist key) ------------------
+
+# Tracking query parameters stripped during canonicalization — the
+# RefinedWeb/CCNet-style URL-dedup prelude (two fetches of one page differ
+# only in these).
+TRACKING_PARAMS = "utm_[A-Za-z]+|fbclid|gclid|msclkid|ref"
+
+
+def url_canonicalize(url: Column) -> Column:
+    """Deterministic URL canonical form for URL-level dedup and blocklist
+    matching: drop the #fragment, lowercase scheme://host, strip tracking
+    query parameters (TRACKING_PARAMS), collapse a dangling '?'/'&', and
+    drop one trailing '/'.  A pure fixed tree of regexp ops — one scan,
+    portable verbatim to the DuckDB twin (same RE2-safe patterns, no
+    lookarounds), so canonical keys hash cross-engine.
+
+    Deliberately NOT a full RFC 3986 normalizer (no %-decoding, no path
+    segment resolution) — canonical keys must be cheap and stable, and
+    over-normalizing merges distinct pages."""
+    u = F.regexp_replace(url, r"#.*$", "")
+    head = F.lower(F.regexp_extract(u, r"^(https?://[^/?]+)", 1))
+    tail = F.regexp_extract(u, r"^https?://[^/?]+(.*)$", 1)
+    u = F.concat(head, tail)
+    # boundary-anchored ([?&]) so 'ref' can never match inside another
+    # param's name/value; the separator is kept ($1) and the collapse
+    # passes below normalize whatever sequence the removals left behind
+    u = F.regexp_replace(u, r"([?&])(" + TRACKING_PARAMS + r")=[^&#]*", "$1")
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    return F.regexp_replace(u, r"/$", "")

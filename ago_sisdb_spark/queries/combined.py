@@ -418,6 +418,14 @@ def _fused_builders(spark: SparkSession, sf_dir: str):
     SELECT 'blend', CAST(query_id AS BIGINT), CAST(doc AS BIGINT),
            fused_rank, blend_score, score_bm25, score_tfidf
     FROM ({_N12_ORACLE})
+    UNION ALL
+    SELECT 'mmr', probe_id, neighbor_id, rank, mmr_score,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM ({_O['n9_mmr_rerank']})
+    UNION ALL
+    SELECT 'prf', CAST(query_id AS BIGINT), CAST(doc AS BIGINT), rank, score,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM ({_O['n11_prf_expansion']})
     """,
 )
 def n2_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -483,7 +491,234 @@ def n2_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score_bm25").alias("aux1"),
         F.col("score_tfidf").alias("aux2"),
     )
-    return ann.unionByName(rrf).unionByName(blend)
+    # r10 driver rotation: the MMR diversity rerank (n9, planted
+    # exact-rational oracle — the real distributed operator on closed-form
+    # input) and the two-stage PRF/RM3 query expansion (n11, whole
+    # pipeline restated in one SQL statement) join the retrieval matrix.
+    mmr = _pipe.n9_mmr_rerank(spark, sf_dir).select(
+        F.lit("mmr").alias("method"),
+        F.col("probe_id").cast("bigint").alias("probe_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("mmr_score").alias("score"),
+        _D().alias("aux1"), _D().alias("aux2"),
+    )
+    prf = _pipe.n11_prf_expansion(spark, sf_dir).select(
+        F.lit("prf").alias("method"),
+        F.col("query_id").cast("bigint").alias("probe_id"),
+        F.col("doc").cast("bigint").alias("neighbor_id"),
+        F.col("rank").alias("rank"),
+        F.col("score").alias("score"),
+        _D().alias("aux1"), _D().alias("aux2"),
+    )
+    return (
+        ann.unionByName(rrf)
+        .unionByName(blend)
+        .unionByName(mmr)
+        .unionByName(prf)
+    )
+
+
+@query(
+    "s1_stratified_split",
+    oracle=f"""
+    SELECT 'strata' AS part, lang AS key1, split AS key2,
+           CAST(n_docs AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2,
+           CAST(NULL AS BIGINT) AS n3, CAST(NULL AS DOUBLE) AS metric
+    FROM ({_O['s1_strata']})
+    UNION ALL
+    SELECT 'time', split, NULL, CAST(n AS BIGINT), min_ts_us, max_ts_us,
+           CAST(NULL AS DOUBLE)
+    FROM ({_O['s4_time_split']})
+    UNION ALL
+    SELECT 'wsample', lang, NULL, rank, doc_id, n_chars, skey
+    FROM ({_O['s3_weighted_sample']})
+    UNION ALL
+    SELECT 'gshuffle', NULL, NULL, doc_id, shard, pos, CAST(NULL AS DOUBLE)
+    FROM ({_O['s5_global_shuffle']})
+    UNION ALL
+    SELECT 'compaction', source, lang, bytes, n_docs, slot,
+           CAST(NULL AS DOUBLE)
+    FROM ({_O['s8_compaction_plan']})
+    """,
+)
+def s1_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling / split / layout suite, one tagged matrix (r10 driver
+    rotation; fine-grained twins stay extended):
+
+    - ``strata`` — deterministic 80/10/10 id-modulo split with
+      per-language stratum counts (s1_strata).
+    - ``time`` — temporal train/valid split at the 80th time percentile;
+      train.max < valid.min by construction (s4).
+    - ``wsample`` — Efraimidis–Spirtakis length-weighted sample, 10 per
+      language, deterministic hash keys (s3).
+    - ``gshuffle`` — the epoch-shuffle layout: (shard, pos) from a
+      Knuth-multiplicative hash, per-shard rank windows, no global sort
+      (s5).
+    - ``compaction`` — first-fit small-file compaction slots toward a
+      target output size, running-sum window per storage partition (s8).
+
+    Every branch is expression-only or one bounded window; nothing here
+    shuffles document bodies."""
+    strata = _pipe.s1_strata(spark, sf_dir).select(
+        F.lit("strata").alias("part"),
+        F.col("lang").alias("key1"),
+        F.col("split").alias("key2"),
+        F.col("n_docs").cast("bigint").alias("n1"),
+        _L().alias("n2"), _L().alias("n3"), _D().alias("metric"),
+    )
+    tsplit = _series.s4_time_split(spark, sf_dir).select(
+        F.lit("time").alias("part"),
+        F.col("split").alias("key1"),
+        _S().alias("key2"),
+        F.col("n").cast("bigint").alias("n1"),
+        F.col("min_ts_us").alias("n2"),
+        F.col("max_ts_us").alias("n3"),
+        _D().alias("metric"),
+    )
+    wsamp = _pipe.s3_weighted_sample(spark, sf_dir).select(
+        F.lit("wsample").alias("part"),
+        F.col("lang").alias("key1"),
+        _S().alias("key2"),
+        F.col("rank").alias("n1"),
+        F.col("doc_id").alias("n2"),
+        F.col("n_chars").alias("n3"),
+        F.col("skey").alias("metric"),
+    )
+    gshuf = _pipe.s5_global_shuffle(spark, sf_dir).select(
+        F.lit("gshuffle").alias("part"),
+        _S().alias("key1"), _S().alias("key2"),
+        F.col("doc_id").alias("n1"),
+        F.col("shard").alias("n2"),
+        F.col("pos").alias("n3"),
+        _D().alias("metric"),
+    )
+    compact = _pipe.s8_compaction_plan(spark, sf_dir).select(
+        F.lit("compaction").alias("part"),
+        F.col("source").alias("key1"),
+        F.col("lang").alias("key2"),
+        F.col("bytes").alias("n1"),
+        F.col("n_docs").alias("n2"),
+        F.col("slot").alias("n3"),
+        _D().alias("metric"),
+    )
+    return (
+        strata.unionByName(tsplit)
+        .unionByName(wsamp)
+        .unionByName(gshuf)
+        .unionByName(compact)
+    )
+
+
+@query(
+    "n3_embedding_stats",
+    oracle=f"""
+    SELECT 'norms' AS method, CAST(label AS BIGINT) AS g,
+           CAST(NULL AS BIGINT) AS probe_id, CAST(NULL AS BIGINT) AS neighbor_id,
+           CAST(n AS BIGINT) AS n, avg_norm AS score,
+           CAST(NULL AS BIGINT) AS r1, CAST(NULL AS BIGINT) AS r2
+    FROM ({_O['n3_norms']})
+    UNION ALL
+    SELECT 'matryoshka', dim, probe_id, neighbor_id, hit_full, score,
+           NULL, NULL
+    FROM ({_O['e6_matryoshka_truncation']})
+    UNION ALL
+    SELECT 'signsketch', NULL, probe_id, neighbor_id, hamming, cos_score,
+           rank_h, rank_c
+    FROM ({_O['e7_sign_sketch_ann']})
+    UNION ALL
+    SELECT 'hardneg:' || kind, label, probe_id, neighbor_id, rank, score,
+           NULL, NULL
+    FROM ({_O['e8_hard_negatives']})
+    UNION ALL
+    SELECT 'decontam', NULL, matched_eval_id, vec_id,
+           CAST(contaminated AS BIGINT), CAST(max_cos_e6 AS DOUBLE),
+           NULL, NULL
+    FROM ({_O['e9_semantic_decontam']})
+    """,
+)
+def n3_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column AUDIT suite, one tagged matrix (r10 driver
+    rotation; the plain per-label norm aggregate this entry started as is
+    the 'norms' branch, fine-grained twins extended):
+
+    - ``norms`` — mean L2 norm per label (n3_norms).
+    - ``matryoshka`` — prefix-truncation audit: exact cosine top-5 per
+      probe at widths 8/16/32/64 with full-width survivorship (e6).
+    - ``signsketch`` — 1-bit sign-sketch ANN audit: Hamming ranking
+      beside exact cosine over the same pairs, union of both top-5 sets
+      (e7) — sketch recall reads off the rows.
+    - ``hardneg:pos`` / ``hardneg:neg`` — contrastive pair mining: top-3
+      same-label positives and highest-cosine wrong-label hard negatives
+      per anchor (e8).
+
+    - ``decontam`` — embedding-space decontamination: max cosine of each
+      training vector against the broadcast eval slice, arg-max eval id,
+      contamination flag at exact floor-millionths (e9).
+
+    All branches are broadcast-probe corpus passes over the embeddings
+    scan; no corpus×corpus join anywhere."""
+    from ago_sisdb_spark.operators import embed as _embed_ops
+    from ago_sisdb_spark.operators import similarity as _sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
+    norms = _pipe.n3_norms(spark, sf_dir).select(
+        F.lit("norms").alias("method"),
+        F.col("label").cast("bigint").alias("g"),
+        _L().alias("probe_id"), _L().alias("neighbor_id"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("avg_norm").alias("score"),
+        _L().alias("r1"), _L().alias("r2"),
+    )
+    mat = _sim.truncation_audit(
+        emb, probes, "vec_id", "embedding", "vec_id", dims=(8, 16, 32, 64), k=5
+    ).select(
+        F.lit("matryoshka").alias("method"),
+        F.col("dim").cast("bigint").alias("g"),
+        F.col("probe_id").cast("bigint").alias("probe_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        F.col("hit_full").cast("bigint").alias("n"),
+        F.col("score").alias("score"),
+        _L().alias("r1"), _L().alias("r2"),
+    )
+    sketch = _embed_ops.hamming_vs_cosine_topk(
+        emb, probes, "vec_id", "embedding", "vec_id", k=5, dim=64
+    ).select(
+        F.lit("signsketch").alias("method"),
+        _L().alias("g"),
+        F.col("probe_id").cast("bigint").alias("probe_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        F.col("hamming").cast("bigint").alias("n"),
+        F.col("cos_score").alias("score"),
+        F.col("rank_h").alias("r1"), F.col("rank_c").alias("r2"),
+    )
+    hard = _embed_ops.hard_negative_mining(
+        emb, probes, "vec_id", "embedding", "label", "vec_id", k=3
+    ).select(
+        F.concat(F.lit("hardneg:"), F.col("kind")).alias("method"),
+        F.col("label").cast("bigint").alias("g"),
+        F.col("probe_id").cast("bigint").alias("probe_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        F.col("rank").cast("bigint").alias("n"),
+        F.col("score").alias("score"),
+        _L().alias("r1"), _L().alias("r2"),
+    )
+    dec = _pipe.e9_semantic_decontam(spark, sf_dir).select(
+        F.lit("decontam").alias("method"),
+        _L().alias("g"),
+        F.col("matched_eval_id").cast("bigint").alias("probe_id"),
+        F.col("vec_id").cast("bigint").alias("neighbor_id"),
+        F.col("contaminated").cast("bigint").alias("n"),
+        F.col("max_cos_e6").cast("double").alias("score"),
+        _L().alias("r1"), _L().alias("r2"),
+    )
+    return (
+        norms.unionByName(mat)
+        .unionByName(sketch)
+        .unionByName(hard)
+        .unionByName(dec)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1286,6 +1521,42 @@ def p2_w2_exact_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'paradedup', CAST(doc AS VARCHAR), n_paras,
            CAST(n_kept AS BIGINT), dup_ratio
     FROM ({_O['t10_paragraph_dedup']})
+    UNION ALL
+    SELECT 'domainmix', source, rate_e6, n_kept, CAST(NULL AS DOUBLE)
+    FROM ({_O['pipe12_domain_mix']})
+    UNION ALL
+    SELECT 'funnel', stage, CAST(n_docs AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM ({_O['pipe13_prep_funnel']})
+    UNION ALL
+    SELECT 'domain_kl', source, n_tokens, vocab, kl
+    FROM ({_O['t29_domain_kl']})
+    UNION ALL
+    SELECT 'qgate', CAST(doc_id AS VARCHAR), pct_e6,
+           CAST(keep AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM ({_O['t30_domain_quantile_gate']})
+    UNION ALL
+    SELECT 'vocab_drift', lang, n_tokens, oov_e6, CAST(NULL AS DOUBLE)
+    FROM ({_O['t31_vocab_drift']})
+    UNION ALL
+    SELECT 'calibration', CAST(bin AS VARCHAR), n, n_pos, conf
+    FROM ({_O['t32_calibration_bins']})
+    UNION ALL
+    SELECT 'bpe_fertility', lang, CAST(n_words AS BIGINT), fertility_e6,
+           CAST(NULL AS DOUBLE)
+    FROM ({_O['t26_bpe_fertility']})
+    UNION ALL
+    SELECT 'novelty', CAST(doc_id AS VARCHAR), n_grams, n_unique,
+           CAST(NULL AS DOUBLE)
+    FROM ({_O['t33_ngram_novelty']})
+    UNION ALL
+    SELECT 'c4', CAST(doc_id AS VARCHAR), n_kept_lines,
+           CAST(c4_keep AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM ({_O['t34_c4_line_filters']})
+    UNION ALL
+    SELECT 'script', CAST(doc_id AS VARCHAR) || ':' || dominant,
+           dominant_e6, CAST(mixed AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM ({_O['t35_script_profile']})
     """,
 )
 def pipe3_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1333,11 +1604,100 @@ def pipe3_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_kept").cast("bigint").alias("n2"),
         F.col("dup_ratio").alias("metric"),
     )
+    # r10 driver rotation (r9 verdict #2): the post-r7 prep/text-health
+    # family rides the same tagged union so the driver hash certifies it —
+    # domain mixing (pipe12), the prep funnel (pipe13), per-domain KL
+    # (t29), the per-domain quantile gate (t30), vocabulary drift (t31),
+    # classifier calibration bins (t32), BPE train+fertility (t26), and
+    # per-doc n-gram novelty (t33).  Oracle composes the extended entries'
+    # strings verbatim; fine-grained twins stay extended for localization.
+    mix = _pipe.pipe12_domain_mix(spark, sf_dir).select(
+        F.lit("domainmix").alias("part"),
+        F.col("source").alias("key"),
+        F.col("rate_e6").alias("n1"),
+        F.col("n_kept").alias("n2"),
+        _D().alias("metric"),
+    )
+    funnel = _pipe.pipe13_prep_funnel(spark, sf_dir).select(
+        F.lit("funnel").alias("part"),
+        F.col("stage").alias("key"),
+        F.col("n_docs").cast("bigint").alias("n1"),
+        _L().alias("n2"),
+        _D().alias("metric"),
+    )
+    dkl = _pipe.t29_domain_kl(spark, sf_dir).select(
+        F.lit("domain_kl").alias("part"),
+        F.col("source").alias("key"),
+        F.col("n_tokens").alias("n1"),
+        F.col("vocab").alias("n2"),
+        F.col("kl").alias("metric"),
+    )
+    qgate = _pipe.t30_domain_quantile_gate(spark, sf_dir).select(
+        F.lit("qgate").alias("part"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("pct_e6").alias("n1"),
+        F.col("keep").cast("bigint").alias("n2"),
+        _D().alias("metric"),
+    )
+    drift = _pipe.t31_vocab_drift(spark, sf_dir).select(
+        F.lit("vocab_drift").alias("part"),
+        F.col("lang").alias("key"),
+        F.col("n_tokens").alias("n1"),
+        F.col("oov_e6").alias("n2"),
+        _D().alias("metric"),
+    )
+    calib = _pipe.t32_calibration_bins(spark, sf_dir).select(
+        F.lit("calibration").alias("part"),
+        F.col("bin").cast("string").alias("key"),
+        F.col("n").alias("n1"),
+        F.col("n_pos").alias("n2"),
+        F.col("conf").alias("metric"),
+    )
+    fert = _pipe.t26_bpe_fertility(spark, sf_dir).select(
+        F.lit("bpe_fertility").alias("part"),
+        F.col("lang").alias("key"),
+        F.col("n_words").cast("bigint").alias("n1"),
+        F.col("fertility_e6").alias("n2"),
+        _D().alias("metric"),
+    )
+    novelty = _pipe.t33_ngram_novelty(spark, sf_dir).select(
+        F.lit("novelty").alias("part"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("n_grams").alias("n1"),
+        F.col("n_unique").alias("n2"),
+        _D().alias("metric"),
+    )
+    c4 = _pipe.t34_c4_line_filters(spark, sf_dir).select(
+        F.lit("c4").alias("part"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("n_kept_lines").alias("n1"),
+        F.col("c4_keep").cast("bigint").alias("n2"),
+        _D().alias("metric"),
+    )
+    script = _pipe.t35_script_profile(spark, sf_dir).select(
+        F.lit("script").alias("part"),
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"), F.col("dominant")
+        ).alias("key"),
+        F.col("dominant_e6").alias("n1"),
+        F.col("mixed").cast("bigint").alias("n2"),
+        _D().alias("metric"),
+    )
     return (
         dec.unionByName(pack)
         .unionByName(samp)
         .unionByName(logp)
         .unionByName(para)
+        .unionByName(mix)
+        .unionByName(funnel)
+        .unionByName(dkl)
+        .unionByName(qgate)
+        .unionByName(drift)
+        .unionByName(calib)
+        .unionByName(fert)
+        .unionByName(novelty)
+        .unionByName(c4)
+        .unionByName(script)
     )
 
 

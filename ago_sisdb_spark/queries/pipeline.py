@@ -649,7 +649,7 @@ def m2_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "n3_embedding_stats",
+    "n3_norms",
     oracle="""
     SELECT label,
            count(*) AS n,
@@ -657,9 +657,12 @@ def m2_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                  x -> CAST(x AS DOUBLE) * x)))), 4) AS avg_norm
     FROM embeddings GROUP BY label
     """,
+    extended=True,
 )
-def n3_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vector-column aggregation: mean L2 norm per label."""
+def n3_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column aggregation: mean L2 norm per label.  Fine-grained
+    twin of the ``n3_embedding_stats`` umbrella's 'norms' branch (demoted
+    to extended in the r10 driver rotation)."""
     emb = _t(spark, sf_dir, "embeddings")
     return (
         emb.groupBy("label")
@@ -882,7 +885,7 @@ def t6_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "s1_stratified_split",
+    "s1_strata",
     oracle="""
     SELECT lang,
            CASE WHEN doc_id % 10 < 8 THEN 'train'
@@ -890,11 +893,14 @@ def t6_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_docs
     FROM documents GROUP BY 1, 2
     """,
+    extended=True,
 )
-def s1_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s1_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (80/10/10 by id modulo — portable,
     reproducible, no RNG state) with per-language stratum counts; the split
-    expression stays in the scan projection, no shuffle beyond the count."""
+    expression stays in the scan projection, no shuffle beyond the count.
+    Fine-grained twin of the ``s1_stratified_split`` umbrella's 'strata'
+    branch (demoted to extended in the r10 driver rotation)."""
     docs = _t(spark, sf_dir, "documents")
     split = (
         F.when(F.col("doc_id") % 10 < 8, "train")
@@ -939,18 +945,162 @@ _PIPE2_ORACLE = r"""
 """
 
 
-@query("pipe2_neardup_groups", oracle=_PIPE2_ORACLE)
-def pipe2_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTERING (pairs alone can't answer "what do I drop"):
-    exact 2-gram Jaccard pairs (threshold 0.08, doc_id<60 slice) →
-    distributed connected components via min-label propagation
-    (operators/dedup.connected_components — iterative joins, no driver
-    union-find).  Oracle computes the same components with a recursive-CTE
-    transitive closure."""
+@query("pipe2_components", oracle=_PIPE2_ORACLE, extended=True)
+def pipe2_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fine-grained (id, component) twin of the ``pipe2_neardup_groups``
+    umbrella's 'component' branch, kept extended for localization (the
+    combined-umbrella convention)."""
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.08)
     comp = dedup.connected_components(pairs)
     return comp.select("id", "component")
+
+
+def _pipe2_umbrella_oracle() -> str:
+    d15 = """
+    SELECT doc_id,
+           count(*) OVER (PARTITION BY md5(text)) AS n_dups,
+           CAST(1000000 // count(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+               AS weight_e6
+    FROM documents
+    """
+    d16 = f"""
+    WITH comp AS ({_PIPE2_ORACLE}),
+    lens AS (SELECT doc_id, length(text) AS tlen
+             FROM documents WHERE doc_id < 60),
+    j AS (SELECT c.component, c.id, CAST(l.tlen AS BIGINT) AS tlen,
+                 count(*) OVER (PARTITION BY c.component) AS n_members,
+                 row_number() OVER (PARTITION BY c.component
+                                    ORDER BY l.tlen DESC, c.id) AS rn
+          FROM comp c JOIN lens l ON l.doc_id = c.id)
+    SELECT component, id AS rep_id, tlen AS rep_len, n_members
+    FROM j WHERE rn = 1
+    """
+    s9 = f"""
+    WITH comp AS ({_PIPE2_ORACLE}),
+    lab AS (
+        SELECT d.doc_id,
+               CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+    SELECT doc_id, component,
+           CASE WHEN component % 10 < 8 THEN 'train'
+                WHEN component % 10 = 8 THEN 'val' ELSE 'test' END AS split
+    FROM lab
+    """
+    d17 = dedup.minhash_estimator_oracle_sql(
+        "documents", "doc_id", "text", shingle_k=3, num_hashes=32, bands=8
+    )
+    return f"""
+    SELECT 'component' AS part, CAST(id AS BIGINT) AS id,
+           CAST(component AS BIGINT) AS grp, CAST(NULL AS BIGINT) AS n1,
+           CAST(NULL AS BIGINT) AS n2, CAST(NULL AS VARCHAR) AS split
+    FROM ({_PIPE2_ORACLE})
+    UNION ALL
+    SELECT 'rep', CAST(rep_id AS BIGINT), CAST(component AS BIGINT),
+           rep_len, CAST(n_members AS BIGINT), NULL
+    FROM ({d16})
+    UNION ALL
+    SELECT 'split', doc_id, component, NULL, NULL, split
+    FROM ({s9})
+    UNION ALL
+    SELECT 'soft', doc_id, NULL, CAST(n_dups AS BIGINT), weight_e6, NULL
+    FROM ({d15})
+    UNION ALL
+    SELECT 'mh_audit', id_a, id_b, CAST(est_e6 AS BIGINT),
+           CAST(jac_e6 AS BIGINT), NULL
+    FROM ({d17})
+    """
+
+
+@query("pipe2_neardup_groups", oracle=_pipe2_umbrella_oracle())
+def pipe2_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GRAPH suite — clustering plus everything a pipeline does
+    with the clusters, one tagged matrix (r10 driver rotation, r9 verdict
+    #2; fine-grained twins stay extended for localization):
+
+    - ``component`` — exact 2-gram Jaccard pairs (threshold 0.08,
+      doc_id<60 slice) → distributed connected components
+      (operators/dedup.connected_components — since r10 the two-rule
+      large-star/small-star contraction, O(log n) rounds on chains, no
+      driver union-find).  Oracle: recursive-CTE transitive closure.
+    - ``rep`` — RefinedWeb-style keep-the-best representative per
+      component (longest member, tie → lowest id; d16's operator).
+    - ``split`` — leakage-safe train/val/test: the modulo gate keyed by
+      the COMPONENT so near-dup groups land on one side (s9's operator);
+      singleton docs are their own component.
+    - ``soft`` — soft dedup: every doc kept at weight 1/multiplicity in
+      exact millionths over the narrow (digest, id) layout (d15).
+    - ``mh_audit`` — MinHash estimator quality: per banded candidate
+      pair, the 32-hash Jaccard estimate vs the TRUE distinct-shingle
+      Jaccard, integer millionths (d17) — the trust-the-prune check.
+
+    The component/rep/split branches share ONE pairs+components build
+    (the exchange-reuse lesson: thread one frame through all consumers,
+    never re-derive per branch)."""
+    docs = _t(spark, sf_dir, "documents")
+    docs60 = docs.where(F.col("doc_id") < 60)
+    pairs = dedup.ngram_jaccard_pairs(docs60, "doc_id", "text", n=2, threshold=0.08)
+    comp = dedup.connected_components(pairs)
+
+    def _pad(df, part, cols):
+        sel = [F.lit(part).alias("part")]
+        for name, expr in cols.items():
+            sel.append(
+                expr.cast("bigint").alias(name)
+                if name != "split"
+                else expr.alias(name)
+            )
+        return df.select(*sel)
+
+    nul = F.lit(None)
+    component = _pad(comp, "component", {
+        "id": F.col("id"), "grp": F.col("component"),
+        "n1": nul, "n2": nul, "split": nul.cast("string"),
+    })
+    rep = _pad(
+        dedup.cluster_representatives(comp, docs60, "doc_id", "text"),
+        "rep",
+        {"id": F.col("rep_id"), "grp": F.col("component"),
+         "n1": F.col("rep_len"), "n2": F.col("n_members"),
+         "split": nul.cast("string")},
+    )
+    lab = (
+        docs.select("doc_id")
+        .join(F.broadcast(comp), F.col("doc_id") == F.col("id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id"))
+            .cast("long")
+            .alias("component"),
+        )
+    )
+    split_expr = (
+        F.when(F.col("component") % 10 < 8, "train")
+        .when(F.col("component") % 10 == 8, "val")
+        .otherwise("test")
+    )
+    split = _pad(lab, "split", {
+        "id": F.col("doc_id"), "grp": F.col("component"),
+        "n1": nul, "n2": nul, "split": split_expr,
+    })
+    soft = _pad(
+        dedup.soft_dedup_weights(docs, "doc_id", "text"),
+        "soft",
+        {"id": F.col("doc_id"), "grp": nul, "n1": F.col("n_dups"),
+         "n2": F.col("weight_e6"), "split": nul.cast("string")},
+    )
+    audit = _pad(
+        dedup.minhash_estimator_audit(docs, "doc_id", "text"),
+        "mh_audit",
+        {"id": F.col("id_a"), "grp": F.col("id_b"), "n1": F.col("est_e6"),
+         "n2": F.col("jac_e6"), "split": nul.cast("string")},
+    )
+    return (
+        component.unionByName(rep)
+        .unionByName(split)
+        .unionByName(soft)
+        .unionByName(audit)
+    )
 
 
 @query("d7_simhash_pairs", oracle=None, extended=True)
@@ -4295,3 +4445,286 @@ def t33_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc").alias("doc_id"), "n_grams", "n_unique",
         F.expr("(1000000 * n_unique) div n_grams").alias("novelty_e6"),
     )
+
+
+def _t34_oracle() -> str:
+    end = '[.!?"]$'
+    return rf"""
+    WITH ls AS (
+        SELECT doc_id,
+               list_filter(list_transform(string_split(text, chr(10)),
+                           l -> trim(l)), l -> l != '') AS ls
+        FROM documents),
+    c AS (
+        SELECT doc_id,
+               CAST(len(ls) AS BIGINT) AS n_lines,
+               CAST(len(list_filter(ls, l -> regexp_matches(l, '{end}')))
+                   AS BIGINT) AS n_end_punct,
+               CAST(len(list_filter(ls,
+                   l -> len(string_split_regex(l, '\s+')) < 5))
+                   AS BIGINT) AS n_short,
+               CAST(len(list_filter(ls, l -> contains(lower(l), 'javascript')))
+                   AS BIGINT) AS n_js_lines,
+               CAST(len(list_filter(ls, l -> regexp_matches(l, '{end}')
+                   AND len(string_split_regex(l, '\s+')) >= 5))
+                   AS BIGINT) AS n_kept_lines,
+               contains(lower(coalesce(array_to_string(ls, chr(10)), '')),
+                   'lorem ipsum') AS has_lorem,
+               contains(coalesce(array_to_string(ls, chr(10)), ''), '{{')
+                   AS has_brace
+        FROM ls)
+    SELECT doc_id, n_lines, n_end_punct, n_short, n_js_lines, n_kept_lines,
+           (1000000 * n_kept_lines) // nullif(n_lines, 0) AS kept_e6,
+           has_lorem, has_brace,
+           (n_kept_lines >= 3 AND NOT has_lorem AND NOT has_brace) AS c4_keep
+    FROM c
+    """
+
+
+@query("t34_c4_line_filters", oracle=_t34_oracle(), extended=True)
+def t34_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level page filters (operators/text.c4_line_stats,
+    Raffel et al. 2020 §2.2 + the FineWeb reimplementation): per page,
+    the line counts behind C4's keep/drop — lines ending in terminal
+    punctuation, short lines (< 5 words), 'javascript' lines, surviving
+    lines — plus the lorem-ipsum / brace page flags and the composite
+    page verdict.  One expression-only corpus scan; the line array is
+    materialized once (interpreted-HOF lesson); all counts exact
+    integers, the ratio fixed-point millionths.  The DuckDB twin
+    restates every lambda; array_to_string([]) is coalesced (the r7 d13
+    empty-list trap)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.c4_line_stats(docs, "doc_id", "text")
+
+
+def _t35_oracle() -> str:
+    names = list(text.SCRIPT_RANGES)
+    counts = ",\n               ".join(
+        f"CAST(length(regexp_replace(text, '[^{text.SCRIPT_RANGES_RE2[n]}]',"
+        f" '', 'g')) AS BIGINT) AS n_{n}"
+        for n in names
+    )
+    total = " + ".join(f"n_{n}" for n in names)
+    m = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
+    dom = "\n                ".join(
+        f"WHEN n_{n} = {m} THEN '{n}'" for n in names
+    )
+    ten = " + ".join(
+        f"(CASE WHEN n_{n} > 0 AND 10 * n_{n} >= n_letters THEN 1 ELSE 0 END)"
+        for n in names
+    )
+    cols = ", ".join(f"n_{n}" for n in names)
+    return f"""
+    WITH c AS (
+        SELECT doc_id,
+               {counts}
+        FROM documents),
+    t AS (SELECT *, CAST({total} AS BIGINT) AS n_letters FROM c)
+    SELECT doc_id, {cols}, n_letters,
+           CASE WHEN n_letters = 0 THEN 'none'
+                {dom}
+           END AS dominant,
+           (1000000 * {m}) // nullif(n_letters, 0) AS dominant_e6,
+           ({ten}) >= 2 AS mixed
+    FROM t
+    """
+
+
+@query("t35_script_profile", oracle=_t35_oracle(), extended=True)
+def t35_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Unicode script profile (operators/text.script_profile):
+    per-script letter counts over explicit BMP codepoint ranges, dominant
+    script with a pinned priority-order tie-break, fixed-point dominant
+    share, and the mixed-script flag (>= 2 scripts at >= 10% — integer
+    test, no float).  Expression-only corpus scan; the oracle spells the
+    SAME ranges in RE2 syntax (SCRIPT_RANGES_RE2) so both engines count
+    identical codepoint sets."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.script_profile(docs, "doc_id", "text")
+
+
+def _e9_oracle(threshold_e6: int = 900_000, modulo: int = 19) -> str:
+    return f"""
+    WITH ev AS (
+        SELECT vec_id AS eid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS evec
+        FROM embeddings WHERE vec_id % {modulo} = 0),
+    tr AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE vec_id % {modulo} != 0),
+    scored AS (
+        SELECT tr.vec_id, ev.eid,
+               CAST(floor(list_cosine_similarity(tr.v, ev.evec) * 1000000)
+                   AS BIGINT) AS cos_e6
+        FROM tr, ev),
+    ranked AS (
+        SELECT vec_id, eid, cos_e6,
+               row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cos_e6 DESC, eid) AS rn,
+               max(cos_e6) OVER (PARTITION BY vec_id) AS max_cos_e6
+        FROM scored)
+    SELECT vec_id, eid AS matched_eval_id, max_cos_e6,
+           max_cos_e6 >= {threshold_e6} AS contaminated
+    FROM ranked WHERE rn = 1
+    """
+
+
+@query("e9_semantic_decontam", oracle=_e9_oracle(), extended=True)
+def e9_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination (operators/embed.
+    semantic_decontaminate): max cosine of every training vector against
+    a broadcast eval set (vec_id % 19 = 0 plays the benchmark), the
+    arg-max eval id (tie -> lowest id), and the contamination flag at
+    0.9 — the semantic companion to pipe3's n-gram decontamination
+    (paraphrase leakage has no shared 13-gram).  The comparison score is
+    EXACT fixed-point floor-millionths so the flag never sits on a float
+    boundary; eval side broadcasts, corpus never shuffles."""
+    from ago_sisdb_spark.operators import embed as embed_ops
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = emb.where(F.col("vec_id") % 19 == 0)
+    tr = emb.where(F.col("vec_id") % 19 != 0)
+    return embed_ops.semantic_decontaminate(
+        tr, ev, "vec_id", "embedding", "vec_id", threshold_e6=900_000
+    )
+
+
+# Planted URL suffix for the t36/t37 gates (the t28 planted-suffix trick):
+# the synthetic corpus contains NO URLs, so both entries append two
+# deterministic doc_id-derived URLs to every doc — identically in Spark and
+# in the oracle — exercising host lowercasing (parity-cased HOST/host),
+# fragment and tracking-param stripping, trailing-slash removal, AND a
+# non-trivial source→host graph.  Mods (5, 11, 3) make canonical classes
+# collide within 500 docs so n_raw_variants > 1 occurs at every SF.
+_T36_PLANT_SQL = (
+    "text || ' https://' || (CASE WHEN doc_id % 2 = 0 THEN 'HOST' ELSE 'host' END)"
+    " || CAST(doc_id % 5 AS VARCHAR) || '.Example.com/p/'"
+    " || CAST(doc_id % 11 AS VARCHAR) || '?utm_source=tr&x='"
+    " || CAST(doc_id % 3 AS VARCHAR) || '#f http://news'"
+    " || CAST((doc_id + 3) % 7 AS VARCHAR) || '.example.com/q/'"
+    " || CAST(doc_id % 5 AS VARCHAR) || '/'"
+)
+
+
+def _t36_planted_docs(docs):
+    did = F.col("doc_id")
+    case_host = F.when(did % 2 == 0, "HOST").otherwise("host")
+    url1 = F.concat(
+        F.lit("https://"), case_host, (did % 5).cast("string"),
+        F.lit(".Example.com/p/"), (did % 11).cast("string"),
+        F.lit("?utm_source=tr&x="), (did % 3).cast("string"), F.lit("#f"),
+    )
+    url2 = F.concat(
+        F.lit("http://news"), ((did + 3) % 7).cast("string"),
+        F.lit(".example.com/q/"), (did % 5).cast("string"), F.lit("/"),
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.concat(F.col("text"), F.lit(" "), url1, F.lit(" "), url2).alias(
+            "text"
+        ),
+    )
+
+
+def _t36_oracle() -> str:
+    from ago_sisdb_spark.operators.text import TRACKING_PARAMS, URL_PATTERN
+
+    # the same fixed regexp tree as text.url_canonicalize, RE2 dialect
+    # (replacement backreference is \1 in DuckDB vs $1 in Java)
+    canon = r"""
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(
+                lower(regexp_extract(u1, '^(https?://[^/?]+)', 1))
+                    || regexp_extract(u1, '^https?://[^/?]+(.*)$', 1),
+                '([?&])({TP})=[^&#]*', '\1', 'g'),
+            '&&+', '&', 'g'), '\?&', '?', 'g'), '[?&]+$', '', 'g'),
+            '/$', '', 'g')
+    """.replace("{TP}", TRACKING_PARAMS)
+    return f"""
+    WITH planted AS (
+        SELECT doc_id, {_T36_PLANT_SQL} AS text FROM documents),
+    raw AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(text, '{URL_PATTERN}', 0)) AS url
+        FROM planted),
+    defrag AS (
+        SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u1 FROM raw),
+    canon AS (
+        SELECT doc_id, url, {canon} AS curl FROM defrag)
+    SELECT curl,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM canon GROUP BY curl
+    """
+
+
+@query("t36_url_canonical", oracle=_t36_oracle(), extended=True)
+def t36_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization audit (operators/text.url_canonicalize): every
+    URL in the corpus reduced to its canonical key (fragment dropped,
+    host lowercased, tracking params stripped, separators collapsed),
+    with occurrence / raw-variant / doc counts per key — the URL-level
+    dedup and blocklist join key of web-corpus prep (CCNet/RefinedWeb
+    prelude).  One explode + one canonical-key aggregate; shuffles carry
+    URLs, never document text.  The oracle replays the identical regexp
+    tree in RE2 dialect (backreference \\1 vs $1 is the only delta)."""
+    from ago_sisdb_spark.operators.text import URL_PATTERN, url_canonicalize
+
+    docs = _t36_planted_docs(_t(spark, sf_dir, "documents"))
+    raw = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(URL_PATTERN), 0)
+        ).alias("url"),
+    )
+    canon = raw.select(
+        "doc_id", "url", url_canonicalize(F.col("url")).alias("curl")
+    )
+    return canon.groupBy("curl").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.countDistinct("url").cast("long").alias("n_raw_variants"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+
+
+def _t37_edges_sql() -> str:
+    from ago_sisdb_spark.operators.text import URL_PATTERN
+
+    return f"""
+        SELECT src, lower(h) AS dst, 1 AS w
+        FROM (SELECT source AS src,
+                     unnest(regexp_extract_all({_T36_PLANT_SQL}, '{URL_PATTERN}', 1)) AS h
+              FROM documents)
+    """
+
+
+def _t37_oracle() -> str:
+    from ago_sisdb_spark.operators.graph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(_t37_edges_sql(), iters=3)
+
+
+@query("t37_host_rank", oracle=_t37_oracle(), extended=True)
+def t37_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-authority PageRank (operators/graph.pagerank_e12): the
+    source→linked-host graph aggregated in ONE corpus pass, then 3
+    damped rounds over the host-sized tables in EXACT e12 fixed-point —
+    integer contributions and integer sums, so the ranking is
+    order-independent and the DuckDB twin (the same rounds unrolled as
+    CTEs) is bit-identical, not approximately equal.  The host-level
+    quality signal behind Common-Crawl-style domain weighting that the
+    per-URL blocklist (t14) can't express."""
+    from ago_sisdb_spark.operators import graph
+    from ago_sisdb_spark.operators.text import URL_PATTERN
+
+    docs = _t36_planted_docs(_t(spark, sf_dir, "documents"))
+    edges = docs.select(
+        F.col("source").alias("src"),
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(URL_PATTERN), 1)
+        ).alias("h"),
+    ).select("src", F.lower(F.col("h")).alias("dst"))
+    return graph.pagerank_e12(edges, "src", "dst", iters=3)

@@ -1,0 +1,73 @@
+"""pagerank_e12 (operators/graph): exact integer fixed-point PageRank —
+cross-checked against an independent plain-Python twin replaying the same
+integer arithmetic, plus the authority-ordering property."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+
+from ago_sisdb_spark.operators import graph
+
+
+def _twin(edges, iters, damping_pct=85):
+    w = defaultdict(int)
+    for s, t, ww in edges:
+        w[(s, t)] += ww
+    nodes = sorted({s for s, _ in w} | {t for _, t in w})
+    ow = defaultdict(int)
+    for (s, _), ww in w.items():
+        ow[s] += ww
+    base = graph.RANK_SCALE // len(nodes)
+    rank = {n: base for n in nodes}
+    keep = 100 - damping_pct
+    for _ in range(iters):
+        contrib = defaultdict(int)
+        for (s, t), ww in w.items():
+            contrib[t] += (rank[s] * ww) // ow[s]
+        rank = {
+            n: (keep * base + damping_pct * contrib.get(n, 0)) // 100
+            for n in nodes
+        }
+    return rank
+
+
+@pytest.mark.parametrize("iters", [1, 3, 5])
+def test_pagerank_matches_integer_twin(spark, iters):
+    edges = [
+        ("a", "hub", 3), ("b", "hub", 1), ("c", "hub", 2),
+        ("hub", "a", 1), ("a", "b", 1), ("c", "leafless", 1),
+        ("b", "b", 2),  # self-loop
+        ("a", "hub", 2),  # duplicate edge -> aggregated weight 5
+    ]
+    df = spark.createDataFrame(edges, "s string, t string, w long")
+    got = {
+        r["node"]: r["rank_e12"]
+        for r in graph.pagerank_e12(df, "s", "t", "w", iters=iters).collect()
+    }
+    assert got == _twin(edges, iters)
+
+
+def test_pagerank_authority_ordering(spark):
+    """A node every spoke links to must out-rank every spoke; a node
+    receiving no links sits at the damped base floor."""
+    edges = [(f"s{i}", "hub", 1) for i in range(6)] + [("hub", "s0", 1)]
+    df = spark.createDataFrame(edges, "s string, t string, w long")
+    got = {
+        r["node"]: r["rank_e12"]
+        for r in graph.pagerank_e12(df, "s", "t", "w", iters=3).collect()
+    }
+    assert got == _twin(edges, 3)
+    floor = (15 * (graph.RANK_SCALE // len(got))) // 100
+    assert got["hub"] > got["s0"] > got["s1"]  # s0 gets hub's mass back
+    assert got["s1"] == floor  # no in-links -> exact damped base
+    assert len(got) == 7
+
+
+def test_pagerank_rejects_bad_damping(spark):
+    df = spark.createDataFrame([("a", "b", 1)], "s string, t string, w long")
+    with pytest.raises(ValueError):
+        graph.pagerank_e12(df, "s", "t", "w", damping_pct=0)
+    with pytest.raises(ValueError):
+        graph.pagerank_e12(df, "s", "t", "w", damping_pct=100)

@@ -1298,3 +1298,120 @@ def test_calibration_bin_boundaries(spark):
         ).collect()
     ]
     assert got == [b for _, b in cases]
+
+
+def test_c4_line_stats_planted(spark):
+    """C4 line rules on a crafted page: per-line end-punct / short / js
+    counts, the kept-line rule (end punct AND >= 5 words), and the three
+    page verdict ingredients (>= 3 kept lines, lorem, brace)."""
+    docs = spark.createDataFrame(
+        [
+            (
+                1,
+                "This is a proper long sentence here.\n"
+                "Another good sentence with many words.\n"
+                "A third full sentence for the page filter.\n"
+                "short one.\n"
+                "enable javascript to continue now\n"
+                "no punctuation in this line",
+            ),
+            (
+                2,
+                "Contains lorem ipsum filler text in a sentence.\n"
+                "Second proper sentence with enough words.\n"
+                "Third proper sentence with enough words too.",
+            ),
+            (
+                3,
+                "Object with a { brace inside a sentence here.\n"
+                "Second proper sentence with enough words.\n"
+                "Third proper sentence with enough words too.",
+            ),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in text.c4_line_stats(docs, "doc_id", "text").collect()
+    }
+    d1 = out[1]
+    assert d1["n_lines"] == 6
+    assert d1["n_end_punct"] == 4  # three full sentences + 'short one.'
+    assert d1["n_short"] == 1  # 'short one.' (< 5 words)
+    assert d1["n_js_lines"] == 1
+    assert d1["n_kept_lines"] == 3
+    assert d1["kept_e6"] == 500_000  # (1e6 * 3) div 6
+    assert d1["c4_keep"] is True
+    assert out[2]["has_lorem"] is True and out[2]["c4_keep"] is False
+    assert out[2]["n_kept_lines"] == 3  # page failed on lorem, not lines
+    assert out[3]["has_brace"] is True and out[3]["c4_keep"] is False
+    d4 = out[4]
+    assert d4["n_lines"] == 0 and d4["kept_e6"] is None
+    assert d4["c4_keep"] is False
+    assert d4["has_lorem"] is False and d4["has_brace"] is False
+
+
+def test_script_profile_planted(spark):
+    """Script counts over planted \\uXXXX strings (never raw chars through
+    a heredoc — r9 t28 lesson): dominance, the priority tie-break, the
+    integer 10%% mixed test, and the empty-letter 'none' row."""
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "\u041f\u0440\u0438\u0432\u0435\u0442 ab"),  # 6 cyr + 2 lat
+            (3, "abc\u0414\u0415\u0416"),  # exact 3-3 tie
+            (4, "123 ..."),
+            (5, "\u4e2d\u6587\u30ab\u30bf"),  # 2 han + 2 katakana
+            (6, "\uac00\uac01\uac02"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in text.script_profile(docs, "doc_id", "text").collect()
+    }
+    assert out[1]["dominant"] == "latin" and out[1]["n_latin"] == 10
+    assert out[1]["dominant_e6"] == 1_000_000 and out[1]["mixed"] is False
+    d2 = out[2]
+    assert d2["n_cyrillic"] == 6 and d2["n_latin"] == 2
+    assert d2["dominant"] == "cyrillic"
+    assert d2["dominant_e6"] == 750_000  # (1e6*6) div 8
+    assert d2["mixed"] is True  # 10*2 >= 8
+    d3 = out[3]
+    assert d3["n_latin"] == 3 and d3["n_cyrillic"] == 3
+    assert d3["dominant"] == "latin"  # priority order on exact tie
+    assert d3["mixed"] is True
+    d4 = out[4]
+    assert d4["n_letters"] == 0 and d4["dominant"] == "none"
+    assert d4["dominant_e6"] is None and d4["mixed"] is False
+    assert out[5]["n_cjk"] == 4 and out[5]["dominant"] == "cjk"
+    assert out[6]["n_hangul"] == 3 and out[6]["dominant"] == "hangul"
+
+
+def test_url_canonicalize_cases(spark):
+    """Canonical-key semantics: host lowercased (path case kept), fragment
+    and tracking params stripped with separators renormalized, dangling
+    '?'/trailing '/' removed, and the [?&] boundary so 'ref' never
+    matches inside another parameter's name (href)."""
+    cases = [
+        ("https://WWW.Example.COM/Path?utm_source=a&x=1#frag",
+         "https://www.example.com/Path?x=1"),
+        ("http://a.com/?utm_campaign=z", "http://a.com"),
+        ("http://a.com/p?ref=1&keep=2", "http://a.com/p?keep=2"),
+        ("http://a.com/p?a=1&fbclid=xyz", "http://a.com/p?a=1"),
+        ("http://a.com/p?href=1", "http://a.com/p?href=1"),
+        ("http://a.com/p?utm_a=1&utm_b=2", "http://a.com/p"),
+        ("https://clean.org/x/y?q=1", "https://clean.org/x/y?q=1"),
+        ("http://a.com/dir/", "http://a.com/dir"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i long, u string")
+    out = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", text.url_canonicalize(F.col("u")).alias("c")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert out[i] == want, (cases[i][0], out[i], want)

@@ -476,3 +476,51 @@ def test_mmr_rerank_vs_numpy(spark):
     top_rel = set(sorted(range(n), key=lambda j: (-rel[j], j))[:2])
     assert top_rel == {0, 1}
     assert {expect[0][1], expect[1][1]} != top_rel
+
+
+def test_semantic_decontaminate_exact(spark):
+    """semantic_decontaminate on planted integer vectors: exact parallel
+    duplicate flags at cos_e6 = 1e6, orthogonal stays clean, the max is
+    taken over ALL eval vectors, and an exact two-way tie resolves to the
+    lowest eval id.  Expected floors replicate the operator's own IEEE
+    tree (dot / (sqrt*sqrt), then floor(x * 1e6)) in plain Python."""
+    import math
+
+    from ago_sisdb_spark.operators import embed as embed_ops
+
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (200, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0]),  # parallel to eval 100
+            (2, [0.0, 5.0]),  # parallel to eval 200
+            (3, [3.0, 4.0]),  # 0.6 vs 100, 0.8 vs 200
+            (4, [1.0, 1.0]),  # exact tie -> lowest eid
+        ],
+        "vec_id long, embedding array<double>",
+    )
+
+    def cos_e6(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return math.floor((d / (na * nb)) * 1_000_000)
+
+    out = {
+        r["vec_id"]: r.asDict()
+        for r in embed_ops.semantic_decontaminate(
+            tr, ev, "vec_id", "embedding", "vec_id", threshold_e6=900_000
+        ).collect()
+    }
+    assert len(out) == 4
+    assert out[1]["max_cos_e6"] == 1_000_000
+    assert out[1]["matched_eval_id"] == 100 and out[1]["contaminated"] is True
+    assert out[2]["matched_eval_id"] == 200 and out[2]["contaminated"] is True
+    d3 = out[3]
+    assert d3["max_cos_e6"] == cos_e6([3.0, 4.0], [0.0, 1.0])
+    assert d3["matched_eval_id"] == 200 and d3["contaminated"] is False
+    d4 = out[4]
+    assert d4["matched_eval_id"] == 100  # bit-identical tie -> lowest id
+    assert d4["max_cos_e6"] == cos_e6([1.0, 1.0], [1.0, 0.0])

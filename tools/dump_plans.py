@@ -31,7 +31,7 @@ NOTES = {
     "pipe10_chunk_index_serve": "persisted-index serve (r7 continuation): the corpus side is ONE parquet scan of the chunk index (ReadSchema = ids+vec+norm; built offline like n7's codebooks) — no CDC, no embedding, no documents scan; broadcast queries, codegen dot, per-query top-k window",
     "t_text_suite": "the per-doc text metric suite (r9 shape): the expression projection feeds the gopher Counter pass DIRECTLY (MapInPandas with passthrough — no corpus self-join on doc_id, 3 -> 2 documents scans); the one remaining join is the hash-classifier's inherent explode+groupBy, whose shuffle carries (id, feature) rows",
     "pipe12_domain_mix": "temperature mix (r9): corpus pass 1 = domains-sized count aggregate (map-side combine, checkpointed); the integer rate plan broadcasts into pass 2's gate filter + kept-count aggregate — no corpus-wide shuffle anywhere",
-    "d18_winnowing": "winnowing fingerprint selection (r9): ONE documents scan feeding ONE MapInPandas (numpy rolling-hash sliding dot + window-min per doc, the d11/t12 vectorization lesson) — per-doc work, ZERO exchanges in the whole plan; at 100 TB this is embarrassingly parallel scan-side sketching",
+    "d18_winnowing": "winnowing fingerprint selection (r9): ONE documents scan feeding ONE MapInPandas (numpy rolling-hash sliding dot + window-min per doc, the d11/t12 vectorization lesson) — per-doc work, no data-dependent shuffle; the single visible exchange is the input-balancing repartition that fires only when the scan has fewer splits than cores (local sf0.1 = 1 file) and no-ops at cluster scale where the scan itself supplies the parallelism",
     "d19_winnow_pairs": "MOSS overlap localization (r9): d18's shuffle-free fingerprint pass -> per-(fp, doc) span aggregate -> the boilerplate doc-freq cap is a count WINDOW over the fp key (shares the pair exchange's partitioning, r8 second-wave shape) -> capped-bucket in-array pair expansion (array_sort(collect_list) + transform/flatten — NO fp self-join) -> per-pair span aggregate; shuffles carry (fp, id, span) rows, never text",
     "n11_prf_expansion": "two-stage PRF retrieval (r9 continuation): this is STAGE 2's executed plan — the expanded term set (mined from stage 1's feedback docs, a query-bounded collected artifact) folds into the scan as isin literals BELOW the postings aggregation (the r8 n5 lesson: Catalyst can't push a join below a groupBy), so the corpus-wide tf(doc, term) shuffle never exists; doc lengths ride the one shared narrow projection; top-k per query is a bounded window",
     "t33_ngram_novelty": "per-doc n-gram novelty (r9 continuation): ONE shingle_rows explode scan (min_words fused into the pass's own split) -> distinct -> the gram-keyed doc-frequency aggregate and the gram-keyed join consume the SAME shingle-key exchange (one corpus-gram shuffle, reused); shuffles carry 5-gram strings, never document text; final per-doc aggregate is exact fixed-point",

@@ -530,6 +530,57 @@ def main() -> None:
             )
             return lab.withColumn("s", F.col("component") % 10)
         probe("s9_leakage_split", mk_s9)
+        # r10 batch: C4 line filters, script profile, semantic decontam
+        probe("t34_c4_lines",
+            lambda: text.c4_line_stats(dc, "doc_id", "text"))
+        probe("t35_script_profile",
+            lambda: text.script_profile(dc, "doc_id", "text"))
+        def mk_e9(em=em, emb=emb):
+            from ago_sisdb_spark.operators import embed as embed_ops
+            # eval side stays BASE-scale (production shape: the benchmark
+            # is bounded while the corpus grows) — scaling both sides
+            # would time the |tr|x|ev| product, not the operator
+            ev9 = emb.where(F.col("vec_id") % 19 == 0)
+            return embed_ops.semantic_decontaminate(
+                em, ev9, "vec_id", "embedding", "vec_id"
+            )
+        probe("e9_semantic_decontam", mk_e9)
+        def mk_t36(dc=dc):
+            from ago_sisdb_spark.queries.pipeline import _t36_planted_docs
+            from ago_sisdb_spark.operators.text import (
+                URL_PATTERN, url_canonicalize,
+            )
+            pd_ = _t36_planted_docs(dc.withColumn(
+                "source",
+                F.concat(F.lit("s"), (F.col("doc_id") % 20).cast("string")),
+            ))
+            raw = pd_.select(
+                "doc_id",
+                F.explode(F.regexp_extract_all(
+                    F.col("text"), F.lit(URL_PATTERN), 0)).alias("url"),
+            )
+            return raw.select(
+                "doc_id", "url", url_canonicalize(F.col("url")).alias("c")
+            ).groupBy("c").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("url").alias("v"),
+            )
+        probe("t36_url_canonical", mk_t36)
+        def mk_t37(dc=dc):
+            from ago_sisdb_spark.operators import graph
+            from ago_sisdb_spark.queries.pipeline import _t36_planted_docs
+            from ago_sisdb_spark.operators.text import URL_PATTERN
+            pd_ = _t36_planted_docs(dc.withColumn(
+                "source",
+                F.concat(F.lit("s"), (F.col("doc_id") % 20).cast("string")),
+            ))
+            edges = pd_.select(
+                F.col("source").alias("src"),
+                F.explode(F.regexp_extract_all(
+                    F.col("text"), F.lit(URL_PATTERN), 1)).alias("h"),
+            ).select("src", F.lower(F.col("h")).alias("dst"))
+            return graph.pagerank_e12(edges, "src", "dst", iters=3)
+        probe("t37_host_rank", mk_t37)
         # release this scale's localCheckpoint blocks before the next
         # multiplier: without it the ×32 pass runs on top of ×1+×4's
         # cached copies and every sample carries eviction/GC noise.
