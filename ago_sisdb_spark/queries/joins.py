@@ -267,3 +267,66 @@ def j3_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         p, v, key_cols=["user_id"], time_col="ts", value_cols=["value"]
     )
     return out.select("event_id", "user_id", "ts", "value", "asof_value")
+
+
+@query(
+    "j3b_asof_directions",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+    v AS (SELECT event_id AS vid, user_id, ts, value FROM events
+          WHERE event_type = 'view'),
+    b AS (SELECT p.*,
+        (SELECT value FROM v WHERE v.user_id = p.user_id AND v.ts <= p.ts
+         ORDER BY v.ts DESC, v.vid DESC LIMIT 1) AS bv,
+        (SELECT ts FROM v WHERE v.user_id = p.user_id AND v.ts <= p.ts
+         ORDER BY v.ts DESC, v.vid DESC LIMIT 1) AS bt,
+        (SELECT value FROM v WHERE v.user_id = p.user_id AND v.ts >= p.ts
+         ORDER BY v.ts ASC, v.vid ASC LIMIT 1) AS fv,
+        (SELECT ts FROM v WHERE v.user_id = p.user_id AND v.ts >= p.ts
+         ORDER BY v.ts ASC, v.vid ASC LIMIT 1) AS ft
+      FROM p)
+    SELECT 'backward' AS direction, event_id, user_id, ts, value,
+           bv AS asof_value
+    FROM b
+    UNION ALL
+    SELECT 'forward', event_id, user_id, ts, value, fv FROM b
+    UNION ALL
+    SELECT 'nearest', event_id, user_id, ts, value,
+           CASE WHEN ft IS NULL THEN bv
+                WHEN bt IS NULL THEN fv
+                WHEN (ts - bt) <= (ft - ts) THEN bv ELSE fv END
+    FROM b
+    """,
+    extended=True,
+)
+def j3b_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full as-of direction family (operators/asof.asof_join r10:
+    backward / forward / nearest with the right-tie pin), one tagged
+    matrix over the j3 purchase/view pairing.  Forward is the same
+    union+window scanned in descending time (no extra shuffle); nearest
+    evaluates both fills on ONE union frame and chooses per row
+    (interval comparison, tie -> backward, the pandas convention).  The
+    oracle states each direction as a correlated argmin/argmax subquery
+    with the same vid tie pin — oracle-scale only; the engine side is
+    the one-shuffle window form."""
+    from ago_sisdb_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "value", F.col("event_id").alias("vid")
+    )
+    parts = []
+    for d in ("backward", "forward", "nearest"):
+        out = asof_join(
+            p, v, key_cols=["user_id"], time_col="ts", value_cols=["value"],
+            direction=d, right_order_col="vid",
+        )
+        parts.append(out.select(
+            F.lit(d).alias("direction"),
+            "event_id", "user_id", "ts", "value", "asof_value",
+        ))
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])
