@@ -330,3 +330,101 @@ def j3b_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "user_id", "ts", "value", "asof_value",
         ))
     return parts[0].unionByName(parts[1]).unionByName(parts[2])
+
+
+@query(
+    "j4b_keyless_interval",
+    oracle="""
+    WITH p AS (SELECT event_id, epoch_us(ts) AS pus FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS cid, epoch_us(ts) AS cus FROM events
+          WHERE event_type = 'click')
+    SELECT p.event_id AS purchase_id,
+           CAST(count(c.cid) AS BIGINT) AS n_clicks_near
+    FROM p LEFT JOIN c
+      ON c.cus BETWEEN p.pus - 600000000 AND p.pus + 600000000
+    GROUP BY p.event_id
+    """,
+    extended=True,
+)
+def j4b_keyless_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS interval join (operators/intervaljoin.bin_join_points):
+    clicks within ±10 minutes of each purchase across ALL users — a range
+    predicate with no equi key, which native Spark can only plan as
+    BroadcastNestedLoopJoin/cartesian.  The binned form replicates each
+    purchase window across its ≤3 ten-minute bins and equi-joins clicks
+    on the bin id (points need no dedup), then a bounded left join
+    restores zero-match purchases.  The oracle states the naive
+    BETWEEN join directly."""
+    from ago_sisdb_spark.operators.intervaljoin import bin_join_points
+
+    w = 600_000_000  # 10 minutes in microseconds
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        (us - w).alias("lo"),
+        (us + w).alias("hi"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), us.alias("cus")
+    )
+    counts = (
+        bin_join_points(p, c, "lo", "hi", "cus", bin_width=w)
+        .groupBy("purchase_id")
+        .agg(F.count("click_id").alias("n_clicks_near"))
+    )
+    return p.select("purchase_id").join(counts, "purchase_id", "left").select(
+        "purchase_id",
+        F.coalesce("n_clicks_near", F.lit(0)).cast("long").alias("n_clicks_near"),
+    )
+
+
+@query(
+    "j4c_interval_overlaps",
+    oracle="""
+    WITH p AS (SELECT event_id, epoch_us(ts) AS us FROM events
+               WHERE event_type = 'purchase')
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           CAST(abs(a.us - b.us) AS BIGINT) AS gap_us
+    FROM p a JOIN p b
+      ON a.event_id < b.event_id
+     AND a.us - 300000000 <= b.us + 300000000
+     AND b.us - 300000000 <= a.us + 300000000
+    """,
+    extended=True,
+)
+def j4c_interval_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless interval×interval overlap (operators/intervaljoin.
+    bin_join_intervals): purchases whose ±5-minute windows overlap across
+    all users, each unordered pair exactly once (the first-shared-bin
+    rule — a filter, never a distinct).  Naive Spark would nested-loop
+    the whole purchase set against itself; binned it is an equi
+    self-join on the ten-minute bin id.  Oracle = the naive overlap
+    self-join with the same id ordering."""
+    from ago_sisdb_spark.operators.intervaljoin import bin_join_intervals
+
+    half = 300_000_000  # 5 minutes
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("id"), us.alias("us")
+    )
+    a = p.select(
+        F.col("id").alias("id_a"), F.col("us").alias("us_a"),
+        (F.col("us") - half).alias("lo_a"), (F.col("us") + half).alias("hi_a"),
+    )
+    b = p.select(
+        F.col("id").alias("id_b"), F.col("us").alias("us_b"),
+        (F.col("us") - half).alias("lo_b"), (F.col("us") + half).alias("hi_b"),
+    )
+    return (
+        bin_join_intervals(
+            a, b, "lo_a", "hi_a", "lo_b", "hi_b", bin_width=2 * half
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.abs(F.col("us_a") - F.col("us_b")).cast("long").alias("gap_us"),
+        )
+    )

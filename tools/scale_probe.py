@@ -581,6 +581,26 @@ def main() -> None:
             ).select("src", F.lower(F.col("h")).alias("dst"))
             return graph.pagerank_e12(edges, "src", "dst", iters=3)
         probe("t37_host_rank", mk_t37)
+        def mk_j4b(ev=ev):
+            # binned keyless interval join: multiplying rows inside a FIXED
+            # time range multiplies per-bin density, so the MATCH COUNT
+            # grows ~xN^2 by construction (same family as the d6 fixed-
+            # config note) — the probe times the equi-join shape, and the
+            # counts aggregate keeps the output row set xN
+            from ago_sisdb_spark.operators.intervaljoin import bin_join_points
+            w = 600_000_000
+            us = F.unix_micros(F.col("ts").cast("timestamp"))
+            p = ev.where(F.col("event_type") == "purchase").select(
+                F.col("event_id").alias("pid"),
+                (us - w).alias("lo"), (us + w).alias("hi"),
+            )
+            c = ev.where(F.col("event_type") == "click").select(
+                F.col("event_id").alias("cid"), us.alias("cus")
+            )
+            return bin_join_points(p, c, "lo", "hi", "cus", w).groupBy(
+                "pid"
+            ).agg(F.count("cid").alias("n"))
+        probe("j4b_keyless_interval", mk_j4b)
         # release this scale's localCheckpoint blocks before the next
         # multiplier: without it the ×32 pass runs on top of ×1+×4's
         # cached copies and every sample carries eviction/GC noise.
