@@ -1336,3 +1336,91 @@ def plan_compaction(
     return files.withColumn(
         "slot", F.floor(before / F.lit(target_bytes)).cast("long")
     )
+
+
+# --- Z-order (Morton) clustering layout --------------------------------------
+
+def zorder_key(qx, qy, bits: int = 8):
+    """Morton/Z-order key from two already-quantized non-negative integer
+    columns (each < 2**bits): interleave the bits so rows close in BOTH
+    dimensions get close keys.  A fixed expression tree of shiftright/
+    shiftleft/& terms — pure codegen, engine-portable verbatim (DuckDB
+    spells the same tree with >>/<</&), exact int64 for bits <= 31.
+
+    This is the layout trick behind Delta/Iceberg OPTIMIZE ZORDER: sort
+    or range-partition by the key before writing and min/max file stats
+    become selective for predicates on EITHER column — single-column
+    sorting gives pruning on that column only."""
+    if not 0 < bits <= 31:
+        raise ValueError(f"bits must be in 1..31, got {bits}")
+    terms = []
+    for i in range(bits):
+        terms.append(
+            f"shiftleft(shiftright({qx}, {i}) & 1, {2 * i})"
+            f" + shiftleft(shiftright({qy}, {i}) & 1, {2 * i + 1})"
+        )
+    return F.expr(" + ".join(terms)).cast("long")
+
+
+def quantize_minmax(col: Column, cmin: Column, cmax: Column, bits: int = 8):
+    """Min-max quantization of an integer column into [0, 2**bits):
+    ``((x - min) * (2**bits - 1)) div nullif(max - min, 0)`` — exact
+    integer arithmetic, constant-range degenerates to bucket 0.  The
+    min/max come from one tiny aggregate the caller broadcasts."""
+    top = F.lit((1 << bits) - 1)
+    n = (col - cmin) * top
+    d = F.nullif((cmax - cmin), F.lit(0))
+    # exact integer floor-div without F.expr (these are Column objects):
+    # (n - n%d)/d is an exact integer ratio, so the double division is
+    # exact and the cast cannot straddle a rounding boundary (the float
+    # `/`-then-cast form can round 84.999... up to 85 — engine-divergent)
+    return F.coalesce(((n - F.pmod(n, d)) / d).cast("long"), F.lit(0))
+
+
+def zorder_stats(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    bucket_shift: int = 10,
+) -> DataFrame:
+    """Z-order layout audit: quantize (x, y) to ``bits`` bits each via one
+    broadcast min/max aggregate, interleave into the Morton key, group
+    into ``z >> bucket_shift`` layout buckets (= the files a ZORDER
+    rewrite would cut), and report per bucket the row count and the
+    min/max of BOTH raw columns — the exact numbers a reader's
+    stats-based pruning would consult.  Tight per-bucket ranges on both
+    columns are the whole point; a single-column sort gives tight ranges
+    on one column and full-span ranges on the other (pinned by the
+    pytest).
+
+    One corpus scan + one bucket-keyed aggregate; the min/max aggregate
+    is a 1-row broadcast.  Returns (bucket, n_rows, x_min, x_max, y_min,
+    y_max)."""
+    mm = df.agg(
+        F.min(x_col).alias("__xmin"), F.max(x_col).alias("__xmax"),
+        F.min(y_col).alias("__ymin"), F.max(y_col).alias("__ymax"),
+    )
+    q = df.crossJoin(F.broadcast(mm)).select(
+        F.col(x_col).alias("__x"),
+        F.col(y_col).alias("__y"),
+        quantize_minmax(F.col(x_col), F.col("__xmin"), F.col("__xmax"), bits)
+        .alias("__qx"),
+        quantize_minmax(F.col(y_col), F.col("__ymin"), F.col("__ymax"), bits)
+        .alias("__qy"),
+    )
+    z = q.select(
+        "__x", "__y", zorder_key("__qx", "__qy", bits).alias("__z")
+    )
+    return (
+        z.groupBy(
+            F.shiftright(F.col("__z"), bucket_shift).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("__x").cast("long").alias("x_min"),
+            F.max("__x").cast("long").alias("x_max"),
+            F.min("__y").cast("long").alias("y_min"),
+            F.max("__y").cast("long").alias("y_max"),
+        )
+    )

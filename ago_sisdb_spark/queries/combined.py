@@ -540,6 +540,11 @@ def n2_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'compaction', source, lang, bytes, n_docs, slot,
            CAST(NULL AS DOUBLE)
     FROM ({_O['s8_compaction_plan']})
+    UNION ALL
+    SELECT 'zorder', CAST(bucket AS VARCHAR),
+           CAST(x_min AS VARCHAR) || ':' || CAST(y_min AS VARCHAR),
+           n_rows, x_max, y_max, CAST(NULL AS DOUBLE)
+    FROM ({_O['s10_zorder_layout']})
     """,
 )
 def s1_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -557,6 +562,9 @@ def s1_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       (s5).
     - ``compaction`` — first-fit small-file compaction slots toward a
       target output size, running-sum window per storage partition (s8).
+    - ``zorder`` — Morton-layout audit: per z-order bucket, row count and
+      min/max of BOTH clustering columns, exact integer quantization +
+      bit interleave (s10).
 
     Every branch is expression-only or one bounded window; nothing here
     shuffles document bodies."""
@@ -602,11 +610,24 @@ def s1_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("slot").alias("n3"),
         _D().alias("metric"),
     )
+    zorder = _pipe.s10_zorder_layout(spark, sf_dir).select(
+        F.lit("zorder").alias("part"),
+        F.col("bucket").cast("string").alias("key1"),
+        F.concat(
+            F.col("x_min").cast("string"), F.lit(":"),
+            F.col("y_min").cast("string"),
+        ).alias("key2"),
+        F.col("n_rows").alias("n1"),
+        F.col("x_max").alias("n2"),
+        F.col("y_max").alias("n3"),
+        _D().alias("metric"),
+    )
     return (
         strata.unionByName(tsplit)
         .unionByName(wsamp)
         .unionByName(gshuf)
         .unionByName(compact)
+        .unionByName(zorder)
     )
 
 

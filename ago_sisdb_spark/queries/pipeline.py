@@ -4728,3 +4728,52 @@ def t37_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h"),
     ).select("src", F.lower(F.col("h")).alias("dst"))
     return graph.pagerank_e12(edges, "src", "dst", iters=3)
+
+
+def _s10_oracle(bits: int = 8, bucket_shift: int = 10) -> str:
+    inter = " + ".join(
+        f"(((qx >> {i}) & 1) << {2 * i}) + (((qy >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+    top = (1 << bits) - 1
+    return f"""
+    WITH base AS (
+        SELECT CAST(o_custkey AS BIGINT) AS x,
+               CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS y
+        FROM orders),
+    mm AS (SELECT min(x) AS xmin, max(x) AS xmax,
+                  min(y) AS ymin, max(y) AS ymax FROM base),
+    q AS (SELECT x, y,
+                 coalesce(((x - xmin) * {top}) // nullif(xmax - xmin, 0), 0) AS qx,
+                 coalesce(((y - ymin) * {top}) // nullif(ymax - ymin, 0), 0) AS qy
+          FROM base, mm),
+    z AS (SELECT x, y, ({inter}) AS zz FROM q)
+    SELECT CAST(zz >> {bucket_shift} AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+           CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
+    FROM z GROUP BY 1
+    """
+
+
+@query("s10_zorder_layout", oracle=_s10_oracle(), extended=True)
+def s10_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering layout audit (operators/prep.
+    zorder_stats — the Delta/Iceberg OPTIMIZE ZORDER trick): orders
+    quantized on (o_custkey, order day) to 8 bits each, bit-interleaved,
+    grouped into the 64-bucket layout a ZORDER rewrite would cut, with
+    per-bucket min/max of BOTH raw columns — the stats a reader's file
+    pruning consults, tight on both dimensions where a single-column
+    sort is tight on one.  Exact integer quantization (mod-identity
+    floor-div, no float boundary) and a fixed shift/and expression tree,
+    restated verbatim by the oracle."""
+    from ago_sisdb_spark.operators import prep
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_custkey").cast("long").alias("x"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+        .cast("long")
+        .alias("y"),
+    )
+    return prep.zorder_stats(base, "x", "y", bits=8, bucket_shift=10)

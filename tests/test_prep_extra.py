@@ -1415,3 +1415,59 @@ def test_url_canonicalize_cases(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert out[i] == want, (cases[i][0], out[i], want)
+
+
+def test_zorder_key_matches_python_twin(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, rng.randrange(0, 256), rng.randrange(0, 256))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "i long, qx long, qy long")
+    got = {
+        r["i"]: r["z"]
+        for r in df.select(
+            "i", prep.zorder_key("qx", "qy", 8).alias("z")
+        ).collect()
+    }
+
+    def twin(x, y):
+        z = 0
+        for b in range(8):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    assert got == {i: twin(x, y) for i, x, y in rows}
+
+
+def test_zorder_buckets_bound_both_dimensions(spark):
+    """On a full 16x16 grid with bits=4/bucket_shift=4, every z bucket is
+    one 4x4 quadrant: BOTH per-bucket ranges are <= 3 — whereas an
+    x-sorted layout of the same data has full-span (15) y ranges.  That
+    bounded-on-both-axes property is the pruning claim."""
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = prep.zorder_stats(df, "x", "y", bits=4, bucket_shift=4).collect()
+    assert len(out) == 16 and all(r["n_rows"] == 16 for r in out)
+    for r in out:
+        assert r["x_max"] - r["x_min"] == 3
+        assert r["y_max"] - r["y_min"] == 3
+    # the single-column-sort counterfactual: bucket by x-range instead
+    naive = (
+        df.groupBy((F.col("x") / 4).cast("long").alias("b"))
+        .agg(F.min("y").alias("ymin"), F.max("y").alias("ymax"))
+        .collect()
+    )
+    assert all(r["ymax"] - r["ymin"] == 15 for r in naive)
+
+
+def test_zorder_quantize_degenerate_and_validation(spark):
+    df = spark.createDataFrame([(7, 3), (7, 9)], "x long, y long")
+    out = prep.zorder_stats(df, "x", "y", bits=4, bucket_shift=0).collect()
+    # constant x quantizes to bucket 0 on that axis; both rows survive
+    assert sum(r["n_rows"] for r in out) == 2
+    with pytest.raises(ValueError):
+        prep.zorder_key("x", "y", 0)
+    with pytest.raises(ValueError):
+        prep.zorder_key("x", "y", 32)
