@@ -665,3 +665,73 @@ def test_normalize_gate_stream_batch_parity(spark, tmp_path):
     }
     assert streamed == batch and len(batch) == 30
     assert all("Café" in v for v in batch.values())  # NFC actually ran
+
+
+def test_c4_and_script_gate_stream_batch_parity(spark, tmp_path):
+    """t34/t35 are stateless per-row expression passes, so the streaming
+    ingest gate (foreachBatch) must produce identical per-doc verdicts to
+    one batch pass regardless of micro-batch boundaries — the same
+    contract the t28 normalization pin makes, now for the C4 page filter
+    and the script profile."""
+    from pyspark.sql import functions as F
+
+    from ago_sisdb_spark.operators import text as text_ops
+
+    rows = []
+    for i in range(24):
+        body = (
+            f"Document number {i} has a proper first sentence here.\n"
+            "Another full sentence keeps the page alive today.\n"
+            "A third complete sentence closes the page body.\n"
+        )
+        if i % 4 == 0:
+            body += "contains lorem ipsum filler\n"
+        if i % 3 == 0:
+            # >= 10% of the page's letters must be cyrillic to trip the
+            # integer mixed-script test (10*n_cyr >= n_letters)
+            body += (("\u041f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440 ") * 3).strip() + "\n"
+        rows.append((i, body))
+    src = str(tmp_path / "in")
+    out_dir = str(tmp_path / "gated")
+    for lo, hi in ((0, 8), (8, 16), (16, 24)):
+        spark.createDataFrame(
+            rows[lo:hi], "doc_id long, text string"
+        ).write.mode("append").parquet(src)
+
+    def gate(df):
+        c4 = text_ops.c4_line_stats(df, "doc_id", "text").select(
+            "doc_id", "c4_keep"
+        )
+        sp = text_ops.script_profile(df, "doc_id", "text").select(
+            "doc_id", "dominant", "mixed"
+        )
+        return c4.join(sp, "doc_id")
+
+    def apply_batch(batch_df, batch_id):
+        gate(batch_df).write.mode("append").parquet(out_dir)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        r["doc_id"]: (r["c4_keep"], r["dominant"], r["mixed"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        r["doc_id"]: (r["c4_keep"], r["dominant"], r["mixed"])
+        for r in gate(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert streamed == batch and len(batch) == 24
+    # the gates actually discriminate: lorem pages fail C4, the cyrillic
+    # suffix flips mixed on
+    assert not batch[0][0] and batch[1][0]
+    assert batch[3][2] and not batch[1][2]
