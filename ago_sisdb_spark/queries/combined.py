@@ -209,12 +209,30 @@ def agg_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'anti', 'all', count(*), round(sum(c_acctbal), 2) FROM customer
     WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+    UNION ALL
+    SELECT 'asof:' || direction, CAST(event_id AS VARCHAR),
+           CAST(user_id AS BIGINT), asof_value
+    FROM ({_O['j3b_asof_directions']})
+    UNION ALL
+    SELECT 'keyless_interval', CAST(purchase_id AS VARCHAR), n_clicks_near,
+           CAST(0 AS DOUBLE)
+    FROM ({_O['j4b_keyless_interval']})
+    UNION ALL
+    SELECT 'overlap', CAST(id_a AS VARCHAR) || ':' || CAST(id_b AS VARCHAR),
+           gap_us, CAST(0 AS DOUBLE)
+    FROM ({_O['j4c_interval_overlaps']})
     """,
 )
 def j1_join_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.3 join-type matrix: inner/left/full equi joins, the broadcast-dim
     join (J2), and semi/anti membership joins (J5) — each branch reuses the
-    locally-gated fine-grained query, aligned to (jtype, grp, n, metric)."""
+    locally-gated fine-grained query, aligned to (jtype, grp, n, metric).
+
+    r10 rotation: the as-of DIRECTION family (j3b backward/forward/nearest
+    with the right-tie pin) and the keyless binned interval joins (j4b
+    point-in-interval counts, j4c exactly-once overlap pairs) join the
+    matrix, so the whole beyond-equi join surface is hash-certified in
+    the driver window."""
     inner = _joins.j1_equi_inner(spark, sf_dir).select(
         F.lit("inner").alias("jtype"),
         F.col("nation").alias("grp"),
@@ -250,12 +268,36 @@ def j1_join_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("metric"),
         ).select(F.lit(tag).alias("jtype"), F.lit("all").alias("grp"), "n", "metric")
 
+    asof = _joins.j3b_asof_directions(spark, sf_dir).select(
+        F.concat(F.lit("asof:"), F.col("direction")).alias("jtype"),
+        F.col("event_id").cast("string").alias("grp"),
+        F.col("user_id").cast("bigint").alias("n"),
+        F.col("asof_value").alias("metric"),
+    )
+    keyless = _joins.j4b_keyless_interval(spark, sf_dir).select(
+        F.lit("keyless_interval").alias("jtype"),
+        F.col("purchase_id").cast("string").alias("grp"),
+        F.col("n_clicks_near").alias("n"),
+        F.lit(0.0).alias("metric"),
+    )
+    overlap = _joins.j4c_interval_overlaps(spark, sf_dir).select(
+        F.lit("overlap").alias("jtype"),
+        F.concat(
+            F.col("id_a").cast("string"), F.lit(":"),
+            F.col("id_b").cast("string"),
+        ).alias("grp"),
+        F.col("gap_us").alias("n"),
+        F.lit(0.0).alias("metric"),
+    )
     return (
         inner.unionByName(left)
         .unionByName(full)
         .unionByName(bcast)
         .unionByName(_agg_members(semi, "semi"))
         .unionByName(_agg_members(anti, "anti"))
+        .unionByName(asof)
+        .unionByName(keyless)
+        .unionByName(overlap)
     )
 
 
@@ -1578,6 +1620,14 @@ def p2_w2_exact_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'script', CAST(doc_id AS VARCHAR) || ':' || dominant,
            dominant_e6, CAST(mixed AS BIGINT), CAST(NULL AS DOUBLE)
     FROM ({_O['t35_script_profile']})
+    UNION ALL
+    SELECT 'urlcanon', curl || ':' || CAST(n_raw_variants AS VARCHAR),
+           n_occurrences, n_docs, CAST(NULL AS DOUBLE)
+    FROM ({_O['t36_url_canonical']})
+    UNION ALL
+    SELECT 'hostrank', node, rank_e12, CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM ({_O['t37_host_rank']})
     """,
 )
 def pipe3_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1704,6 +1754,23 @@ def pipe3_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mixed").cast("bigint").alias("n2"),
         _D().alias("metric"),
     )
+    urlc = _pipe.t36_url_canonical(spark, sf_dir).select(
+        F.lit("urlcanon").alias("part"),
+        F.concat(
+            F.col("curl"), F.lit(":"),
+            F.col("n_raw_variants").cast("string"),
+        ).alias("key"),
+        F.col("n_occurrences").alias("n1"),
+        F.col("n_docs").alias("n2"),
+        _D().alias("metric"),
+    )
+    hostrank = _pipe.t37_host_rank(spark, sf_dir).select(
+        F.lit("hostrank").alias("part"),
+        F.col("node").alias("key"),
+        F.col("rank_e12").alias("n1"),
+        _L().alias("n2"),
+        _D().alias("metric"),
+    )
     return (
         dec.unionByName(pack)
         .unionByName(samp)
@@ -1719,6 +1786,8 @@ def pipe3_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(novelty)
         .unionByName(c4)
         .unionByName(script)
+        .unionByName(urlc)
+        .unionByName(hostrank)
     )
 
 
