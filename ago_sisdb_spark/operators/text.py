@@ -1335,3 +1335,45 @@ def url_canonicalize(url: Column) -> Column:
     u = F.regexp_replace(u, r"\?&", "?")
     u = F.regexp_replace(u, r"[?&]+$", "")
     return F.regexp_replace(u, r"/$", "")
+
+
+def char_entropy(docs, id_col: str, text_col: str):
+    """Per-document Shannon entropy of the character distribution (nats,
+    rounded at 6 dp) plus character counts — the classic gibberish /
+    compression-quality signal: natural prose sits near 2.8-3.2 nats,
+    key-mash and base64 blobs higher, repeated-char padding near zero.
+
+    Relational shape: explode characters -> ONE (doc, char) count
+    aggregate; the per-doc total rides a window over the SAME doc
+    partitioning (no second exchange), and the final per-doc sum is one
+    more aggregate on the already-doc-partitioned frame.  Shuffles carry
+    (doc, char) count rows (<= alphabet size per doc), never text.
+
+    Float contract (the t29/KL convention): each term is an exact
+    integer ratio into ONE ln; the per-doc sum is an order-dependent
+    float reduction rounded at 6 dp — boundary hits are measure-zero
+    for ln-derived irrationals.
+
+    Returns (id, n_chars, n_distinct, entropy); empty docs emit
+    nothing (no characters, no row)."""
+    from pyspark.sql import Window
+
+    chars = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), "(?!^)")).alias("ch"),
+    ).where(F.col("ch") != "")
+    per = chars.groupBy("doc", "ch").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("doc")
+    per = per.withColumn("n", F.sum("c").over(w))
+    ratio = F.col("c").cast("double") / F.col("n").cast("double")
+    return (
+        per.groupBy("doc")
+        .agg(
+            F.max("n").cast("long").alias("n_chars"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.round(F.sum(-ratio * F.log(ratio)), 6).alias("entropy"),
+        )
+        .select(
+            F.col("doc").alias(id_col), "n_chars", "n_distinct", "entropy"
+        )
+    )

@@ -1628,6 +1628,9 @@ def p2_w2_exact_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'hostrank', node, rank_e12, CAST(NULL AS BIGINT),
            CAST(NULL AS DOUBLE)
     FROM ({_O['t37_host_rank']})
+    UNION ALL
+    SELECT 'entropy', CAST(doc_id AS VARCHAR), n_chars, n_distinct, entropy
+    FROM ({_O['t38_char_entropy']})
     """,
 )
 def pipe3_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1771,6 +1774,13 @@ def pipe3_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         _L().alias("n2"),
         _D().alias("metric"),
     )
+    entropy = _pipe.t38_char_entropy(spark, sf_dir).select(
+        F.lit("entropy").alias("part"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("n_chars").alias("n1"),
+        F.col("n_distinct").alias("n2"),
+        F.col("entropy").alias("metric"),
+    )
     return (
         dec.unionByName(pack)
         .unionByName(samp)
@@ -1788,6 +1798,7 @@ def pipe3_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(script)
         .unionByName(urlc)
         .unionByName(hostrank)
+        .unionByName(entropy)
     )
 
 

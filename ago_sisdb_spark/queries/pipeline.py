@@ -4777,3 +4777,37 @@ def s10_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y"),
     )
     return prep.zorder_stats(base, "x", "y", bits=8, bucket_shift=10)
+
+
+@query(
+    "t38_char_entropy",
+    oracle=r"""
+    WITH chars AS (
+        SELECT doc_id AS doc, c.ch
+        FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+              FROM documents) c
+        WHERE c.ch != ''),
+    per AS (
+        SELECT doc, ch, count(*) AS c FROM chars GROUP BY doc, ch),
+    tot AS (
+        SELECT per.*, sum(c) OVER (PARTITION BY doc) AS n FROM per)
+    SELECT doc AS doc_id,
+           CAST(max(n) AS BIGINT) AS n_chars,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(sum(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                 * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS entropy
+    FROM tot GROUP BY doc
+    """,
+    extended=True,
+)
+def t38_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy
+    (operators/text.char_entropy) — the gibberish / compression-quality
+    signal beside the Gopher symbol ratios: natural prose ~2.8-3.2 nats,
+    base64/key-mash higher, padding near zero.  One (doc, char) count
+    aggregate; the per-doc total rides a window on the same partitioning.
+    Char splitting is BMP-safe on both engines (Spark lookahead split vs
+    DuckDB string_split('') — code-unit vs codepoint only diverges on
+    surrogate pairs, absent from the corpus and the t28 plants)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.char_entropy(docs, "doc_id", "text")

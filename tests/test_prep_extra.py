@@ -1471,3 +1471,30 @@ def test_zorder_quantize_degenerate_and_validation(spark):
         prep.zorder_key("x", "y", 0)
     with pytest.raises(ValueError):
         prep.zorder_key("x", "y", 32)
+
+
+def test_char_entropy_closed_form(spark):
+    """Entropy pins: uniform 4-char alphabet = ln(4); single repeated char
+    = 0; a 1:3 split = the hand-computed binary-split value; empty doc
+    emits no row; counts exact."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abcd" * 5),      # uniform over 4 chars -> ln(4)
+            (2, "aaaaaa"),        # degenerate -> 0.0
+            (3, "abbb"),          # p = (1/4, 3/4)
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in text.char_entropy(docs, "doc_id", "text").collect()
+    }
+    assert 4 not in out and len(out) == 3
+    assert out[1]["n_chars"] == 20 and out[1]["n_distinct"] == 4
+    assert out[1]["entropy"] == round(math.log(4), 6)
+    assert out[2]["entropy"] == 0.0 and out[2]["n_distinct"] == 1
+    want3 = -(0.25 * math.log(0.25)) - (0.75 * math.log(0.75))
+    assert abs(out[3]["entropy"] - want3) < 1e-6
