@@ -601,6 +601,8 @@ def main() -> None:
                 "pid"
             ).agg(F.count("cid").alias("n"))
         probe("j4b_keyless_interval", mk_j4b)
+        probe("t38_char_entropy",
+            lambda: text.char_entropy(dc, "doc_id", "text"))
         # release this scale's localCheckpoint blocks before the next
         # multiplier: without it the ×32 pass runs on top of ×1+×4's
         # cached copies and every sample carries eviction/GC noise.
