@@ -371,9 +371,13 @@ def semantic_decontaminate(
     side broadcasts into ONE corpus scan — no corpus-side shuffle at
     all; the per-vector max is a map-side aggregate over |eval|
     candidate rows.  At 100 TB this is the only admissible shape: the
-    corpus never exchanges, and the broadcast is eval-sized.
+    corpus never exchanges, and the broadcast is eval-sized.  The join
+    is LEFT (condition-true BroadcastNestedLoopJoin) so an EMPTY eval
+    set yields contaminated=false for every corpus row instead of
+    silently annihilating the corpus side.
 
-    Returns (id, matched_eval_id, max_cos_e6, contaminated)."""
+    Returns (id, matched_eval_id, max_cos_e6, contaminated);
+    matched_eval_id / max_cos_e6 are NULL when the eval set is empty."""
     from ago_sisdb_spark.operators.similarity import cosine
 
     ev = eval_set.select(
@@ -381,7 +385,7 @@ def semantic_decontaminate(
     )
     scored = (
         corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec"))
-        .crossJoin(F.broadcast(ev))
+        .join(F.broadcast(ev), F.lit(True), "left")
         .select(
             id_col,
             "__eid",
@@ -402,5 +406,7 @@ def semantic_decontaminate(
         id_col,
         "matched_eval_id",
         "max_cos_e6",
-        (F.col("max_cos_e6") >= F.lit(threshold_e6)).alias("contaminated"),
+        F.coalesce(
+            F.col("max_cos_e6") >= F.lit(threshold_e6), F.lit(False)
+        ).alias("contaminated"),
     )

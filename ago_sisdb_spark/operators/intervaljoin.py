@@ -32,12 +32,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _floor_bin(n, width: int):
+    """Exact int64 floor-div.  Float ``/``-then-floor is wrong past 2^53
+    (nanosecond epochs: the double quotient lands in the wrong bin), and
+    even the pmod identity ``(n - pmod(n, w)) / w`` fails there because
+    the numerator itself isn't double-representable.  SQL's integral
+    ``div`` (truncating) stays in long arithmetic end-to-end; floor
+    semantics for negative ``n`` come from the standard -1 adjustment
+    when the division is inexact."""
+    w = F.lit(width)
+    q = F.call_function("div", n, w)
+    return (
+        q - F.when((n < 0) & (F.pmod(n, w) != 0), 1).otherwise(0)
+    ).cast("long")
+
+
 def _bins(lo, hi, width: int):
     return F.explode(
-        F.sequence(
-            F.floor(lo / F.lit(width)).cast("long"),
-            F.floor(hi / F.lit(width)).cast("long"),
-        )
+        F.sequence(_floor_bin(lo, width), _floor_bin(hi, width))
     )
 
 
@@ -63,7 +75,7 @@ def bin_join_points(
         "__bin", _bins(F.col(lo_col), F.col(hi_col), bin_width)
     )
     pt = points.withColumn(
-        "__bin", F.floor(F.col(point_col) / F.lit(bin_width)).cast("long")
+        "__bin", _floor_bin(F.col(point_col), bin_width)
     )
     return (
         iv.join(pt, [*keys, "__bin"])
@@ -95,9 +107,7 @@ def bin_join_intervals(
     keys = keys or []
     lv = left.withColumn("__bin", _bins(F.col(l_lo), F.col(l_hi), bin_width))
     rv = right.withColumn("__bin", _bins(F.col(r_lo), F.col(r_hi), bin_width))
-    first_shared = F.floor(
-        F.greatest(F.col(l_lo), F.col(r_lo)) / F.lit(bin_width)
-    ).cast("long")
+    first_shared = _floor_bin(F.greatest(F.col(l_lo), F.col(r_lo)), bin_width)
     return (
         lv.join(rv, [*keys, "__bin"])
         .where(

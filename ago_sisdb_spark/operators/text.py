@@ -1163,7 +1163,8 @@ def c4_line_stats(docs, id_col: str, text_col: str):
     so the datacard can show the reason mix.
 
     Returns per doc: (id, n_lines, n_end_punct, n_short, n_js_lines,
-    n_kept_lines, end_punct_e6, has_lorem, has_brace, c4_keep).
+    n_kept_lines, kept_e6, has_lorem, has_brace, c4_keep) — kept_e6 is
+    the kept-line ratio in integer millionths.
     Counts are exact integers; the ratio is fixed-point millionths.
 
     Scale shape: the line array is materialized ONCE as a column and
@@ -1322,11 +1323,18 @@ def url_canonicalize(url: Column) -> Column:
 
     Deliberately NOT a full RFC 3986 normalizer (no %-decoding, no path
     segment resolution) — canonical keys must be cheap and stable, and
-    over-normalizing merges distinct pages."""
+    over-normalizing merges distinct pages.
+
+    Inputs that don't match lowercase ``^https?://host`` (HTTP://, ftp://,
+    protocol-relative //host/...) keep their fragment-stripped identity
+    instead of collapsing to a shared '' key — the lowercase-host rebuild
+    only fires when the scheme/host extract is non-empty.  The DuckDB twin
+    (queries/pipeline._t36_oracle) omits the fallback branch because its
+    input is URL_PATTERN-prefiltered, where the extract never misses."""
     u = F.regexp_replace(url, r"#.*$", "")
     head = F.lower(F.regexp_extract(u, r"^(https?://[^/?]+)", 1))
     tail = F.regexp_extract(u, r"^https?://[^/?]+(.*)$", 1)
-    u = F.concat(head, tail)
+    u = F.when(head == F.lit(""), u).otherwise(F.concat(head, tail))
     # boundary-anchored ([?&]) so 'ref' can never match inside another
     # param's name/value; the separator is kept ($1) and the collapse
     # passes below normalize whatever sequence the removals left behind

@@ -125,3 +125,43 @@ def test_negative_bounds_and_validation(spark):
     assert got == [1, 2, 3]
     with pytest.raises(ValueError):
         bin_join_points(iv, pts, "a_lo", "a_hi", "p", 0)
+
+
+def test_bins_exact_past_2_53(spark):
+    """Bin math must be exact integer floor-div (the pmod identity), not
+    float `/`-then-floor: int64 bounds past 2^53 (nanosecond epochs) lose
+    precision as doubles, so the float quotient can land in the wrong bin
+    and drop or duplicate matches.  Verify _floor_bin against Python's //
+    on adversarial huge values, and the point join against a naive filter."""
+    from ago_sisdb_spark.operators.intervaljoin import _floor_bin
+
+    base = 2**60
+    vals = [base + k for k in range(-3, 18)] + [base * 7 + 1, base * 7 - 1]
+    df = spark.createDataFrame([(v,) for v in vals], "n long")
+    for width in (7, 1000, 2**31 - 1):
+        got = {
+            r["n"]: r["b"]
+            for r in df.select("n", _floor_bin(F.col("n"), width).alias("b"))
+            .collect()
+        }
+        for v in vals:
+            assert got[v] == v // width, (v, width, got[v], v // width)
+
+    iv = spark.createDataFrame(
+        [(1, base, base + 20), (2, base + 100, base + 120)],
+        "a_id long, a_lo long, a_hi long",
+    )
+    pts = spark.createDataFrame(
+        [(i, base + i) for i in range(-2, 125)], "pid long, p long"
+    )
+    got = sorted(
+        (r["a_id"], r["pid"])
+        for r in bin_join_points(iv, pts, "a_lo", "a_hi", "p", 7).collect()
+    )
+    want = sorted(
+        (a, i)
+        for (a, lo, hi) in [(1, base, base + 20), (2, base + 100, base + 120)]
+        for i in range(-2, 125)
+        if lo <= base + i <= hi
+    )
+    assert got == want

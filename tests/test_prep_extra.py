@@ -1498,3 +1498,29 @@ def test_char_entropy_closed_form(spark):
     assert out[2]["entropy"] == 0.0 and out[2]["n_distinct"] == 1
     want3 = -(0.25 * math.log(0.25)) - (0.75 * math.log(0.75))
     assert abs(out[3]["entropy"] - want3) < 1e-6
+
+
+def test_url_canonicalize_nonmatching_keeps_identity(spark):
+    """Inputs outside lowercase ^https?://host must NOT collapse to a
+    shared '' key (the r11 ADVICE fix): the host-lowercase rebuild only
+    fires when the scheme/host extract hits; everything else keeps its
+    fragment-/tracking-/slash-stripped identity."""
+    cases = [
+        ("HTTP://WWW.Example.COM/Path#f", "HTTP://WWW.Example.COM/Path"),
+        ("ftp://host/file", "ftp://host/file"),
+        ("//host/path?utm_source=a&x=1", "//host/path?x=1"),
+        ("not a url at all", "not a url at all"),
+        ("https://ok.com/A?gclid=1", "https://ok.com/A"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, u string"
+    )
+    out = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", text.url_canonicalize(F.col("u")).alias("c")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert out[i] == want, (cases[i][0], out[i], want)
+    assert len(set(out.values())) == len(cases)

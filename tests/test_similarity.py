@@ -524,3 +524,27 @@ def test_semantic_decontaminate_exact(spark):
     d4 = out[4]
     assert d4["matched_eval_id"] == 100  # bit-identical tie -> lowest id
     assert d4["max_cos_e6"] == cos_e6([1.0, 1.0], [1.0, 0.0])
+
+
+def test_semantic_decontaminate_empty_eval(spark):
+    """An EMPTY eval set must mean 'nothing is contaminated', not 'the
+    corpus vanishes': the left condition-true join keeps every corpus row
+    with NULL match columns and contaminated=false (the r11 ADVICE fix —
+    a crossJoin annihilated the corpus side)."""
+    from ago_sisdb_spark.operators import embed as embed_ops
+
+    ev = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    tr = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r.asDict()
+        for r in embed_ops.semantic_decontaminate(
+            tr, ev, "vec_id", "embedding", "vec_id"
+        ).collect()
+    }
+    assert len(out) == 2
+    for r in out.values():
+        assert r["contaminated"] is False
+        assert r["matched_eval_id"] is None and r["max_cos_e6"] is None
