@@ -122,31 +122,52 @@ def agg_multidim(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_distinct",
     oracle=f"""
-    SELECT 'count_distinct' AS src, event_type, n_users, n
+    SELECT 'count_distinct' AS src, event_type, n_users, n,
+           CAST(NULL AS BIGINT) AS n2, CAST(NULL AS DOUBLE) AS v
     FROM ({_O['agg_count_distinct']})
     UNION ALL
-    SELECT 'dedup_exact', event_type, count(*), CAST(NULL AS BIGINT)
+    SELECT 'dedup_exact', event_type, count(*), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
     FROM (SELECT DISTINCT user_id, event_type FROM events) GROUP BY event_type
     UNION ALL
-    SELECT 'approx_ok', CAST(NULL AS VARCHAR), count(*), count(*)
+    SELECT 'approx_ok', CAST(NULL AS VARCHAR), count(*), count(*),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
     FROM (SELECT DISTINCT event_type FROM events)
+    UNION ALL
+    SELECT 'hll_terms', lang, exact_distinct, n_set, register_sum,
+           est_distinct
+    FROM ({_O['agg_hll_terms']})
+    UNION ALL
+    SELECT 'cms', term, exact_n, est_n, overcount, CAST(NULL AS DOUBLE)
+    FROM ({_O['t15_cms_counts']})
     """,
 )
 def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.4 distinct surface: exact count-distinct per group, A16
     dropDuplicates dedup (sis_dynamic.h:106,126), and the HLL scale path
     checked as a derived invariant (|approx - exact| <= 5% of exact — exact
-    on both sides, so the flag is deterministic; rsd=0.01 gives ~1% error)."""
+    on both sides, so the flag is deterministic; rsd=0.01 gives ~1% error).
+
+    r11 driver rotation (r10 verdict #2): the SKETCH family joins the
+    matrix — ``hll_terms`` (the from-scratch bit-for-bit HyperLogLog over
+    per-language distinct terms: exact vs estimate, register population
+    and sum — sketch.hll_distinct's deterministic twin) and ``cms``
+    (Count-Min Sketch term frequencies: exact vs estimate with the
+    one-sided overcount invariant).  Fine-grained twins stay extended."""
     ev = _t(spark, sf_dir, "events")
     cd = _agg.agg_count_distinct(spark, sf_dir).select(
-        F.lit("count_distinct").alias("src"), "event_type", "n_users", "n"
+        F.lit("count_distinct").alias("src"), "event_type", "n_users", "n",
+        _L().alias("n2"), _D().alias("v"),
     )
     dd = (
         ev.select("user_id", "event_type")
         .dropDuplicates()
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_users"))
-        .select(F.lit("dedup_exact").alias("src"), "event_type", "n_users", _L().alias("n"))
+        .select(
+            F.lit("dedup_exact").alias("src"), "event_type", "n_users",
+            _L().alias("n"), _L().alias("n2"), _D().alias("v"),
+        )
     )
     per_group = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx"),
@@ -159,8 +180,32 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_users"),
         F.count(F.lit(1)).alias("n"),
-    ).select(F.lit("approx_ok").alias("src"), _S().alias("event_type"), "n_users", "n")
-    return cd.unionByName(dd).unionByName(ap)
+    ).select(
+        F.lit("approx_ok").alias("src"), _S().alias("event_type"),
+        "n_users", "n", _L().alias("n2"), _D().alias("v"),
+    )
+    hll = _pipe.agg_hll_terms(spark, sf_dir).select(
+        F.lit("hll_terms").alias("src"),
+        F.col("lang").alias("event_type"),
+        F.col("exact_distinct").alias("n_users"),
+        F.col("n_set").alias("n"),
+        F.col("register_sum").alias("n2"),
+        F.col("est_distinct").alias("v"),
+    )
+    cms = _pipe.t15_cms_counts(spark, sf_dir).select(
+        F.lit("cms").alias("src"),
+        F.col("term").alias("event_type"),
+        F.col("exact_n").alias("n_users"),
+        F.col("est_n").alias("n"),
+        F.col("overcount").alias("n2"),
+        _D().alias("v"),
+    )
+    return (
+        cd.unionByName(dd)
+        .unionByName(ap)
+        .unionByName(hll)
+        .unionByName(cms)
+    )
 
 
 @query(
@@ -468,6 +513,14 @@ def _fused_builders(spark: SparkSession, sf_dir: str):
     SELECT 'prf', CAST(query_id AS BIGINT), CAST(doc AS BIGINT), rank, score,
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
     FROM ({_O['n11_prf_expansion']})
+    UNION ALL
+    SELECT 'rag', CAST(q_doc AS BIGINT), CAST(doc_id AS BIGINT), rank,
+           score, CAST(chunk_idx AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM ({_O['pipe9_chunk_retrieval']})
+    UNION ALL
+    SELECT 'rag_serve', CAST(q_doc AS BIGINT), CAST(doc_id AS BIGINT), rank,
+           score, CAST(chunk_idx AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM ({_O['pipe10_chunk_index_serve']})
     """,
 )
 def n2_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -553,11 +606,33 @@ def n2_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").alias("score"),
         _D().alias("aux1"), _D().alias("aux2"),
     )
+
+    # r11 driver rotation: the RAG chunk family — CDC chunking + trigram
+    # embedding + cosine top-k straight off the corpus (pipe9) and the
+    # same serve over the PERSISTED chunk index (pipe10; built once,
+    # scanned at serve — the recurring production path).  Identical
+    # results by construction (the index materializes the same chunks),
+    # distinct tags so the driver hash certifies both paths.
+    def _rag(tag, fn):
+        return fn(spark, sf_dir).select(
+            F.lit(tag).alias("method"),
+            F.col("q_doc").cast("bigint").alias("probe_id"),
+            F.col("doc_id").cast("bigint").alias("neighbor_id"),
+            F.col("rank").alias("rank"),
+            F.col("score").alias("score"),
+            F.col("chunk_idx").cast("double").alias("aux1"),
+            _D().alias("aux2"),
+        )
+
+    rag = _rag("rag", _pipe.pipe9_chunk_retrieval)
+    rag_serve = _rag("rag_serve", _pipe.pipe10_chunk_index_serve)
     return (
         ann.unionByName(rrf)
         .unionByName(blend)
         .unionByName(mmr)
         .unionByName(prf)
+        .unionByName(rag)
+        .unionByName(rag_serve)
     )
 
 
@@ -587,6 +662,10 @@ def n2_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(x_min AS VARCHAR) || ':' || CAST(y_min AS VARCHAR),
            n_rows, x_max, y_max, CAST(NULL AS DOUBLE)
     FROM ({_O['s10_zorder_layout']})
+    UNION ALL
+    SELECT 'incr_prep', CAST(n_bins AS VARCHAR), CAST(first_bin AS VARCHAR),
+           shard, n_docs, total_tokens, CAST(NULL AS DOUBLE)
+    FROM ({_O['pipe8_incremental_prep']})
     """,
 )
 def s1_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -664,12 +743,25 @@ def s1_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y_max").alias("n3"),
         _D().alias("metric"),
     )
+    # r11 driver rotation: the incremental daily-prep shard layout
+    # (pipe8 — screen the batch against persisted dedup state, re-pack
+    # survivors into the existing shard/bin layout) joins the matrix.
+    incr = _pipe.pipe8_incremental_prep(spark, sf_dir).select(
+        F.lit("incr_prep").alias("part"),
+        F.col("n_bins").cast("string").alias("key1"),
+        F.col("first_bin").cast("string").alias("key2"),
+        F.col("shard").alias("n1"),
+        F.col("n_docs").alias("n2"),
+        F.col("total_tokens").alias("n3"),
+        _D().alias("metric"),
+    )
     return (
         strata.unionByName(tsplit)
         .unionByName(wsamp)
         .unionByName(gshuf)
         .unionByName(compact)
         .unionByName(zorder)
+        .unionByName(incr)
     )
 
 
@@ -795,7 +887,8 @@ def n3_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            a.n_chars, c.lang, c.pred_lang, d.fingerprint, e.n_grams,
            e.rep_ratio, p.n_email, p.n_phone, p.n_ipv4, p.redacted_len,
            u.n_urls, u.n_hosts, h.score_e6 AS cls_score_e6, h.keep AS cls_keep,
-           g.top2_e6, g.dup5_e6, g.gopher_keep
+           g.top2_e6, g.dup5_e6, g.gopher_keep,
+           z.n_chars_raw, z.n_chars_norm, z.norm_md5
     FROM ({_O['t1_token_count']}) a
     JOIN ({_O['t5_bpe_token_count']}) b ON a.doc_id = b.doc_id
     JOIN ({_O['t3_lang_id']}) c ON a.doc_id = c.doc_id
@@ -805,6 +898,7 @@ def n3_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN ({_O['t9_url_stats']}) u ON a.doc_id = u.doc_id
     JOIN ({_O['t18_hash_classifier']}) h ON a.doc_id = h.doc_id
     JOIN ({_O['t25_gopher_rules']}) g ON a.doc_id = g.doc_id
+    JOIN ({_O['t28_text_normalize']}) z ON a.doc_id = z.doc_id
     """,
 )
 def t_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -877,6 +971,13 @@ def t_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("score_e6").alias("cls_score_e6"),
             F.col("keep").alias("cls_keep"),
         ),
+        "doc_id",
+    ).join(
+        # r11 driver rotation: the t28 NFC-normalization audit columns
+        # (zero-width strip → NFC → whitespace collapse, planted
+        # decomposed suffix).  The join exchanges (id, 2 bigints, md5) —
+        # narrow rows, never document bodies.
+        _pipe.t28_text_normalize(spark, sf_dir),
         "doc_id",
     )
 
@@ -1291,7 +1392,9 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT base.*, m.mad, m.n_outliers,
            p50.est AS p50_hist, p99.est AS p99_hist,
            t.auc_num2 AS cls_auc_num2, t.auc AS cls_auc,
-           t.f1 AS cls_f1, t.accuracy AS cls_accuracy
+           t.f1 AS cls_f1, t.accuracy AS cls_accuracy,
+           mw.n_a AS mw_n_a, mw.n_b AS mw_n_b, mw.u1_x2 AS mw_u1_x2,
+           mw.tie_term AS mw_tie_term, mw.z AS mw_z
     FROM base
     JOIN ({_O['a18_mad_outliers']}) m ON base.event_type = m.event_type
     JOIN (SELECT event_type, est FROM ({_O['a19_hist_quantiles']})
@@ -1299,6 +1402,7 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN (SELECT event_type, est FROM ({_O['a19_hist_quantiles']})
           WHERE q = 0.99) p99 ON base.event_type = p99.event_type
     CROSS JOIN ({_O['t27_classifier_eval']}) t
+    CROSS JOIN ({_O['a23_mannwhitney']}) mw
     """,
 )
 def a3_stat_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1354,11 +1458,23 @@ def a3_stat_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f1").alias("cls_f1"),
         F.col("accuracy").alias("cls_accuracy"),
     )
+    # r11 driver rotation: the standalone tie-aware Mann-Whitney U test
+    # (a23 — click vs purchase value streams, integer-exact 2·U and tie
+    # term over range-partitioned prefix sums, z one fixed IEEE tree)
+    # rides as five more cross-joined summary columns (one row).
+    mw = _series.a23_mannwhitney(spark, sf_dir).select(
+        F.col("n_a").alias("mw_n_a"),
+        F.col("n_b").alias("mw_n_b"),
+        F.col("u1_x2").alias("mw_u1_x2"),
+        F.col("tie_term").alias("mw_tie_term"),
+        F.col("z").alias("mw_z"),
+    )
     return (
         base.join(mad, "event_type")
         .join(p50, "event_type")
         .join(p99, "event_type")
         .crossJoin(F.broadcast(cls))
+        .crossJoin(F.broadcast(mw))
     )
 
 
@@ -1631,6 +1747,10 @@ def p2_w2_exact_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'entropy', CAST(doc_id AS VARCHAR), n_chars, n_distinct, entropy
     FROM ({_O['t38_char_entropy']})
+    UNION ALL
+    SELECT 'bpe_train', pair || '>' || merged, merge_rank, pair_count,
+           CAST(NULL AS DOUBLE)
+    FROM ({_O['t20_bpe_train']})
     """,
 )
 def pipe3_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1781,6 +1901,18 @@ def pipe3_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_distinct").alias("n2"),
         F.col("entropy").alias("metric"),
     )
+    # r11 driver rotation (r10 verdict #2): BPE TRAINING joins the union —
+    # the iterative corpus-wide merge learner (t20: symbol-array fold per
+    # round, planted-oracle checked), closing the BPE loop the driver
+    # window already certifies downstream of (t26 fertility uses the
+    # learned merges; t5 counts with them).
+    bpe = _pipe.t20_bpe_train(spark, sf_dir).select(
+        F.lit("bpe_train").alias("part"),
+        F.concat(F.col("pair"), F.lit(">"), F.col("merged")).alias("key"),
+        F.col("merge_rank").alias("n1"),
+        F.col("pair_count").alias("n2"),
+        _D().alias("metric"),
+    )
     return (
         dec.unionByName(pack)
         .unionByName(samp)
@@ -1799,6 +1931,7 @@ def pipe3_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(urlc)
         .unionByName(hostrank)
         .unionByName(entropy)
+        .unionByName(bpe)
     )
 
 

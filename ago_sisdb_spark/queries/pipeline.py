@@ -956,153 +956,6 @@ def pipe2_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select("id", "component")
 
 
-def _pipe2_umbrella_oracle() -> str:
-    d15 = """
-    SELECT doc_id,
-           count(*) OVER (PARTITION BY md5(text)) AS n_dups,
-           CAST(1000000 // count(*) OVER (PARTITION BY md5(text)) AS BIGINT)
-               AS weight_e6
-    FROM documents
-    """
-    d16 = f"""
-    WITH comp AS ({_PIPE2_ORACLE}),
-    lens AS (SELECT doc_id, length(text) AS tlen
-             FROM documents WHERE doc_id < 60),
-    j AS (SELECT c.component, c.id, CAST(l.tlen AS BIGINT) AS tlen,
-                 count(*) OVER (PARTITION BY c.component) AS n_members,
-                 row_number() OVER (PARTITION BY c.component
-                                    ORDER BY l.tlen DESC, c.id) AS rn
-          FROM comp c JOIN lens l ON l.doc_id = c.id)
-    SELECT component, id AS rep_id, tlen AS rep_len, n_members
-    FROM j WHERE rn = 1
-    """
-    s9 = f"""
-    WITH comp AS ({_PIPE2_ORACLE}),
-    lab AS (
-        SELECT d.doc_id,
-               CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component
-        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
-    SELECT doc_id, component,
-           CASE WHEN component % 10 < 8 THEN 'train'
-                WHEN component % 10 = 8 THEN 'val' ELSE 'test' END AS split
-    FROM lab
-    """
-    d17 = dedup.minhash_estimator_oracle_sql(
-        "documents", "doc_id", "text", shingle_k=3, num_hashes=32, bands=8
-    )
-    return f"""
-    SELECT 'component' AS part, CAST(id AS BIGINT) AS id,
-           CAST(component AS BIGINT) AS grp, CAST(NULL AS BIGINT) AS n1,
-           CAST(NULL AS BIGINT) AS n2, CAST(NULL AS VARCHAR) AS split
-    FROM ({_PIPE2_ORACLE})
-    UNION ALL
-    SELECT 'rep', CAST(rep_id AS BIGINT), CAST(component AS BIGINT),
-           rep_len, CAST(n_members AS BIGINT), NULL
-    FROM ({d16})
-    UNION ALL
-    SELECT 'split', doc_id, component, NULL, NULL, split
-    FROM ({s9})
-    UNION ALL
-    SELECT 'soft', doc_id, NULL, CAST(n_dups AS BIGINT), weight_e6, NULL
-    FROM ({d15})
-    UNION ALL
-    SELECT 'mh_audit', id_a, id_b, CAST(est_e6 AS BIGINT),
-           CAST(jac_e6 AS BIGINT), NULL
-    FROM ({d17})
-    """
-
-
-@query("pipe2_neardup_groups", oracle=_pipe2_umbrella_oracle())
-def pipe2_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup GRAPH suite — clustering plus everything a pipeline does
-    with the clusters, one tagged matrix (r10 driver rotation, r9 verdict
-    #2; fine-grained twins stay extended for localization):
-
-    - ``component`` — exact 2-gram Jaccard pairs (threshold 0.08,
-      doc_id<60 slice) → distributed connected components
-      (operators/dedup.connected_components — since r10 the two-rule
-      large-star/small-star contraction, O(log n) rounds on chains, no
-      driver union-find).  Oracle: recursive-CTE transitive closure.
-    - ``rep`` — RefinedWeb-style keep-the-best representative per
-      component (longest member, tie → lowest id; d16's operator).
-    - ``split`` — leakage-safe train/val/test: the modulo gate keyed by
-      the COMPONENT so near-dup groups land on one side (s9's operator);
-      singleton docs are their own component.
-    - ``soft`` — soft dedup: every doc kept at weight 1/multiplicity in
-      exact millionths over the narrow (digest, id) layout (d15).
-    - ``mh_audit`` — MinHash estimator quality: per banded candidate
-      pair, the 32-hash Jaccard estimate vs the TRUE distinct-shingle
-      Jaccard, integer millionths (d17) — the trust-the-prune check.
-
-    The component/rep/split branches share ONE pairs+components build
-    (the exchange-reuse lesson: thread one frame through all consumers,
-    never re-derive per branch)."""
-    docs = _t(spark, sf_dir, "documents")
-    docs60 = docs.where(F.col("doc_id") < 60)
-    pairs = dedup.ngram_jaccard_pairs(docs60, "doc_id", "text", n=2, threshold=0.08)
-    comp = dedup.connected_components(pairs)
-
-    def _pad(df, part, cols):
-        sel = [F.lit(part).alias("part")]
-        for name, expr in cols.items():
-            sel.append(
-                expr.cast("bigint").alias(name)
-                if name != "split"
-                else expr.alias(name)
-            )
-        return df.select(*sel)
-
-    nul = F.lit(None)
-    component = _pad(comp, "component", {
-        "id": F.col("id"), "grp": F.col("component"),
-        "n1": nul, "n2": nul, "split": nul.cast("string"),
-    })
-    rep = _pad(
-        dedup.cluster_representatives(comp, docs60, "doc_id", "text"),
-        "rep",
-        {"id": F.col("rep_id"), "grp": F.col("component"),
-         "n1": F.col("rep_len"), "n2": F.col("n_members"),
-         "split": nul.cast("string")},
-    )
-    lab = (
-        docs.select("doc_id")
-        .join(F.broadcast(comp), F.col("doc_id") == F.col("id"), "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("component"), F.col("doc_id"))
-            .cast("long")
-            .alias("component"),
-        )
-    )
-    split_expr = (
-        F.when(F.col("component") % 10 < 8, "train")
-        .when(F.col("component") % 10 == 8, "val")
-        .otherwise("test")
-    )
-    split = _pad(lab, "split", {
-        "id": F.col("doc_id"), "grp": F.col("component"),
-        "n1": nul, "n2": nul, "split": split_expr,
-    })
-    soft = _pad(
-        dedup.soft_dedup_weights(docs, "doc_id", "text"),
-        "soft",
-        {"id": F.col("doc_id"), "grp": nul, "n1": F.col("n_dups"),
-         "n2": F.col("weight_e6"), "split": nul.cast("string")},
-    )
-    audit = _pad(
-        dedup.minhash_estimator_audit(docs, "doc_id", "text"),
-        "mh_audit",
-        {"id": F.col("id_a"), "grp": F.col("id_b"), "n1": F.col("est_e6"),
-         "n2": F.col("jac_e6"), "split": nul.cast("string")},
-    )
-    return (
-        component.unionByName(rep)
-        .unionByName(split)
-        .unionByName(soft)
-        .unionByName(audit)
-    )
-
-
 @query("d7_simhash_pairs", oracle=None, extended=True)
 def d7_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 6 over 64-bit fingerprints, 4-band
@@ -2589,6 +2442,181 @@ def d12_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = dedup.load_minhash_index(spark, idx_path)
     return dedup.minhash_screen_batch(
         batch, index, "doc_id", "text", portable=True
+    )
+
+
+def _pipe2_umbrella_oracle() -> str:
+    d15 = """
+    SELECT doc_id,
+           count(*) OVER (PARTITION BY md5(text)) AS n_dups,
+           CAST(1000000 // count(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+               AS weight_e6
+    FROM documents
+    """
+    d16 = f"""
+    WITH comp AS ({_PIPE2_ORACLE}),
+    lens AS (SELECT doc_id, length(text) AS tlen
+             FROM documents WHERE doc_id < 60),
+    j AS (SELECT c.component, c.id, CAST(l.tlen AS BIGINT) AS tlen,
+                 count(*) OVER (PARTITION BY c.component) AS n_members,
+                 row_number() OVER (PARTITION BY c.component
+                                    ORDER BY l.tlen DESC, c.id) AS rn
+          FROM comp c JOIN lens l ON l.doc_id = c.id)
+    SELECT component, id AS rep_id, tlen AS rep_len, n_members
+    FROM j WHERE rn = 1
+    """
+    s9 = f"""
+    WITH comp AS ({_PIPE2_ORACLE}),
+    lab AS (
+        SELECT d.doc_id,
+               CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+    SELECT doc_id, component,
+           CASE WHEN component % 10 < 8 THEN 'train'
+                WHEN component % 10 = 8 THEN 'val' ELSE 'test' END AS split
+    FROM lab
+    """
+    d17 = dedup.minhash_estimator_oracle_sql(
+        "documents", "doc_id", "text", shingle_k=3, num_hashes=32, bands=8
+    )
+    return f"""
+    SELECT 'component' AS part, CAST(id AS BIGINT) AS id,
+           CAST(component AS BIGINT) AS grp, CAST(NULL AS BIGINT) AS n1,
+           CAST(NULL AS BIGINT) AS n2, CAST(NULL AS VARCHAR) AS split
+    FROM ({_PIPE2_ORACLE})
+    UNION ALL
+    SELECT 'rep', CAST(rep_id AS BIGINT), CAST(component AS BIGINT),
+           rep_len, CAST(n_members AS BIGINT), NULL
+    FROM ({d16})
+    UNION ALL
+    SELECT 'split', doc_id, component, NULL, NULL, split
+    FROM ({s9})
+    UNION ALL
+    SELECT 'soft', doc_id, NULL, CAST(n_dups AS BIGINT), weight_e6, NULL
+    FROM ({d15})
+    UNION ALL
+    SELECT 'mh_audit', id_a, id_b, CAST(est_e6 AS BIGINT),
+           CAST(jac_e6 AS BIGINT), NULL
+    FROM ({d17})
+    UNION ALL
+    SELECT 'bloom_incr', doc_id, NULL, CAST(is_dup AS BIGINT), NULL, status
+    FROM ({_d8_oracle()})
+    UNION ALL
+    SELECT 'mh_incr', batch_id, hist_id, n_shared_bands, NULL, NULL
+    FROM ({_d12_oracle()})
+    """
+
+
+@query("pipe2_neardup_groups", oracle=_pipe2_umbrella_oracle())
+def pipe2_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GRAPH suite — clustering plus everything a pipeline does
+    with the clusters, one tagged matrix (r10 driver rotation, r9 verdict
+    #2; fine-grained twins stay extended for localization):
+
+    - ``component`` — exact 2-gram Jaccard pairs (threshold 0.08,
+      doc_id<60 slice) → distributed connected components
+      (operators/dedup.connected_components — since r10 the two-rule
+      large-star/small-star contraction, O(log n) rounds on chains, no
+      driver union-find).  Oracle: recursive-CTE transitive closure.
+    - ``rep`` — RefinedWeb-style keep-the-best representative per
+      component (longest member, tie → lowest id; d16's operator).
+    - ``split`` — leakage-safe train/val/test: the modulo gate keyed by
+      the COMPONENT so near-dup groups land on one side (s9's operator);
+      singleton docs are their own component.
+    - ``soft`` — soft dedup: every doc kept at weight 1/multiplicity in
+      exact millionths over the narrow (digest, id) layout (d15).
+    - ``mh_audit`` — MinHash estimator quality: per banded candidate
+      pair, the 32-hash Jaccard estimate vs the TRUE distinct-shingle
+      Jaccard, integer millionths (d17) — the trust-the-prune check.
+
+    The component/rep/split branches share ONE pairs+components build
+    (the exchange-reuse lesson: thread one frame through all consumers,
+    never re-derive per branch)."""
+    docs = _t(spark, sf_dir, "documents")
+    docs60 = docs.where(F.col("doc_id") < 60)
+    pairs = dedup.ngram_jaccard_pairs(docs60, "doc_id", "text", n=2, threshold=0.08)
+    comp = dedup.connected_components(pairs)
+
+    def _pad(df, part, cols):
+        sel = [F.lit(part).alias("part")]
+        for name, expr in cols.items():
+            sel.append(
+                expr.cast("bigint").alias(name)
+                if name != "split"
+                else expr.alias(name)
+            )
+        return df.select(*sel)
+
+    nul = F.lit(None)
+    component = _pad(comp, "component", {
+        "id": F.col("id"), "grp": F.col("component"),
+        "n1": nul, "n2": nul, "split": nul.cast("string"),
+    })
+    rep = _pad(
+        dedup.cluster_representatives(comp, docs60, "doc_id", "text"),
+        "rep",
+        {"id": F.col("rep_id"), "grp": F.col("component"),
+         "n1": F.col("rep_len"), "n2": F.col("n_members"),
+         "split": nul.cast("string")},
+    )
+    lab = (
+        docs.select("doc_id")
+        .join(F.broadcast(comp), F.col("doc_id") == F.col("id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id"))
+            .cast("long")
+            .alias("component"),
+        )
+    )
+    split_expr = (
+        F.when(F.col("component") % 10 < 8, "train")
+        .when(F.col("component") % 10 == 8, "val")
+        .otherwise("test")
+    )
+    split = _pad(lab, "split", {
+        "id": F.col("doc_id"), "grp": F.col("component"),
+        "n1": nul, "n2": nul, "split": split_expr,
+    })
+    soft = _pad(
+        dedup.soft_dedup_weights(docs, "doc_id", "text"),
+        "soft",
+        {"id": F.col("doc_id"), "grp": nul, "n1": F.col("n_dups"),
+         "n2": F.col("weight_e6"), "split": nul.cast("string")},
+    )
+    audit = _pad(
+        dedup.minhash_estimator_audit(docs, "doc_id", "text"),
+        "mh_audit",
+        {"id": F.col("id_a"), "grp": F.col("id_b"), "n1": F.col("est_e6"),
+         "n2": F.col("jac_e6"), "split": nul.cast("string")},
+    )
+    # r11 driver rotation (r10 verdict #2): the INCREMENTAL screens join
+    # the matrix — the exact Bloom-digest screen of a batch against
+    # persisted corpus state (d8) and the MinHash band-index near-dup
+    # screen with no re-shingling of history (d12).  Batch-vs-artifact
+    # join shapes per the r8 convention: the artifact side never
+    # shuffles or builds.
+    bloom = _pad(
+        d8_bloom_incremental(spark, sf_dir),
+        "bloom_incr",
+        {"id": F.col("doc_id"), "grp": nul,
+         "n1": F.col("is_dup").cast("bigint"), "n2": nul,
+         "split": F.col("status")},
+    )
+    mh_incr = _pad(
+        d12_minhash_incremental(spark, sf_dir),
+        "mh_incr",
+        {"id": F.col("batch_id"), "grp": F.col("hist_id"),
+         "n1": F.col("n_shared_bands"), "n2": nul,
+         "split": nul.cast("string")},
+    )
+    return (
+        component.unionByName(rep)
+        .unionByName(split)
+        .unionByName(soft)
+        .unionByName(audit)
+        .unionByName(bloom)
+        .unionByName(mh_incr)
     )
 
 

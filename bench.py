@@ -5,7 +5,16 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is materialized with a full collect (driver-side) to count the
 whole pipeline including Arrow transfer.  Warm-up runs once (JVM/codegen
-warm), then the median of 3 timed runs per query is reported.
+warm), then the median of 3 timed runs per query is reported — 5 runs when
+the median lands under 1.5 s and 7 under 0.6 s, because two rounds running
+the gate artifact was decided by ambient host spread on sub-second anchors
+(r9 q1 at 2.00×, r10 p6 at 2.38×, both uniform-host-noise artifacts).
+
+A FROZEN calibration probe (fixed scan+shuffle aggregate over lineitem,
+never edited after r11) runs before and after the measured set; its ratio
+to the r11 clean-day anchor is reported as ``calibration.host_factor`` so
+a uniformly-inflated host day is self-evident in the artifact instead of
+needing cross-round forensics.
 """
 
 from __future__ import annotations
@@ -21,27 +30,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: one per operator family, the queries a 100 TB deployment
-# would actually run hot.
-HEADLINE = [
-    "q1_pricing_summary",     # scan+agg
-    "q3_shipping_priority",   # 3-way join
-    "a1_ohlcv_rollup",        # time-scale rollup
-    "j3_asof_join",           # as-of join
-    "j4_range_join",          # interval join
-    "p6_last_per_key",        # latest-per-key
-    "a12_running_avg",        # window series math
-    "d1_dedup_exact",         # exact dedup
-    "d3_minhash_lsh",         # near-dup LSH
-    "n1_knn_bruteforce",      # similarity search
-    "t2_quality_score",       # text analysis
-    "s2_time_range_scan",     # pruned range scan
+# would actually run hot.  Values are the BASELINE.md headline-table
+# anchors (sec at sf0.1) — kept in sync by the CLAUDE.md rule — so the
+# artifact can self-report each query's ratio-to-anchor next to the
+# calibration host_factor (a 2× reading on a 1.4× host day is then
+# adjudicable inside the artifact itself).
+HEADLINE_ANCHORS = {
+    "q1_pricing_summary": 0.58,   # scan+agg
+    "q3_shipping_priority": 0.86, # 3-way join
+    "a1_ohlcv_rollup": 0.39,      # time-scale rollup
+    "j3_asof_join": 0.51,         # as-of join
+    "j4_range_join": 0.49,        # interval join
+    "p6_last_per_key": 0.31,      # latest-per-key
+    "a12_running_avg": 0.75,      # window series math
+    "d1_dedup_exact": 0.22,       # exact dedup
+    "d3_minhash_lsh": 1.83,       # near-dup LSH
+    "n1_knn_bruteforce": 0.54,    # similarity search
+    "t2_quality_score": 0.47,     # text analysis
+    "s2_time_range_scan": 0.24,   # pruned range scan
     # r6 (r5 verdict #4): the composite end-to-end prep pipeline (ingest →
     # exact dedup → MinHash prune → decontaminate → quality gate → pack)
     # promoted from secondary — the single number closest to "the product
     # works"; anchored in BASELINE.md's headline table from its r6
     # clean-session median
-    "pipe_full_prep",
-]
+    "pipe_full_prep": 6.28,
+}
+HEADLINE = list(HEADLINE_ANCHORS)
 
 # Secondary set (BASELINE.md's second table, tracked round-over-round):
 # approximate / pandas-UDF paths whose cost profile differs from the
@@ -96,6 +110,10 @@ SECONDARY = [
 ]
 
 RUNS = 3
+# (median-after-3-runs cutoff, extra samples): sub-second queries carry
+# proportionally the most ambient jitter — a single 0.4 s hiccup doubles a
+# 0.3 s anchor reading; more samples make the median robust to it.
+EXTRA_RUNS_UNDER = ((0.6, 4), (1.5, 2))
 
 _MODES = ("all", "headline", "secondary", "clean")
 
@@ -113,6 +131,48 @@ def _median_time(spark, queries, name: str) -> float:
     for _ in range(RUNS):
         t0 = time.perf_counter()
         fn(spark, SF_DIR).collect()
+        samples.append(time.perf_counter() - t0)
+    extra = next(
+        (n for cut, n in EXTRA_RUNS_UNDER if statistics.median(samples) < cut),
+        0,
+    )
+    for _ in range(extra):
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).collect()
+        samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 4)
+
+
+# r11 clean-day anchor for the frozen probe below (BASELINE.md
+# §calibration): median across 3 fresh sessions (0.48/0.40/0.44), each a
+# self-warmed median of 5, measured exactly the way _calibration_probe
+# measures.  host_factor = probe/anchor ≈ how much slower TODAY'S host is
+# than the anchor day on identical frozen work.
+CALIBRATION_ANCHOR_SEC = 0.44
+
+
+def _calibration_probe(spark) -> float:
+    """FROZEN host-speed probe — never edit this query or its sampling
+    (editing it invalidates every recorded host_factor): one parquet scan
+    + one shuffle aggregate over lineitem, self-warmed, median of 5."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+
+    def q():
+        df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").alias("s"),
+            F.avg("l_extendedprice").alias("a"),
+        ).collect()
+
+    q()  # self warm-up
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(0.3)
+    samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        q()
         samples.append(time.perf_counter() - t0)
     return round(statistics.median(samples), 4)
 
@@ -175,21 +235,58 @@ def main() -> None:
             f"(got {which!r})"
         )
 
+    from ago_sisdb_spark.session import get_spark
+
+    spark = get_spark(app_name="ago_sisdb_bench")
+    cal_pre = _calibration_probe(spark)
+
     runner = _run_clean if which == "clean" else _run_inline
     timings = runner(HEADLINE) if which in ("all", "headline", "clean") else {}
     secondary = (
         runner(SECONDARY) if which in ("all", "secondary", "clean") else {}
     )
 
+    cal_post = _calibration_probe(spark)
+    anchor = CALIBRATION_ANCHOR_SEC
+    # host_factor compares ONLY the pre probe to the anchor: both run in a
+    # fresh session warmed solely by the probe itself.  The post probe
+    # runs in a fully JIT/cache-warmed JVM and reads systematically lower
+    # (~0.2 vs 0.44 anchor) — it is reported as a within-run drift signal,
+    # never folded into the factor.
+    factor = round(cal_pre / anchor, 3) if anchor else None
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     label = "clean-session per query" if which == "clean" else "local[N]"
     out = {
-        "metric": f"headline query wall time at sf (median of 3, {label})",
+        "metric": (
+            f"headline query wall time at sf (median of 3-7, {label})"
+        ),
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "secondary": secondary,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # host-speed self-report: >1.3 means every reading above is
+        # riding a slow host day — judge per-query ratios against
+        # anchor*host_factor, not the raw anchor.
+        "calibration": {
+            "pre_sec": cal_pre,
+            "post_sec": cal_post,
+            "anchor_sec": anchor,
+            "host_factor": factor,
+            "host_inflated": bool(factor and factor > 1.3),
+        },
+        # per-query ratio to the BASELINE.md anchor (sf0.1 protocol only —
+        # other SFs have no anchors, ratios omitted)
+        "ratio_to_anchor": (
+            {
+                name: round(sec / HEADLINE_ANCHORS[name], 2)
+                for name, sec in timings.items()
+                if name in HEADLINE_ANCHORS
+            }
+            if str(sf) == "0.1"
+            else {}
+        ),
     }
     print(json.dumps(out))
 
