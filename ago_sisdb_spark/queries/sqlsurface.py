@@ -55,3 +55,42 @@ def sql_surface_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked against DuckDB executing the IDENTICAL string."""
     register_views(spark, sf_dir)
     return spark.sql(Q1_SQL)
+
+
+# A second shape class through the same text surface (r10 verdict #7): an
+# equi JOIN feeding WINDOW functions.  Everything is exact (integer ranks
+# and counts, untouched parquet doubles — no order-dependent float
+# reduction), ties pinned by o_orderkey, so the identical string hashes
+# identically on both engines.  The window partitions by o_custkey
+# (customer-cardinality), never by the 5-value segment — a 5-partition
+# window over the whole orders table would be the skew anti-pattern at
+# 100 TB.
+JOIN_WINDOW_SQL = """
+    WITH ranked AS (
+        SELECT c.c_mktsegment AS segment,
+               o.o_custkey, o.o_orderkey, o.o_totalprice,
+               row_number() OVER (PARTITION BY o.o_custkey
+                                  ORDER BY o.o_totalprice DESC,
+                                           o.o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY o.o_custkey) AS cust_orders
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+    SELECT segment,
+           CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           o_totalprice,
+           CAST(rn AS BIGINT) AS rn,
+           CAST(cust_orders AS BIGINT) AS cust_orders
+    FROM ranked
+    WHERE rn <= 2
+"""
+
+
+@query("sql_surface_join_window", oracle=JOIN_WINDOW_SQL, extended=True)
+def sql_surface_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface parity beyond q1's scan+agg shape (r10 verdict #7):
+    a customer-orders JOIN feeding ranked/counting WINDOW functions, run
+    as ``spark.sql`` text over ``register_views`` and hash-checked
+    against DuckDB executing the IDENTICAL string — proving the text
+    surface covers the join+window operator classes, not just q1."""
+    register_views(spark, sf_dir)
+    return spark.sql(JOIN_WINDOW_SQL)

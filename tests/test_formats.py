@@ -475,3 +475,116 @@ def test_sdb_bars_stream_crash_midbatch_redelivery(spark, tmp_path):
         )
     )
     assert allrows == sorted(a + b)
+
+
+def test_sdb_bars_filter_enforcement_property():
+    """Property sweep of the S13 reader's filter semantics (r10 verdict
+    #6): random dotted/undotted symbols x honest key-named files (with
+    and without .part suffixes) x hand-written MIXED files (raw-byte
+    legacy files whose name lies about their contents) x random
+    EqualTo/In/stacked filter combinations, at unit level (pushFilters →
+    partitions → read).  Three invariants:
+
+    1. soundness — a filtered read NEVER returns a row outside the
+       filter set, mixed files included (the consumed-filter row-level
+       enforcement);
+    2. honest-corpus equality — when every file honors the key-addressed
+       naming contract, filtered read == unfiltered read + post-filter,
+       exactly (file pruning is then a pure optimization);
+    3. full behavioral model — a file is pruned iff its name-key misses
+       the filter set; surviving files are row-filtered (pins the
+       documented one-sided contract for mis-named legacy files).
+    """
+    import os as _os
+    import tempfile
+
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql.datasource import EqualTo, In
+
+    from ago_sisdb_spark.sources import sdbfmt
+
+    seg = st.sampled_from(["A", "B", "BRK", "X", "Y2", "QQQ"])
+    symbol = st.builds(".".join, st.lists(seg, min_size=1, max_size=3))
+
+    @st.composite
+    def corpus(draw):
+        syms = draw(st.lists(symbol, min_size=1, max_size=4, unique=True))
+        files = []  # (filename, rows, honest)
+        for i, s in enumerate(syms):
+            name = f"{s}.part{i}.sdb" if draw(st.booleans()) else f"{s}.sdb"
+            n = draw(st.integers(1, 3))
+            rows = [(s, 1000 * i + j, 1.0, 2.0, 0.5, 1.5, j) for j in range(n)]
+            files.append((name, rows, True))
+        if draw(st.booleans()) and len(syms) >= 2:  # a mixed legacy file
+            rows = [(s, 9000 + k, 3.0, 4.0, 2.5, 3.5, k)
+                    for k, s in enumerate(syms[:2])]
+            # name either shares an honest symbol's KEY (distinct file —
+            # .part9 can't collide with the .part{i<4}/plain honest
+            # names — so the file is READ under that filter and
+            # row-enforcement is exercised) or is a foreign MIX.* key
+            # (so whole-file pruning is exercised on lying names)
+            name = (
+                f"{syms[0]}.part9.sdb"
+                if draw(st.booleans())
+                else f"MIX.{draw(symbol)}.sdb"
+            )
+            files.append((name, rows, False))
+        fsyms = draw(
+            st.lists(st.one_of(symbol, st.just("ZZZ")), min_size=1,
+                     max_size=3, unique=True)
+        )
+        stacked = draw(st.booleans()) and len(fsyms) >= 2
+        return files, fsyms, stacked
+
+    @given(corpus())
+    @settings(max_examples=60, deadline=None)
+    def check(case):
+        files, fsyms, stacked = case
+        with tempfile.TemporaryDirectory() as d:
+            for name, rows, honest in files:
+                if honest:
+                    sdbfmt.write_sdb_file(_os.path.join(d, name), rows)
+                else:  # bypass the key check like a foreign/legacy writer
+                    tmp = _os.path.join(d, "legacy.bin")
+                    sdbfmt.write_sdb_file(tmp, rows)
+                    _os.replace(tmp, _os.path.join(d, name))
+
+            def run(filters):
+                r = sdbfmt.SdbBarReader({"path": d})
+                rest = list(r.pushFilters(filters)) if filters else []
+                assert rest == []  # symbol filters are always consumed
+                out = []
+                parts = r.partitions()
+                for p in parts or [None]:
+                    out.extend(r.read(p))
+                return sorted(out)
+
+            if stacked:
+                filters = [EqualTo(("symbol",), fsyms[0]),
+                           In(("symbol",), tuple(fsyms))]
+                fset = {fsyms[0]}  # intersection semantics
+            else:
+                filters = [In(("symbol",), tuple(fsyms))]
+                fset = set(fsyms)
+
+            unfiltered = run([])
+            got = run(filters)
+
+            all_rows = [r for _, rows, _ in files for r in rows]
+            assert unfiltered == sorted(all_rows)
+            # (1) soundness
+            assert all(r[0] in fset for r in got)
+            # (2) honest-corpus equality: filtered == unfiltered + post
+            if all(h for _, _, h in files):
+                assert got == sorted(r for r in unfiltered if r[0] in fset)
+            # (3) full model: prune by name-key, then row-filter
+            expect = sorted(
+                r
+                for name, rows, _ in files
+                if sdbfmt._file_symbol(name) in fset
+                for r in rows
+                if r[0] in fset
+            )
+            assert got == expect
+
+    check()

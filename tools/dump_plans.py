@@ -38,6 +38,12 @@ NOTES = {
     "j4b_keyless_interval": "KEYLESS interval join (r10): the range predicate has no equi key, so native Spark would BroadcastNestedLoopJoin — here each purchase window replicates across its <= 3 ten-minute bins (Generate/explode in the scan stage) and the join is a plain EQUI join on the bin id with the exact BETWEEN as a residual filter; points sit in one bin so no dedup pass exists; the zero-match restore is a bounded left join on the purchase set",
     "t37_host_rank": "host-authority PageRank (r10): ONE corpus pass aggregates the source->host edge list (Scan ExistingRDD below = the materialized graph tables, vocabulary-scale); each of the 3 rounds is one broadcast-eligible join of the rank table onto the edges + one integer aggregate, checkpointed per round so round k+1 never replays rounds 1..k; all mass arithmetic is exact int64 e12 fixed-point — no float reduction anywhere",
     "s10_zorder_layout": "Z-order layout audit (r10): the 1-row min/max aggregate broadcasts into the scan projection (BroadcastNestedLoopJoin of a single row = the broadcast scalar, not a data cross join); quantization is exact integer mod-identity floor-div and the Morton key is a fixed shiftleft/shiftright/& tree inside codegen; ONE bucket-keyed aggregate carries (bucket, minmax) rows only",
+    "j3b_asof_directions": "directional as-of joins (r10): forward and nearest ride the SAME union+window shape as the backward fast path — ONE exchange on the symbol key feeding WindowExec; forward is the same window scanned in DESCENDING time (a second in-partition sort order, not a second shuffle), nearest evaluates both fills over one union frame and picks per row in codegen; right-tie pinning is one more ordering column inside the existing window",
+    "t34_c4_line_filters": "C4 line/page heuristics (r10): ONE documents scan; the trimmed line array materializes ONCE as a column and every count is an element-only lambda over that array (the interpreted-HOF re-evaluation trap only bites lambdas referencing non-element expressions) — zero shuffles below the final projection, no Python anywhere",
+    "t35_script_profile": "Unicode script profile (r10): single scan, per-script counts are fixed regexp_count expressions over BMP codepoint-range character classes, dominant-script argmax is a greatest/when tree, the e6 ratio is integer div — all codegen, no shuffle, no UDF",
+    "t36_url_canonical": "URL canonicalization audit (r10): planted doc_id-derived URLs (the corpus has none) -> regexp_extract_all + explode in the scan stage -> url_canonicalize as a fixed tree of regexp ops in the SAME projection -> ONE aggregate keyed by canonical URL; shuffle carries (curl, counts) rows, never document text",
+    "t38_char_entropy": "per-doc character entropy (r10): explode characters -> ONE (doc, char) count aggregate; the per-doc total is a window over the SAME doc partitioning (no second exchange) and the final per-doc entropy sum is one more aggregate on the already-partitioned frame — two logical shuffles total, rows bounded by alphabet-size x docs",
+    "e9_semantic_decontam": "embedding-space decontamination (r10): the bounded eval set broadcasts (BroadcastNestedLoopJoin, LEFT so an empty eval set degrades to contaminated=false rather than annihilating the corpus — r11 fix); per-corpus-vector max cosine is a map-side-combined aggregate over |eval| candidates; the corpus never exchanges — the only admissible shape at 100 TB",
 }
 
 HEADER = """# PLANS — executed physical plans of headline queries (sf0.1, AQE final)

@@ -530,6 +530,22 @@ def main() -> None:
             )
             return lab.withColumn("s", F.col("component") % 10)
         probe("s9_leakage_split", mk_s9)
+        # r11 (r10 verdict #5): the star-contraction CC probe where the
+        # GRAPH itself scales — s9 above scales only the label join (its
+        # doc_id<60 slice pins the graph at base size).  Synthetic chain
+        # edges over the scaled doc ids: within each 8-id run, id -> id+1,
+        # so nodes and edges grow xN (each scaled() copy is a disjoint
+        # subgraph), component size stays 8, and the two-rule
+        # large-star/small-star contraction should hold its O(log chain)
+        # round count — the shape where superlinear behavior (round count
+        # x per-round shuffle) would first appear.
+        def mk_cc(dc=dc):
+            ids = dc.select(F.col("doc_id").alias("id_a"))
+            edges = ids.where(F.pmod(F.col("id_a"), F.lit(8)) != 7).select(
+                "id_a", (F.col("id_a") + 1).alias("id_b")
+            )
+            return dedup.connected_components(edges)
+        probe("cc_star_contraction", mk_cc)
         # r10 batch: C4 line filters, script profile, semantic decontam
         probe("t34_c4_lines",
             lambda: text.c4_line_stats(dc, "doc_id", "text"))
