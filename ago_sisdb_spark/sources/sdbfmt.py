@@ -307,14 +307,18 @@ class SdbBarStreamReader(SimpleDataSourceStreamReader):
         seen = set(start["files"])
         now = self._list()
         new = [n for n in now if n not in seen]
-        # materialized list, not a generator: the prefetcher PICKLES the
-        # returned rows alongside the offset
+        # iter() over a MATERIALIZED list: the prefetcher pickles the
+        # rows alongside the offset (a generator can't pickle; a
+        # list_iterator can), and on a no-advance poll (end == start,
+        # e.g. a watermark-flush run with no new files) pyspark calls
+        # next() on the result expecting StopIteration — a bare list
+        # raises TypeError there and kills the query
         rows = [
             rec
             for n in new
             for rec in read_sdb_file(os.path.join(self._dir, n))
         ]
-        return rows, {"files": sorted(set(now) | seen)}
+        return iter(rows), {"files": sorted(set(now) | seen)}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         replay = sorted(set(end["files"]) - set(start["files"]))

@@ -735,3 +735,124 @@ def test_c4_and_script_gate_stream_batch_parity(spark, tmp_path):
     # suffix flips mixed on
     assert not batch[0][0] and batch[1][0]
     assert batch[3][2] and not batch[1][2]
+
+
+def test_convert_service_over_sdb_stream_parity(spark, tmp_path):
+    """The reference's flagship convert pipeline as one living test
+    (init-sisdb.conf:288-298, r10 verdict #8): the S14 sdb_bars STREAM
+    feeds ConvertService end-to-end — key-addressed .sdb feed files in,
+    1-minute AND 1-day bars out through checkpointed parquet sinks,
+    across a TWO-batch ingest with a restart between (file-set offsets
+    resume; nothing reprocessed) — and every finalized bar equals the
+    batch rollup of the same ticks, window for window."""
+    from ago_sisdb_spark.sources import sdbfmt
+    from ago_sisdb_spark.streaming.convert import ConvertService
+
+    sdbfmt.register(spark)
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    base = str(tmp_path / "bars")
+
+    def us(day, h, m, s):
+        return int(datetime(2024, 1, day, h, m, s).timestamp() * 1_000_000)
+
+    def ticks(sym, day, n, p0):
+        # one tick every 20s from 09:30:00; prices vary so open/close
+        # tie-breaks (min_by/max_by on event time) are observable
+        return [
+            (sym, us(day, 9, 30, 0) + i * 20_000_000,
+             p0, p0 + 2.0, p0 - 1.0, p0 + float(i), 10 + i)
+            for i in range(n)
+        ]
+
+    batch1 = ticks("AAA", 5, 7, 10.0) + ticks("BBB", 5, 4, 50.0)
+    batch2 = ticks("AAA", 6, 5, 20.0) + ticks("BBB", 6, 6, 60.0)
+    # two flush ticks on days 7 and 8: the watermark a batch EMITS under
+    # comes from the PREVIOUS batch's max event time, so finalizing every
+    # day-5/6 window takes one batch to advance the watermark past day 6
+    # and a SECOND batch (with data — a no-new-data run never executes a
+    # micro-batch under availableNow) to evict under the advanced mark
+    flush = [("AAA", us(7, 9, 30, 0), 1.0, 1.0, 1.0, 1.0, 1)]
+    flush2 = [("AAA", us(8, 9, 30, 0), 1.0, 1.0, 1.0, 1.0, 1)]
+
+    svc_conf = {
+        "key": ["symbol"],
+        "time": "ts",
+        "price": "close",
+        "volume": "volume",
+        "convert": [
+            {"width": "1 minute", "sink": "sdbmin", "watermark": "0 seconds"},
+            {"width": "1 day", "sink": "sdbday", "watermark": "0 seconds"},
+        ],
+    }
+
+    def run_service():
+        svc = ConvertService.from_config(svc_conf)
+        stream = (
+            spark.readStream.format("sdb_bars")
+            .load(str(feed))
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        )
+        svc.start_to_parquet(stream, base)
+        svc.await_all()
+        svc.stop_all()
+
+    sdbfmt.write_sdb_file(str(feed / "AAA.sdb"), [r for r in batch1 if r[0] == "AAA"])
+    sdbfmt.write_sdb_file(str(feed / "BBB.sdb"), [r for r in batch1 if r[0] == "BBB"])
+    run_service()
+
+    sdbfmt.write_sdb_file(str(feed / "AAA.part2.sdb"), [r for r in batch2 if r[0] == "AAA"])
+    sdbfmt.write_sdb_file(str(feed / "BBB.part2.sdb"), [r for r in batch2 if r[0] == "BBB"])
+    run_service()  # restart from checkpoints: only the new files ingest
+
+    sdbfmt.write_sdb_file(str(feed / "AAA.part3.sdb"), flush)
+    run_service()  # flush tick processed (still under the day-6 watermark)
+    sdbfmt.write_sdb_file(str(feed / "AAA.part4.sdb"), flush2)
+    run_service()  # evicts every day-5/6 window under the day-7 watermark
+
+    # batch twin: the SAME rollup semantics over all real ticks at once
+    all_ticks = spark.createDataFrame(
+        batch1 + batch2,
+        "symbol string, ts_us long, open double, high double, "
+        "low double, close double, volume long",
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+
+    def batch_bars(width):
+        return (
+            all_ticks.groupBy("symbol", F.window("ts", width))
+            .agg(
+                F.min_by("close", "ts").alias("open"),
+                F.max("close").alias("high"),
+                F.min("close").alias("low"),
+                F.max_by("close", "ts").alias("close"),
+                F.count(F.lit(1)).alias("volume"),
+                F.sum("volume").alias("money"),
+            )
+            .select(
+                "symbol", F.col("window.start").alias("bar_start"),
+                "open", "high", "low", "close", "volume", "money",
+            )
+        )
+
+    for sink, width in (("sdbmin", "1 minute"), ("sdbday", "1 day")):
+        got = {
+            (r.symbol, str(r.bar_start)): r
+            for r in spark.read.parquet(f"{base}/{sink}")
+            .where(F.col("bar_start") < "2024-01-07")  # flush tick excluded
+            .collect()
+        }
+        want = {
+            (r.symbol, str(r.bar_start)): r for r in batch_bars(width).collect()
+        }
+        assert set(got) == set(want), (sink, set(got) ^ set(want))
+        for k, w in want.items():
+            g = got[k]
+            assert (g.open, g.high, g.low, g.close, g.volume, g.money) == (
+                w.open, w.high, w.low, w.close, w.volume, w.money
+            ), (sink, k)
+    # two-batch day bars: one per symbol per day, none duplicated by the
+    # restart (exactly-once file offsets + append-once finalization)
+    day_rows = spark.read.parquet(f"{base}/sdbday").where(
+        F.col("bar_start") < "2024-01-07"
+    )
+    assert day_rows.count() == 4
