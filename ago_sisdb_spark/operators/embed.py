@@ -410,3 +410,115 @@ def semantic_decontaminate(
             F.col("max_cos_e6") >= F.lit(threshold_e6), F.lit(False)
         ).alias("contaminated"),
     )
+
+
+def bitext_margin_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    threshold_e6: int = 1_050_000,
+) -> DataFrame:
+    """Margin-based parallel-pair mining over two embedding sets — the
+    published CCMatrix/LASER recipe (Artetxe & Schwenk 2019, "Margin-based
+    Parallel Corpus Mining with Multilingual Sentence Embeddings"): a raw
+    cosine threshold can't separate translations from generically-similar
+    sentences in dense regions, so each candidate pair is scored by its
+    cosine RELATIVE to the two sides' neighborhood density:
+
+        margin(x, y) = cos(x, y) / avg(kNN-cos(x in tgt) ∪ kNN-cos(y in src))
+
+    'max' strategy: per src vector, the best-margin candidate is ``mined``
+    when its margin clears ``threshold_e6`` (ratio > 1 ⇒ closer than the
+    neighborhood average).
+
+    Exactness contract (the e9 convention): every pair cosine is floored
+    to integer millionths; neighborhood sums are INTEGER sums (order-
+    free); the margin is one truncating integer division guarded to
+    non-negative numerator / positive denominator (where truncation ==
+    floor == DuckDB ``//``), so the whole score is hash-portable with no
+    planted input.  Degenerate neighborhoods (cos_e6 < 0 or non-positive
+    denominator) yield NULL margin and mined=false.
+
+    Scale shape: ``src`` is the bounded side (a query batch, one
+    language's shard) and BROADCASTS — the ``tgt`` corpus never exchanges
+    beyond the per-probe top-k window; the backward-kNN pass runs over
+    the candidate set (≤ |src|·k rows) × the same broadcast, map-side.
+    Symmetric large×large mining composes this with the sign-sketch
+    buckets (``sign_sketch_topk`` / e7): mine within buckets, union.
+
+    Returns (src_id, tgt_id, rank, cos_e6, sum_x_e6, sum_y_e6,
+    margin_e6, mined) — one row per forward top-k candidate.
+
+    Reference: no analogue (beyond-reference LLM-data surface)."""
+    from ago_sisdb_spark.operators.similarity import cosine
+
+    sx = src.select(
+        F.col(id_col).alias("src_id"), F.col(vec_col).alias("__sv")
+    )
+    ty = tgt.select(
+        F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("__tv")
+    )
+    cos_e6 = (
+        F.floor(cosine(F.col("__sv"), F.col("__tv")) * F.lit(1_000_000))
+        .cast("long")
+    )
+    scored = ty.crossJoin(F.broadcast(sx)).select(
+        "src_id", "tgt_id", "__tv", cos_e6.alias("cos_e6")
+    )
+    wf = Window.partitionBy("src_id").orderBy(
+        F.col("cos_e6").desc(), "tgt_id"
+    )
+    fwd = scored.withColumn(
+        "rank", F.row_number().over(wf).cast("long")
+    ).where(F.col("rank") <= k)
+    sumx = fwd.groupBy("src_id").agg(
+        F.sum("cos_e6").alias("sum_x_e6"),
+        F.count(F.lit(1)).alias("n_x"),
+    )
+    # backward kNN: candidates (bounded ≤ |src|·k) × the SAME broadcast
+    # src — the cosine expression is argument-for-argument identical to
+    # the forward pass, so recomputation is bit-identical
+    cands = fwd.select("tgt_id", "__tv").dropDuplicates(["tgt_id"])
+    back = cands.crossJoin(F.broadcast(sx)).select(
+        "tgt_id",
+        F.col("src_id").alias("__bsid"),
+        cos_e6.alias("bcos_e6"),
+    )
+    wb = Window.partitionBy("tgt_id").orderBy(
+        F.col("bcos_e6").desc(), "__bsid"
+    )
+    sumy = (
+        back.withColumn("rb", F.row_number().over(wb))
+        .where(F.col("rb") <= k)
+        .groupBy("tgt_id")
+        .agg(
+            F.sum("bcos_e6").alias("sum_y_e6"),
+            F.count(F.lit(1)).alias("n_y"),
+        )
+    )
+    num = F.col("cos_e6") * (F.col("n_x") + F.col("n_y")) * F.lit(1_000_000)
+    den = F.col("sum_x_e6") + F.col("sum_y_e6")
+    margin = F.when(
+        (F.col("cos_e6") >= 0) & (den > 0), F.call_function("div", num, den)
+    )
+    pairs = (
+        fwd.drop("__tv")
+        .join(F.broadcast(sumx), "src_id")
+        .join(F.broadcast(sumy), "tgt_id")
+        .withColumn("margin_e6", margin.cast("long"))
+    )
+    wm = Window.partitionBy("src_id").orderBy(
+        F.col("margin_e6").desc_nulls_last(), "tgt_id"
+    )
+    return pairs.withColumn(
+        "mined",
+        (F.row_number().over(wm) == 1)
+        & F.coalesce(
+            F.col("margin_e6") >= F.lit(threshold_e6), F.lit(False)
+        ),
+    ).select(
+        "src_id", "tgt_id", "rank", "cos_e6",
+        "sum_x_e6", "sum_y_e6", "margin_e6", "mined",
+    )

@@ -790,6 +790,10 @@ def s1_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(contaminated AS BIGINT), CAST(max_cos_e6 AS DOUBLE),
            NULL, NULL
     FROM ({_O['e9_semantic_decontam']})
+    UNION ALL
+    SELECT 'bitext:' || CAST(mined AS VARCHAR), rank, src_id, tgt_id,
+           margin_e6, CAST(cos_e6 AS DOUBLE), sum_x_e6, sum_y_e6
+    FROM ({_O['e10_bitext_mining']})
     """,
 )
 def n3_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -868,11 +872,25 @@ def n3_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_cos_e6").cast("double").alias("score"),
         _L().alias("r1"), _L().alias("r2"),
     )
+    # r11: margin-based bitext mining (e10, Artetxe & Schwenk) — the
+    # mined flag folds into the tag so every output column is certified
+    bitext = _pipe.e10_bitext_mining(spark, sf_dir).select(
+        F.concat(
+            F.lit("bitext:"), F.col("mined").cast("string")
+        ).alias("method"),
+        F.col("rank").alias("g"),
+        F.col("src_id").cast("bigint").alias("probe_id"),
+        F.col("tgt_id").cast("bigint").alias("neighbor_id"),
+        F.col("margin_e6").alias("n"),
+        F.col("cos_e6").cast("double").alias("score"),
+        F.col("sum_x_e6").alias("r1"), F.col("sum_y_e6").alias("r2"),
+    )
     return (
         norms.unionByName(mat)
         .unionByName(sketch)
         .unionByName(hard)
         .unionByName(dec)
+        .unionByName(bitext)
     )
 
 

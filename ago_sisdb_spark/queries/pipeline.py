@@ -4618,6 +4618,79 @@ def e9_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _e10_oracle(k: int = 4, threshold_e6: int = 1_050_000,
+                modulo: int = 9) -> str:
+    return f"""
+    WITH sx AS (
+        SELECT vec_id AS src_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS sv
+        FROM embeddings WHERE vec_id % {modulo} = 0),
+    ty AS (
+        SELECT vec_id AS tgt_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS tv
+        FROM embeddings WHERE vec_id % {modulo} != 0),
+    scored AS (
+        SELECT src_id, tgt_id,
+               CAST(floor(list_cosine_similarity(sv, tv) * 1000000)
+                   AS BIGINT) AS cos_e6
+        FROM sx, ty),
+    fwd AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY src_id
+                       ORDER BY cos_e6 DESC, tgt_id) AS BIGINT) AS rank
+        FROM scored QUALIFY rank <= {k}),
+    sumx AS (
+        SELECT src_id, CAST(sum(cos_e6) AS BIGINT) AS sum_x_e6,
+               count(*) AS n_x
+        FROM fwd GROUP BY src_id),
+    back AS (
+        SELECT tgt_id, cos_e6,
+               row_number() OVER (PARTITION BY tgt_id
+                   ORDER BY cos_e6 DESC, src_id) AS rb
+        FROM scored
+        WHERE tgt_id IN (SELECT DISTINCT tgt_id FROM fwd)
+        QUALIFY rb <= {k}),
+    sumy AS (
+        SELECT tgt_id, CAST(sum(cos_e6) AS BIGINT) AS sum_y_e6,
+               count(*) AS n_y
+        FROM back GROUP BY tgt_id),
+    pairs AS (
+        SELECT f.src_id, f.tgt_id, f.rank, f.cos_e6,
+               x.sum_x_e6, y.sum_y_e6,
+               CASE WHEN f.cos_e6 >= 0
+                         AND x.sum_x_e6 + y.sum_y_e6 > 0
+                    THEN (f.cos_e6 * (x.n_x + y.n_y) * 1000000)
+                         // (x.sum_x_e6 + y.sum_y_e6)
+                    ELSE NULL END AS margin_e6
+        FROM fwd f JOIN sumx x USING (src_id) JOIN sumy y USING (tgt_id))
+    SELECT src_id, tgt_id, rank, cos_e6, sum_x_e6, sum_y_e6, margin_e6,
+           row_number() OVER (PARTITION BY src_id
+               ORDER BY margin_e6 DESC NULLS LAST, tgt_id) = 1
+           AND coalesce(margin_e6 >= {threshold_e6}, false) AS mined
+    FROM pairs
+    """
+
+
+@query("e10_bitext_mining", oracle=_e10_oracle(), extended=True)
+def e10_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based parallel-pair mining (operators/embed.
+    bitext_margin_mine — the Artetxe & Schwenk 2019 CCMatrix/LASER
+    recipe): per bounded-side vector (vec_id % 9 = 0 plays one language's
+    shard), its forward top-4 cosine candidates in the rest of the
+    corpus, each scored by cosine RELATIVE to the two sides' kNN
+    neighborhood averages; the per-source best-margin candidate above
+    1.05 is ``mined``.  Whole score exact integer e6 fixed point
+    (integer sums, guarded truncating division), so the driver hash
+    checks the REAL operator on real data — no plant needed."""
+    from ago_sisdb_spark.operators import embed as embed_ops
+
+    emb = _t(spark, sf_dir, "embeddings")
+    src = emb.where(F.col("vec_id") % 9 == 0)
+    tgt = emb.where(F.col("vec_id") % 9 != 0)
+    return embed_ops.bitext_margin_mine(
+        src, tgt, "vec_id", "embedding", k=4, threshold_e6=1_050_000
+    )
+
+
 # Planted URL suffix for the t36/t37 gates (the t28 planted-suffix trick):
 # the synthetic corpus contains NO URLs, so both entries append two
 # deterministic doc_id-derived URLs to every doc — identically in Spark and

@@ -548,3 +548,103 @@ def test_semantic_decontaminate_empty_eval(spark):
     for r in out.values():
         assert r["contaminated"] is False
         assert r["matched_eval_id"] is None and r["max_cos_e6"] is None
+
+
+def test_bitext_margin_mine_exact(spark):
+    """bitext_margin_mine on planted 2-D vectors: margins replicate the
+    operator's own exact-integer tree (floor-e6 cosines, integer
+    neighborhood sums, truncating division) computed in plain Python;
+    the per-source best-margin candidate above threshold is mined; an
+    exact translation in a diffuse neighborhood out-margins a merely
+    parallel crowd."""
+    import math
+
+    from ago_sisdb_spark.operators import embed as embed_ops
+
+    src = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (200, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    tgt = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [2.0, 0.0]), (3, [1.0, 1.0]), (4, [0.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    k = 2
+
+    def cos_e6(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return math.floor(
+            d
+            / (
+                math.sqrt(sum(x * x for x in a))
+                * math.sqrt(sum(x * x for x in b))
+            )
+            * 1_000_000
+        )
+
+    sv = {100: [1.0, 0.0], 200: [0.0, 1.0]}
+    tv = {1: [1.0, 0.0], 2: [2.0, 0.0], 3: [1.0, 1.0], 4: [0.0, 3.0]}
+    # forward top-k per src (cos desc, tgt id asc)
+    fwd = {}
+    for s, svec in sv.items():
+        ranked = sorted(tv, key=lambda t: (-cos_e6(svec, tv[t]), t))[:k]
+        fwd[s] = ranked
+    sum_x = {s: sum(cos_e6(sv[s], tv[t]) for t in fwd[s]) for s in sv}
+    cands = sorted({t for ts in fwd.values() for t in ts})
+    sum_y, n_y = {}, {}
+    for t in cands:
+        ranked = sorted(sv, key=lambda s: (-cos_e6(sv[s], tv[t]), s))[:k]
+        sum_y[t] = sum(cos_e6(sv[s], tv[t]) for s in ranked)
+        n_y[t] = len(ranked)
+
+    out = {
+        (r["src_id"], r["tgt_id"]): r.asDict()
+        for r in embed_ops.bitext_margin_mine(
+            src, tgt, "vec_id", "embedding", k=k, threshold_e6=1_050_000
+        ).collect()
+    }
+    assert len(out) == 2 * k
+    mined_by_src = {}
+    for s in sv:
+        for t in fwd[s]:
+            g = out[(s, t)]
+            c = cos_e6(sv[s], tv[t])
+            want_margin = (
+                c * (k + n_y[t]) * 1_000_000 // (sum_x[s] + sum_y[t])
+                if c >= 0 and sum_x[s] + sum_y[t] > 0
+                else None
+            )
+            assert g["cos_e6"] == c and g["margin_e6"] == want_margin, (s, t)
+            assert g["sum_x_e6"] == sum_x[s] and g["sum_y_e6"] == sum_y[t]
+            if g["mined"]:
+                mined_by_src.setdefault(s, []).append(t)
+    # each src mines at most one pair, and it is its best-margin candidate
+    for s, ts in mined_by_src.items():
+        assert len(ts) == 1
+        best = max(
+            (t for t in fwd[s] if out[(s, t)]["margin_e6"] is not None),
+            key=lambda t: (out[(s, t)]["margin_e6"], -t),
+        )
+        assert ts[0] == best
+
+
+def test_bitext_margin_negative_neighborhood_null(spark):
+    """Anti-parallel candidates (negative floored cosines): margin is
+    NULL (guarded division) and nothing is mined — the degenerate-
+    neighborhood contract."""
+    from ago_sisdb_spark.operators import embed as embed_ops
+
+    src = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    tgt = spark.createDataFrame(
+        [(10, [-1.0, 0.0]), (11, [-2.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = embed_ops.bitext_margin_mine(
+        src, tgt, "vec_id", "embedding", k=2
+    ).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["cos_e6"] == -1_000_000
+        assert r["margin_e6"] is None and r["mined"] is False

@@ -561,6 +561,16 @@ def main() -> None:
                 em, ev9, "vec_id", "embedding", "vec_id"
             )
         probe("e9_semantic_decontam", mk_e9)
+        def mk_e10(em=em, emb=emb):
+            from ago_sisdb_spark.operators import embed as embed_ops
+            # src (query shard) stays BASE-scale and broadcasts; the tgt
+            # corpus scales — the e9 bounded-side convention
+            src10 = emb.where(F.col("vec_id") % 9 == 0)
+            return embed_ops.bitext_margin_mine(
+                src10, em.where(F.col("vec_id") % 9 != 0),
+                "vec_id", "embedding", k=4,
+            )
+        probe("e10_bitext_mining", mk_e10)
         def mk_t36(dc=dc):
             from ago_sisdb_spark.queries.pipeline import _t36_planted_docs
             from ago_sisdb_spark.operators.text import (
