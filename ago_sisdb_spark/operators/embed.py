@@ -522,3 +522,91 @@ def bitext_margin_mine(
         "src_id", "tgt_id", "rank", "cos_e6",
         "sum_x_e6", "sum_y_e6", "margin_e6", "mined",
     )
+
+
+def cluster_assign(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 8,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Nearest-centroid cluster id per vector as a LITERAL-expression
+    projection over the scan (the IVF assignment machinery,
+    similarity._ranked_lists_expr): centroids are k×dim by definition —
+    driver-small — so assignment must never touch a shuffle or a
+    crossJoin.  Ranking is (cosine DESC, centroid_id ASC), ties pinned.
+
+    ``centroids`` defaults to the training-free deterministic seed (the
+    ``n_clusters`` lowest-id vectors); pass a trained table
+    (similarity.train_centroids / build_ivf_index read-back) in
+    production.  Returns (id, cluster)."""
+    from ago_sisdb_spark.operators.similarity import (
+        _collect_centroids,
+        _ranked_lists_expr,
+    )
+
+    cent = (
+        centroids
+        if centroids is not None
+        else emb.orderBy(F.col(id_col))
+        .limit(n_clusters)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("__cent"),
+        )
+    )
+    cent_rows = _collect_centroids(cent)
+    return emb.select(
+        F.col(id_col),
+        F.element_at(
+            _ranked_lists_expr(F.col(vec_col), cent_rows, 1), 1
+        )["cid"].alias("cluster"),
+    )
+
+
+def cluster_balanced_mix(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 8,
+    target_frac_e6: int = 500_000,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-space DIVERSITY rebalancing — the cluster-level
+    counterpart of pipe12's domain temperature mix (SemDeDup / DataComp
+    recipe family: cluster the corpus in embedding space, then sample
+    clusters at flattened rates so a few mega-clusters of near-identical
+    content can't dominate the training mix):
+
+    1. ``cluster_assign`` — one shuffle-free corpus projection;
+    2. ``prep.temperature_rates`` over the cluster id — alpha = 0.5
+       sqrt-flattened integer-exact quotas against a
+       ``target_frac_e6``/1e6 corpus budget (the one exponent with a
+       correctly-rounded primitive);
+    3. ``prep.apply_mix_gate`` — the deterministic portable-hash gate.
+
+    Returns one AUDIT row per cluster: (cluster, n_docs, weight,
+    share_e6, quota, rate_e6, n_kept) — the plan plus the achieved kept
+    count.  Scale shape: two corpus passes by construction (mass
+    aggregate, then gate), the clusters-sized plan broadcasts, no
+    corpus-wide shuffle anywhere.
+
+    Reference: no analogue (beyond-reference LLM-data surface)."""
+    from ago_sisdb_spark.operators import prep
+
+    assigned = cluster_assign(emb, id_col, vec_col, n_clusters, centroids)
+    rates = prep.temperature_rates(assigned, "cluster", target_frac_e6)
+    kept = (
+        prep.apply_mix_gate(assigned, id_col, "cluster", rates)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "cluster", "left")
+        .select(
+            F.col("cluster").cast("bigint").alias("cluster"),
+            "n_docs", "weight", "share_e6", "quota", "rate_e6",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

@@ -794,6 +794,10 @@ def s1_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'bitext:' || CAST(mined AS VARCHAR), rank, src_id, tgt_id,
            margin_e6, CAST(cos_e6 AS DOUBLE), sum_x_e6, sum_y_e6
     FROM ({_O['e10_bitext_mining']})
+    UNION ALL
+    SELECT 'cluster_mix', cluster, n_docs, weight, quota,
+           CAST(share_e6 AS DOUBLE), rate_e6, n_kept
+    FROM ({_O['e11_cluster_balance']})
     """,
 )
 def n3_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -885,12 +889,24 @@ def n3_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_e6").cast("double").alias("score"),
         F.col("sum_x_e6").alias("r1"), F.col("sum_y_e6").alias("r2"),
     )
+    # r11: cluster-level diversity rebalancing (e11, SemDeDup/DataComp
+    # family) — the audit plan row per embedding cluster
+    cmix = _pipe.e11_cluster_balance(spark, sf_dir).select(
+        F.lit("cluster_mix").alias("method"),
+        F.col("cluster").alias("g"),
+        F.col("n_docs").alias("probe_id"),
+        F.col("weight").alias("neighbor_id"),
+        F.col("quota").alias("n"),
+        F.col("share_e6").cast("double").alias("score"),
+        F.col("rate_e6").alias("r1"), F.col("n_kept").alias("r2"),
+    )
     return (
         norms.unionByName(mat)
         .unionByName(sketch)
         .unionByName(hard)
         .unionByName(dec)
         .unionByName(bitext)
+        .unionByName(cmix)
     )
 
 

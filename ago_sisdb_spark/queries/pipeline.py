@@ -4670,6 +4670,69 @@ def _e10_oracle(k: int = 4, threshold_e6: int = 1_050_000,
     """
 
 
+def _e11_oracle(n_clusters: int = 8, target_frac_e6: int = 500_000) -> str:
+    ph = dedup.PORTABLE_HASH_SQL.format(
+        col="'mix:' || CAST(a.vec_id AS VARCHAR)"
+    )
+    return f"""
+    WITH cent AS (
+        SELECT vec_id AS cid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        FROM embeddings ORDER BY vec_id LIMIT {n_clusters}),
+    v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        FROM embeddings),
+    asg AS (
+        SELECT vec_id, cid AS cluster,
+               row_number() OVER (PARTITION BY vec_id
+                   ORDER BY list_cosine_similarity(vv, cv) DESC, cid) AS rn
+        FROM v, cent QUALIFY rn = 1),
+    cnt AS (SELECT cluster, count(*) AS n_docs FROM asg GROUP BY cluster),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM cnt),
+    w AS (SELECT cluster, n_docs, n_total,
+                 CAST(floor(1000000.0 * sqrt(n_docs / n_total)) AS BIGINT)
+                     AS weight
+          FROM cnt, tot),
+    wt AS (SELECT CAST(sum(weight) AS BIGINT) AS w_total FROM w),
+    r2 AS (SELECT cluster, n_docs, weight,
+                  (1000000 * weight) // w_total AS share_e6,
+                  (((n_total * {target_frac_e6}) // 1000000) * weight)
+                      // w_total AS quota,
+                  least(CAST(1000000 AS BIGINT),
+                        (1000000 * ((((n_total * {target_frac_e6})
+                            // 1000000) * weight) // w_total)) // n_docs)
+                      AS rate_e6
+           FROM w, wt),
+    kept AS (SELECT a.cluster, count(*) AS n_kept
+             FROM asg a JOIN r2 ON a.cluster = r2.cluster
+             WHERE {ph} % 1000000 < r2.rate_e6
+             GROUP BY a.cluster)
+    SELECT CAST(r2.cluster AS BIGINT) AS cluster,
+           CAST(r2.n_docs AS BIGINT) AS n_docs, r2.weight, r2.share_e6,
+           r2.quota, r2.rate_e6,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM r2 LEFT JOIN kept k USING (cluster)
+    """
+
+
+@query("e11_cluster_balance", oracle=_e11_oracle(), extended=True)
+def e11_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space diversity rebalancing (operators/embed.
+    cluster_balanced_mix — the SemDeDup/DataComp cluster-sampling family):
+    shuffle-free nearest-seed-centroid assignment (8 lowest-id vectors,
+    literal-expression projection), alpha = 0.5 temperature quotas over
+    the cluster masses (integer-exact, the pipe12 machinery), and the
+    deterministic portable-hash gate; one audit row per cluster with the
+    achieved kept count."""
+    from ago_sisdb_spark.operators import embed as embed_ops
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embed_ops.cluster_balanced_mix(
+        emb, "vec_id", "embedding", n_clusters=8, target_frac_e6=500_000
+    )
+
+
 @query("e10_bitext_mining", oracle=_e10_oracle(), extended=True)
 def e10_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based parallel-pair mining (operators/embed.

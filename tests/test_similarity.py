@@ -648,3 +648,61 @@ def test_bitext_margin_negative_neighborhood_null(spark):
     for r in rows:
         assert r["cos_e6"] == -1_000_000
         assert r["margin_e6"] is None and r["mined"] is False
+
+
+def test_cluster_balanced_mix_plan_exact(spark):
+    """cluster_balanced_mix on a planted 2-cluster geometry (two seed
+    directions, masses 8 vs 2): assignment goes to the cosine-nearest
+    seed, the alpha=0.5 plan replicates the integer model (sqrt-flattened
+    weights, floor-divided quotas and rates), and n_kept counts exactly
+    the ids whose portable hash clears the cluster's gate."""
+    import math
+
+    from ago_sisdb_spark.operators import embed as embed_ops
+    from ago_sisdb_spark.operators.dedup import portable_hash60
+
+    # ids 0,1 are the seeds (lowest ids -> centroids); 8 vectors near
+    # seed 0's direction, 2 near seed 1's
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    rows += [(10 + i, [5.0 + i, 0.5]) for i in range(7)]   # cluster 0
+    rows += [(50, [0.25, 9.0])]                            # cluster 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = {
+        r["cluster"]: r.asDict()
+        for r in embed_ops.cluster_balanced_mix(
+            emb, "vec_id", "embedding", n_clusters=2,
+            target_frac_e6=500_000,
+        ).collect()
+    }
+    assert set(out) == {0, 1}
+    assert out[0]["n_docs"] == 8 and out[1]["n_docs"] == 2
+
+    n_total = 10
+    w = {c: math.floor(1e6 * math.sqrt(out[c]["n_docs"] / n_total))
+         for c in out}
+    w_total = sum(w.values())
+    budget = (n_total * 500_000) // 1_000_000
+    for c in out:
+        quota = budget * w[c] // w_total
+        rate = min(1_000_000, 1_000_000 * quota // out[c]["n_docs"])
+        assert out[c]["weight"] == w[c]
+        assert out[c]["share_e6"] == 1_000_000 * w[c] // w_total
+        assert out[c]["quota"] == quota and out[c]["rate_e6"] == rate
+
+    # n_kept = exact gate replay over the assignment
+    assigned = {0: [0] + [10 + i for i in range(7)], 1: [1, 50]}
+    gates = {
+        r["i"]: r["h"]
+        for r in spark.range(0, 51).select(
+            F.col("id").alias("i"),
+            (portable_hash60(
+                F.concat(F.lit("mix:"), F.col("id").cast("string"))
+            ) % 1_000_000).alias("h"),
+        ).collect()
+    }
+    for c in out:
+        want_kept = sum(
+            1 for i in assigned[c] if gates[i] < out[c]["rate_e6"]
+        )
+        assert out[c]["n_kept"] == want_kept, (c, out[c], want_kept)
