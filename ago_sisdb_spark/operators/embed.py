@@ -610,3 +610,148 @@ def cluster_balanced_mix(
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+def _sign_band_keys(vec, bands: int, band_bits: int):
+    """Array of ``bands`` integer band keys from the vector's sign bits
+    (bit j of band b = 1 iff vec[b*band_bits + j] > 0) — the e7 Charikar
+    sketch cut into LSH bands.  Requires len(vec) >= bands*band_bits."""
+    bits = F.transform(
+        vec,
+        lambda x: F.when(x > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    pows = F.array(*[F.lit(1 << j).cast("long") for j in range(band_bits)])
+    return F.array(*[
+        F.aggregate(
+            F.zip_with(
+                F.slice(bits, b * band_bits + 1, band_bits),
+                pows,
+                lambda bit, p: bit * p,
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        for b in range(bands)
+    ])
+
+
+def bitext_margin_mine_bucketed(
+    src: DataFrame,
+    tgt: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    threshold_e6: int = 1_050_000,
+    bands: int = 4,
+    band_bits: int = 8,
+) -> DataFrame:
+    """SYMMETRIC (large × large) margin-based bitext mining — the scale
+    path ``bitext_margin_mine``'s docstring promises: neither side
+    broadcasts.  Both sides key by the ``bands`` × ``band_bits`` LSH
+    bands of the per-dimension sign sketch (two translations have highly
+    correlated embeddings, hence mostly-equal sign bits, hence a shared
+    band with probability rising in ``bands``); candidates are the plain
+    EQUI JOIN within (band, key) buckets, each pair kept once at its
+    lowest shared band (a window over the pair key — candidate-bounded,
+    never a distinct over vectors).
+
+    Margins use CANDIDATE-LOCAL neighborhoods (each side's top-k among
+    its bucketed candidates) — the standard approximation: global-kNN
+    margins would need exactly the all-pairs pass bucketing exists to
+    avoid.  Scoring is the same exact-integer e6 tree as the brute
+    variant, so the full plan (bits → bands → join → margins) is
+    hash-checkable in SQL on real data.
+
+    Shuffle shape at 100 TB: each side exchanges once on (band, key) —
+    bands× replication of (id, vec) rows; per-bucket occupancy is
+    controlled by ``band_bits`` (raise it as the corpus grows, the d6
+    rule); everything downstream is candidate-bounded.
+
+    Returns (src_id, tgt_id, band, rank, cos_e6, sum_x_e6, sum_y_e6,
+    margin_e6, mined)."""
+    from ago_sisdb_spark.operators.similarity import cosine
+
+    def _bandrows(df, out_id):
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(f"__{out_id}_v"),
+            F.posexplode(
+                _sign_band_keys(F.col(vec_col), bands, band_bits)
+            ).alias("band", "key"),
+        )
+
+    cand = _bandrows(src, "src_id").join(
+        _bandrows(tgt, "tgt_id"), ["band", "key"]
+    )
+    wp = Window.partitionBy("src_id", "tgt_id")
+    cand = cand.withColumn("__minb", F.min("band").over(wp)).where(
+        F.col("band") == F.col("__minb")
+    )
+    scored = cand.select(
+        "src_id",
+        "tgt_id",
+        F.col("band").cast("long").alias("band"),
+        F.floor(
+            cosine(F.col("__src_id_v"), F.col("__tgt_id_v"))
+            * F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("cos_e6"),
+    )
+    wf = Window.partitionBy("src_id").orderBy(
+        F.col("cos_e6").desc(), "tgt_id"
+    )
+    wb = Window.partitionBy("tgt_id").orderBy(
+        F.col("cos_e6").desc(), "src_id"
+    )
+    ranked = scored.select(
+        "*",
+        F.row_number().over(wf).cast("long").alias("rank"),
+        F.row_number().over(wb).alias("__rb"),
+    )
+    sumx = (
+        ranked.where(F.col("rank") <= k)
+        .groupBy("src_id")
+        .agg(
+            F.sum("cos_e6").alias("sum_x_e6"),
+            F.count(F.lit(1)).alias("n_x"),
+        )
+    )
+    sumy = (
+        ranked.where(F.col("__rb") <= k)
+        .groupBy("tgt_id")
+        .agg(
+            F.sum("cos_e6").alias("sum_y_e6"),
+            F.count(F.lit(1)).alias("n_y"),
+        )
+    )
+    num = F.col("cos_e6") * (F.col("n_x") + F.col("n_y")) * F.lit(1_000_000)
+    den = F.col("sum_x_e6") + F.col("sum_y_e6")
+    pairs = (
+        ranked.where(F.col("rank") <= k)
+        .drop("__rb")
+        .join(sumx, "src_id")
+        .join(sumy, "tgt_id")
+        .withColumn(
+            "margin_e6",
+            F.when(
+                (F.col("cos_e6") >= 0) & (den > 0),
+                F.call_function("div", num, den),
+            ).cast("long"),
+        )
+    )
+    wm = Window.partitionBy("src_id").orderBy(
+        F.col("margin_e6").desc_nulls_last(), "tgt_id"
+    )
+    return pairs.withColumn(
+        "mined",
+        (F.row_number().over(wm) == 1)
+        & F.coalesce(
+            F.col("margin_e6") >= F.lit(threshold_e6), F.lit(False)
+        ),
+    ).select(
+        "src_id", "tgt_id", "band", "rank", "cos_e6",
+        "sum_x_e6", "sum_y_e6", "margin_e6", "mined",
+    )

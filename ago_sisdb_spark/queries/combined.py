@@ -798,6 +798,10 @@ def s1_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'cluster_mix', cluster, n_docs, weight, quota,
            CAST(share_e6 AS DOUBLE), rate_e6, n_kept
     FROM ({_O['e11_cluster_balance']})
+    UNION ALL
+    SELECT 'bitext_sym:' || CAST(mined AS VARCHAR), rank, src_id, tgt_id,
+           margin_e6, CAST(cos_e6 AS DOUBLE), sum_x_e6, sum_y_e6
+    FROM ({_O['e12_bitext_bucketed']})
     """,
 )
 def n3_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -900,6 +904,19 @@ def n3_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("share_e6").cast("double").alias("score"),
         F.col("rate_e6").alias("r1"), F.col("n_kept").alias("r2"),
     )
+    # r11: the symmetric bucketed miner (e12) — sign-band candidates,
+    # candidate-local margins; band column stays in the extended twin
+    bsym = _pipe.e12_bitext_bucketed(spark, sf_dir).select(
+        F.concat(
+            F.lit("bitext_sym:"), F.col("mined").cast("string")
+        ).alias("method"),
+        F.col("rank").alias("g"),
+        F.col("src_id").cast("bigint").alias("probe_id"),
+        F.col("tgt_id").cast("bigint").alias("neighbor_id"),
+        F.col("margin_e6").alias("n"),
+        F.col("cos_e6").cast("double").alias("score"),
+        F.col("sum_x_e6").alias("r1"), F.col("sum_y_e6").alias("r2"),
+    )
     return (
         norms.unionByName(mat)
         .unionByName(sketch)
@@ -907,6 +924,7 @@ def n3_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dec)
         .unionByName(bitext)
         .unionByName(cmix)
+        .unionByName(bsym)
     )
 
 

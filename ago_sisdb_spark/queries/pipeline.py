@@ -4733,6 +4733,100 @@ def e11_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _e12_oracle(k: int = 4, threshold_e6: int = 1_050_000,
+                bands: int = 4, band_bits: int = 8) -> str:
+    def keyexpr(b: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN vv[{b * band_bits + 1 + j}] > 0"
+            f" THEN {1 << j} ELSE 0 END)"
+            for j in range(band_bits)
+        )
+
+    def bandrows(where: str) -> str:
+        parts = " UNION ALL ".join(
+            f"SELECT vec_id, vv, {b} AS band,"
+            f" CAST({keyexpr(b)} AS BIGINT) AS key FROM base_{where}"
+            for b in range(bands)
+        )
+        return parts
+
+    return f"""
+    WITH base_s AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        FROM embeddings WHERE vec_id % 2 = 0),
+    base_t AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        FROM embeddings WHERE vec_id % 2 = 1),
+    sb AS ({bandrows('s')}),
+    tb AS ({bandrows('t')}),
+    cand AS (
+        SELECT sb.vec_id AS src_id, tb.vec_id AS tgt_id,
+               CAST(sb.band AS BIGINT) AS band, sb.vv AS sv, tb.vv AS tv
+        FROM sb JOIN tb ON sb.band = tb.band AND sb.key = tb.key
+        QUALIFY CAST(sb.band AS BIGINT)
+                = min(CAST(sb.band AS BIGINT))
+                  OVER (PARTITION BY sb.vec_id, tb.vec_id)),
+    scored AS (
+        SELECT src_id, tgt_id, band,
+               CAST(floor(list_cosine_similarity(sv, tv) * 1000000)
+                   AS BIGINT) AS cos_e6
+        FROM cand),
+    ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY src_id
+                       ORDER BY cos_e6 DESC, tgt_id) AS BIGINT) AS rank,
+               row_number() OVER (PARTITION BY tgt_id
+                   ORDER BY cos_e6 DESC, src_id) AS rb
+        FROM scored),
+    sumx AS (
+        SELECT src_id, CAST(sum(cos_e6) AS BIGINT) AS sum_x_e6,
+               count(*) AS n_x
+        FROM ranked WHERE rank <= {k} GROUP BY src_id),
+    sumy AS (
+        SELECT tgt_id, CAST(sum(cos_e6) AS BIGINT) AS sum_y_e6,
+               count(*) AS n_y
+        FROM ranked WHERE rb <= {k} GROUP BY tgt_id),
+    pairs AS (
+        SELECT r.src_id, r.tgt_id, r.band, r.rank, r.cos_e6,
+               x.sum_x_e6, y.sum_y_e6,
+               CASE WHEN r.cos_e6 >= 0
+                         AND x.sum_x_e6 + y.sum_y_e6 > 0
+                    THEN (r.cos_e6 * (x.n_x + y.n_y) * 1000000)
+                         // (x.sum_x_e6 + y.sum_y_e6)
+                    ELSE NULL END AS margin_e6
+        FROM ranked r JOIN sumx x USING (src_id) JOIN sumy y USING (tgt_id)
+        WHERE r.rank <= {k})
+    SELECT src_id, tgt_id, band, rank, cos_e6, sum_x_e6, sum_y_e6,
+           margin_e6,
+           row_number() OVER (PARTITION BY src_id
+               ORDER BY margin_e6 DESC NULLS LAST, tgt_id) = 1
+           AND coalesce(margin_e6 >= {threshold_e6}, false) AS mined
+    FROM pairs
+    """
+
+
+@query("e12_bitext_bucketed", oracle=_e12_oracle(), extended=True)
+def e12_bitext_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYMMETRIC bucketed bitext mining (operators/embed.
+    bitext_margin_mine_bucketed): even/odd vec_id halves play the two
+    large sides — neither broadcasts; candidates come from the 4×8-bit
+    sign-sketch band equi-join (lowest shared band dedup), margins from
+    candidate-local top-4 neighborhoods in the exact-integer e6 tree.
+    The oracle restates the ENTIRE plan — sign bits, band keys, bucket
+    join, dedup, margins, mined flags — so the approximation itself is
+    hash-certified on real data."""
+    from ago_sisdb_spark.operators import embed as embed_ops
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embed_ops.bitext_margin_mine_bucketed(
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+        "vec_id", "embedding", k=4, threshold_e6=1_050_000,
+        bands=4, band_bits=8,
+    )
+
+
 @query("e10_bitext_mining", oracle=_e10_oracle(), extended=True)
 def e10_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based parallel-pair mining (operators/embed.

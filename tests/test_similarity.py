@@ -706,3 +706,44 @@ def test_cluster_balanced_mix_plan_exact(spark):
             1 for i in assigned[c] if gates[i] < out[c]["rate_e6"]
         )
         assert out[c]["n_kept"] == want_kept, (c, out[c], want_kept)
+
+
+def test_bitext_bucketed_exactly_once_and_mines_translations(spark):
+    """bitext_margin_mine_bucketed on planted sign-separable clusters:
+    a pair sharing ALL bands is emitted exactly once (lowest-band dedup),
+    candidates never cross sign buckets, and each source mines its
+    planted translation."""
+    from ago_sisdb_spark.operators import embed as embed_ops
+
+    dim = 32  # bands=4 x band_bits=8
+
+    def vec(sign, jitter):
+        # all dims share `sign`, so every band key is all-ones or all-
+        # zeros — cluster members collide in ALL 4 bands
+        return [sign * (1.0 + jitter * (i % 3)) for i in range(dim)]
+
+    src = spark.createDataFrame(
+        [(100, vec(1, 0.01)), (200, vec(-1, 0.01))],
+        "vec_id long, embedding array<double>",
+    )
+    tgt = spark.createDataFrame(
+        [
+            (1, vec(1, 0.01)),   # translation of 100
+            (2, vec(1, 0.5)),    # same bucket, farther
+            (3, vec(-1, 0.01)),  # translation of 200
+            (4, vec(-1, 0.7)),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = embed_ops.bitext_margin_mine_bucketed(
+        src, tgt, "vec_id", "embedding", k=2, threshold_e6=1_000_100,
+        bands=4, band_bits=8,
+    ).collect()
+    pairs = [(r["src_id"], r["tgt_id"]) for r in rows]
+    assert len(pairs) == len(set(pairs))  # exactly-once despite 4 shared bands
+    assert all(r["band"] == 0 for r in rows)  # kept at the lowest band
+    # no cross-sign candidates: src 100 only pairs with {1,2}, 200 with {3,4}
+    for s, t in pairs:
+        assert (t <= 2) == (s == 100), (s, t)
+    mined = {r["src_id"]: r["tgt_id"] for r in rows if r["mined"]}
+    assert mined == {100: 1, 200: 3}
