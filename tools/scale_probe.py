@@ -571,6 +571,28 @@ def main() -> None:
                 "vec_id", "embedding", k=4,
             )
         probe("e10_bitext_mining", mk_e10)
+        def mk_e11(em=em):
+            from ago_sisdb_spark.operators import embed as embed_ops
+            return embed_ops.cluster_balanced_mix(
+                em, "vec_id", "embedding", n_clusters=8
+            )
+        probe("e11_cluster_mix", mk_e11)
+        def mk_e12(em=em, n=n):
+            from ago_sisdb_spark.operators import embed as embed_ops
+            # SYMMETRIC: both sides scale with the corpus — the shape
+            # this operator exists for.  band_bits grows with log2(xN)
+            # exactly as production tuning dictates (the d6 rule): for
+            # FIXED bits per-bucket occupancy grows with N, so candidate
+            # pairs bend quadratic (measured 0.89 ratio-to-linear at x8
+            # fixed); wider bands restore ~constant occupancy.  16 dims
+            # per band x 4 bands stays within the 64-dim sketch.
+            bb = min(16, 8 + max(0, (n - 1).bit_length()))
+            return embed_ops.bitext_margin_mine_bucketed(
+                em.where(F.col("vec_id") % 2 == 0),
+                em.where(F.col("vec_id") % 2 == 1),
+                "vec_id", "embedding", k=4, bands=4, band_bits=bb,
+            )
+        probe("e12_bitext_bucketed", mk_e12)
         def mk_t36(dc=dc):
             from ago_sisdb_spark.queries.pipeline import _t36_planted_docs
             from ago_sisdb_spark.operators.text import (
