@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ago_sisdb_spark.materialize import materialize
+
 
 def class_centroids(
     emb: DataFrame, label_col: str, vec_col: str
@@ -445,6 +447,12 @@ def bitext_margin_mine(
     language's shard) and BROADCASTS — the ``tgt`` corpus never exchanges
     beyond the per-probe top-k window; the backward-kNN pass runs over
     the candidate set (≤ |src|·k rows) × the same broadcast, map-side.
+    The forward frame is the SMALL collapse point three consumers read
+    (sum_x, the backward candidates, the final pair join), so it is
+    eagerly pinned (``materialize``, the r7 two-consumer rule) — without
+    the pin the backward pass's lineage re-runs the full corpus scan +
+    top-k exchange a second time (exchange reuse does not span separate
+    consumers; r12 ADVICE fix, 2× the dominant cost at 100 TB).
     Symmetric large×large mining composes this with the sign-sketch
     buckets (``sign_sketch_topk`` / e7): mine within buckets, union.
 
@@ -473,6 +481,9 @@ def bitext_margin_mine(
     fwd = scored.withColumn(
         "rank", F.row_number().over(wf).cast("long")
     ).where(F.col("rank") <= k)
+    # ≤ |src|·k rows incl. __tv — the bounded collapse point; pin it so
+    # the three consumers below never re-run the corpus-wide top-k
+    fwd = materialize(fwd)
     sumx = fwd.groupBy("src_id").agg(
         F.sum("cos_e6").alias("sum_x_e6"),
         F.count(F.lit(1)).alias("n_x"),
@@ -615,7 +626,17 @@ def cluster_balanced_mix(
 def _sign_band_keys(vec, bands: int, band_bits: int):
     """Array of ``bands`` integer band keys from the vector's sign bits
     (bit j of band b = 1 iff vec[b*band_bits + j] > 0) — the e7 Charikar
-    sketch cut into LSH bands.  Requires len(vec) >= bands*band_bits."""
+    sketch cut into LSH bands.
+
+    Dimensions past the end of the vector contribute bit 0 (the
+    ``coalesce`` below): ``zip_with`` null-pads the shorter side, and an
+    unguarded ``bit * p`` would turn the WHOLE band key NULL — the row
+    would silently vanish from the bucket equi-join while the DuckDB
+    oracle's out-of-range index yields 0 (``CASE … ELSE 0``).  Matching
+    the oracle's ELSE-0 exactly keeps engine and oracle in lockstep even
+    when ``bands*band_bits`` overruns the vector (short trailing bands
+    then carry fewer effective bits — degraded selectivity, not silent
+    row loss; r12, ADVICE fix)."""
     bits = F.transform(
         vec,
         lambda x: F.when(x > 0, F.lit(1).cast("long")).otherwise(
@@ -628,7 +649,7 @@ def _sign_band_keys(vec, bands: int, band_bits: int):
             F.zip_with(
                 F.slice(bits, b * band_bits + 1, band_bits),
                 pows,
-                lambda bit, p: bit * p,
+                lambda bit, p: F.coalesce(bit, F.lit(0).cast("long")) * p,
             ),
             F.lit(0).cast("long"),
             lambda a, x: a + x,
@@ -646,6 +667,8 @@ def bitext_margin_mine_bucketed(
     threshold_e6: int = 1_050_000,
     bands: int = 4,
     band_bits: int = 8,
+    max_bucket_size: int = 1000,
+    log_drops: bool = False,
 ) -> DataFrame:
     """SYMMETRIC (large × large) margin-based bitext mining — the scale
     path ``bitext_margin_mine``'s docstring promises: neither side
@@ -656,6 +679,16 @@ def bitext_margin_mine_bucketed(
     EQUI JOIN within (band, key) buckets, each pair kept once at its
     lowest shared band (a window over the pair key — candidate-bounded,
     never a distinct over vectors).
+
+    ``max_bucket_size`` caps per-(band, key) bucket occupancy on EACH
+    side before the join (``dedup.cap_bucket_fanout``, the house O(m²)
+    insurance every banded candidate join carries): a degenerate sign
+    pattern — zero vectors, constant embedding regions — produces a
+    mega-bucket no ``band_bits`` tuning anticipates, and one m-member
+    bucket against its twin emits m² candidate rows.  The cap's count
+    window hash-partitions by exactly the join keys, so Catalyst adds no
+    extra shuffle (r12; measured recall cost at the production cap is
+    zero on the real corpus — tools/measure_cap_recall.py).
 
     Margins use CANDIDATE-LOCAL neighborhoods (each side's top-k among
     its bucketed candidates) — the standard approximation: global-kNN
@@ -671,15 +704,20 @@ def bitext_margin_mine_bucketed(
 
     Returns (src_id, tgt_id, band, rank, cos_e6, sum_x_e6, sum_y_e6,
     margin_e6, mined)."""
+    from ago_sisdb_spark.operators.dedup import cap_bucket_fanout
     from ago_sisdb_spark.operators.similarity import cosine
 
     def _bandrows(df, out_id):
-        return df.select(
+        rows = df.select(
             F.col(id_col).alias(out_id),
             F.col(vec_col).alias(f"__{out_id}_v"),
             F.posexplode(
                 _sign_band_keys(F.col(vec_col), bands, band_bits)
             ).alias("band", "key"),
+        )
+        return cap_bucket_fanout(
+            rows, ["band", "key"], max_bucket_size, log_drops,
+            f"e12_bands_{out_id}",
         )
 
     cand = _bandrows(src, "src_id").join(

@@ -4734,7 +4734,8 @@ def e11_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _e12_oracle(k: int = 4, threshold_e6: int = 1_050_000,
-                bands: int = 4, band_bits: int = 8) -> str:
+                bands: int = 4, band_bits: int = 8,
+                max_bucket_size: int = 1000) -> str:
     def keyexpr(b: int) -> str:
         return " + ".join(
             f"(CASE WHEN vv[{b * band_bits + 1 + j}] > 0"
@@ -4759,8 +4760,12 @@ def _e12_oracle(k: int = 4, threshold_e6: int = 1_050_000,
         SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
         FROM embeddings WHERE vec_id % 2 = 1),
-    sb AS ({bandrows('s')}),
-    tb AS ({bandrows('t')}),
+    sb AS (SELECT * FROM ({bandrows('s')})
+           QUALIFY count(*) OVER (PARTITION BY band, key)
+                   <= {max_bucket_size}),
+    tb AS (SELECT * FROM ({bandrows('t')})
+           QUALIFY count(*) OVER (PARTITION BY band, key)
+                   <= {max_bucket_size}),
     cand AS (
         SELECT sb.vec_id AS src_id, tb.vec_id AS tgt_id,
                CAST(sb.band AS BIGINT) AS band, sb.vv AS sv, tb.vv AS tv
@@ -4814,7 +4819,8 @@ def e12_bitext_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign-sketch band equi-join (lowest shared band dedup), margins from
     candidate-local top-4 neighborhoods in the exact-integer e6 tree.
     The oracle restates the ENTIRE plan — sign bits, band keys, bucket
-    join, dedup, margins, mined flags — so the approximation itself is
+    join, dedup, margins, mined flags, AND the per-side 1000-member
+    bucket occupancy cap (r12) — so the approximation itself is
     hash-certified on real data."""
     from ago_sisdb_spark.operators import embed as embed_ops
 

@@ -747,3 +747,89 @@ def test_bitext_bucketed_exactly_once_and_mines_translations(spark):
         assert (t <= 2) == (s == 100), (s, t)
     mined = {r["src_id"]: r["tgt_id"] for r in rows if r["mined"]}
     assert mined == {100: 1, 200: 3}
+
+
+def test_bitext_bucketed_caps_degenerate_sign_bucket(spark, caplog):
+    """r12 (verdict #1): a degenerate sign pattern — every vector
+    all-positive, so ALL rows share every (band, key) bucket — must be
+    dropped by the per-side occupancy cap instead of emitting m² candidate
+    rows; an uncapped run on the same input explodes quadratically.  A
+    second, under-cap cluster must survive untouched."""
+    import logging
+
+    from ago_sisdb_spark.operators import embed as embed_ops
+
+    dim = 32
+    m = 12  # degenerate cluster size, > cap below
+
+    def vec(sign, i):
+        return [sign * (1.0 + 0.01 * ((i + j) % 5)) for j in range(dim)]
+
+    # m all-positive vectors per side (one mega-bucket in all 4 bands)
+    # plus 2 all-negative vectors per side (a healthy small bucket)
+    src = spark.createDataFrame(
+        [(100 + i, vec(1, i)) for i in range(m)]
+        + [(300, vec(-1, 0)), (301, vec(-1, 3))],
+        "vec_id long, embedding array<double>",
+    )
+    tgt = spark.createDataFrame(
+        [(500 + i, vec(1, i + 1)) for i in range(m)]
+        + [(700, vec(-1, 1)), (701, vec(-1, 4))],
+        "vec_id long, embedding array<double>",
+    )
+
+    def run(cap, **kw):
+        return embed_ops.bitext_margin_mine_bucketed(
+            src, tgt, "vec_id", "embedding", k=3,
+            bands=4, band_bits=8, max_bucket_size=cap, **kw
+        ).collect()
+
+    with caplog.at_level(logging.WARNING):
+        capped = run(cap=4, log_drops=True)
+    # the mega-bucket is gone: only the negative-sign cluster pairs remain
+    pairs = {(r["src_id"], r["tgt_id"]) for r in capped}
+    assert pairs == {(s, t) for s in (300, 301) for t in (700, 701)}
+    # drops were surfaced, not silent
+    assert any("e12_bands" in rec.getMessage() for rec in caplog.records)
+
+    # uncapped twin: the mega-bucket srcs are back, each with a full
+    # forward top-k (the m² explosion is the INTERNAL candidate join the
+    # output's top-k hides — the cap exists to stop it before the join)
+    full = run(cap=10**9)
+    full_pairs = {(r["src_id"], r["tgt_id"]) for r in full}
+    assert len(full_pairs) == m * 3 + 4  # k per degenerate src + 2×2
+    assert {s for s, _ in full_pairs} >= {100 + i for i in range(m)}
+
+
+def test_sign_band_keys_short_vector_coalesces_to_zero_bits(spark):
+    """r12 ADVICE fix: a vector shorter than bands*band_bits must NOT
+    vanish from the bucket join — missing dimensions contribute bit 0
+    (the oracle's CASE … ELSE 0), so a short vector still lands in a
+    bucket and pairs with its full-width twin whose trailing dims are
+    negative (sign bit 0)."""
+    from ago_sisdb_spark.operators import embed as embed_ops
+    from pyspark.sql import functions as F
+
+    # 8 leading positive dims, then: src stops at 8 dims (short);
+    # tgt has 32 dims with dims 8..31 negative — identical sign keys
+    short = [1.0] * 8
+    full = [1.0] * 8 + [-1.0] * 24
+    src = spark.createDataFrame(
+        [(1, short)], "vec_id long, embedding array<double>"
+    )
+    tgt = spark.createDataFrame(
+        [(2, full)], "vec_id long, embedding array<double>"
+    )
+    keys_short, keys_full = (
+        df.select(
+            embed_ops._sign_band_keys(
+                F.col("embedding"), 4, 8
+            ).alias("k")
+        ).head()["k"]
+        for df in (src, tgt)
+    )
+    assert keys_short == keys_full == [255, 0, 0, 0]  # no NULL band keys
+    rows = embed_ops.bitext_margin_mine_bucketed(
+        src, tgt, "vec_id", "embedding", k=1, bands=4, band_bits=8
+    ).collect()
+    assert [(r["src_id"], r["tgt_id"]) for r in rows] == [(1, 2)]

@@ -30,6 +30,7 @@ def main() -> None:
 
     from ago_sisdb_spark.catalog import load_table
     from ago_sisdb_spark.operators import dedup, similarity
+    from ago_sisdb_spark.operators import embed as embed_ops
     from ago_sisdb_spark.queries.pipeline import _d6_planes
     from ago_sisdb_spark.session import get_spark
 
@@ -49,6 +50,17 @@ def main() -> None:
         "d6_embedding": lambda cap: similarity.cosine_neardup_lsh(
             emb, "vec_id", "embedding", threshold=0.40, dim=64,
             bits=6, tables=8, planes=_d6_planes(), max_bucket_size=cap
+        ),
+        # r12 (verdict #1): the symmetric bucketed bitext miner's
+        # (band, key) occupancy cap — recall over MINED pairs, the
+        # operator's deliverable
+        "e12_bitext": lambda cap: embed_ops.bitext_margin_mine_bucketed(
+            emb.where(F.col("vec_id") % 2 == 0),
+            emb.where(F.col("vec_id") % 2 == 1),
+            "vec_id", "embedding", k=4, bands=4, band_bits=8,
+            max_bucket_size=cap,
+        ).where(F.col("mined")).select(
+            F.col("src_id").alias("id_a"), F.col("tgt_id").alias("id_b")
         ),
     }.items():
         capped = pair_set(fn(1000))
