@@ -107,6 +107,13 @@ SECONDARY = [
     # document-frequency join over a shingle pass — the memorization
     # audit's corpus-gram shuffle shape)
     "t33_ngram_novelty",
+    # r12 (r11 verdict #2, BASELINE.md "tracked from" rule): the r11
+    # embedding-mining family — broadcast+pinned-collapse margin mining,
+    # shuffle-free cluster rebalancing, and the symmetric (band, key)
+    # bucket join whose occupancy cap landed this round
+    "e10_bitext_mining",
+    "e11_cluster_balance",
+    "e12_bitext_bucketed",
 ]
 
 RUNS = 3
@@ -302,15 +309,19 @@ def main() -> None:
         "queries": timings,
         "secondary": secondary,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        # host-speed self-report: >1.3 means every reading above is
-        # riding a slow host day — judge per-query ratios against
-        # anchor*host_factor, not the raw anchor.
+        # host-speed self-report: judge per-query ratios against
+        # anchor*host_factor, not the raw anchor.  No boolean verdict
+        # (r12, ADVICE fix): the anchor's own five same-day fresh-session
+        # samples span 0.66–1.47 s (2.2× ambient spread, BASELINE.md), so
+        # any fixed host_factor threshold inside that band both
+        # false-positives on a clean day and misses a genuinely inflated
+        # one — readers get the factor WITH its error bar plus the
+        # per-query trace, and adjudicate per query.
         "calibration": {
             "pre_sec": cal_pre,
             "post_sec": cal_post,
             "anchor_sec": anchor,
             "host_factor": factor,
-            "host_inflated": bool(factor and factor > 1.3),
             # per-query ambient context (single raw probe sample taken
             # right after each headline query).  Trace samples run in the
             # fully warm in-sequence JVM, so they read well BELOW the
