@@ -1446,7 +1446,11 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
            t.auc_num2 AS cls_auc_num2, t.auc AS cls_auc,
            t.f1 AS cls_f1, t.accuracy AS cls_accuracy,
            mw.n_a AS mw_n_a, mw.n_b AS mw_n_b, mw.u1_x2 AS mw_u1_x2,
-           mw.tie_term AS mw_tie_term, mw.z AS mw_z
+           mw.tie_term AS mw_tie_term, mw.z AS mw_z,
+           cu.cusum_peak, cu.cusum_peak_at, cu.cusum_changed,
+           tt.tt_n_a, tt.tt_n_b, tt.tt_mean_diff, tt.tt_t_stat,
+           tt.tt_welch_df, tt.tt_significant,
+           se.seas_top_id, se.seas_resid_e6_sum, se.seas_id_sum
     FROM base
     JOIN ({_O['a18_mad_outliers']}) m ON base.event_type = m.event_type
     JOIN (SELECT event_type, est FROM ({_O['a19_hist_quantiles']})
@@ -1455,6 +1459,20 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE q = 0.99) p99 ON base.event_type = p99.event_type
     CROSS JOIN ({_O['t27_classifier_eval']}) t
     CROSS JOIN ({_O['a23_mannwhitney']}) mw
+    JOIN (SELECT event_type, peak_cusum AS cusum_peak,
+                 peak_at AS cusum_peak_at, changed AS cusum_changed
+          FROM ({_O['a20_cusum']})) cu ON base.event_type = cu.event_type
+    JOIN (SELECT event_type, n_a AS tt_n_a, n_b AS tt_n_b,
+                 mean_diff AS tt_mean_diff, t_stat AS tt_t_stat,
+                 welch_df AS tt_welch_df, significant AS tt_significant
+          FROM ({_O['a21_ab_ttest']})) tt ON base.event_type = tt.event_type
+    JOIN (SELECT event_type,
+                 min(CASE WHEN rank = 1 THEN event_id END) AS seas_top_id,
+                 CAST(sum(CAST(floor(resid * 1000000) AS BIGINT)) AS BIGINT)
+                     AS seas_resid_e6_sum,
+                 CAST(sum(event_id) AS BIGINT) AS seas_id_sum
+          FROM ({_O['a22_seasonal_residuals']})
+          GROUP BY event_type) se ON base.event_type = se.event_type
     """,
 )
 def a3_stat_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1521,12 +1539,132 @@ def a3_stat_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tie_term").alias("mw_tie_term"),
         F.col("z").alias("mw_z"),
     )
+    # r12 driver rotation (r11 verdict #7): the anomaly family joins as
+    # per-series suite columns — a20 CUSUM change-point peak, a21 Welch
+    # two-sample comparison, and a22's top-5 seasonal residuals folded
+    # into an exact-integer digest (rank-1 event id + floor-e6 residual
+    # sum + member id sum — certifies the full top-5 content without
+    # widening the row count).  All three are series-cardinality frames.
+    cus = _series.a20_cusum(spark, sf_dir).select(
+        "event_type",
+        F.col("peak_cusum").alias("cusum_peak"),
+        F.col("peak_at").alias("cusum_peak_at"),
+        F.col("changed").alias("cusum_changed"),
+    )
+    tt = _series.a21_ab_ttest(spark, sf_dir).select(
+        "event_type",
+        F.col("n_a").alias("tt_n_a"), F.col("n_b").alias("tt_n_b"),
+        F.col("mean_diff").alias("tt_mean_diff"),
+        F.col("t_stat").alias("tt_t_stat"),
+        F.col("welch_df").alias("tt_welch_df"),
+        F.col("significant").alias("tt_significant"),
+    )
+    seas = (
+        _series.a22_seasonal_residuals(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("rank") == 1, F.col("event_id")))
+            .alias("seas_top_id"),
+            F.sum(F.floor(F.col("resid") * F.lit(1_000_000)).cast("long"))
+            .cast("long")
+            .alias("seas_resid_e6_sum"),
+            F.sum("event_id").cast("long").alias("seas_id_sum"),
+        )
+    )
     return (
         base.join(mad, "event_type")
         .join(p50, "event_type")
         .join(p99, "event_type")
         .crossJoin(F.broadcast(cls))
         .crossJoin(F.broadcast(mw))
+        .join(cus, "event_type")
+        .join(tt, "event_type")
+        .join(seas, "event_type")
+    )
+
+
+@query(
+    "w1_window_suite",
+    oracle=f"""
+    SELECT 'w1' AS part, event_id, user_id, value, rnk, drnk, prev_value,
+           next_value, moving_sum3, quartile, pct_rnk, cdist, first_val,
+           second_val, CAST(NULL AS VARCHAR) AS motif
+    FROM ({_O['w1_core']})
+    UNION ALL
+    SELECT 'w3_funnel', CAST(step_no AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), n_users, CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), step
+    FROM ({_O['w3_funnel']})
+    UNION ALL
+    SELECT 'w4_retention', day_offset, NULL, NULL, n_users, NULL, NULL,
+           NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           CAST(cohort_day AS VARCHAR)
+    FROM ({_O['w4_retention']})
+    UNION ALL
+    SELECT 'w5_motifs', rank, NULL, NULL, n, NULL, NULL, NULL, NULL,
+           NULL, NULL, NULL, NULL, NULL, motif
+    FROM ({_O['w5_event_motifs']})
+    """,
+)
+def w1_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 window surface + event-sequence analytics, one tagged matrix
+    (r12 driver rotation, r11 verdict #7; the plain window projection
+    this entry started as is the ``w1`` branch, fine-grained twin
+    extended as ``w1_core``):
+
+    - ``w1`` — rank/dense_rank, lag/lead, rowsBetween frame, ntile,
+      percent_rank, cume_dist, first/nth_value over the shared user_id
+      partitioning.
+    - ``w3_funnel`` — ordered view→click→purchase funnel (strictly-after
+      per-user step times); event_id carries step_no, rnk the user count,
+      motif the step name.
+    - ``w4_retention`` — cohort retention triangle; event_id carries the
+      day offset, rnk the user count, motif the cohort day.
+    - ``w5_motifs`` — top-20 consecutive 3-event motifs (window-free
+      global top-k); event_id carries the rank, rnk the count.
+
+    All branches share the user-key or bounded-vocabulary shuffles of
+    their extended twins — nothing new row-scale."""
+    core = _series.w1_core(spark, sf_dir).select(
+        F.lit("w1").alias("part"),
+        "event_id", "user_id", "value", "rnk", "drnk", "prev_value",
+        "next_value", "moving_sum3", "quartile", "pct_rnk", "cdist",
+        "first_val", "second_val",
+        F.lit(None).cast("string").alias("motif"),
+    )
+
+    def _wrow(part, df, event_id, rnk, motif):
+        return df.select(
+            F.lit(part).alias("part"),
+            event_id.cast("long").alias("event_id"),
+            _L().alias("user_id"), _D().alias("value"),
+            rnk.cast("long").alias("rnk"), _L().alias("drnk"),
+            _D().alias("prev_value"), _D().alias("next_value"),
+            _D().alias("moving_sum3"), _L().alias("quartile"),
+            _D().alias("pct_rnk"), _D().alias("cdist"),
+            _D().alias("first_val"), _D().alias("second_val"),
+            motif.cast("string").alias("motif"),
+        )
+
+    funnel = _wrow(
+        "w3_funnel", _series.w3_funnel(spark, sf_dir),
+        F.col("step_no"), F.col("n_users"), F.col("step"),
+    )
+    retention = _wrow(
+        "w4_retention", _series.w4_retention(spark, sf_dir),
+        F.col("day_offset"), F.col("n_users"), F.col("cohort_day"),
+    )
+    motifs = _wrow(
+        "w5_motifs", _series.w5_event_motifs(spark, sf_dir),
+        F.col("rank"), F.col("n"), F.col("motif"),
+    )
+    return (
+        core.unionByName(funnel)
+        .unionByName(retention)
+        .unionByName(motifs)
     )
 
 

@@ -429,7 +429,11 @@ def a14_turning_scan_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "w1_window_suite",
+    # r12 driver rotation (r11 verdict #7): demoted to extended under a
+    # NEW name; the same-named driver umbrella in combined.py unions this
+    # core window surface with the w3/w4/w5 event-sequence branches
+    # (umbrella-rotation mechanics — see CLAUDE.md).
+    "w1_core",
     oracle="""
     SELECT event_id, user_id, value,
            rank()       OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk,
@@ -446,8 +450,9 @@ def a14_turning_scan_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_val
     FROM events WHERE user_id < 20
     """,
+    extended=True,
 )
-def w1_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+def w1_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5 declared window surface in one plan: rank/dense_rank, lag/lead
     (the reference's offset:-n record addressing, sisdb_fmap.h:156-158), a
     rowsBetween frame, and (r4) the distribution family — ntile quartiles,
