@@ -117,6 +117,164 @@ def pagerank_e12(
     return rank
 
 
+HITS_SCALE = 1_000_000  # e6 fixed-point for hub/authority scores
+
+
+def hits_e6(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    weight_col: str | None = None,
+    iters: int = 3,
+) -> DataFrame:
+    """Fixed-iteration HITS hubs & authorities (Kleinberg 1999, "Authoritative
+    Sources in a Hyperlinked Environment") in exact e6 fixed-point — the
+    link-analysis companion to ``pagerank_e12`` for host-level corpus
+    curation: PageRank scores endorsement mass, HITS separates DIRECTORY
+    hosts (hubs — link to many good sources) from CONTENT hosts
+    (authorities — linked by many good directories), which is the signal
+    a crawl-frontier or source-weighting pass actually wants.
+
+        a_i(v) = Σ_{(u,v)} hub_{i-1}(u)·w   then  a_i ← (a_i·S) div max(a_i)
+        h_i(u) = Σ_{(u,v)} auth_i(v)·w      then  h_i ← (h_i·S) div max(h_i)
+
+    Normalization is L∞ (divide by the round's max) instead of the
+    textbook L2: per-round normalization in HITS is only there to stop
+    magnitude growth, any positive scaling yields the same ORDER and the
+    same fixed-point direction — and an integer max is exact where a
+    sqrt is irrational, so two engines running the same rounds produce
+    bit-identical tables (the pagerank_e12 recipe; summation is integer,
+    order-free).
+
+    Scale shape: identical to pagerank_e12 — edges are the aggregated
+    vocabulary-scale node graph; each half-round is one broadcast-
+    eligible join of a node-sized score table onto the edge list plus
+    one integer aggregate; score frames are materialized per round so
+    round k+1 never replays rounds 1..k.  The max is a 1-row aggregate
+    broadcast back (the s10 broadcast-scalar shape).
+
+    Overflow bound: Σ score·w per node ≤ HITS_SCALE · (max weighted
+    degree) must stay < 2^63 — holds while any node's weighted in/out
+    degree < 9.2e12; e6 (not e12) scale is exactly this headroom trade.
+
+    Returns (node, hub_e6, auth_e6) over every node appearing as src or
+    dst; sink nodes get hub 0, source nodes auth 0.
+
+    Reference: no analogue (beyond-reference LLM-data surface, the
+    operators/graph.py family)."""
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    e = edges.select(
+        F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst"),
+        w.alias("__w"),
+    )
+    e = materialize(
+        e.groupBy("__src", "__dst").agg(F.sum("__w").alias("__w"))
+    )
+    nodes = materialize(
+        e.select(F.col("__src").alias("node"))
+        .unionByName(e.select(F.col("__dst").alias("node")))
+        .distinct()
+    )
+    hub = nodes.select(
+        "node", F.lit(HITS_SCALE).cast("long").alias("hub_e6")
+    )
+
+    def _normalized(scored, score_col):
+        mx = scored.agg(F.max(score_col).alias("__mx"))
+        return scored.crossJoin(F.broadcast(mx)).select(
+            "node",
+            F.expr(f"({score_col} * {HITS_SCALE}) div greatest(__mx, 1)")
+            .cast("long")
+            .alias(score_col),
+        )
+
+    auth = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(hub, e["__src"] == hub["node"])
+            .select(
+                F.col("__dst").alias("node"),
+                (F.col("hub_e6") * F.col("__w")).alias("__m"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__m").alias("auth_e6"))
+        )
+        auth = materialize(_normalized(a_raw, "auth_e6"))
+        h_raw = (
+            e.join(auth, e["__dst"] == auth["node"])
+            .select(
+                F.col("__src").alias("node"),
+                (F.col("auth_e6") * F.col("__w")).alias("__m"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__m").alias("hub_e6"))
+        )
+        hub = materialize(_normalized(h_raw, "hub_e6"))
+    return (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("hub_e6"), F.lit(0)).cast("long")
+            .alias("hub_e6"),
+            F.coalesce(F.col("auth_e6"), F.lit(0)).cast("long")
+            .alias("auth_e6"),
+        )
+    )
+
+
+def hits_oracle_sql(edges_sql: str, iters: int = 3) -> str:
+    """DuckDB twin of ``hits_e6``: the same half-rounds unrolled as CTEs
+    over an edge-list subquery producing (src, dst, w).  Integer-exact —
+    bit-identical, not approximately equal."""
+    rounds = []
+    prev_hub = "h0"
+    for i in range(1, iters + 1):
+        rounds.append(f"""
+    a{i}r AS (
+        SELECT e.dst AS node,
+               CAST(sum(h.hub_e6 * e.w) AS BIGINT) AS s
+        FROM e JOIN {prev_hub} h ON h.node = e.src
+        GROUP BY e.dst),
+    a{i} AS (
+        SELECT node,
+               CAST((s * {HITS_SCALE})
+                    // greatest((SELECT max(s) FROM a{i}r), 1) AS BIGINT)
+                   AS auth_e6
+        FROM a{i}r),
+    h{i}r AS (
+        SELECT e.src AS node,
+               CAST(sum(a.auth_e6 * e.w) AS BIGINT) AS s
+        FROM e JOIN a{i} a ON a.node = e.dst
+        GROUP BY e.src),
+    h{i} AS (
+        SELECT node,
+               CAST((s * {HITS_SCALE})
+                    // greatest((SELECT max(s) FROM h{i}r), 1) AS BIGINT)
+                   AS hub_e6
+        FROM h{i}r)""")
+        prev_hub = f"h{i}"
+    return f"""
+    WITH eraw AS ({edges_sql}),
+    e AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w
+          FROM eraw GROUP BY src, dst),
+    nodes AS (SELECT DISTINCT src AS node FROM e
+              UNION SELECT DISTINCT dst FROM e),
+    h0 AS (SELECT node, CAST({HITS_SCALE} AS BIGINT) AS hub_e6 FROM nodes),
+    {','.join(rounds)}
+    SELECT n.node,
+           CAST(coalesce(h.hub_e6, 0) AS BIGINT) AS hub_e6,
+           CAST(coalesce(a.auth_e6, 0) AS BIGINT) AS auth_e6
+    FROM nodes n
+    LEFT JOIN h{iters} h ON h.node = n.node
+    LEFT JOIN a{iters} a ON a.node = n.node
+    """
+
+
 def pagerank_oracle_sql(
     edges_sql: str,
     iters: int = 5,

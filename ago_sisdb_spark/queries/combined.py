@@ -1935,6 +1935,9 @@ def p2_w2_exact_session(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS DOUBLE)
     FROM ({_O['t37_host_rank']})
     UNION ALL
+    SELECT 'hits', node, hub_e6, auth_e6, CAST(NULL AS DOUBLE)
+    FROM ({_O['t39_hits']})
+    UNION ALL
     SELECT 'entropy', CAST(doc_id AS VARCHAR), n_chars, n_distinct, entropy
     FROM ({_O['t38_char_entropy']})
     UNION ALL
@@ -2084,6 +2087,16 @@ def pipe3_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         _L().alias("n2"),
         _D().alias("metric"),
     )
+    # r12: HITS hubs & authorities (t39, NEW) — the complementary
+    # link-analysis axis over the same planted source→host graph,
+    # exact e6 fixed-point with integer L∞ normalization per round
+    hits = _pipe.t39_hits(spark, sf_dir).select(
+        F.lit("hits").alias("part"),
+        F.col("node").alias("key"),
+        F.col("hub_e6").alias("n1"),
+        F.col("auth_e6").alias("n2"),
+        _D().alias("metric"),
+    )
     entropy = _pipe.t38_char_entropy(spark, sf_dir).select(
         F.lit("entropy").alias("part"),
         F.col("doc_id").cast("string").alias("key"),
@@ -2120,6 +2133,7 @@ def pipe3_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(script)
         .unionByName(urlc)
         .unionByName(hostrank)
+        .unionByName(hits)
         .unionByName(entropy)
         .unionByName(bpe)
     )

@@ -4994,6 +4994,35 @@ def t37_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank_e12(edges, "src", "dst", iters=3)
 
 
+def _t39_oracle() -> str:
+    from ago_sisdb_spark.operators.graph import hits_oracle_sql
+
+    return hits_oracle_sql(_t37_edges_sql(), iters=3)
+
+
+@query("t39_hits", oracle=_t39_oracle(), extended=True)
+def t39_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the source→host graph
+    (operators/graph.hits_e6, NEW r12 — Kleinberg 1999): separates
+    DIRECTORY sources (hubs: link to many good hosts) from CONTENT hosts
+    (authorities: linked by many good sources) in 3 exact e6 fixed-point
+    rounds with integer L∞ normalization — the same bit-identical-twin
+    recipe as t37's PageRank, certifying the complementary link-analysis
+    axis a crawl-frontier weighting pass wants.  Same planted URL corpus
+    as t36/t37 (the real corpus has no URLs)."""
+    from ago_sisdb_spark.operators import graph
+    from ago_sisdb_spark.operators.text import URL_PATTERN
+
+    docs = _t36_planted_docs(_t(spark, sf_dir, "documents"))
+    edges = docs.select(
+        F.col("source").alias("src"),
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(URL_PATTERN), 1)
+        ).alias("h"),
+    ).select("src", F.lower(F.col("h")).alias("dst"))
+    return graph.hits_e6(edges, "src", "dst", iters=3)
+
+
 def _s10_oracle(bits: int = 8, bucket_shift: int = 10) -> str:
     inter = " + ".join(
         f"(((qx >> {i}) & 1) << {2 * i}) + (((qy >> {i}) & 1) << {2 * i + 1})"

@@ -71,3 +71,67 @@ def test_pagerank_rejects_bad_damping(spark):
         graph.pagerank_e12(df, "s", "t", "w", damping_pct=0)
     with pytest.raises(ValueError):
         graph.pagerank_e12(df, "s", "t", "w", damping_pct=100)
+
+
+def _hits_twin(edges, iters):
+    """Independent plain-Python replay of hits_e6's integer arithmetic."""
+    w = defaultdict(int)
+    for s, t, ww in edges:
+        w[(s, t)] += ww
+    nodes = sorted({s for s, _ in w} | {t for _, t in w})
+    hub = {n: graph.HITS_SCALE for n in nodes}
+    auth = {}
+    for _ in range(iters):
+        a = defaultdict(int)
+        for (s, t), ww in w.items():
+            if s in hub:
+                a[t] += hub[s] * ww
+        mx = max(a.values(), default=0) or 1
+        auth = {n: (v * graph.HITS_SCALE) // mx for n, v in a.items()}
+        h = defaultdict(int)
+        for (s, t), ww in w.items():
+            if t in auth:
+                h[s] += auth[t] * ww
+        mx = max(h.values(), default=0) or 1
+        hub = {n: (v * graph.HITS_SCALE) // mx for n, v in h.items()}
+    return {
+        n: (hub.get(n, 0), auth.get(n, 0)) for n in nodes
+    }
+
+
+@pytest.mark.parametrize("iters", [1, 3])
+def test_hits_matches_integer_twin(spark, iters):
+    edges = [
+        ("d1", "c1", 2), ("d1", "c2", 1), ("d1", "c3", 1),
+        ("d2", "c1", 1), ("d2", "c2", 1),
+        ("d3", "c3", 1), ("c1", "d1", 1),  # back-link: c1 is also a hub
+        ("d1", "c1", 1),  # duplicate edge -> aggregated weight 3
+    ]
+    df = spark.createDataFrame(edges, "s string, t string, w long")
+    got = {
+        r["node"]: (r["hub_e6"], r["auth_e6"])
+        for r in graph.hits_e6(df, "s", "t", "w", iters=iters).collect()
+    }
+    assert got == _hits_twin(edges, iters)
+
+
+def test_hits_separates_hubs_from_authorities(spark):
+    """On a bipartite directory→content graph: the directory linking to
+    every content node is the top hub with zero authority; the content
+    node every directory links to is the top authority with zero hub;
+    L-infinity normalization pins both maxima at exactly HITS_SCALE."""
+    edges = (
+        [("dir_all", f"c{i}", 1) for i in range(4)]
+        + [("dir_half", "c0", 1), ("dir_half", "c1", 1)]
+    )
+    df = spark.createDataFrame(edges, "s string, t string, w long")
+    got = {
+        r["node"]: (r["hub_e6"], r["auth_e6"])
+        for r in graph.hits_e6(df, "s", "t", iters=3).collect()
+    }
+    assert got["dir_all"][0] == graph.HITS_SCALE  # top hub, exact scale
+    assert got["dir_all"][1] == 0                 # no in-links -> no authority
+    assert got["c0"][1] == graph.HITS_SCALE       # top authority (2 in-links)
+    assert got["c0"][0] == 0                      # no out-links -> no hub
+    assert got["dir_all"][0] > got["dir_half"][0]
+    assert got["c0"][1] > got["c2"][1]

@@ -629,6 +629,24 @@ def main() -> None:
             ).select("src", F.lower(F.col("h")).alias("dst"))
             return graph.pagerank_e12(edges, "src", "dst", iters=3)
         probe("t37_host_rank", mk_t37)
+        def mk_t39(dc=dc):
+            # r12: HITS over the same planted source→host graph — hosts
+            # stay bounded as pages grow (the t37 production shape), so
+            # per-half-round frames are host-scale constants
+            from ago_sisdb_spark.operators import graph
+            from ago_sisdb_spark.queries.pipeline import _t36_planted_docs
+            from ago_sisdb_spark.operators.text import URL_PATTERN
+            pd_ = _t36_planted_docs(dc.withColumn(
+                "source",
+                F.concat(F.lit("s"), (F.col("doc_id") % 20).cast("string")),
+            ))
+            edges = pd_.select(
+                F.col("source").alias("src"),
+                F.explode(F.regexp_extract_all(
+                    F.col("text"), F.lit(URL_PATTERN), 1)).alias("h"),
+            ).select("src", F.lower(F.col("h")).alias("dst"))
+            return graph.hits_e6(edges, "src", "dst", iters=3)
+        probe("t39_hits", mk_t39)
         def mk_j4b(ev=ev):
             # binned keyless interval join: multiplying rows inside a FIXED
             # time range multiplies per-bin density, so the MATCH COUNT
