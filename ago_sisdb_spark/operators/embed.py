@@ -738,40 +738,49 @@ def bitext_margin_mine_bucketed(
         .cast("long")
         .alias("cos_e6"),
     )
+    # Neighborhood sums ride the SAME window exchanges that compute the
+    # ranks (r12 dupscan fix): the candidate lineage (scan → sign bands →
+    # cap → bucket join → pair dedup) is the expensive subplan, and the
+    # old groupBy(sumx)/groupBy(sumy)/pairs consumers re-executed it
+    # THREE times plus two join-back shuffles (exchange reuse does not
+    # span separate consumers — the r7 trap, invisible in local wall
+    # time).  Chained same-partition windows compute rank AND the
+    # rank-gated sum/count in one exchange per side: one src_id
+    # exchange (rank, sum_x, n_x), one tgt_id exchange (rb, sum_y,
+    # n_y), then the mined window re-uses src_id partitioning — the
+    # candidate table is exchanged 3× total instead of its lineage
+    # running 3× end to end.
     wf = Window.partitionBy("src_id").orderBy(
         F.col("cos_e6").desc(), "tgt_id"
     )
     wb = Window.partitionBy("tgt_id").orderBy(
         F.col("cos_e6").desc(), "src_id"
     )
-    ranked = scored.select(
+    wsp = Window.partitionBy("src_id")
+    wtp = Window.partitionBy("tgt_id")
+    by_src = scored.select(
+        "*", F.row_number().over(wf).cast("long").alias("rank")
+    ).select(
         "*",
-        F.row_number().over(wf).cast("long").alias("rank"),
-        F.row_number().over(wb).alias("__rb"),
+        F.sum(F.when(F.col("rank") <= k, F.col("cos_e6")))
+        .over(wsp).alias("sum_x_e6"),
+        F.count(F.when(F.col("rank") <= k, F.lit(1)))
+        .over(wsp).alias("n_x"),
     )
-    sumx = (
-        ranked.where(F.col("rank") <= k)
-        .groupBy("src_id")
-        .agg(
-            F.sum("cos_e6").alias("sum_x_e6"),
-            F.count(F.lit(1)).alias("n_x"),
-        )
-    )
-    sumy = (
-        ranked.where(F.col("__rb") <= k)
-        .groupBy("tgt_id")
-        .agg(
-            F.sum("cos_e6").alias("sum_y_e6"),
-            F.count(F.lit(1)).alias("n_y"),
-        )
+    by_tgt = by_src.select(
+        "*", F.row_number().over(wb).alias("__rb")
+    ).select(
+        "*",
+        F.sum(F.when(F.col("__rb") <= k, F.col("cos_e6")))
+        .over(wtp).alias("sum_y_e6"),
+        F.count(F.when(F.col("__rb") <= k, F.lit(1)))
+        .over(wtp).alias("n_y"),
     )
     num = F.col("cos_e6") * (F.col("n_x") + F.col("n_y")) * F.lit(1_000_000)
     den = F.col("sum_x_e6") + F.col("sum_y_e6")
     pairs = (
-        ranked.where(F.col("rank") <= k)
+        by_tgt.where(F.col("rank") <= k)
         .drop("__rb")
-        .join(sumx, "src_id")
-        .join(sumy, "tgt_id")
         .withColumn(
             "margin_e6",
             F.when(
