@@ -645,11 +645,20 @@ def w3_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     addressed scans can't compose.  Three per-user min aggregations, each
     joined forward on user_id (group-key shuffles only; at 1000 executors
     each stage is a co-partitioned user-keyed agg)."""
+    from ago_sisdb_spark.materialize import materialize
+
     ev = _t(spark, sf_dir, "events")
-    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.min("ts").alias("tv")
+    # v and c are NARROW user-cardinality collapse points (user_id + one
+    # timestamp) with TWO consumers each (the next step's join + the
+    # step's own count) — without the pin, step 3's lineage re-runs the
+    # view scan+agg a third time and the click chain a second (r12
+    # dupscan fix, events:6 → 3; the n5 per-doc-lengths precedent)
+    v = materialize(
+        ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+            F.min("ts").alias("tv")
+        )
     )
-    c = (
+    c = materialize(
         ev.where(F.col("event_type") == "click")
         .join(v, "user_id")
         .where(F.col("ts") > F.col("tv"))
