@@ -156,12 +156,24 @@ def hits_e6(
     Overflow bound: Σ score·w per node ≤ HITS_SCALE · (max weighted
     degree) must stay < 2^63 — holds while any node's weighted in/out
     degree < 9.2e12; e6 (not e12) scale is exactly this headroom trade.
+    The normalization step then multiplies that sum by HITS_SCALE again,
+    which would overflow int64 at weighted degree ~9.2e6, so the scaled
+    quotient is computed in DECIMAL(38,0) (HUGEINT in the DuckDB twin) —
+    the quotient itself is ≤ HITS_SCALE and always fits a long.
+
+    Weights must be NON-NEGATIVE: Spark ``div`` truncates toward zero
+    while DuckDB ``//`` floors, so negative scores would diverge across
+    engines (and an L∞-by-max normalization is meaningless under mixed
+    signs).  The grouped weight table is validated at build time and a
+    negative aggregate weight raises ValueError.
 
     Returns (node, hub_e6, auth_e6) over every node appearing as src or
     dst; sink nodes get hub 0, source nodes auth 0.
 
     Reference: no analogue (beyond-reference LLM-data surface, the
     operators/graph.py family)."""
+    if iters < 1:
+        raise ValueError(f"hits_e6 requires iters >= 1, got {iters}")
     w = (
         F.col(weight_col).cast("long")
         if weight_col
@@ -174,6 +186,14 @@ def hits_e6(
     e = materialize(
         e.groupBy("__src", "__dst").agg(F.sum("__w").alias("__w"))
     )
+    min_w = e.agg(F.min("__w").alias("__mw")).collect()[0]["__mw"]
+    if min_w is not None and min_w < 0:
+        raise ValueError(
+            "hits_e6 requires non-negative aggregate edge weights "
+            f"(min grouped weight = {min_w}): trunc-div (Spark) vs "
+            "floor-div (DuckDB/Python) diverge on negatives and "
+            "max-normalization is undefined under mixed signs"
+        )
     nodes = materialize(
         e.select(F.col("__src").alias("node"))
         .unionByName(e.select(F.col("__dst").alias("node")))
@@ -184,10 +204,17 @@ def hits_e6(
     )
 
     def _normalized(scored, score_col):
+        # The raw sum is bounded by HITS_SCALE·wdeg; multiplying by
+        # HITS_SCALE again would overflow int64 at wdeg ~9.2e6, so widen
+        # to DECIMAL(38,0) for the product — the quotient is ≤ HITS_SCALE
+        # (score ≤ max) and casts back to long losslessly.
         mx = scored.agg(F.max(score_col).alias("__mx"))
         return scored.crossJoin(F.broadcast(mx)).select(
             "node",
-            F.expr(f"({score_col} * {HITS_SCALE}) div greatest(__mx, 1)")
+            F.expr(
+                f"(cast({score_col} as decimal(38,0)) * {HITS_SCALE})"
+                " div greatest(__mx, 1)"
+            )
             .cast("long")
             .alias(score_col),
         )
@@ -242,7 +269,7 @@ def hits_oracle_sql(edges_sql: str, iters: int = 3) -> str:
         GROUP BY e.dst),
     a{i} AS (
         SELECT node,
-               CAST((s * {HITS_SCALE})
+               CAST((CAST(s AS HUGEINT) * {HITS_SCALE})
                     // greatest((SELECT max(s) FROM a{i}r), 1) AS BIGINT)
                    AS auth_e6
         FROM a{i}r),
@@ -253,7 +280,7 @@ def hits_oracle_sql(edges_sql: str, iters: int = 3) -> str:
         GROUP BY e.src),
     h{i} AS (
         SELECT node,
-               CAST((s * {HITS_SCALE})
+               CAST((CAST(s AS HUGEINT) * {HITS_SCALE})
                     // greatest((SELECT max(s) FROM h{i}r), 1) AS BIGINT)
                    AS hub_e6
         FROM h{i}r)""")

@@ -135,3 +135,31 @@ def test_hits_separates_hubs_from_authorities(spark):
     assert got["c0"][0] == 0                      # no out-links -> no hub
     assert got["dir_all"][0] > got["dir_half"][0]
     assert got["c0"][1] > got["c2"][1]
+
+
+def test_hits_survives_large_weighted_degree(spark):
+    """Regression (r13 ADVICE): normalization multiplies the half-round
+    sum (≤ HITS_SCALE·wdeg) by HITS_SCALE again — at weighted degree
+    ~1e8 the int64 product would overflow and ANSI mode would crash;
+    the DECIMAL(38,0)-widened quotient must match the (arbitrary-
+    precision) Python twin exactly."""
+    big = 100_000_000  # wdeg 1e8 -> s*SCALE ~ 1e20 > 2^63
+    edges = [("d1", "c1", big), ("d1", "c2", big // 2), ("d2", "c1", 7)]
+    df = spark.createDataFrame(edges, "s string, t string, w long")
+    got = {
+        r["node"]: (r["hub_e6"], r["auth_e6"])
+        for r in graph.hits_e6(df, "s", "t", "w", iters=2).collect()
+    }
+    assert got == _hits_twin(edges, 2)
+    assert got["d1"][0] == graph.HITS_SCALE
+
+
+def test_hits_rejects_negative_weights_and_zero_iters(spark):
+    df = spark.createDataFrame(
+        [("a", "b", 1), ("a", "c", -2)], "s string, t string, w long"
+    )
+    with pytest.raises(ValueError, match="non-negative"):
+        graph.hits_e6(df, "s", "t", "w", iters=2)
+    ok = spark.createDataFrame([("a", "b", 1)], "s string, t string, w long")
+    with pytest.raises(ValueError, match="iters"):
+        graph.hits_e6(ok, "s", "t", "w", iters=0)
