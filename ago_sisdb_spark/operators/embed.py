@@ -414,6 +414,91 @@ def semantic_decontaminate(
     )
 
 
+def _bitext_fwd_partials_udf(src_ids, src_mat, k: int):
+    """Forward-kNN partials for ``bitext_margin_mine``: per Arrow batch
+    of (tgt_id, __tv), the exact-fold cosine block against the bounded
+    src matrix, floored to e6 ints (bit-identical to the expression
+    form — ``similarity.fold_cosine_block``), and only each src's
+    batch-local top-k (cos_e6 desc, tgt_id asc) is emitted with the tgt
+    vector for the backward pass.  Arrow output is ≤ batches·|src|·k
+    rows, never the |src|×|tgt| cross product."""
+    import numpy as np
+    import pandas as pd
+
+    from ago_sisdb_spark.operators.similarity import (
+        fold_cosine_block,
+        fold_norms,
+    )
+
+    snorm = fold_norms(src_mat) if len(src_mat) else None
+    m = len(src_ids)
+
+    def gen(batches):
+        for pdf in batches:
+            if m == 0 or len(pdf) == 0:
+                continue
+            tids = pdf["tgt_id"].to_numpy(dtype=np.int64)
+            order0 = np.argsort(tids, kind="stable")
+            tids = tids[order0]
+            raw = pdf["__tv"].to_numpy()[order0]
+            x = np.vstack(raw).astype(np.float64)
+            e6 = np.floor(
+                fold_cosine_block(x, src_mat, snorm) * 1_000_000
+            ).astype(np.int64)
+            take = min(k, len(tids))
+            sel = np.argsort(-e6, axis=0, kind="stable")[:take, :]
+            rows_flat = sel.T.ravel()
+            cols_flat = np.repeat(np.arange(m), take)
+            yield pd.DataFrame(
+                {
+                    "src_id": src_ids[cols_flat],
+                    "tgt_id": tids[rows_flat],
+                    "cos_e6": e6[rows_flat, cols_flat],
+                    "__tv": pd.Series(list(x[rows_flat])),
+                }
+            )
+
+    return gen
+
+
+def _bitext_back_sums_udf(src_mat, k: int):
+    """Backward-kNN aggregates for ``bitext_margin_mine``: per candidate
+    (tgt) row, the sum and count of its top-k e6 cosines over the
+    bounded src side.  Entirely row-local (no cross-partition merge) and
+    tie-invariant — ties only occur among EQUAL cos_e6 values, so the
+    top-k integer sum is independent of which tied member is kept."""
+    import numpy as np
+    import pandas as pd
+
+    from ago_sisdb_spark.operators.similarity import (
+        fold_cosine_block,
+        fold_norms,
+    )
+
+    snorm = fold_norms(src_mat) if len(src_mat) else None
+    m = len(src_mat)
+
+    def gen(batches):
+        for pdf in batches:
+            if m == 0 or len(pdf) == 0:
+                continue
+            x = np.vstack(pdf["__tv"].to_numpy()).astype(np.float64)
+            e6 = np.floor(
+                fold_cosine_block(x, src_mat, snorm) * 1_000_000
+            ).astype(np.int64)
+            take = min(k, m)
+            top = np.sort(e6, axis=1)[:, m - take:]
+            yield pd.DataFrame(
+                {
+                    "tgt_id": pdf["tgt_id"].to_numpy(dtype=np.int64),
+                    "sum_y_e6": top.sum(axis=1),
+                    "n_y": np.full(len(x), take, dtype=np.int64),
+                }
+            )
+
+    return gen
+
+
 def bitext_margin_mine(
     src: DataFrame,
     tgt: DataFrame,
@@ -444,41 +529,41 @@ def bitext_margin_mine(
     denominator) yield NULL margin and mined=false.
 
     Scale shape: ``src`` is the bounded side (a query batch, one
-    language's shard) and BROADCASTS — the ``tgt`` corpus never exchanges
-    beyond the per-probe top-k window; the backward-kNN pass runs over
-    the candidate set (≤ |src|·k rows) × the same broadcast, map-side.
-    The forward frame is the SMALL collapse point three consumers read
-    (sum_x, the backward candidates, the final pair join), so it is
-    eagerly pinned (``materialize``, the r7 two-consumer rule) — without
-    the pin the backward pass's lineage re-runs the full corpus scan +
-    top-k exchange a second time (exchange reuse does not span separate
-    consumers; r12 ADVICE fix, 2× the dominant cost at 100 TB).
-    Symmetric large×large mining composes this with the sign-sketch
-    buckets (``sign_sketch_topk`` / e7): mine within buckets, union.
+    language's shard) and rides into every task in the kernel closure
+    (the IVF centroid precedent) — the ``tgt`` corpus never exchanges
+    beyond ≤ partitions·|src|·k candidate partials; the backward-kNN
+    pass runs over the candidate set (≤ |src|·k rows) map-side.  Both
+    cosine passes are numpy block kernels (r13 — the r4/r5 vectorized-
+    mapInPandas lesson; the interpreted zip_with/aggregate form was the
+    suite's most expensive kernel at ~3× the next) built on
+    ``similarity.fold_cosine_block``, which replays the expression
+    tree's exact sequential fold — every cos_e6 is bit-identical to the
+    interpreted form and the DuckDB twin, so the hash gate needs no
+    plant.  The forward frame is the SMALL collapse point three
+    consumers read (sum_x, the backward candidates, the final pair
+    join), so it is eagerly pinned (``materialize``, the r7
+    two-consumer rule).  Symmetric large×large mining composes this
+    with the sign-sketch buckets (``sign_sketch_topk`` / e7): mine
+    within buckets, union.
 
     Returns (src_id, tgt_id, rank, cos_e6, sum_x_e6, sum_y_e6,
     margin_e6, mined) — one row per forward top-k candidate.
 
     Reference: no analogue (beyond-reference LLM-data surface)."""
-    from ago_sisdb_spark.operators.similarity import cosine
+    from ago_sisdb_spark.operators.similarity import collect_vec_matrix
 
-    sx = src.select(
-        F.col(id_col).alias("src_id"), F.col(vec_col).alias("__sv")
-    )
+    src_ids, src_mat = collect_vec_matrix(src, id_col, vec_col)
     ty = tgt.select(
         F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("__tv")
     )
-    cos_e6 = (
-        F.floor(cosine(F.col("__sv"), F.col("__tv")) * F.lit(1_000_000))
-        .cast("long")
-    )
-    scored = ty.crossJoin(F.broadcast(sx)).select(
-        "src_id", "tgt_id", "__tv", cos_e6.alias("cos_e6")
+    partials = ty.mapInPandas(
+        _bitext_fwd_partials_udf(src_ids, src_mat, k),
+        "src_id long, tgt_id long, cos_e6 long, __tv array<double>",
     )
     wf = Window.partitionBy("src_id").orderBy(
         F.col("cos_e6").desc(), "tgt_id"
     )
-    fwd = scored.withColumn(
+    fwd = partials.withColumn(
         "rank", F.row_number().over(wf).cast("long")
     ).where(F.col("rank") <= k)
     # ≤ |src|·k rows incl. __tv — the bounded collapse point; pin it so
@@ -488,26 +573,15 @@ def bitext_margin_mine(
         F.sum("cos_e6").alias("sum_x_e6"),
         F.count(F.lit(1)).alias("n_x"),
     )
-    # backward kNN: candidates (bounded ≤ |src|·k) × the SAME broadcast
-    # src — the cosine expression is argument-for-argument identical to
-    # the forward pass, so recomputation is bit-identical
+    # backward kNN over the bounded candidate set: each candidate's
+    # top-k neighborhood over src is a per-ROW top-k (no cross-partition
+    # merge), and the top-k SUM is tie-invariant (ties only occur among
+    # equal cos_e6 values), so the kernel emits the final integer
+    # aggregates directly — same fold, bit-identical cosines
     cands = fwd.select("tgt_id", "__tv").dropDuplicates(["tgt_id"])
-    back = cands.crossJoin(F.broadcast(sx)).select(
-        "tgt_id",
-        F.col("src_id").alias("__bsid"),
-        cos_e6.alias("bcos_e6"),
-    )
-    wb = Window.partitionBy("tgt_id").orderBy(
-        F.col("bcos_e6").desc(), "__bsid"
-    )
-    sumy = (
-        back.withColumn("rb", F.row_number().over(wb))
-        .where(F.col("rb") <= k)
-        .groupBy("tgt_id")
-        .agg(
-            F.sum("bcos_e6").alias("sum_y_e6"),
-            F.count(F.lit(1)).alias("n_y"),
-        )
+    sumy = cands.mapInPandas(
+        _bitext_back_sums_udf(src_mat, k),
+        "tgt_id long, sum_y_e6 long, n_y long",
     )
     num = F.col("cos_e6") * (F.col("n_x") + F.col("n_y")) * F.lit(1_000_000)
     den = F.col("sum_x_e6") + F.col("sum_y_e6")
