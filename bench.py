@@ -15,6 +15,15 @@ never edited after r11) runs before and after the measured set; its ratio
 to the r11 clean-day anchor is reported as ``calibration.host_factor`` so
 a uniformly-inflated host day is self-evident in the artifact instead of
 needing cross-round forensics.
+
+Self-adjudication (r13, r12 verdict #2): any headline query whose trace
+probe exceeds ``REQUEUE_TRACE_FACTOR``× the run's own trace median was
+measured on a slow host segment — it is automatically RE-MEASURED at the
+end of the run (bounded attempts), the reading taken on the cleanest
+segment (lowest accompanying trace) is reported, and the raw/retry pairs
+land in ``calibration.requeue`` so the artifact adjudicates itself — the
+r12 artifact led with a noise-dominated total that needed a manual
+same-HEAD re-run to dismiss.
 """
 
 from __future__ import annotations
@@ -209,10 +218,53 @@ def _calibration_probe(spark) -> float:
 _PROBE_TRACE: dict[str, float] = {}
 
 
-def _trace_probe(spark, name: str) -> None:
+def _trace_probe(spark, name: str) -> float:
     t0 = time.perf_counter()
     _probe_query(spark)
-    _PROBE_TRACE[name] = round(time.perf_counter() - t0, 4)
+    sample = round(time.perf_counter() - t0, 4)
+    _PROBE_TRACE[name] = sample
+    return sample
+
+
+# A query whose trace probe reads above REQUEUE_TRACE_FACTOR × the run's
+# own trace median was measured on a locally-slow host segment (the r11
+# d3-at-5.7× / r12 j3-at-2.03× class — both probes clean, one segment
+# degraded).  Such queries are re-measured at the END of the run, up to
+# MAX_REQUEUE_ATTEMPTS times, keeping the reading whose accompanying
+# trace sample is LOWEST (taken on the cleanest segment); every raw and
+# retry pair is recorded in calibration.requeue so a future reader can
+# adjudicate the artifact without a manual same-HEAD re-run.
+REQUEUE_TRACE_FACTOR = 1.5
+MAX_REQUEUE_ATTEMPTS = 2
+_REQUEUE_LEDGER: dict[str, dict] = {}
+
+
+def _requeue_noisy(spark, queries, timings: dict[str, float]) -> None:
+    trace = {n: t for n, t in _PROBE_TRACE.items() if n in timings}
+    if len(trace) < 3:
+        return  # a 1-2 query run has no meaningful trace median
+    med = statistics.median(trace.values())
+    cutoff = REQUEUE_TRACE_FACTOR * med
+    for name in [n for n, t in trace.items() if t > cutoff]:
+        entry = {
+            "raw_sec": timings[name],
+            "raw_trace": trace[name],
+            "attempts": [],
+        }
+        best_sec, best_trace = timings[name], trace[name]
+        for _ in range(MAX_REQUEUE_ATTEMPTS):
+            sec = _median_time(spark, queries, name)
+            tr = _trace_probe(spark, name)
+            entry["attempts"].append({"sec": sec, "trace": tr})
+            if tr < best_trace:
+                best_sec, best_trace = sec, tr
+            if tr <= cutoff:
+                break
+        entry["kept_sec"] = best_sec
+        entry["kept_trace"] = best_trace
+        timings[name] = best_sec
+        _PROBE_TRACE[name] = best_trace
+        _REQUEUE_LEDGER[name] = entry
 
 
 def _warm_session(spark, queries, names: list[str]) -> None:
@@ -242,6 +294,7 @@ def _run_inline(names: list[str]) -> dict[str, float]:
         out[name] = _median_time(spark, queries, name)
         if name in HEADLINE_ANCHORS:
             _trace_probe(spark, name)
+    _requeue_noisy(spark, queries, out)
     return out
 
 
@@ -331,6 +384,15 @@ def main() -> None:
             # host segment (the r11 30.7 s run would have shown exactly
             # that around d3..s2)
             "trace": dict(_PROBE_TRACE),
+            # self-adjudication ledger (r13): queries re-measured because
+            # their trace exceeded REQUEUE_TRACE_FACTOR × the run's trace
+            # median, with every raw/retry (sec, trace) pair.  "queries"
+            # and "trace" above already hold the KEPT readings.
+            "requeue": {
+                "trace_factor": REQUEUE_TRACE_FACTOR,
+                "max_attempts": MAX_REQUEUE_ATTEMPTS,
+                "ledger": dict(_REQUEUE_LEDGER),
+            },
         },
         # per-query ratio to the BASELINE.md anchor (sf0.1 protocol only —
         # other SFs have no anchors, ratios omitted)

@@ -890,3 +890,167 @@ def test_bitext_bucketed_recall_floor_planted(spark, label, n_pairs):
     # the approximation's loss mode is band-collision misses only: every
     # pair it does mine that brute also mined is the planted translation
     assert bucketed & planted <= brute, label
+
+
+# ---------------------------------------------------------------------------
+# r13 (r12 verdict #3): adversarial recall floors on ANISOTROPIC corpora.
+# The gaussian floors above measure the sketch in the friendliest geometry;
+# real embedding spaces are clustered around a few dominant directions and
+# can carry many near-zero components (the sign-boundary regime).  These
+# corpora pin both regimes with measured numbers (recorded in COVERAGE.md
+# beside the gaussian rows).
+
+
+def _clustered_corpus(rnd, n, dim=64, n_dominant=3, n_clusters=8,
+                      spread=1.0):
+    """A few dominant directions + clustered mass: every cluster center is
+    a mixture of ``n_dominant`` shared directions (sign bits correlated
+    across dims — anisotropy) plus a small unique component; points
+    scatter ``spread`` around their center."""
+    import numpy as np
+
+    doms = rnd.randn(n_dominant, dim)
+    mix = rnd.randn(n_clusters, n_dominant)
+    centers = mix @ doms + 0.3 * rnd.randn(n_clusters, dim)
+    labels = np.arange(n) % n_clusters
+    return centers[labels] + spread * rnd.randn(n, dim), labels
+
+
+def _mined_pairs(df):
+    return {
+        (r["src_id"], r["tgt_id"])
+        for r in df.where(F.col("mined")).collect()
+    }
+
+
+def _bitext_sides(spark, rnd, base, noise):
+    import numpy as np
+
+    n = len(base)
+    sv = base + noise * rnd.randn(*base.shape)
+    tv = base + noise * rnd.randn(*base.shape)
+    mk = lambda m: spark.createDataFrame(
+        [(i, [float(x) for x in m[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    return mk(sv), mk(tv)
+
+
+def test_bitext_bucketed_recall_floor_clustered(spark):
+    """Anisotropic clustered corpus (3 dominant directions, 8 clusters,
+    moderate within-cluster spread): dominant directions give strongly-
+    signed projections, so the 4×8 sign sketch holds its gaussian-corpus
+    recall — measured 1.000 brute / 1.000 bucketed at n=400 (floors with
+    margin below)."""
+    import numpy as np
+
+    from ago_sisdb_spark.operators import embed as embed_ops
+
+    rnd = np.random.RandomState(77)
+    base, _ = _clustered_corpus(rnd, 400, spread=1.0)
+    src, tgt = _bitext_sides(spark, rnd, base, noise=0.1)
+    planted = {(i, i) for i in range(400)}
+    brute = _mined_pairs(embed_ops.bitext_margin_mine(
+        src, tgt, "vec_id", "embedding", k=4
+    ))
+    bucketed = _mined_pairs(embed_ops.bitext_margin_mine_bucketed(
+        src, tgt, "vec_id", "embedding", k=4, bands=4, band_bits=8
+    ))
+    assert len(brute & planted) / 400 >= 0.98
+    assert len(bucketed & planted) / 400 >= 0.95
+
+
+def test_bitext_dense_clusters_collapse_margins_not_the_sketch(spark):
+    """DENSE clusters (within-cluster spread ~3× the pair noise): margin
+    mining itself collapses — a translation's cosine barely clears the
+    neighborhood average, so BRUTE mines almost nothing (measured 0.125
+    at n=400).  That is a semantic property of the margin criterion in
+    dense regions, not a sketch failure: the bucketed miner AGREES with
+    brute on ≥85% of what brute does mine (measured 0.96).  Guards
+    against misreading sparse mined sets on clustered data as an LSH
+    recall bug."""
+    import numpy as np
+
+    from ago_sisdb_spark.operators import embed as embed_ops
+
+    rnd = np.random.RandomState(77)
+    base, _ = _clustered_corpus(rnd, 400, spread=0.35)
+    src, tgt = _bitext_sides(spark, rnd, base, noise=0.15)
+    planted = {(i, i) for i in range(400)}
+    brute = _mined_pairs(embed_ops.bitext_margin_mine(
+        src, tgt, "vec_id", "embedding", k=4
+    ))
+    bucketed = _mined_pairs(embed_ops.bitext_margin_mine_bucketed(
+        src, tgt, "vec_id", "embedding", k=4, bands=4, band_bits=8
+    ))
+    assert len(brute & planted) / 400 < 0.3  # margins collapse in density
+    assert brute, "dense corpus mined nothing at all"
+    assert len(bucketed & brute) / len(brute) >= 0.85
+
+
+def test_bitext_boundary_heavy_degrades_and_band_growth_recovers(spark):
+    """The genuine sign-sketch degradation regime: half the dimensions
+    near zero (projections sit ON the hyperplane boundary), so pair
+    noise flips band bits and the default 4×8 sketch loses pairs —
+    measured 0.560 recall at n=400.  The documented remediation is the
+    d6 band-growth rule (more, SHORTER bands = stronger OR-
+    amplification): 8×4 recovers to 0.990 and 16×4 to 1.000 on the same
+    corpus.  Floors pin both the degradation (so the regime stays
+    visible) and the recovery (so the knob keeps working)."""
+    import numpy as np
+
+    from ago_sisdb_spark.operators import embed as embed_ops
+
+    rnd = np.random.RandomState(88)
+    scale = np.ones(64)
+    scale[::2] = 0.05  # 32 of 64 dims essentially on the sign boundary
+    base = rnd.randn(400, 64) * scale
+    src, tgt = _bitext_sides(spark, rnd, base, noise=0.05)
+    planted = {(i, i) for i in range(400)}
+
+    def recall(bands, bits):
+        got = _mined_pairs(embed_ops.bitext_margin_mine_bucketed(
+            src, tgt, "vec_id", "embedding", k=4,
+            bands=bands, band_bits=bits,
+        ))
+        return len(got & planted) / 400
+
+    default = recall(4, 8)
+    grown = recall(8, 4)
+    assert 0.40 <= default <= 0.75, default  # degradation stays visible
+    assert grown >= 0.95, grown              # band growth recovers
+    assert grown > default
+
+
+def test_ann_recall_floor_clustered(spark):
+    """n2-config LSH (8 bits × 6 tables × radius 2) and IVF knn recall@5
+    on the anisotropic clustered corpus: clusters make neighbors SHARE
+    sign buckets and centroid lists, so recall holds the gaussian floors
+    (measured 1.000 / 1.000 at n=500) — the counterpart to the
+    boundary-heavy bitext regime above, recorded in COVERAGE.md."""
+    import numpy as np
+
+    rnd = np.random.RandomState(78)
+    pts, _ = _clustered_corpus(rnd, 500, spread=0.35)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(500)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    probes = df.where(F.col("vec_id") < 8)
+    truth = similarity.brute_force_topk(
+        df, probes, "vec_id", "embedding", "vec_id", 5
+    )
+    lsh = similarity.lsh_topk(
+        df, probes, "vec_id", "embedding", "vec_id", k=5, dim=64,
+        bits=8, tables=6, multi_probe=2, seed=202,
+    )
+    ivf = similarity.ivf_topk(
+        df, probes, "vec_id", "embedding", "vec_id", 5,
+        n_centroids=16, nprobe=4, train_iters=2,
+    )
+    for name, approx in (("lsh", lsh), ("ivf", ivf)):
+        recalls = [
+            r.recall for r in similarity.ann_recall(truth, approx, 5).collect()
+        ]
+        assert len(recalls) == 8, name
+        assert sum(recalls) / len(recalls) >= 0.9, (name, recalls)
