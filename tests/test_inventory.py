@@ -91,3 +91,42 @@ def test_sql_surface_matches_dataframe_path(spark):
     assert sorted(map(tuple, via_sql.collect()), key=lambda t: t[:2]) == sorted(
         map(tuple, via_df.collect()), key=lambda t: t[:2]
     )
+
+
+@pytest.mark.parametrize(
+    "sf_dir",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+)
+def test_approx_count_distinct_error_bound(spark, sf_dir):
+    """r13 (r12 verdict #6): `agg_approx_count_distinct` is the one
+    rows-only entry without a same-algorithm hash twin (Spark's JVM
+    HLL++ isn't restatable in DuckDB), so its accuracy contract is
+    pinned HERE instead: at rsd=0.01 the estimate must sit within 5%
+    of the oracle-exact distinct count for every group, at all three
+    SFs.  The portable `agg_hll_terms` cells operator remains the
+    hash-checked HLL twin; this test is why the entry itself may stay
+    rows-only."""
+    import os
+
+    import duckdb
+
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"{sf_dir} not present")
+    from ago_sisdb_spark.inventory import EXTENDED
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in EXTENDED["agg_approx_count_distinct"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    exact = dict(
+        duckdb.sql(
+            "SELECT event_type, count(DISTINCT user_id) FROM "
+            f"'{sf_dir}/events.parquet' GROUP BY event_type"
+        ).fetchall()
+    )
+    assert set(approx) == set(exact)
+    for etype, est in approx.items():
+        rel = abs(est - exact[etype]) / exact[etype]
+        assert rel <= 0.05, (sf_dir, etype, est, exact[etype], rel)
