@@ -199,18 +199,41 @@ def cosine_pairs(
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold (embedding near-dup ground truth).
 
-    Self cross-join — O(n²) compare, the *correctness twin* for the LSH
-    variant below.  Run on bounded slices; the 100 TB path is
-    ``cosine_neardup_lsh``.
-    """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cosine"))
-        .where(F.col("cosine") >= threshold)
-    )
+    O(n²) compare — the *correctness twin* for the LSH variant below.
+    Run on bounded slices; the 100 TB path is ``cosine_neardup_lsh``.
+
+    r13: the boundedness contract is cashed in — one side is collected
+    (``collect_vec_matrix``) and each partition scores its rows against
+    the full matrix with the exact-fold numpy kernel, emitting only the
+    above-threshold (id_a < id_b) pairs.  Values are bit-identical to
+    the old crossJoin + interpreted ``cosine()`` form (which paid ~26 µs
+    per pair — 2M pairs at sf0.1 ran the better part of a minute); a
+    length-mismatched pair scored NULL there and never passed the
+    threshold, so requiring uniform dims here loses nothing."""
+    import numpy as np
+    import pandas as pd
+
+    globals()["pd"] = pd
+
+    ids, mat = collect_vec_matrix(df, id_col, vec_col)
+    norms = fold_norms(mat) if len(mat) else None
+
+    def gen(batches):
+        for pdf in batches:
+            if len(mat) == 0 or len(pdf) == 0:
+                continue
+            bids = pdf["id_a"].to_numpy(dtype=np.int64)
+            x = np.vstack(pdf["__va"].to_numpy()).astype(np.float64)
+            cos = fold_cosine_block(x, mat, norms)
+            mask = (cos >= threshold) & (bids[:, None] < ids[None, :])
+            r, c = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"id_a": bids[r], "id_b": ids[c], "cosine": cos[r, c]}
+            )
+
+    return df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    ).mapInPandas(gen, "id_a long, id_b long, cosine double")
 
 
 def _bucket_udf(planes, bits: int, tables: int):

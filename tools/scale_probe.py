@@ -593,6 +593,33 @@ def main() -> None:
                 "vec_id", "embedding", k=4, bands=4, band_bits=bb,
             )
         probe("e12_bitext_bucketed", mk_e12)
+        if want("e12_bitext_bucketed"):
+            # cap-drop diagnostic (r13, r12 verdict #4): rows per side
+            # living in over-cap (band, key) buckets at this multiplier's
+            # tuned band_bits — the ×128 tail is where occupancy, and so
+            # the cap's recall cost, actually moves; recorded next to the
+            # timing so BASELINE.md can state drop counts, not vibes
+            from ago_sisdb_spark.operators.embed import _sign_band_keys
+
+            bb12 = min(16, 8 + max(0, (n - 1).bit_length()))
+            drops = {}
+            for side, rem in (("src", 0), ("tgt", 1)):
+                rows = em.where(F.col("vec_id") % 2 == rem).select(
+                    F.posexplode(
+                        _sign_band_keys(F.col("embedding"), 4, bb12)
+                    ).alias("band", "key")
+                )
+                over = (
+                    rows.groupBy("band", "key")
+                    .agg(F.count(F.lit(1)).alias("m"))
+                    .where(F.col("m") > 1000)
+                    .agg(F.coalesce(F.sum("m"), F.lit(0)).alias("d"))
+                    .first()["d"]
+                )
+                drops[side] = int(over)
+            out.setdefault("diag", {}).setdefault(
+                "e12_cap_dropped_band_rows", {}
+            )[n] = {"band_bits": bb12, **drops}
         def mk_t36(dc=dc):
             from ago_sisdb_spark.queries.pipeline import _t36_planted_docs
             from ago_sisdb_spark.operators.text import (
