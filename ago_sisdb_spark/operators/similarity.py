@@ -75,6 +75,57 @@ def collect_vec_matrix(df: DataFrame, id_col: str, vec_col: str):
     return ids, mat
 
 
+def pair_cosine_exact():
+    """Arrow-batched pairwise cosine, BIT-IDENTICAL to the ``cosine()``
+    expression: per row of (vec_a, vec_b), the exact sequential fold
+    (one rounded multiply+add per dimension — numpy block math over the
+    batch, the ``fold_cosine_block`` convention).  Drop-in replacement
+    for ``cosine()`` in candidate-scoring projections: a NULL vector or
+    a length mismatch yields NULL exactly as the expression form does
+    (zip_with null-pads → null product → null fold), and zero norms
+    yield the same IEEE NaN/Inf.  Use where CANDIDATE counts are large
+    (bucket joins, rerank tiers) — the interpreted form pays ~26 µs per
+    pair; this pays one numpy pass per Arrow batch."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    globals()["pd"] = pd
+
+    @pandas_udf("double")
+    def pair_cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        av = a.to_numpy()
+        bv = b.to_numpy()
+        # masked nullable output: NULL exactly where the expression form
+        # is NULL; a computed NaN (degenerate norms) stays NaN — an
+        # object-dtype series would silently turn NaN into NULL
+        vals = np.zeros(len(av))
+        null = np.ones(len(av), dtype=bool)
+        by_len: dict[int, list[int]] = {}
+        for i, (x, y) in enumerate(zip(av, bv)):
+            if x is None or y is None or len(x) != len(y):
+                continue  # the expression form scores these NULL
+            by_len.setdefault(len(x), []).append(i)
+        for dim, idx in by_len.items():
+            x = np.vstack([av[i] for i in idx]).astype(np.float64)
+            y = np.vstack([bv[i] for i in idx]).astype(np.float64)
+            acc = np.zeros(len(idx))
+            nx = np.zeros(len(idx))
+            ny = np.zeros(len(idx))
+            with np.errstate(over="ignore", divide="ignore", invalid="ignore"):
+                for j in range(dim):
+                    acc += x[:, j] * y[:, j]
+                    nx += x[:, j] * x[:, j]
+                    ny += y[:, j] * y[:, j]
+                cos = acc / (np.sqrt(nx) * np.sqrt(ny))
+            ii = np.array(idx)
+            vals[ii] = cos
+            null[ii] = False
+        return pd.Series(pd.arrays.FloatingArray(vals, null))
+
+    return pair_cos
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y),
