@@ -83,9 +83,20 @@ def pair_cosine_exact():
     for ``cosine()`` in candidate-scoring projections: a NULL vector or
     a length mismatch yields NULL exactly as the expression form does
     (zip_with null-pads → null product → null fold), and zero norms
-    yield the same IEEE NaN/Inf.  Use where CANDIDATE counts are large
-    (bucket joins, rerank tiers) — the interpreted form pays ~26 µs per
-    pair; this pays one numpy pass per Arrow batch."""
+    yield the same IEEE NaN/Inf (one measured divergence: a zero-norm
+    pair is NaN here where the ANSI expression form ERRORS with
+    DIVIDE_BY_ZERO — strictly more defined).
+
+    MEASURED tradeoff (r13 A/B at sf0.1): swapping this into the
+    candidate-bounded rerank paths (ivf_topk, lsh_topk, PQ re-rank)
+    REGRESSED them 1.7–2.2× — below ~10⁶ candidates the Python worker
+    round-trip and the loss of whole-stage fusion with the downstream
+    window cost more than the interpreted lambdas do, so those sites
+    keep the expression form.  Reach for this only when a pair-scoring
+    projection measurably dominates (millions of candidate rows per
+    task); for bounded-side × corpus scans the closure-matrix block
+    kernels (``fold_cosine_block`` partials — e10/d5/n1) are the right
+    shape instead."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf

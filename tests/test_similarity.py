@@ -1054,3 +1054,42 @@ def test_ann_recall_floor_clustered(spark):
         ]
         assert len(recalls) == 8, name
         assert sum(recalls) / len(recalls) >= 0.9, (name, recalls)
+
+
+def test_pair_cosine_exact_matches_expression(spark):
+    """pair_cosine_exact is the Arrow pair-scoring tool for plans whose
+    candidate counts measurably dominate (millions of rows/task); it must
+    match the ``cosine()`` expression bit-for-bit, including NULL on
+    null/length-mismatched inputs and NaN on degenerate norms.  (The
+    r13 A/B measured it a 1.7–2.2× REGRESSION on the bounded rerank
+    paths, so no production plan uses it today — the test keeps the tool
+    honest for the plan that one day needs it.)"""
+    import math
+
+    rows = [
+        (1, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),
+        (2, [1.0, 2.0], [4.0, 5.0, 6.0]),          # length mismatch
+        (3, None, [1.0, 2.0, 3.0]),                 # null side
+        (4, [0.1234567, 0.7654321, -0.5, 0.25], [0.9, -0.8, 0.7, -0.6]),
+        (5, [1e-200, 2e-200, 3e-200], [1e200, 2e200, -3e200]),  # NaN norms
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    expr = {
+        r.id: r.c
+        for r in df.select(
+            "id", similarity.cosine(F.col("a"), F.col("b")).alias("c")
+        ).collect()
+    }
+    udf = {
+        r.id: r.c
+        for r in df.select(
+            "id",
+            similarity.pair_cosine_exact()(F.col("a"), F.col("b")).alias("c"),
+        ).collect()
+    }
+    assert set(expr) == set(udf)
+    for i in expr:
+        e, u = expr[i], udf[i]
+        assert (e == u) or (
+            e is not None and u is not None and math.isnan(e) and math.isnan(u)
+        ), (i, e, u)
