@@ -44,7 +44,7 @@ NOTES = {
     "t36_url_canonical": "URL canonicalization audit (r10): planted doc_id-derived URLs (the corpus has none) -> regexp_extract_all + explode in the scan stage -> url_canonicalize as a fixed tree of regexp ops in the SAME projection -> ONE aggregate keyed by canonical URL; shuffle carries (curl, counts) rows, never document text",
     "t38_char_entropy": "per-doc character entropy (r10): explode characters -> ONE (doc, char) count aggregate; the per-doc total is a window over the SAME doc partitioning (no second exchange) and the final per-doc entropy sum is one more aggregate on the already-partitioned frame — two logical shuffles total, rows bounded by alphabet-size x docs",
     "e9_semantic_decontam": "embedding-space decontamination (r10): the bounded eval set broadcasts (BroadcastNestedLoopJoin, LEFT so an empty eval set degrades to contaminated=false rather than annihilating the corpus — r11 fix); per-corpus-vector max cosine is a map-side-combined aggregate over |eval| candidates; the corpus never exchanges — the only admissible shape at 100 TB",
-    "e10_bitext_mining": "margin-based bitext mining (r11; r12 collapse-point pin): the bounded src side broadcasts into ONE tgt corpus scan (BroadcastNestedLoopJoin) whose forward top-k window is eagerly materialized (<= |src|*k rows incl. vectors — the Scan ExistingRDD nodes below); the backward-kNN pass, sum_x, and the pair join all read the pinned frame, so the tgt corpus is scanned EXACTLY once across the whole operator (r12 ADVICE fix: pre-pin, the backward pass's lineage re-ran the corpus scan + top-k exchange — the only FileScans left in this plan are the bounded %9=0 src side feeding broadcast builds); margins are integer arithmetic + one integral-divide in codegen",
+    "e10_bitext_mining": "margin-based bitext mining (r11; r12 collapse-point pin; r13 exact-fold vectorization): the bounded src side rides every task in the kernel CLOSURE — the tgt corpus is ONE scan feeding a MapInPandas node that scores each Arrow batch against the src matrix with the exact-fold numpy block (bit-identical to the old expression tree) and emits only batch-local top-k partials (<= partitions*|src|*k rows), so no cross join exists in the plan at all; the forward top-k window reduces the partials and is eagerly materialized (Scan ExistingRDD below); the backward-kNN pass is a second MapInPandas over the bounded candidate frame emitting final per-candidate integer top-k sums (row-local, tie-invariant); margins are integer arithmetic + one integral-divide in codegen; 10.5 -> 2.5 s at sf0.1",
     "e11_cluster_balance": "embedding-cluster diversity rebalancing (r11): centroid assignment is a LITERAL-expression projection over the scan (no crossJoin, no assignment shuffle — the IVF inlining); pass 1 is the clusters-sized mass aggregate (map-side combined, checkpointed), the integer quota plan broadcasts into pass 2's portable-hash gate + kept-count aggregate — two corpus passes by construction, no corpus-wide shuffle",
     "e12_bitext_bucketed": "SYMMETRIC bucketed bitext mining (r11; r12 occupancy cap + chained-window restructure): neither side broadcasts — each exchanges ONCE on (band, key) of the sign sketch (Generate/posexplode of 4 band keys in the scan stage, bands-x replication of (id, vec) rows); each side's bucket membership is capped at 1000 by a count WINDOW that shares the join's own (band, key) hash partitioning (cap_bucket_fanout adds no extra exchange); the bucket join is a plain shuffled equi join; lowest-shared-band dedup is a window over the pair key; the neighborhood sums CHAIN onto the same src/tgt window exchanges that compute the ranks (rank + rank-gated sum/count per Window group — pre-r12 the sumx/sumy groupBys + pair join re-executed the whole candidate lineage three times, the r7 two-consumer trap; dupscan embeddings:6 -> clean) — the large-x-large shape where e10's broadcast is impossible",
 }
