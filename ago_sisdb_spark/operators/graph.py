@@ -60,9 +60,20 @@ def pagerank_e12(
     so round k+1 never replays rounds 1..k.
 
     Returns (node, rank_e12) over every node appearing as src or dst.
-    Overflow bound: rank*weight ≤ RANK_SCALE * w_max must stay < 2^63 —
-    holds while any single edge weight < 9.2e6 * 1e6; cap upstream if an
-    edge list could exceed it (ANSI mode throws rather than wraps).
+
+    Overflow (r13, the hits_e6 ADVICE class): a rank can approach the
+    full RANK_SCALE = 1e12 mass, so the per-edge product rank·w would
+    overflow int64 at aggregated edge weight ~9.2e6 — exactly
+    popular-host scale.  The contribution product is therefore computed
+    in DECIMAL(38,0) (HUGEINT in the DuckDB twin); the quotient is
+    ≤ rank ≤ RANK_SCALE and always fits a long.  The remaining int64
+    bound is the per-node weighted out-degree SUM (< 2^63 — vacuous for
+    real graphs).
+
+    Weights must be NON-NEGATIVE (same contract as hits_e6): Spark
+    ``div`` truncates toward zero while DuckDB ``//`` floors, so
+    negative contributions diverge across engines; validated at build
+    time on the grouped weight table.
     """
     if not 0 < damping_pct < 100:
         raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
@@ -78,6 +89,13 @@ def pagerank_e12(
     e = materialize(
         e.groupBy("__src", "__dst").agg(F.sum("__w").alias("__w"))
     )
+    min_w = e.agg(F.min("__w").alias("__mw")).collect()[0]["__mw"]
+    if min_w is not None and min_w < 0:
+        raise ValueError(
+            "pagerank_e12 requires non-negative aggregate edge weights "
+            f"(min grouped weight = {min_w}): trunc-div (Spark) vs "
+            "floor-div (DuckDB/Python) diverge on negative contributions"
+        )
     nodes = materialize(
         e.select(F.col("__src").alias("node"))
         .unionByName(e.select(F.col("__dst").alias("node")))
@@ -98,7 +116,9 @@ def pagerank_e12(
             .join(outdeg, "__src")
             .select(
                 F.col("__dst").alias("node"),
-                F.expr("(rank_e12 * __w) div __ow").cast("long").alias("__c"),
+                F.expr(
+                    "(cast(rank_e12 as decimal(38,0)) * __w) div __ow"
+                ).cast("long").alias("__c"),
             )
             .groupBy("node")
             .agg(F.sum("__c").alias("__s"))
@@ -317,7 +337,8 @@ def pagerank_oracle_sql(
         rounds.append(f"""
     c{i} AS (
         SELECT e.dst AS node,
-               CAST(sum((r.rank_e12 * e.w) // od.ow) AS BIGINT) AS s
+               CAST(sum((CAST(r.rank_e12 AS HUGEINT) * e.w) // od.ow)
+                    AS BIGINT) AS s
         FROM e JOIN {prev} r ON r.node = e.src
         JOIN outdeg od ON od.src = e.src
         GROUP BY e.dst),

@@ -73,6 +73,29 @@ def test_pagerank_rejects_bad_damping(spark):
         graph.pagerank_e12(df, "s", "t", "w", damping_pct=100)
 
 
+def test_pagerank_survives_large_edge_weight(spark):
+    """Regression (r13, the hits_e6 ADVICE class applied to pagerank):
+    a rank can approach the full 1e12 mass, so rank·w overflowed int64
+    at aggregated edge weight ~9.2e6 (ANSI crash); the DECIMAL(38,0)
+    contribution product must match the arbitrary-precision twin."""
+    big = 100_000_000
+    edges = [("a", "b", big), ("c", "b", big // 2), ("b", "a", 3)]
+    df = spark.createDataFrame(edges, "s string, t string, w long")
+    got = {
+        r["node"]: r["rank_e12"]
+        for r in graph.pagerank_e12(df, "s", "t", "w", iters=3).collect()
+    }
+    assert got == _twin(edges, 3)
+
+
+def test_pagerank_rejects_negative_weights(spark):
+    df = spark.createDataFrame(
+        [("a", "b", 2), ("a", "c", -1)], "s string, t string, w long"
+    )
+    with pytest.raises(ValueError, match="non-negative"):
+        graph.pagerank_e12(df, "s", "t", "w")
+
+
 def _hits_twin(edges, iters):
     """Independent plain-Python replay of hits_e6's integer arithmetic."""
     w = defaultdict(int)
