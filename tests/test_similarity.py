@@ -1093,3 +1093,60 @@ def test_pair_cosine_exact_matches_expression(spark):
         assert (e == u) or (
             e is not None and u is not None and math.isnan(e) and math.isnan(u)
         ), (i, e, u)
+
+
+def test_fold_kernels_bit_identical_random_batch(spark):
+    """Property check, batched (fixed seeds, one Spark call — the house
+    winnow-property convention): on random vectors spanning magnitudes
+    1e-3..1e3, hostile near-orthogonal pairs, and float32-truncated
+    values, `fold_cosine_block` and the interpreted `cosine()`
+    expression agree BIT-FOR-BIT on every pair — both the raw double and
+    `floor(cos*1e6)` — the invariant the r13 e10/d5/n1 vectorization
+    rests on."""
+    import math
+
+    import numpy as np
+
+    from ago_sisdb_spark.operators.similarity import (
+        cosine,
+        fold_cosine_block,
+        fold_norms,
+    )
+
+    rnd = np.random.RandomState(4242)
+    dims = 17  # odd, non-power-of-two
+    n, m = 40, 25
+    corpus = rnd.randn(n, dims) * (10.0 ** rnd.uniform(-3, 3, (n, 1)))
+    probes = rnd.randn(m, dims) * (10.0 ** rnd.uniform(-3, 3, (m, 1)))
+    corpus[::5] = np.float32(corpus[::5])  # float32-truncated rows
+    probes[::4] = np.float32(probes[::4])
+    probes[0] = corpus[0] + 1e-9  # near-parallel
+    probes[1] = np.roll(corpus[1], 1)  # scrambled
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in corpus[i]]) for i in range(n)],
+        "id long, v array<double>",
+    )
+    pdf_rows = [(j, [float(x) for x in probes[j]]) for j in range(m)]
+    pdf = spark.createDataFrame(pdf_rows, "id long, v array<double>")
+    a = cdf.select(F.col("id").alias("ca"), F.col("v").alias("va"))
+    b = pdf.select(F.col("id").alias("cb"), F.col("v").alias("vb"))
+    expr_rows = (
+        a.crossJoin(F.broadcast(b))
+        .select(
+            "ca", "cb",
+            cosine(F.col("va"), F.col("vb")).alias("c"),
+            F.floor(
+                cosine(F.col("va"), F.col("vb")) * F.lit(1_000_000)
+            ).cast("long").alias("e6"),
+        )
+        .collect()
+    )
+    block = fold_cosine_block(corpus, probes, fold_norms(probes))
+    e6_block = np.floor(block * 1_000_000).astype(np.int64)
+    assert len(expr_rows) == n * m
+    for r in expr_rows:
+        got_c, got_e6 = block[r.ca, r.cb], e6_block[r.ca, r.cb]
+        assert r.c == got_c or (math.isnan(r.c) and math.isnan(got_c)), (
+            r.ca, r.cb, r.c, got_c,
+        )
+        assert r.e6 == got_e6, (r.ca, r.cb, r.e6, got_e6)
