@@ -16,7 +16,8 @@ to the r11 clean-day anchor is reported as ``calibration.host_factor`` so
 a uniformly-inflated host day is self-evident in the artifact instead of
 needing cross-round forensics.
 
-Self-adjudication (r13, r12 verdict #2): any headline query whose trace
+Self-adjudication (r13, r12 verdict #2; extended to the secondary table
+later the same round): any measured query whose trace
 probe exceeds ``REQUEUE_TRACE_FACTOR``× the run's own trace median was
 measured on a slow host segment — it is automatically RE-MEASURED at the
 end of the run (bounded attempts), the reading taken on the cleanest
@@ -209,8 +210,10 @@ def _calibration_probe(spark) -> float:
     return round(statistics.median(samples), 4)
 
 
-# one raw probe sample per headline query, recorded as calibration.trace:
-# the pre/post probes bracket the RUN, but an ambient disturbance INSIDE
+# one raw probe sample per measured query (headline AND secondary since
+# r13 — the secondary table had no protection and a slow segment planted
+# t33 at 2.7× its solo reading), recorded as calibration.trace: the
+# pre/post probes bracket the RUN, but an ambient disturbance INSIDE
 # the window (seen r11: d3 at 5.7x while both probes and q1 read clean)
 # is invisible to them — the trace localizes which queries' readings were
 # taken on a slow segment.  A single sample, not a median: it is context,
@@ -226,7 +229,7 @@ def _trace_probe(spark, name: str) -> float:
     return sample
 
 
-# A query whose trace probe reads above REQUEUE_TRACE_FACTOR × the run's
+# A query (headline or secondary) whose trace probe reads above REQUEUE_TRACE_FACTOR × the run's
 # own trace median was measured on a locally-slow host segment (the r11
 # d3-at-5.7× / r12 j3-at-2.03× class — both probes clean, one segment
 # degraded).  Such queries are re-measured at the END of the run, up to
@@ -292,8 +295,14 @@ def _run_inline(names: list[str]) -> dict[str, float]:
     out = {}
     for name in names:
         out[name] = _median_time(spark, queries, name)
-        if name in HEADLINE_ANCHORS:
-            _trace_probe(spark, name)
+        # r13 continuation: trace EVERY query, not just the headline set.
+        # The secondary table had no trace/requeue protection, so a single
+        # slow host segment could plant an unadjudicable reading in the
+        # artifact (observed: t33 at 5.18 s in-sequence vs 1.53 s on an
+        # immediate solo re-measure — a 2.7× phantom a future reader would
+        # have to dismiss by hand, the exact r12-artifact failure mode the
+        # requeue machinery exists to kill).
+        _trace_probe(spark, name)
     _requeue_noisy(spark, queries, out)
     return out
 
