@@ -4454,13 +4454,27 @@ def t33_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     amplifiers); the per-doc score drives doc-level downweighting where
     d10's span report drives surgical removal.  One shingle pass
     (dedup.shingle_rows, min_words fused into the pass), gram-keyed
-    df aggregation + join — shuffles carry grams, never text; exact
+    df count window — shuffles carry grams, never text; exact
     fixed-point millionths."""
     docs = _t(spark, sf_dir, "documents")
-    sh = dedup.shingle_rows(docs, "doc_id", "text", k=5, min_words=5).distinct()
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # df via an UNBOUNDED count window on the gram key, not the old
+    # groupBy(shingle)+join-back (the r12 e12 lesson): the join-back shape
+    # replayed the explode+distinct lineage once per consumer, and AQE
+    # broadcast the corpus-gram dfreq table — a per-execution
+    # HashedRelation build over every distinct gram, which is both a
+    # scale hazard (gram count grows with the corpus) and the source of
+    # t33's warm-JVM in-sequence stalls.  One explicit gram-keyed
+    # repartition now carries the (doc, shingle) distinct, the df
+    # window, and their shared sort — one gram exchange total.
+    from pyspark.sql import Window
+
+    sh = (
+        dedup.shingle_rows(docs, "doc_id", "text", k=5, min_words=5)
+        .repartition("shingle")
+        .dropDuplicates(["doc", "shingle"])
+    )
     per = (
-        sh.join(dfreq, "shingle")
+        sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
         .groupBy("doc")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),

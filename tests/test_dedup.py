@@ -904,6 +904,62 @@ def test_ngram_novelty_planted(spark):
     assert got[4] == (9, 5)
 
 
+def test_ngram_novelty_window_shape_matches_joinback(spark):
+    """r13 restructure guard: the production t33 (df via an UNBOUNDED
+    count window on the gram key) returns row-identical results to the
+    pre-r13 groupBy(shingle)+join-back formulation, and its plan carries
+    NO join and NO broadcast — the old shape replayed the explode+distinct
+    lineage per consumer and AQE broadcast the corpus-gram dfreq table, a
+    per-execution HashedRelation over every distinct gram."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ago_sisdb_spark.inventory import extended_queries
+
+    src = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, src),
+        (2, src),
+        (3, "one two three four five six seven"),
+        (4, src + " nine ten eleven twelve thirteen"),
+        (5, "short text"),  # < 5 words: dropped by min_words
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sf = tempfile.mkdtemp(prefix="t33_planted_")
+    docs.write.mode("overwrite").parquet(sf + "/documents.parquet")
+
+    out = extended_queries()["t33_ngram_novelty"](spark, sf)
+    got = sorted(tuple(r) for r in out.collect())
+
+    # independent old-shape twin on the same planted corpus
+    sh = dedup.shingle_rows(docs, "doc_id", "text", k=5, min_words=5).distinct()
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    want = sorted(
+        tuple(r)
+        for r in sh.join(dfreq, "shingle")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+        )
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_grams",
+            "n_unique",
+            F.expr("(1000000 * n_unique) div n_grams").alias("novelty_e6"),
+        )
+        .collect()
+    )
+    assert got == want and len(got) == 4
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "BroadcastExchange" not in plan
+    assert plan.count("Window") >= 1
+
+
 def test_winnow_property_random_batch(spark):
     """Property check, batched (one Spark call per hypothesis-style
     batch, seeds fixed — a session per example is prohibitive): on

@@ -34,7 +34,7 @@ NOTES = {
     "d18_winnowing": "winnowing fingerprint selection (r9): ONE documents scan feeding ONE MapInPandas (numpy rolling-hash sliding dot + window-min per doc, the d11/t12 vectorization lesson) — per-doc work, no data-dependent shuffle; the single visible exchange is the input-balancing repartition that fires only when the scan has fewer splits than cores (local sf0.1 = 1 file) and no-ops at cluster scale where the scan itself supplies the parallelism",
     "d19_winnow_pairs": "MOSS overlap localization (r9): d18's shuffle-free fingerprint pass -> per-(fp, doc) span aggregate -> the boilerplate doc-freq cap is a count WINDOW over the fp key (shares the pair exchange's partitioning, r8 second-wave shape) -> capped-bucket in-array pair expansion (array_sort(collect_list) + transform/flatten — NO fp self-join) -> per-pair span aggregate; shuffles carry (fp, id, span) rows, never text",
     "n11_prf_expansion": "two-stage PRF retrieval (r9 continuation): this is STAGE 2's executed plan — the expanded term set (mined from stage 1's feedback docs, a query-bounded collected artifact) folds into the scan as isin literals BELOW the postings aggregation (the r8 n5 lesson: Catalyst can't push a join below a groupBy), so the corpus-wide tf(doc, term) shuffle never exists; doc lengths ride the one shared narrow projection; top-k per query is a bounded window",
-    "t33_ngram_novelty": "per-doc n-gram novelty (r9 continuation): ONE shingle_rows explode scan (min_words fused into the pass's own split) -> distinct -> the gram-keyed doc-frequency aggregate and the gram-keyed join consume the SAME shingle-key exchange (one corpus-gram shuffle, reused); shuffles carry 5-gram strings, never document text; final per-doc aggregate is exact fixed-point",
+    "t33_ngram_novelty": "per-doc n-gram novelty (r9; r13 window restructure): ONE shingle_rows explode scan (min_words fused into the pass's own split) -> one explicit gram-keyed repartition that carries the (doc, shingle) distinct, the UNBOUNDED per-gram df count window, and their shared sort — the pre-r13 groupBy(shingle)+join-back shape replayed the explode+distinct lineage once per consumer and AQE broadcast the corpus-gram dfreq table (a per-execution HashedRelation over every distinct gram: a scale hazard and 3-6x warm-JVM stalls); now 0 broadcasts, 1 explode, 3 exchanges total (compact doc rows, grams once, narrow (doc, df) rows); shuffles carry 5-gram strings, never document text; final per-doc aggregate is exact fixed-point",
     "j4b_keyless_interval": "KEYLESS interval join (r10): the range predicate has no equi key, so native Spark would BroadcastNestedLoopJoin — here each purchase window replicates across its <= 3 ten-minute bins (Generate/explode in the scan stage) and the join is a plain EQUI join on the bin id with the exact BETWEEN as a residual filter; points sit in one bin so no dedup pass exists; the zero-match restore is a bounded left join on the purchase set",
     "t37_host_rank": "host-authority PageRank (r10): ONE corpus pass aggregates the source->host edge list (Scan ExistingRDD below = the materialized graph tables, vocabulary-scale); each of the 3 rounds is one broadcast-eligible join of the rank table onto the edges + one integer aggregate, checkpointed per round so round k+1 never replays rounds 1..k; all mass arithmetic is exact int64 e12 fixed-point — no float reduction anywhere",
     "s10_zorder_layout": "Z-order layout audit (r10): the 1-row min/max aggregate broadcasts into the scan projection (BroadcastNestedLoopJoin of a single row = the broadcast scalar, not a data cross join); quantization is exact integer mod-identity floor-div and the Morton key is a fixed shiftleft/shiftright/& tree inside codegen; ONE bucket-keyed aggregate carries (bucket, minmax) rows only",
