@@ -318,6 +318,129 @@ def capped_bucket_pairs(
     )
 
 
+def _portable_band_rows_udf(
+    shingle_k: int, num_hashes: int, bands: int, seed: int,
+    min_words: int | None,
+):
+    """mapInPandas kernel behind ``minhash_band_rows(portable=True)``:
+    (doc, __text) Arrow batches → (doc, band, bucket) rows, numerically
+    IDENTICAL to the expression formulation (r14, guide §4.2 — the same
+    exact-replay discipline as ``similarity.fold_cosine_block``):
+
+    - word split replays Spark's ``split(text, '\\s+', -1)``: Java's
+      default ``\\s`` is the ASCII class [ \\t\\n\\x0B\\f\\r], which is
+      exactly Python's ``re.ASCII`` ``\\s``; Java keeps the leading empty
+      string a positive-width match at position 0 produces AND (limit -1)
+      all trailing empties — both match ``re.split`` semantics.
+    - shingles replay ``transform(sequence(1, greatest(n-k+1, 1)),
+      i -> array_join(slice(w, i, k), ' '))``: ``" ".join(w[i:i+k])``
+      with Python slice truncation == ``slice``'s.
+    - the shingle hash replays ``portable_hash60`` bit-for-bit: the md5
+      digest's first 8 bytes big-endian ``>> 4`` IS the first-15-hex-chars
+      value ``conv(substring(md5(s), 1, 15), 16, 10)`` parses (md5 of the
+      same UTF-8 bytes; both non-negative, so ``% p`` agrees).
+    - permutations and band buckets are the SAME ``_perm_params`` affine
+      transforms and mod-p polynomial folds in int64 (a < 2^31, h < 2^31
+      ⇒ a·h + b < 2^62: no overflow, value-exact — integer ops have no
+      rounding-order freedom, so unlike the float kernels this needs no
+      fold-order care).
+
+    Why a kernel at all (measured, sf0.1, noop sink): the expression
+    chain paid ~0.5 s building shingle strings via interpreted
+    slice/array_join lambdas + explode and another ~0.4 s for the
+    32-permutation min aggregate — per-shingle string/hash work that a
+    per-task C pass (hashlib + ``np.minimum.reduceat``) does in
+    milliseconds, and the (doc, shingle) explode plus the 32-wide
+    groupBy(doc) combine disappear from the plan entirely.
+    """
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    params = _perm_params(num_hashes, seed)
+    A = np.array([a for a, _ in params], dtype=np.int64)
+    B = np.array([b for _, b in params], dtype=np.int64)
+    rows = num_hashes // bands
+    band_ids = np.arange(bands, dtype=np.int64)
+    bands_i32 = band_ids.astype(np.int32)
+    split_re = re.compile(r"\s+", re.ASCII)
+    minw = 0 if min_words is None else min_words
+    k = shingle_k
+    md5 = hashlib.md5
+
+    def gen(batches):
+        for pdf in batches:
+            doc_ids: list[int] = []
+            counts: list[int] = []
+            h_all: list[int] = []
+            null_docs: list[int] = []
+            for doc, text in zip(pdf["doc"].tolist(), pdf["__text"].tolist()):
+                if text is None:
+                    # expression-form replay: with no min_words filter a
+                    # NULL text still yields one NULL shingle (size(NULL)
+                    # is NULL, greatest ignores it → sequence(1,1); the
+                    # join/hash/min/fold chain stays NULL), i.e. 8 band
+                    # rows with a NULL bucket; with min_words the
+                    # size(...) >= n predicate is NULL and drops the doc
+                    if minw == 0:
+                        null_docs.append(doc)
+                    continue
+                w = split_re.split(text)
+                n = len(w)
+                if n < minw:
+                    continue
+                m = n - k + 1 if n >= k else 1
+                h_all.extend(
+                    int.from_bytes(
+                        md5(" ".join(w[i : i + k]).encode("utf-8")).digest()[:8],
+                        "big",
+                    )
+                    >> 4
+                    for i in range(m)
+                )
+                doc_ids.append(doc)
+                counts.append(m)
+            if null_docs:
+                ndn = len(null_docs)
+                yield pd.DataFrame(
+                    {
+                        "doc": np.repeat(
+                            np.array(null_docs, dtype=np.int64), bands
+                        ),
+                        "band": np.tile(bands_i32, ndn),
+                        "bucket": pd.array(
+                            [None] * (ndn * bands), dtype="Int64"
+                        ),
+                    }
+                )
+            if not doc_ids:
+                continue
+            h = np.array(h_all, dtype=np.int64) % _MERSENNE
+            offsets = np.zeros(len(counts), dtype=np.int64)
+            np.cumsum(np.array(counts[:-1], dtype=np.int64), out=offsets[1:])
+            nd = len(doc_ids)
+            sig = np.empty((nd, num_hashes), dtype=np.int64)
+            for i in range(num_hashes):
+                sig[:, i] = np.minimum.reduceat(
+                    (A[i] * h + B[i]) % _MERSENNE, offsets
+                )
+            sigr = sig.reshape(nd, bands, rows)
+            acc = np.broadcast_to(band_ids, (nd, bands)).copy()
+            for j in range(rows):
+                acc = (acc * 31 + sigr[:, :, j]) % _MERSENNE
+            yield pd.DataFrame(
+                {
+                    "doc": np.repeat(np.array(doc_ids, dtype=np.int64), bands),
+                    "band": np.tile(bands_i32, nd),
+                    "bucket": acc.reshape(-1),
+                }
+            )
+
+    return gen
+
+
 def minhash_band_rows(
     df: DataFrame,
     id_col: str,
@@ -330,7 +453,41 @@ def minhash_band_rows(
 ) -> DataFrame:
     """(doc, band, bucket) LSH band rows — the shared signature layer of
     the self-join candidates (``minhash_lsh_candidates``) and the
-    incremental history index (``build_minhash_index``)."""
+    incremental history index (``build_minhash_index``).
+
+    The portable (md5) form runs as one vectorized mapInPandas pass over
+    the compact (doc, text) rows (``_portable_band_rows_udf`` — r14,
+    value-identical by construction, pinned row-identical vs the
+    expression form in tests/test_dedup.py): the (doc, shingle) explode,
+    the per-shingle md5→conv string chain and the 32-wide groupBy(doc)
+    min-combine all collapse into per-task C work, and the first thing
+    after the scan that ever shuffles is the 3-column band-row frame.
+    The xxhash64 production form keeps the expression path (the hash is
+    a JVM intrinsic with no cheap Python twin).  Streaming inputs and
+    non-bigint ids also keep the expression path (micro-batch
+    partitioning is the trigger's concern; the kernel's Arrow schema
+    pins ``doc`` to long)."""
+    from pyspark.sql.types import LongType
+
+    if portable and not df.isStreaming and isinstance(
+        df.schema[id_col].dataType, LongType
+    ):
+        # same compact-doc-row parallelism spread as shingle_rows: a local
+        # corpus in one small file would otherwise run the whole kernel in
+        # a single task (at scale, input splits already provide this and
+        # the repartition never fires)
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target, F.col(id_col))
+        return df.select(
+            F.col(id_col).alias("doc"), F.col(text_col).alias("__text")
+        ).mapInPandas(
+            _portable_band_rows_udf(
+                shingle_k, num_hashes, bands, 7, min_words
+            ),
+            "doc long, band int, bucket long",
+        )
+
     rows = num_hashes // bands
     mins = _minhash_mins(
         df, id_col, text_col, shingle_k, num_hashes, portable=portable,

@@ -426,12 +426,15 @@ def _bitext_fwd_partials_udf(src_ids, src_mat, k: int):
     import pandas as pd
 
     from ago_sisdb_spark.operators.similarity import (
+        VEC_BLOCK_ROWS,
         fold_cosine_block,
         fold_norms,
+        mat_blocks,
     )
 
     snorm = fold_norms(src_mat) if len(src_mat) else None
     m = len(src_ids)
+    block = VEC_BLOCK_ROWS
 
     def gen(batches):
         for pdf in batches:
@@ -442,21 +445,29 @@ def _bitext_fwd_partials_udf(src_ids, src_mat, k: int):
             tids = tids[order0]
             raw = pdf["__tv"].to_numpy()[order0]
             x = np.vstack(raw).astype(np.float64)
-            e6 = np.floor(
-                fold_cosine_block(x, src_mat, snorm) * 1_000_000
-            ).astype(np.int64)
-            take = min(k, len(tids))
-            sel = np.argsort(-e6, axis=0, kind="stable")[:take, :]
-            rows_flat = sel.T.ravel()
-            cols_flat = np.repeat(np.arange(m), take)
-            yield pd.DataFrame(
-                {
-                    "src_id": src_ids[cols_flat],
-                    "tgt_id": tids[rows_flat],
-                    "cos_e6": e6[rows_flat, cols_flat],
-                    "__tv": pd.Series(list(x[rows_flat])),
-                }
-            )
+            # src blocks bound the (batch × src) intermediate — the
+            # forward top-k is per src COLUMN, so block partials are the
+            # one-pass partials bit-for-bit (an oversized-but-capped src
+            # shard degrades to several exact passes, r13 verdict #2)
+            for sids_b, smat_b, snorm_b in mat_blocks(
+                src_ids, src_mat, snorm, block
+            ):
+                mb = len(sids_b)
+                e6 = np.floor(
+                    fold_cosine_block(x, smat_b, snorm_b) * 1_000_000
+                ).astype(np.int64)
+                take = min(k, len(tids))
+                sel = np.argsort(-e6, axis=0, kind="stable")[:take, :]
+                rows_flat = sel.T.ravel()
+                cols_flat = np.repeat(np.arange(mb), take)
+                yield pd.DataFrame(
+                    {
+                        "src_id": sids_b[cols_flat],
+                        "tgt_id": tids[rows_flat],
+                        "cos_e6": e6[rows_flat, cols_flat],
+                        "__tv": pd.Series(list(x[rows_flat])),
+                    }
+                )
 
     return gen
 
@@ -471,23 +482,45 @@ def _bitext_back_sums_udf(src_mat, k: int):
     import pandas as pd
 
     from ago_sisdb_spark.operators.similarity import (
+        VEC_BLOCK_ROWS,
         fold_cosine_block,
         fold_norms,
+        mat_blocks,
     )
 
     snorm = fold_norms(src_mat) if len(src_mat) else None
     m = len(src_mat)
+    block = VEC_BLOCK_ROWS
+
+    ids_dummy = np.arange(m, dtype=np.int64)
 
     def gen(batches):
         for pdf in batches:
             if m == 0 or len(pdf) == 0:
                 continue
             x = np.vstack(pdf["__tv"].to_numpy()).astype(np.float64)
-            e6 = np.floor(
-                fold_cosine_block(x, src_mat, snorm) * 1_000_000
-            ).astype(np.int64)
             take = min(k, m)
-            top = np.sort(e6, axis=1)[:, m - take:]
+            # per-row top-k over src, merged across src blocks: the
+            # running (rows × take) candidate set keeps the largest
+            # values seen so far — the top-take of a union of blocks IS
+            # the top-take overall, and the SUM of top-k is tie-invariant
+            # (ties are equal values), so block merging is value-exact
+            best = None
+            for _, smat_b, snorm_b in mat_blocks(
+                ids_dummy, src_mat, snorm, block
+            ):
+                e6_b = np.floor(
+                    fold_cosine_block(x, smat_b, snorm_b) * 1_000_000
+                ).astype(np.int64)
+                cand = (
+                    e6_b
+                    if best is None
+                    else np.concatenate([best, e6_b], axis=1)
+                )
+                if cand.shape[1] > take:
+                    cand = np.sort(cand, axis=1)[:, -take:]
+                best = cand
+            top = np.sort(best, axis=1)[:, -take:]
             yield pd.DataFrame(
                 {
                     "tgt_id": pdf["tgt_id"].to_numpy(dtype=np.int64),

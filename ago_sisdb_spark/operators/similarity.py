@@ -15,8 +15,26 @@ random-hyperplane variant is training-free and fully distributed.)
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# Guardrails for the bounded-side contract of the closure-matrix kernels
+# (r14, r13 verdict #2): ``collect_vec_matrix`` pulls one side of a
+# similarity kernel to the driver and ships it in every task closure —
+# correct ONLY for genuinely bounded sides (probe batches, language
+# shards, bounded slices).  An oversized caller used to get a slow
+# driver OOM; now it gets a fast error naming the scale path.  The block
+# width bounds the (batch × bounded-side) score intermediate inside each
+# kernel so a LARGE-but-legal bounded side degrades to several exact
+# block passes (top-k / threshold masks are per-column or tie-invariant
+# per-row reductions, so block results are bit-identical to one pass).
+VEC_MATRIX_MAX_ROWS = int(os.environ.get("SPARK_GRAFT_VEC_MAX_ROWS", 1_000_000))
+VEC_MATRIX_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_VEC_MAX_BYTES", 1 << 30)
+)
+VEC_BLOCK_ROWS = int(os.environ.get("SPARK_GRAFT_VEC_BLOCK_ROWS", 8192))
 
 
 def fold_norms(mat):
@@ -54,17 +72,47 @@ def fold_cosine_block(x, mat, mat_norms):
     return acc / (fold_norms(x)[:, None] * mat_norms[None, :])
 
 
-def collect_vec_matrix(df: DataFrame, id_col: str, vec_col: str):
+def collect_vec_matrix(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    max_rows: int | None = None,
+    max_bytes: int | None = None,
+):
     """Collect a BOUNDED vector side (probe batch / query shard) to the
     driver as (ids int64 array, matrix n×dim float64), sorted by id —
     the IVF ``_collect_centroids`` precedent.  The float32→float64 cast
     is exact, so kernels built on this matrix reproduce the expression
-    form's arithmetic bit-for-bit."""
+    form's arithmetic bit-for-bit.
+
+    The bounded-side contract is ENFORCED (r14): the collect itself is
+    capped at ``max_rows`` (default ``VEC_MATRIX_MAX_ROWS``, env
+    ``SPARK_GRAFT_VEC_MAX_ROWS``) via a LIMIT pushed into the collect
+    job — an oversized side raises before the driver ever holds it —
+    and the built matrix is additionally checked against ``max_bytes``
+    (default ``VEC_MATRIX_MAX_BYTES``): closure-shipping a multi-GB
+    matrix into every task is the wrong shape even when the driver
+    survives it.  Callers whose side outgrows the cap should move to
+    the bucketed/LSH paths (``cosine_neardup_lsh``,
+    ``bitext_margin_mine_bucketed``, ``sign_sketch_topk``), which mine
+    within hash buckets instead of against a shipped matrix."""
     import numpy as np
 
+    cap = VEC_MATRIX_MAX_ROWS if max_rows is None else max_rows
+    bcap = VEC_MATRIX_MAX_BYTES if max_bytes is None else max_bytes
+    collected = df.select(id_col, vec_col).limit(cap + 1).collect()
+    if len(collected) > cap:
+        raise ValueError(
+            f"collect_vec_matrix: bounded side exceeds {cap} rows — this "
+            "side is collected to the driver and shipped in every task "
+            "closure, which only the bounded-side contract (probe batch / "
+            "language shard / bounded slice) justifies.  Use the bucketed "
+            "scale paths instead (cosine_neardup_lsh, "
+            "bitext_margin_mine_bucketed, sign_sketch_topk), or raise "
+            "SPARK_GRAFT_VEC_MAX_ROWS if the side is genuinely bounded."
+        )
     rows = sorted(
-        (int(r[id_col]), [float(v) for v in r[vec_col]])
-        for r in df.select(id_col, vec_col).collect()
+        (int(r[id_col]), [float(v) for v in r[vec_col]]) for r in collected
     )
     ids = np.array([i for i, _ in rows], dtype=np.int64)
     mat = (
@@ -72,7 +120,29 @@ def collect_vec_matrix(df: DataFrame, id_col: str, vec_col: str):
         if rows
         else np.zeros((0, 0))
     )
+    if mat.nbytes > bcap:
+        raise ValueError(
+            f"collect_vec_matrix: bounded-side matrix is {mat.nbytes} "
+            f"bytes (> {bcap}) — too large to ship in task closures; use "
+            "the bucketed scale paths (cosine_neardup_lsh, "
+            "bitext_margin_mine_bucketed, sign_sketch_topk) or raise "
+            "SPARK_GRAFT_VEC_MAX_BYTES."
+        )
     return ids, mat
+
+
+def mat_blocks(ids, mat, norms, block_rows: int | None = None):
+    """Iterate the bounded side in row blocks of ``block_rows`` (default
+    ``VEC_BLOCK_ROWS``): each kernel scores its Arrow batch against one
+    block at a time, bounding the (batch × side) intermediate while
+    keeping every emitted value bit-identical (per-column top-k partials
+    and threshold masks are block-local; per-row top-k sums merge
+    tie-invariantly across blocks)."""
+    step = VEC_BLOCK_ROWS if block_rows is None else block_rows
+    for s in range(0, len(ids), step):
+        yield ids[s : s + step], mat[s : s + step], (
+            norms[s : s + step] if norms is not None else None
+        )
 
 
 def pair_cosine_exact():
@@ -174,6 +244,7 @@ def _brute_partials_udf(probe_ids, probe_mat, k: int):
 
     pnorm = fold_norms(probe_mat) if len(probe_mat) else None
     m = len(probe_ids)
+    block = VEC_BLOCK_ROWS
 
     def gen(batches):
         for pdf in batches:
@@ -185,23 +256,30 @@ def _brute_partials_udf(probe_ids, probe_mat, k: int):
             x = np.vstack(pdf["__cvec"].to_numpy()[order0]).astype(
                 np.float64
             )
-            score = fold_cosine_block(x, probe_mat, pnorm)
-            # ranking key: self-pairs excluded; NaN ranks first (Spark
-            # treats NaN as greater than any double in an ORDER BY)
-            key = np.where(np.isnan(score), np.inf, score)
-            key[tids[:, None] == probe_ids[None, :]] = -np.inf
-            take = min(k, len(tids))
-            sel = np.argsort(-key, axis=0, kind="stable")[:take, :]
-            rows_flat = sel.T.ravel()
-            cols_flat = np.repeat(np.arange(m), take)
-            keep = key[rows_flat, cols_flat] > -np.inf
-            yield pd.DataFrame(
-                {
-                    "probe_id": probe_ids[cols_flat][keep],
-                    "neighbor_id": tids[rows_flat][keep],
-                    "score": score[rows_flat, cols_flat][keep],
-                }
-            )
+            # probe blocks bound the (batch × probes) intermediate; the
+            # batch-local top-k is per probe COLUMN, so block partials
+            # are exactly the one-pass partials (bit-identical)
+            for pids_b, pmat_b, pnorm_b in mat_blocks(
+                probe_ids, probe_mat, pnorm, block
+            ):
+                mb = len(pids_b)
+                score = fold_cosine_block(x, pmat_b, pnorm_b)
+                # ranking key: self-pairs excluded; NaN ranks first (Spark
+                # treats NaN as greater than any double in an ORDER BY)
+                key = np.where(np.isnan(score), np.inf, score)
+                key[tids[:, None] == pids_b[None, :]] = -np.inf
+                take = min(k, len(tids))
+                sel = np.argsort(-key, axis=0, kind="stable")[:take, :]
+                rows_flat = sel.T.ravel()
+                cols_flat = np.repeat(np.arange(mb), take)
+                keep = key[rows_flat, cols_flat] > -np.inf
+                yield pd.DataFrame(
+                    {
+                        "probe_id": pids_b[cols_flat][keep],
+                        "neighbor_id": tids[rows_flat][keep],
+                        "score": score[rows_flat, cols_flat][keep],
+                    }
+                )
 
     return gen
 
@@ -279,6 +357,7 @@ def cosine_pairs(
 
     ids, mat = collect_vec_matrix(df, id_col, vec_col)
     norms = fold_norms(mat) if len(mat) else None
+    block = VEC_BLOCK_ROWS
 
     def gen(batches):
         for pdf in batches:
@@ -286,12 +365,16 @@ def cosine_pairs(
                 continue
             bids = pdf["id_a"].to_numpy(dtype=np.int64)
             x = np.vstack(pdf["__va"].to_numpy()).astype(np.float64)
-            cos = fold_cosine_block(x, mat, norms)
-            mask = (cos >= threshold) & (bids[:, None] < ids[None, :])
-            r, c = np.nonzero(mask)
-            yield pd.DataFrame(
-                {"id_a": bids[r], "id_b": ids[c], "cosine": cos[r, c]}
-            )
+            # matrix blocks bound the (batch × corpus) intermediate; the
+            # threshold mask is per cell, so block passes emit exactly
+            # the one-pass pairs
+            for ids_b, mat_b, norms_b in mat_blocks(ids, mat, norms, block):
+                cos = fold_cosine_block(x, mat_b, norms_b)
+                mask = (cos >= threshold) & (bids[:, None] < ids_b[None, :])
+                r, c = np.nonzero(mask)
+                yield pd.DataFrame(
+                    {"id_a": bids[r], "id_b": ids_b[c], "cosine": cos[r, c]}
+                )
 
     return df.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")

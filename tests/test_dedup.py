@@ -904,15 +904,13 @@ def test_ngram_novelty_planted(spark):
     assert got[4] == (9, 5)
 
 
-def test_ngram_novelty_window_shape_matches_joinback(spark):
+def test_ngram_novelty_window_shape_matches_joinback(spark, tmp_path):
     """r13 restructure guard: the production t33 (df via an UNBOUNDED
     count window on the gram key) returns row-identical results to the
     pre-r13 groupBy(shingle)+join-back formulation, and its plan carries
     NO join and NO broadcast — the old shape replayed the explode+distinct
     lineage per consumer and AQE broadcast the corpus-gram dfreq table, a
     per-execution HashedRelation over every distinct gram."""
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from ago_sisdb_spark.inventory import extended_queries
@@ -926,7 +924,7 @@ def test_ngram_novelty_window_shape_matches_joinback(spark):
         (5, "short text"),  # < 5 words: dropped by min_words
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    sf = tempfile.mkdtemp(prefix="t33_planted_")
+    sf = str(tmp_path)
     docs.write.mode("overwrite").parquet(sf + "/documents.parquet")
 
     out = extended_queries()["t33_ngram_novelty"](spark, sf)
@@ -958,6 +956,97 @@ def test_ngram_novelty_window_shape_matches_joinback(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "BroadcastExchange" not in plan
     assert plan.count("Window") >= 1
+
+
+def test_portable_band_rows_kernel_matches_expression(spark):
+    """r14 vectorization guard: ``minhash_band_rows(portable=True)`` (the
+    mapInPandas md5/affine/fold kernel) is ROW-IDENTICAL to the expression
+    formulation (shingle explode → conv(md5) hash → 32 min aggregates →
+    polynomial band folds) on a corpus planted with the split-semantics
+    edge cases the kernel must replay exactly: leading/trailing/mixed
+    ASCII whitespace (Java ``\\s`` = [ \\t\\n\\x0B\\f\\r] — positive-width
+    leading match keeps the empty first token, limit -1 keeps trailing
+    empties), NBSP (NOT whitespace on either side), short docs (< k words
+    → one truncated shingle when min_words is None), exactly-k docs,
+    NULL text, and multi-byte UTF-8.  Also pins the plan shape: one
+    MapInPandas, zero Generate/explode, zero HashAggregate before the
+    band rows."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, " \t leading and\ttab\nnewline\x0bvtab\fformfeed\rcr end "),
+        (3, "exactly three words"),
+        (4, "two words"),               # < 3: truncated shingle / dropped
+        (5, ""),                        # split("") == [""] → 1 "word"
+        (6, None),                      # NULL text emits nothing
+        (7, "nbsp is not whitespace on either engine"),
+        (8, "ünïcödé überall naïve café résumé"),
+        (9, "a  b   c    d"),           # runs of spaces collapse
+        (10, "alpha beta gamma delta"),  # exact dup of 1: same buckets
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def expression_twin(min_words):
+        mins = dedup._minhash_mins(
+            docs, "doc_id", "text", 3, 32, portable=True,
+            min_words=min_words,
+        )
+
+        def _bucket(b):
+            acc = F.lit(b).cast("long")
+            for j in range(4):
+                acc = (acc * 31 + F.col(f"s{b * 4 + j}")) % F.lit(
+                    dedup._MERSENNE
+                )
+            return acc
+
+        return mins.select(
+            "doc",
+            F.posexplode(F.array(*[_bucket(b) for b in range(8)])).alias(
+                "band", "bucket"
+            ),
+        )
+
+    for mw in (None, 3):
+        got = dedup.minhash_band_rows(
+            docs, "doc_id", "text", 3, 32, 8, portable=True, min_words=mw
+        )
+        want = expression_twin(mw)
+        # names+types must match (mapInPandas output is always nullable,
+        # so nullability legitimately differs from the expression form)
+        assert [(f.name, f.dataType) for f in got.schema] == [
+            (f.name, f.dataType) for f in want.schema
+        ]
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), f"kernel diverges from expression form (min_words={mw})"
+
+    plan = (
+        dedup.minhash_band_rows(
+            docs, "doc_id", "text", 3, 32, 8, portable=True, min_words=3
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan
+    assert "Generate" not in plan and "HashAggregate" not in plan
+
+
+def test_portable_band_rows_kernel_nonlong_id_falls_back(spark):
+    """The kernel's Arrow schema pins ``doc`` to long — a non-bigint id
+    column must keep the expression path (and still compute)."""
+    docs = spark.createDataFrame(
+        [("a", "one two three four"), ("b", "five six seven eight")],
+        "doc_id string, text string",
+    )
+    out = dedup.minhash_band_rows(
+        docs, "doc_id", "text", 3, 32, 8, portable=True
+    )
+    assert out.count() == 16  # 2 docs × 8 bands
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
 
 
 def test_winnow_property_random_batch(spark):

@@ -1150,3 +1150,58 @@ def test_fold_kernels_bit_identical_random_batch(spark):
             r.ca, r.cb, r.c, got_c,
         )
         assert r.e6 == got_e6, (r.ca, r.cb, r.e6, got_e6)
+
+
+def test_collect_vec_matrix_row_cap_raises(spark, emb):
+    """r14 guardrail: the bounded-side contract is enforced — an
+    oversized side raises (with the LIMIT pushed into the collect, so
+    the driver never holds the oversize) and the message names the
+    bucketed scale paths."""
+    with pytest.raises(ValueError, match="bucketed scale paths"):
+        similarity.collect_vec_matrix(emb, "vec_id", "embedding", max_rows=10)
+    # byte cap fires even when the row cap passes
+    with pytest.raises(ValueError, match="SPARK_GRAFT_VEC_MAX_BYTES"):
+        similarity.collect_vec_matrix(
+            emb.limit(4), "vec_id", "embedding", max_bytes=64
+        )
+    # under both caps: normal result
+    ids, mat = similarity.collect_vec_matrix(
+        emb.limit(4), "vec_id", "embedding"
+    )
+    assert len(ids) == 4 and mat.shape[0] == 4
+
+
+def test_block_mode_bit_identity(spark, emb, monkeypatch):
+    """r14 guardrail: with a tiny block width the closure-matrix kernels
+    (n1 brute top-k, d5 threshold pairs, e10 forward/backward mining)
+    produce BIT-identical results to the one-pass form — block top-k
+    partials are per-column, threshold masks per-cell, and the backward
+    top-k sum merges tie-invariantly across blocks."""
+    from ago_sisdb_spark.operators import embed as embed_ops
+
+    probes = emb.where(F.col("vec_id") < 7)
+    src = emb.where(F.col("vec_id") % 5 == 0).limit(9)
+    tgt = emb.where(F.col("vec_id") % 5 != 0)
+
+    def snap():
+        knn = sorted(
+            map(tuple, similarity.brute_force_topk(
+                emb, probes, "vec_id", "embedding", "vec_id", 5
+            ).collect())
+        )
+        pairs = sorted(
+            map(tuple, similarity.cosine_pairs(
+                emb.limit(60), "vec_id", "embedding", 0.30
+            ).collect())
+        )
+        mined = sorted(
+            map(tuple, embed_ops.bitext_margin_mine(
+                src, tgt, "vec_id", "embedding", k=4
+            ).collect())
+        )
+        return knn, pairs, mined
+
+    one_pass = snap()
+    monkeypatch.setattr(similarity, "VEC_BLOCK_ROWS", 3)
+    blocked = snap()
+    assert blocked == one_pass

@@ -1,9 +1,9 @@
-"""Dump ``.explain("formatted")`` for the queries the r13 optimization round
-touched, as ``plans/r13/<query>_<suffix>.txt`` (the judge checks plan claims
+"""Dump ``.explain("formatted")`` for the queries the r14 optimization round
+touched, as ``plans/r14/<query>_<suffix>.txt`` (the judge checks plan claims
 against these files).
 
-Usage: python tools/dump_r13_plans.py <suffix> [out_dir] [sf_dir]
-  suffix   "before" (run from a worktree at the r12 HEAD) or "after" (HEAD)
+Usage: python tools/dump_r14_plans.py <suffix> [out_dir] [sf_dir]
+  suffix   "before" (run from a worktree at the r13 HEAD) or "after" (HEAD)
 """
 
 from __future__ import annotations
@@ -15,15 +15,18 @@ from contextlib import redirect_stdout
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Queries whose code the r13 round changed (kernel vectorizations e10/d5/n1,
-# graph fixed-point widening t37/t39, the t33 window restructure).
+# Queries whose code the r14 round changed (or measured as candidates):
+# d3 portable-MinHash kernel vectorization, its pipeline consumers, and the
+# e11/pipe12 bounded-job reductions.
 QUERIES = [
-    "e10_bitext_mining",
-    "d5_embedding_neardup",
-    "n1_knn_bruteforce",
-    "t37_host_rank",
-    "t39_hits",
-    "t33_ngram_novelty",
+    "d3_minhash_lsh",
+    "pipe_full_prep",
+    "d8_bloom_incremental",
+    "pipe8_incremental_prep",
+    "e11_cluster_balance",
+    "pipe12_domain_mix",
+    "n11_prf_expansion",
+    "t23_quality_classifier",
 ]
 
 
@@ -32,7 +35,7 @@ def main() -> None:
     out_dir = (
         sys.argv[2]
         if len(sys.argv) > 2
-        else os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+        else os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
     )
     sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
 
