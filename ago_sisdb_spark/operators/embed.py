@@ -678,7 +678,7 @@ def cluster_assign(
     return emb.select(
         F.col(id_col),
         F.element_at(
-            _ranked_lists_expr(F.col(vec_col), cent_rows, 1), 1
+            _ranked_lists_expr(vec_col, cent_rows, 1), 1
         )["cid"].alias("cluster"),
     )
 

@@ -546,7 +546,7 @@ def train_centroids(
         cent_rows = sorted(cents.items())
         assigned = base.select(
             F.element_at(
-                _ranked_lists_expr(F.col("__v"), cent_rows, 1), 1
+                _ranked_lists_expr("__v", cent_rows, 1), 1
             )["cid"].alias("list_id"),
             F.col("__v").alias("vec"),
         )
@@ -628,7 +628,25 @@ def _ranked_lists_expr(vec: Column, cent_rows: list, nprobe: int) -> Column:
     attribute dedup when the result feeds a self-join
     (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND; the cosine-internal lambdas are
     fine).
+
+    ``vec`` may be a plain column NAME (preferred, r14): the whole
+    ranked-lists tree is then built as ONE ``F.expr`` SQL string instead
+    of ~k·dim ``F.lit``/lambda Column constructions — the py4j round
+    trips of the Column route cost 1–2 s PER INVOCATION at k=8, dim=64
+    (measured; it was the bulk of e11's wall time), while the parsed
+    tree is the same expression op for op, so every value is unchanged
+    (double literals are emitted as shortest-repr ``...D`` literals,
+    which Java parses back to the identical IEEE double).  Non-finite
+    centroid cells (no known producer) fall back to the Column route.
     """
+    if isinstance(vec, str):
+        import math
+
+        if all(
+            math.isfinite(float(x)) for _, v in cent_rows for x in v
+        ):
+            return F.expr(_ranked_lists_sql(f"`{vec}`", cent_rows, nprobe))
+        vec = F.col(vec)
     scored = F.array(*[
         F.struct(
             (-cosine(vec, F.array(*[F.lit(float(x)) for x in v]))).alias(
@@ -639,6 +657,39 @@ def _ranked_lists_expr(vec: Column, cent_rows: list, nprobe: int) -> Column:
         for cid, v in cent_rows
     ])
     return F.slice(F.array_sort(scored), 1, nprobe)
+
+
+def _ranked_lists_sql(vec_sql: str, cent_rows: list, nprobe: int) -> str:
+    """The ``_ranked_lists_expr`` tree as one SQL string — the SAME
+    zip_with/aggregate/transform cosine expressions (identical math, so
+    identical doubles), one parser call instead of thousands of py4j
+    constructions."""
+
+    def d(x: float) -> str:
+        return repr(float(x)) + "D"
+
+    def cos_sql(v: list) -> str:
+        arr = "array(" + ", ".join(d(x) for x in v) + ")"
+        dot = (
+            f"aggregate(zip_with({vec_sql}, {arr}, "
+            "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x)"
+        )
+        nv = (
+            f"sqrt(aggregate(transform({vec_sql}, "
+            "x -> CAST(x AS DOUBLE) * x), 0.0D, (acc, x) -> acc + x))"
+        )
+        nl = (
+            f"sqrt(aggregate(transform({arr}, "
+            "x -> CAST(x AS DOUBLE) * x), 0.0D, (acc, x) -> acc + x))"
+        )
+        return f"({dot} / ({nv} * {nl}))"
+
+    structs = ", ".join(
+        f"named_struct('negs', -{cos_sql(v)}, "
+        f"'cid', CAST({int(cid)} AS BIGINT))"
+        for cid, v in cent_rows
+    )
+    return f"slice(array_sort(array({structs})), 1, {int(nprobe)})"
 
 
 def _collect_centroids(cent: DataFrame) -> list:
@@ -775,14 +826,14 @@ def ivf_topk(
         ).withColumn(
             "list_id",
             F.element_at(
-                _ranked_lists_expr(F.col("__cvec"), cent_rows, 1), 1
+                _ranked_lists_expr("__cvec", cent_rows, 1), 1
             )["cid"],
         )
         probe_lists = probes.select(
             F.col(probe_id_col).alias("probe_id"),
             F.col(vec_col).alias("__pvec"),
             F.explode(
-                _ranked_lists_expr(F.col(vec_col), cent_rows, nprobe)
+                _ranked_lists_expr(vec_col, cent_rows, nprobe)
             ).alias("__rl"),
         ).select("probe_id", "__pvec", F.col("__rl")["cid"].alias("list_id"))
     scored = (
@@ -945,7 +996,7 @@ def semantic_dedup_pairs(
     assigned = base.select(
         "id",
         F.element_at(
-            _ranked_lists_expr(F.col("__v"), cent_rows, 1), 1
+            _ranked_lists_expr("__v", cent_rows, 1), 1
         )["cid"].alias("list_id"),
     )
     # per-cluster pair expansion via dedup.capped_bucket_pairs (r7):
