@@ -4454,8 +4454,18 @@ def t33_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     amplifiers); the per-doc score drives doc-level downweighting where
     d10's span report drives surgical removal.  One shingle pass
     (dedup.shingle_rows, min_words fused into the pass), gram-keyed
-    df count window — shuffles carry grams, never text; exact
-    fixed-point millionths."""
+    df count window; exact fixed-point millionths.  Shuffle contents
+    (r13 verdict #3): the first exchange is shingle_rows' one-time
+    parallelism spread of COMPACT (doc_id, text) rows — one row per doc,
+    a no-op at cluster scale where input splits already spread — and
+    every later exchange carries grams/narrow rows, never text.  Skew
+    note (r13 ADVICE): the unbounded count window puts every (doc, gram)
+    row of a high-df boilerplate gram into one window-partition task
+    with no map-side partial combine (the old groupBy df had partial
+    aggregation but cost the join-back/broadcast this shape removed);
+    rows are narrow, so an extreme-df gram is a tail-latency tradeoff,
+    not a correctness issue — if a mega-df gram ever dominates, cap or
+    salt-and-recombine the df computation above a df threshold."""
     docs = _t(spark, sf_dir, "documents")
     # df via an UNBOUNDED count window on the gram key, not the old
     # groupBy(shingle)+join-back (the r12 e12 lesson): the join-back shape

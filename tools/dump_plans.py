@@ -16,7 +16,7 @@ NOTES = {
     "a1_ohlcv_rollup": "six bar aggregates partial-combine map-side; shuffle carries one row per (key, bar)",
     "j4_range_join": "interval predicate rides a broadcast hash join on the user key",
     "d1_dedup_exact": "digest computed in the scan projection; shuffle carries (digest, id) only",
-    "d3_minhash_lsh": "explode -> hash once -> 32 affine mins in ONE hash-aggregate -> capped_bucket_pairs: the cap count-window SHARES the bucket exchange (no extra shuffle), collect_list is cap-bounded BEFORE it materializes, local array pair expansion (no self-join); shuffles: bucket + pair aggregates only",
+    "d3_minhash_lsh": "r14 kernel shape: ONE MapInPandas over compact (doc, text) rows emits (doc, band, bucket) directly — split/shingle/md5/32-permutation mins/band folds all run as per-task C work (value-identical to the expression form, pinned in pytest); the explode, the md5->conv chain and the 32-min hash-aggregate are GONE from the JVM plan.  capped_bucket_pairs unchanged: the cap count-window SHARES the bucket exchange, collect_list is cap-bounded BEFORE it materializes, local array pair expansion (no self-join); shuffles: parallelism spread + bucket + pair aggregates only",
     "d8_bloom_incremental": "bloom bitmap and verified-dup set both broadcast; the batch shuffles once (per-doc min over probe hits, map-side combined); r7 continuation: the verdicts tier is checkpointed so the verify join no longer re-runs the probe pipeline (was 5 table scans)",
     "t15_cms_counts": "sketch cells partial-aggregate map-side (<= depth*width rows per task shuffle); the depth*width-bounded sketch is broadcast into the probe join",
     "pipe6_dsir": "two fixed-size (4096-bucket) count aggregates broadcast back into ONE scoring pass; no vocabulary table, no corpus x corpus join; r7 continuation: the bucket tables are materialized and totals derive from them (5 -> 3 corpus passes)",
@@ -25,7 +25,7 @@ NOTES = {
     "pipe8_incremental_prep": "incremental daily-ingest shape (r7): the ONLY documents scans carry the batch predicate (doc_id % 3 = 0 in PushedFilters) — history enters solely as three artifact parquet scans (digest set, band index, shards-sized pack_state); per-batch cost is batch + index probe, never a history scan",
     "s5_global_shuffle": "training-order shuffle (r7): ONE exchange on the shard key feeding a per-shard WindowExec rank — no global sort, no single-partition window; shard count is layout so 1000 executors each sort shard-sized runs",
     "s7_training_shards": "training-corpus sink manifest (r7): the write ran before this plan (repartition-by-shard + in-task sort + partitionBy, its one shuffle); the manifest scan reads ONLY tokens+bin (payloads pruned, ReadSchema) + the shard partition column, two-phase distinct aggregate, all codegen",
-    "t23_quality_classifier": "classifier distillation serve plan (r7 continuation): training ran before this plan (L-BFGS treeAggregate passes over the cached feature vectors); what remains is ONE documents scan with the learned weights as literals inside codegen — no Python node, no MLlib, no join, no shuffle",
+    "t23_quality_classifier": "classifier distillation serve plan (r7 continuation): training ran before this plan (L-BFGS treeAggregate passes over the cached feature vectors — r14 evidence: getRDDStorageInfo at fit completion shows the feats InMemoryRelation 1/1 partitions cached, 165,944 bytes in memory, so no iteration re-scans parquet); what remains is ONE documents scan with the learned weights as literals inside codegen — no Python node, no MLlib, no join, no shuffle",
     "t24_ridge_length_model": "normal-equations serve plan (r7 continuation): the one-pass 9-moment training aggregate ran before this plan; serving is a single scan + projection with the Cramer-solved coefficients as literals — the whole fit cost one corpus pass",
     "pipe9_chunk_retrieval": "RAG ingest+serve (r7 continuation): corpus CDC chunking + trigram embedding in ONE shuffle-free mapInPandas chain; the 3-doc query side pre-materializes (chunk_topk checkpoints the tiny frame once — its re-chunk scan ran before this plan) and broadcasts (BroadcastNestedLoopJoin); integer dot + norm division in codegen; the only exchange is the per-query top-k window",
     "pipe10_chunk_index_serve": "persisted-index serve (r7 continuation): the corpus side is ONE parquet scan of the chunk index (ReadSchema = ids+vec+norm; built offline like n7's codebooks) — no CDC, no embedding, no documents scan; broadcast queries, codegen dot, per-query top-k window",
@@ -45,7 +45,7 @@ NOTES = {
     "t38_char_entropy": "per-doc character entropy (r10): explode characters -> ONE (doc, char) count aggregate; the per-doc total is a window over the SAME doc partitioning (no second exchange) and the final per-doc entropy sum is one more aggregate on the already-partitioned frame — two logical shuffles total, rows bounded by alphabet-size x docs",
     "e9_semantic_decontam": "embedding-space decontamination (r10): the bounded eval set broadcasts (BroadcastNestedLoopJoin, LEFT so an empty eval set degrades to contaminated=false rather than annihilating the corpus — r11 fix); per-corpus-vector max cosine is a map-side-combined aggregate over |eval| candidates; the corpus never exchanges — the only admissible shape at 100 TB",
     "e10_bitext_mining": "margin-based bitext mining (r11; r12 collapse-point pin; r13 exact-fold vectorization): the bounded src side rides every task in the kernel CLOSURE — the tgt corpus is ONE scan feeding a MapInPandas node that scores each Arrow batch against the src matrix with the exact-fold numpy block (bit-identical to the old expression tree) and emits only batch-local top-k partials (<= partitions*|src|*k rows), so no cross join exists in the plan at all; the forward top-k window reduces the partials and is eagerly materialized (Scan ExistingRDD below); the backward-kNN pass is a second MapInPandas over the bounded candidate frame emitting final per-candidate integer top-k sums (row-local, tie-invariant); margins are integer arithmetic + one integral-divide in codegen; 10.5 -> 2.5 s at sf0.1",
-    "e11_cluster_balance": "embedding-cluster diversity rebalancing (r11): centroid assignment is a LITERAL-expression projection over the scan (no crossJoin, no assignment shuffle — the IVF inlining); pass 1 is the clusters-sized mass aggregate (map-side combined, checkpointed), the integer quota plan broadcasts into pass 2's portable-hash gate + kept-count aggregate — two corpus passes by construction, no corpus-wide shuffle",
+    "e11_cluster_balance": "embedding-cluster diversity rebalancing (r11): centroid assignment is a LITERAL-expression projection over the scan (no crossJoin, no assignment shuffle — the IVF inlining; r14: the literal tree is built as ONE F.expr SQL parse instead of ~k*dim py4j Column constructions — 1.3 s of per-invocation driver time gone, values bit-identical); pass 1 is the clusters-sized mass aggregate (map-side combined, checkpointed), the integer quota plan broadcasts into pass 2's portable-hash gate + kept-count aggregate — two corpus passes by construction, no corpus-wide shuffle",
     "e12_bitext_bucketed": "SYMMETRIC bucketed bitext mining (r11; r12 occupancy cap + chained-window restructure): neither side broadcasts — each exchanges ONCE on (band, key) of the sign sketch (Generate/posexplode of 4 band keys in the scan stage, bands-x replication of (id, vec) rows); each side's bucket membership is capped at 1000 by a count WINDOW that shares the join's own (band, key) hash partitioning (cap_bucket_fanout adds no extra exchange); the bucket join is a plain shuffled equi join; lowest-shared-band dedup is a window over the pair key; the neighborhood sums CHAIN onto the same src/tgt window exchanges that compute the ranks (rank + rank-gated sum/count per Window group — pre-r12 the sumx/sumy groupBys + pair join re-executed the whole candidate lineage three times, the r7 two-consumer trap; dupscan embeddings:6 -> clean) — the large-x-large shape where e10's broadcast is impossible",
 }
 

@@ -571,6 +571,29 @@ def main() -> None:
                 "vec_id", "embedding", k=4,
             )
         probe("e10_bitext_mining", mk_e10)
+        # r14: the r13/r14 closure-matrix + mapInPandas kernels get their
+        # own tail entries (r13 verdict #7) — the bounded side stays
+        # base-scale (its closure-ship cost is the thing the guardrail
+        # caps); the corpus side scales.
+        def mk_n1(em=em, emb=emb):
+            probes1 = emb.where(F.col("vec_id") < 8)
+            return similarity.brute_force_topk(
+                em, probes1, "vec_id", "embedding", "vec_id", 5
+            )
+        probe("n1_brute_topk", mk_n1)
+        # d5 is the O(n²) all-pairs ground-truth twin: BOTH sides scale by
+        # spec, so its curve is quadratic by the math, not the plan — run
+        # only at small multipliers (the kernel wall per pair is the
+        # metric; the scale path is d6).
+        if n <= 8:
+            probe("d5_cosine_pairs",
+                lambda: similarity.cosine_pairs(em, "vec_id", "embedding", 0.40))
+        # the r14 portable-MinHash mapInPandas kernel (d3 oracle variant +
+        # the pipe_full/pipe8 screens)
+        probe("d3_minhash_portable",
+            lambda: dedup.minhash_lsh_candidates(
+                dc, "doc_id", "text", portable=True, min_words=3
+            ))
         def mk_e11(em=em):
             from ago_sisdb_spark.operators import embed as embed_ops
             return embed_ops.cluster_balanced_mix(
